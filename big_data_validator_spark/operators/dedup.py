@@ -1,0 +1,323 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point — SURVEY.md §2g / north star):
+
+- **exact**: hash-groupBy on a fingerprint — one shuffle of (hash, id),
+  never of document bodies.
+- **minhash_lsh / simhash**: signatures are fixed-width arrays computed in
+  one projection (expression-only murmur hashing via ``F.hash`` /
+  ``F.xxhash64``); candidate generation explodes *bands* (tiny constant
+  factor) and self-joins on the band key, so comparisons are limited to
+  hash-bucket collisions — O(n·bands) shuffle rows instead of the O(n²)
+  cross join a naive Jaccard would need.
+- **ngram_jaccard**: the exact (quadratic-within-bucket) verifier used on
+  LSH candidates, also exposed standalone for small data / oracles via an
+  inverted shingle index (explode + join on shingle) rather than a cross
+  join.
+- **embedding near-dup**: delegates to
+  :mod:`big_data_validator_spark.operators.similarity` buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators.text import char_ngrams, fingerprint
+
+
+# -------------------------------------------------------------- exact dedup
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of byte-identical (after normalization) documents:
+    ``(fingerprint, dup_count, keep_id)`` for groups with >1 member."""
+    return (
+        df.select(
+            fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (lowest id) per normalized-text fingerprint.
+
+    Window formulation: one shuffle on the fingerprint; full rows move once.
+    """
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------- shingle helpers
+
+def _shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingles: array<string>) with distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shingles"),
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
+    index: explode shingles, self-join on the shingle, count common shingles
+    per pair, then Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    The shingle join only pairs documents that *share at least one shingle*
+    — already far sparser than a cross join — but is still quadratic in
+    pathological corpora; at 100 TB use :func:`minhash_lsh_candidates` to
+    pre-bucket and feed candidates here for exact verification.
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    sets_df = _shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sets_df.select("id", F.size("shingles").alias("set_size"))
+    inv = sets_df.select("id", F.explode("shingles").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# -------------------------------------------------------------- minhash lsh
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures, expression-only.
+
+    Each hash function is ``xxhash64(shingle, seed_i)``; the signature slot
+    is the min over the document's shingles — computed with
+    ``transform`` + ``array_min`` higher-order functions inside codegen.
+    ``P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b)``, the classic MinHash estimator
+    (Broder 1997).
+    """
+    sets_df = _shingle_sets(df, text_col, id_col, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return sets_df.select("id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over MinHash
+    signatures.
+
+    The signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
+    two docs are candidates if any band hashes identically.  Shuffle volume
+    is O(n·bands) small (band_id, band_hash, id) tuples; the per-bucket
+    self-join only compares docs that collided.  With 64 hashes / 16 bands
+    (r=4) the S-curve threshold sits near (1/16)^(1/4) ≈ 0.5 Jaccard.
+    Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: LSH candidates → exact Jaccard
+    verification (join back to shingle sets, intersect/union on arrays).
+    Returns ``(id_a, id_b, jaccard)`` pairs above threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands)
+    sets_df = _shingle_sets(df, text_col, id_col, n)
+    sa = sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
+    sb = sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash: bigint) 64-bit SimHash over word tokens.
+
+    Classic Charikar scheme: each token hashes to 64 bits
+    (``xxhash64``); each bit position accumulates +1/-1 across tokens; the
+    signature takes the sign.  All expression-level: per-bit sums via
+    ``transform`` over bit positions + ``aggregate`` over tokens.
+    """
+    from big_data_validator_spark.operators.text import word_tokens
+
+    toks = F.array_distinct(word_tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # The Python shiftright/shiftleft wrappers only take int shift amounts;
+    # the SQL functions accept column shifts — call them directly so the
+    # bit index can come from the `sequence` lambda variable.
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda vote, i: F.when(
+                vote > 0,
+                F.call_function("shiftleft", F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc.bitwiseOR(b),
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ ``max_hamming`` between
+    64-bit SimHashes.
+
+    Pigeonhole blocking: split the signature into ``max_hamming+1`` chunks;
+    any pair within distance ``max_hamming`` must agree exactly on ≥1 chunk
+    → self-join per chunk bucket (shuffle O(n·chunks)), then verify the
+    true Hamming distance with ``bit_count(xor)``.
+    """
+    chunks = max_hamming + 1
+    chunk_bits = 64 // chunks
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("key"),
+        )
+        for c in range(chunks)
+    ]
+    blocked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(F.array(*chunk_structs)).alias("cb"),
+    ).select("id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.key").alias("key"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

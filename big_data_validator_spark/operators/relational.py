@@ -1,0 +1,232 @@
+"""Generalized relational validation rules (SURVEY.md §7 P3).
+
+The reference's north star generalizes its three CSV rules into a relational
+rule vocabulary: uniqueness, completeness, referential integrity, domain /
+range conformance, cross-snapshot drift, and distribution statistics.  The
+reference itself has none of these (SURVEY.md §2g) — every operator here is
+a Spark-first design:
+
+- each rule is a function ``DataFrame -> DataFrame`` returning *violations*
+  (oracle-checkable) plus, where useful, a metric variant returning a
+  one-row summary — so a 100 TB run can compute all metrics in one pass and
+  only materialize violations when asked;
+- joins against dimension tables take an explicit ``broadcast_dim`` hint
+  (small dims should never shuffle the fact table's full width);
+- cardinality at scale uses ``approx_count_distinct`` (HLL sketch, no
+  shuffle of distinct values) with the exact variant available for
+  small-data oracle comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- uniqueness
+
+def duplicate_key_groups(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key groups that occur more than once: ``(keys..., dup_count)``.
+
+    Map-side partial aggregation makes this one shuffle of (keys, count)
+    pairs — never of full rows.
+    """
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def duplicate_rows(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """All-but-first row per duplicated key, via a ranking window.
+
+    ``row_number`` partitions by key — the shuffle is on the key, same as
+    the groupBy formulation, but retains full rows for triage/removal.
+    A deterministic intra-group order must come from ``order_by``.
+    """
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *[F.col(c) for c in df.columns]
+    )
+    return (
+        df.withColumn("row_num", F.row_number().over(w))
+        .filter(F.col("row_num") > 1)
+        .drop("row_num")
+    )
+
+
+def uniqueness_metrics(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
+    """One row per column: total count, (approx) distinct count, uniqueness
+    ratio.  ``approx=True`` switches to the HLL sketch — the 100 TB path
+    (SURVEY.md §2g): one pass, no distinct-value shuffle."""
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs.append(distinct(F.col(c)).alias(f"{c}_distinct"))
+    row = df.agg(*aggs)
+    out = []
+    for c in cols:
+        out.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.col("row_count"),
+                F.col(f"{c}_distinct").alias("distinct_count"),
+                (F.col(f"{c}_distinct") / F.col("row_count")).alias(
+                    "uniqueness_ratio"
+                ),
+            )
+        )
+    result = out[0]
+    for o in out[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+# ------------------------------------------------------------- completeness
+
+def completeness_metrics(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column null count and completeness ratio, one aggregation pass
+    over all requested columns (``avg(isNull)`` style, SURVEY.md §7 P3)."""
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls")
+        )
+    row = df.agg(*aggs)
+    out = []
+    for c in cols:
+        out.append(
+            row.select(
+                F.lit(c).alias("column_name"),
+                F.col("row_count"),
+                F.col(f"{c}_nulls").alias("null_count"),
+                (1.0 - F.col(f"{c}_nulls") / F.col("row_count")).alias(
+                    "completeness_ratio"
+                ),
+            )
+        )
+    result = out[0]
+    for o in out[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+# ---------------------------------------------------- referential integrity
+
+def orphan_rows(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_keys: Sequence[str],
+    dim_keys: Optional[Sequence[str]] = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Fact rows whose key has no match in the dimension (LEFT ANTI join).
+
+    ``broadcast_dim=True`` (default) broadcasts the dimension's key
+    projection — at 100 TB the fact side streams through each executor with
+    zero shuffle.  Only disable for dimensions too large to broadcast, in
+    which case AQE picks a sort-merge join on the keys.
+    """
+    dim_keys = list(dim_keys or fact_keys)
+    dim_proj = dim.select(*[F.col(k) for k in dim_keys]).dropDuplicates()
+    if broadcast_dim:
+        dim_proj = F.broadcast(dim_proj)
+    cond = [
+        fact[fk].eqNullSafe(dim_proj[dk]) for fk, dk in zip(fact_keys, dim_keys)
+    ]
+    return fact.join(dim_proj, cond, "left_anti")
+
+
+# ------------------------------------------------------------ domain / range
+
+def domain_violations(
+    df: DataFrame, col: str, allowed: Sequence[str]
+) -> DataFrame:
+    """Rows whose value is outside the allowed domain (NULL is not a domain
+    violation — completeness owns NULLs)."""
+    c = F.col(col)
+    return df.filter(c.isNotNull() & ~c.isin(list(allowed)))
+
+
+def range_violations(
+    df: DataFrame,
+    col: str,
+    min_value=None,
+    max_value=None,
+) -> DataFrame:
+    """Rows outside [min_value, max_value] (either bound optional)."""
+    c = F.col(col)
+    cond = F.lit(False)
+    if min_value is not None:
+        cond = cond | (c < F.lit(min_value))
+    if max_value is not None:
+        cond = cond | (c > F.lit(max_value))
+    return df.filter(c.isNotNull() & cond)
+
+
+def violation_expr_metrics(df: DataFrame, exprs: dict[str, Column]) -> DataFrame:
+    """Evaluate many named boolean violation expressions in ONE pass:
+    returns a single row with one violation-count column per rule.  This is
+    the engine's main scale trick — N rules, one scan, no rule-per-job."""
+    return df.agg(
+        *[F.sum(e.cast("long")).alias(name) for name, e in exprs.items()]
+    )
+
+
+# -------------------------------------------------------------------- drift
+
+def snapshot_drift(
+    old: DataFrame, new: DataFrame, cols: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Row-level drift between two snapshots: rows added minus rows removed,
+    labeled.  ``exceptAll`` keeps duplicate multiplicity (bag semantics)."""
+    if cols:
+        old = old.select(*cols)
+        new = new.select(*cols)
+    added = new.exceptAll(old).withColumn("drift_kind", F.lit("added"))
+    removed = old.exceptAll(new).withColumn("drift_kind", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+# ------------------------------------------------------------- distribution
+
+def distribution_stats(
+    df: DataFrame, value_col: str, group_cols: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """min/max/avg/stddev/count per group — the profile a drift monitor
+    compares across runs.  Partial aggregation map-side; the shuffle moves
+    only (group, sketch) pairs."""
+    c = F.col(value_col)
+    aggs = [
+        F.count(c).alias("value_count"),
+        F.min(c).alias("min_value"),
+        F.max(c).alias("max_value"),
+        F.avg(c).alias("avg_value"),
+        F.stddev_samp(c).alias("stddev_value"),
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def top_k_by(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Deterministic top-k: global sort is avoided — Spark's
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject, a per-partition
+    top-k plus a k-row driver merge, O(k) memory regardless of input size.
+    Tiebreak columns make results reproducible for oracle comparison."""
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ]
+    for t in tiebreak_cols or []:
+        order.append(F.col(t).asc())
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,218 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and a
+random-hyperplane-LSH bucketed variant (scale path).
+
+Everything is expression-level (``zip_with`` / ``aggregate`` higher-order
+functions) — no Python UDFs on the hot path.  At 100 TB:
+
+- brute-force is O(|queries| × |corpus|) but shuffle-free when the query
+  set is broadcast — right answer for small query batches;
+- the LSH variant buckets the corpus once (one projection + one shuffle on
+  the bucket key) and only scores within matching buckets; recall is tuned
+  by ``num_planes``/``num_tables`` exactly like FAISS-style IVF probes.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.functions.exprs import cosine_similarity
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    query_vec_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    The query side is broadcast (it is the small side by construction), so
+    the corpus streams through executors without a shuffle; per-query top-k
+    uses a rank window partitioned by query id.  Returns
+    ``(query_id, vec_id, cosine, rank)``; self-matches excluded.
+    """
+    query_id_col = query_id_col or id_col
+    query_vec_col = query_vec_col or vec_col
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_qvec"),
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(q, F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                cosine_similarity(F.col(vec_col), F.col("_qvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _random_hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH (driver-side; tiny)."""
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)
+    ]
+
+
+def lsh_bucket_expr(vec_col: str, planes: Sequence[Sequence[float]]):
+    """Bucket id = bit pattern of sign(v·p) over the hyperplanes — a pure
+    expression: dot products via ``zip_with``+``aggregate``, packed into a
+    long with shift/or."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors sharing an LSH bucket
+    with the query in at least one of ``num_tables`` hash tables.
+
+    Candidate generation joins on (table, bucket) — equi-join, shuffle of
+    (id, bucket) pairs only.  Recall rises with tables, cost with
+    2^-num_planes bucket occupancy; defaults give ~0.9 recall on 64-d
+    Gaussian data (pinned by tests against :func:`brute_force_topk`).
+    Returns ``(query_id, vec_id, cosine, rank)``.
+    """
+    tables = [
+        _random_hyperplanes(dim, num_planes, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+
+    def bucketize(df: DataFrame, idc: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket_expr(vec_col, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc), F.col(vec_col), F.explode(buckets).alias("tb")
+        ).select(
+            idc, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        )
+
+    cb = bucketize(corpus, id_col)
+    qb = bucketize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col)),
+        "query_id",
+    ).withColumnRenamed(vec_col, "_qvec")
+
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col, "_qvec")
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cands.select(
+        "query_id",
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 10,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH-bucketed): pairs sharing a
+    bucket in any table, verified by exact cosine ≥ threshold.
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``."""
+    tables = [
+        _random_hyperplanes(dim, num_planes, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket_expr(vec_col, planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(buckets).alias("tb")
+    ).select("id", "vec", "tb.table", "tb.bucket")
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("vec_a"),
+            F.col("b.vec").alias("vec_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is Catalyst expressions (regexp/split/aggregate higher-
+order functions) — no Python UDFs — so these run at full codegen speed over
+100 TB of documents.  Each operator returns deterministic, oracle-checkable
+columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword language
+# heuristic.  Chosen to be disjoint across languages so the scoring is
+# well-defined; word-boundary regexes keep matching portable across engines.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with", "for"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "es": ["el", "los", "las", "por", "una"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de5", "shi4", "le5", "zai4", "you3"],  # romanized markers
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0 tokens."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def word_tokens(col: Column) -> Column:
+    """Array of lowercase word tokens (BPE-ish: alnum runs)."""
+    return F.filter(
+        F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Array of character n-grams (shingles) of the lowercased text.
+    Expression-only sliding window: substring positions generated with
+    ``sequence`` + ``transform`` — no exploding UDF."""
+    s = F.lower(col)
+    return F.when(F.length(s) < n, F.array(s)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - n + 1),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def normalized_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alphanumerics
+    to spaces, collapse whitespace, trim."""
+    s = F.lower(col)
+    s = F.regexp_replace(s, r"[^a-z0-9]+", " ")
+    return F.trim(s)
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Identical formulation exists in every SQL engine → oracle-checkable;
+    near-dup variants (minhash/simhash) live in
+    :mod:`big_data_validator_spark.operators.dedup`."""
+    return F.md5(normalized_text(col))
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Quality-scoring feature set (length / punctuation / stopword /
+    digit ratios).  Returned as named expressions so callers select them in
+    one projection."""
+    n_chars = F.length(col)
+    toks = token_count(col)
+    stop_pattern = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
+    return {
+        "n_chars": n_chars,
+        "n_tokens": toks,
+        "avg_token_len": F.when(
+            toks > 0, (n_chars - toks + 1) / toks
+        ).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0,
+            F.regexp_count(col, F.lit(r"[^\w\s]")) / n_chars,
+        ).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(
+            n_chars > 0, F.regexp_count(col, F.lit(r"[0-9]")) / n_chars
+        ).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            toks > 0,
+            F.regexp_count(F.lower(col), F.lit(stop_pattern)) / toks,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar quality score in [0, 1]: rewards stopword density and
+    moderate token length, penalizes punctuation/digit noise.  A heuristic
+    — the point is the shape (pure expressions, one pass), not the weights."""
+    f = quality_features(col)
+    score = (
+        F.lit(0.4) * F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+        + F.lit(0.3) * F.least(f["n_tokens"] / 100.0, F.lit(1.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+    )
+    return F.round(score, 4)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language stopword-marker hit counts (word-boundary matches)."""
+    lower = F.lower(col)
+    return {
+        lang: F.regexp_count(
+            lower, F.lit(r"\b(" + "|".join(words) + r")\b")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_guess(col: Column) -> Column:
+    """Argmax language by marker score with a fixed priority order for ties
+    (the declaration order of LANG_MARKERS) — deterministic and expressible
+    identically in ANSI SQL for the oracle."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
+    expr = F.lit("unknown")
+    for lang in reversed(langs):
+        expr = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience profile: all quality features + fingerprint + language
+    guess in a single projection (one scan, codegen end-to-end)."""
+    feats = quality_features(F.col(text_col))
+    cols = [df["*"]]
+    for name, expr in feats.items():
+        if name in df.columns:  # don't shadow source columns (e.g. n_chars)
+            continue
+        cols.append(expr.alias(name))
+    cols.append(quality_score(F.col(text_col)).alias("quality"))
+    cols.append(fingerprint(F.col(text_col)).alias("fingerprint"))
+    cols.append(lang_guess(F.col(text_col)).alias("lang_guess"))
+    return df.select(*cols)

@@ -1,0 +1,101 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators import relational as R
+
+
+def test_duplicate_key_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")],
+        ["k", "v"],
+    )
+    got = {r["k"]: r["dup_count"] for r in R.duplicate_key_groups(df, ["k"]).collect()}
+    assert got == {1: 2, 3: 3}
+
+
+def test_duplicate_rows_keeps_one_per_key(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"])
+    dupes = R.duplicate_rows(df, ["k"])
+    assert dupes.count() == 1
+    assert dupes.first()["k"] == 1
+
+
+def test_uniqueness_metrics_exact_and_approx(spark):
+    df = spark.createDataFrame([(i % 10, i) for i in range(100)], ["k", "v"])
+    exact = {
+        r["column_name"]: r for r in R.uniqueness_metrics(df, ["k", "v"]).collect()
+    }
+    assert exact["k"]["distinct_count"] == 10
+    assert exact["v"]["distinct_count"] == 100
+    assert abs(exact["k"]["uniqueness_ratio"] - 0.1) < 1e-9
+    approx = {
+        r["column_name"]: r
+        for r in R.uniqueness_metrics(df, ["k"], approx=True).collect()
+    }
+    assert abs(approx["k"]["distinct_count"] - 10) <= 2  # HLL tolerance
+
+
+def test_completeness_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, None), (None, None)], ["x", "y"]
+    )
+    got = {
+        r["column_name"]: r for r in R.completeness_metrics(df, ["x", "y"]).collect()
+    }
+    assert got["x"]["null_count"] == 2
+    assert got["y"]["null_count"] == 2
+    assert abs(got["x"]["completeness_ratio"] - 0.5) < 1e-9
+
+
+def test_orphan_rows_broadcast(spark):
+    fact = spark.createDataFrame([(1, "x"), (2, "y"), (99, "z")], ["fk", "v"])
+    dim = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    orphans = R.orphan_rows(fact, dim, ["fk"], ["pk"])
+    assert [r["fk"] for r in orphans.collect()] == [99]
+    # the dim side must actually be broadcast in the physical plan
+    plan = orphans._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_domain_and_range_violations(spark):
+    df = spark.createDataFrame(
+        [("A", 5), ("N", 60), ("X", 10), (None, -1)], ["flag", "qty"]
+    )
+    assert R.domain_violations(df, "flag", ["A", "N", "R"]).count() == 1
+    got = R.range_violations(df, "qty", 0, 50).collect()
+    assert sorted(r["qty"] for r in got) == [-1, 60]
+
+
+def test_violation_expr_metrics_single_pass(spark):
+    df = spark.createDataFrame([(1,), (200,), (-5,)], ["v"])
+    row = R.violation_expr_metrics(
+        df, {"too_big": F.col("v") > 100, "negative": F.col("v") < 0}
+    ).first()
+    assert row["too_big"] == 1 and row["negative"] == 1
+
+
+def test_snapshot_drift(spark):
+    old = spark.createDataFrame([(1,), (2,), (2,), (3,)], ["k"])
+    new = spark.createDataFrame([(2,), (2,), (3,), (4,)], ["k"])
+    drift = {(r["k"], r["drift_kind"]) for r in R.snapshot_drift(old, new).collect()}
+    assert drift == {(4, "added"), (1, "removed")}
+
+
+def test_distribution_stats_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0)], ["g", "v"]
+    )
+    got = {r["g"]: r for r in R.distribution_stats(df, "v", ["g"]).collect()}
+    assert got["a"]["avg_value"] == 2.0
+    assert got["b"]["value_count"] == 1
+
+
+def test_top_k_deterministic_and_take_ordered(spark):
+    df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "v"])
+    top = R.top_k_by(df, "v", 5, tiebreak_cols=["id"])
+    rows = top.collect()
+    assert len(rows) == 5
+    assert [r["id"] for r in rows] == [2, 5, 8, 11, 14]  # v=2 ties → id asc
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort at scale

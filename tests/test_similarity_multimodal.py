@@ -1,0 +1,134 @@
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators import multimodal as M
+from big_data_validator_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Clustered vectors (like real embeddings): 8 Gaussian centers with 5
+    noisy members each — a vector's true top-k are its cluster mates, the
+    regime LSH is designed for.  Plus one planted near-copy of vec 0."""
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for _ in range(8):
+        center = [rng.gauss(0, 1) for _ in range(dim)]
+        for _ in range(5):
+            rows.append(
+                (vid, [float(c + rng.gauss(0, 0.15)) for c in center])
+            )
+            vid += 1
+    base0 = rows[0][1]
+    rows.append((100, [float(x + 0.01) for x in base0]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), dim
+
+
+def cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(y * y for y in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_topk_matches_python(spark, vectors):
+    df, dim = vectors
+    data = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    queries = df.filter(F.col("vec_id") == 0)
+    got = S.brute_force_topk(df, queries, k=5).collect()
+    assert len(got) == 5
+    expected = sorted(
+        ((vid, cosine(data[0], v)) for vid, v in data.items() if vid != 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert [r["vec_id"] for r in got] == [e[0] for e in expected]
+    assert got[0]["vec_id"] == 100  # the planted near-copy wins
+    for r, e in zip(got, expected):
+        assert abs(r["cosine"] - e[1]) < 1e-4
+
+
+def test_brute_force_broadcasts_queries(spark, vectors):
+    df, _ = vectors
+    q = df.limit(2)
+    plan = (
+        S.brute_force_topk(df, q, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_ann_recall(spark, vectors):
+    df, dim = vectors
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(df, queries, k=5).collect()
+    approx = S.lsh_ann_topk(df, queries, dim=dim, k=5, num_planes=6, num_tables=8)
+    got = approx.collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets = {}
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # approximate, but useful
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    df, dim = vectors
+    pairs = S.embedding_near_dup_pairs(df, dim=dim, threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    assert (0, 100) in got  # the planted near-copy is found
+    assert max(got.values()) == got[(0, 100)]  # and is the closest pair
+    assert all(c >= 0.99 for c in got.values())  # threshold respected
+
+
+def test_assets_schema_and_feature_extraction(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark at scale"), (3, "")],
+        ["doc_id", "text"],
+    )
+    assets = M.assets_from_documents(docs)
+    assert set(assets.columns) == {
+        "asset_id", "media_type", "payload", "width", "height", "duration_ms",
+    }
+    feats = M.extract_features(assets, dim=8).collect()
+    assert len(feats) == 3
+    by_id = {r["asset_id"]: r for r in feats}
+    assert by_id[1]["payload_bytes"] == len(b"hello world")
+    assert len(by_id[1]["feature"]) == 8
+    assert abs(sum(by_id[1]["feature"]) - 1.0) < 1e-6  # L1 normalized
+    assert sum(by_id[3]["feature"]) == 0.0  # empty payload
+
+    # re-running yields identical features (deterministic kernel)
+    again = {r["asset_id"]: r["feature"] for r in M.extract_features(assets, dim=8).collect()}
+    assert again[1] == by_id[1]["feature"]
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M._decode_asset("image", b"\x89PNG")
+
+
+def test_payload_stats_prunes_payload_column(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(9)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "assets.parquet")
+    M.assets_from_documents(docs).write.parquet(path)
+    assets = spark.read.parquet(path)
+    stats = M.payload_stats(assets)
+    assert stats.count() == 3  # image/audio/video
+    total = sum(r["asset_count"] for r in stats.collect())
+    assert total == 9

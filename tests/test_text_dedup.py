@@ -1,0 +1,108 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators import dedup as D
+from big_data_validator_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "The quick brown fox jumps over the lazy dog!"),  # normalized dup of 1
+        (4, "the quick brown fox leaps over the lazy dog"),   # near dup (1 word)
+        (5, "completely different content about spark engines"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("one",)], ["text"]
+    )
+    got = [r[0] for r in df.select(T.token_count(F.col("text"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], ["text"])
+    got = [r[0] for r in df.select(T.char_ngrams(F.col("text"), 3)).collect()]
+    assert got == [["abc", "bcd"], ["ab"]]
+
+
+def test_fingerprint_normalizes(spark, docs):
+    fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[1] == by_id[2] == by_id[3]  # case/punct-insensitive
+    assert by_id[1] != by_id[4]
+
+
+def test_lang_guess_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of the house",),
+            ("le chat est la maison des gens",),
+            ("el gato por las casas una vez",),
+            ("der hund und die katze ist das",),
+            ("xyzzy qwerty",),
+        ],
+        ["text"],
+    )
+    got = [r[0] for r in df.select(T.lang_guess(F.col("text"))).collect()]
+    assert got == ["en", "fr", "es", "de", "unknown"]
+
+
+def test_quality_score_ranges(spark, docs):
+    rows = docs.select(T.quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_exact_dedup(spark, docs):
+    groups = D.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["dup_count"] == 3
+    assert groups[0]["keep_id"] == 1
+    kept = D.exact_dedup(docs)
+    assert kept.count() == 4  # 1 (for 1/2/3), 4, 5, 6
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4, 5, 6}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact dups have jaccard 1.0; the one-word edit is above 0.5
+    assert (1, 2) in got and (1, 3) in got and (2, 3) in got
+    assert (1, 4) in got
+    assert not any(5 in p or 6 in p for p in got)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    # banded MinHash (r=4, b=16, t≈0.5) must recover all >0.8 pairs here
+    assert lsh == exact
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # docs 1,2 tokenize identically (distance 0); 3 normalizes the same
+    assert (1, 2) in got and (1, 3) in got
+    assert not any(5 in p for p in got)
+
+
+def test_simhash_signature_is_stable(spark, docs):
+    s1 = {r["id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    s2 = {r["id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert s1 == s2
+    assert s1[1] == s1[2]  # identical text → identical signature
