@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully (noop sink — no driver-side row transfer, so the
+measurement is the distributed plan, not collect serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from big_data_validator_spark.queries import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: Headline set: every scale-relevant operator family; excludes the
+#: deliberately-bounded exact-Jaccard demo (dedup_ngram_jaccard caps its
+#: corpus; MinHash LSH is the scale path and IS benched).
+HEADLINE = [
+    "validation_summary_lineitem",
+    "scan_pushdown_projection",
+    "agg_pricing_summary",
+    "rule_type_enforcement",
+    "rule_uniqueness_dup_keys",
+    "rule_completeness",
+    "rule_referential_integrity",
+    "rule_domain_range",
+    "agg_distribution_stats",
+    "agg_count_distinct",
+    "topk_order_values",
+    "window_dedup_rank",
+    "join_shipping_priority",
+    "join_region_revenue",
+    "join_part_enrichment",
+    "events_json_extract",
+    "events_hourly_windows",
+    "events_sessionize",
+    "text_token_counts",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "emb_norm_stats",
+    "sim_bruteforce_topk",
+    "sim_ann_lsh",
+    "multimodal_payload_stats",
+]
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bdv-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "32g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name]
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,23 @@ def ngram_jaccard_pairs(
 
 # -------------------------------------------------------------- minhash lsh
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic multiply-add constants for the MinHash universal hash
+    family ``(a*h + b) mod (2^31-1)``.  Constants stay below 2^31 so the
+    product fits a long — ANSI mode (Spark 4 default) raises on long
+    overflow, ruling out wraparound tricks."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -130,20 +147,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures, expression-only.
 
-    Each hash function is ``xxhash64(shingle, seed_i)``; the signature slot
-    is the min over the document's shingles — computed with
-    ``transform`` + ``array_min`` higher-order functions inside codegen.
+    Each shingle is hashed ONCE (``xxhash64``); the ``num_hashes`` hash
+    functions are derived arithmetically as ``a_i * h + b_i`` (multiply-add
+    family, long wraparound ≡ mod 2^64) — ~64× cheaper than hashing the
+    string per function.  The signature slot is the min over the document's
+    shingle hashes (``transform`` + ``array_min`` inside codegen).
     ``P(sig_a[i]==sig_b[i]) ≈ Jaccard(a,b)``, the classic MinHash estimator
     (Broder 1997).
     """
-    sets_df = _shingle_sets(df, text_col, id_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda seed: F.array_min(
-            F.transform("shingles", lambda s: F.xxhash64(s, seed))
-        ),
+    return _minhash_signatures_from_sets(
+        _shingle_sets(df, text_col, id_col, n), num_hashes
     )
-    return sets_df.select("id", sig.alias("sig"))
+
+
+def _minhash_signatures_from_sets(
+    sets_df: DataFrame, num_hashes: int
+) -> DataFrame:
+    params = _minhash_params(num_hashes)
+    # fold the 64-bit shingle hash to 31 bits so every multiply below stays
+    # inside a long (ANSI-safe)
+    base = F.transform(
+        "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE_31))
+    )
+
+    def _mul_add(a: int, b: int):
+        # closure factory: keep a 1-arg lambda (PySpark infers HOF arity
+        # from the lambda's parameter count, so default-arg tricks break)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_h", _mul_add(a, b)))
+            for a, b in params
+        ]
+    )
+    return sets_df.withColumn("_h", base).select("id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -152,7 +190,8 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     n: int = 5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
+    sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash
     signatures.
@@ -160,12 +199,15 @@ def minhash_lsh_candidates(
     The signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
     two docs are candidates if any band hashes identically.  Shuffle volume
     is O(n·bands) small (band_id, band_hash, id) tuples; the per-bucket
-    self-join only compares docs that collided.  With 64 hashes / 16 bands
-    (r=4) the S-curve threshold sits near (1/16)^(1/4) ≈ 0.5 Jaccard.
+    self-join only compares docs that collided.  With 64 hashes / 8 bands
+    (r=8) the S-curve threshold sits near (1/8)^(1/8) ≈ 0.77 Jaccard —
+    tuned for the usual 0.8 near-dup cutoff; corpora with high mutual
+    similarity would drown r=4 banding in false candidates.
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
     banded = sigs.select(
         "id",
         F.explode(
@@ -200,14 +242,21 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: LSH candidates → exact Jaccard
     verification (join back to shingle sets, intersect/union on arrays).
-    Returns ``(id_a, id_b, jaccard)`` pairs above threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, n, num_hashes, bands)
-    sets_df = _shingle_sets(df, text_col, id_col, n)
+    Returns ``(id_a, id_b, jaccard)`` pairs above threshold.
+
+    The shingle sets are computed once and cached: candidate generation
+    derives signatures from them and verification joins back to them —
+    without the cache the corpus would be re-shingled three times."""
+    sets_df = _shingle_sets(df, text_col, id_col, n).cache()
+    sigs = _minhash_signatures_from_sets(sets_df, num_hashes)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, n, num_hashes, bands, sigs=sigs
+    )
     sa = sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
     sb = sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")
     return (

@@ -1,0 +1,1083 @@
+"""Driver-facing query registry: every operator from SURVEY.md §2 (and the
+north-star additions) as a ``(spark, sf_dir) -> DataFrame`` callable, with a
+DuckDB-ANSI-SQL oracle where the semantics are SQL-expressible.
+
+Conventions (hash-match discipline):
+
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL;
+- float aggregates are rounded (2-6 digits) on BOTH sides; cross-engine
+  float noise is ~1e-12 relative, far inside the rounding;
+- timestamps never leave as raw timestamps — always formatted strings or
+  dates, with the Spark session pinned to UTC;
+- integer sums are cast to bigint in the oracle (DuckDB sums to int128);
+- top-k queries carry deterministic tie-breaks;
+- float vectors are cast to double before arithmetic on both sides.
+
+Queries whose semantics are hash-dependent (MinHash/SimHash/LSH) have no
+oracle — the driver records the weaker rows-only check; their correctness
+is pinned by pytest against exact algorithms instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.functions.exprs import (
+    cosine_similarity,
+    field_count_naive,
+    field_count_quoted,
+)
+from big_data_validator_spark.operators import dedup as D
+from big_data_validator_spark.operators import multimodal as M
+from big_data_validator_spark.operators import relational as R
+from big_data_validator_spark.operators import similarity as S
+from big_data_validator_spark.operators import text as T
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str] = None
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # The testdata's events.parquet stores nanosecond timestamps, which
+        # Spark's parquet reader rejects outright (DuckDB silently truncates
+        # to µs).  Read nanos as long and convert with integer division —
+        # float division would lose precision at ns-epoch magnitude (~2^60).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Flagship: single-pass multi-rule validation metrics (the engine's core
+# trick — N rules, ONE scan; reference ran one job per rule)
+# =====================================================================
+
+@query(
+    "validation_summary_lineitem",
+    oracle="""
+    SELECT 'quantity_range' AS rule_name,
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violation_count
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_range',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive',
+           CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'null_orderkey',
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def validation_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All rule counters in ONE aggregation over ONE scan, then unpivoted to
+    (rule_name, violation_count) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    exprs = {
+        "quantity_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+        "discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        "returnflag_domain": ~F.col("l_returnflag").isin("A", "N", "R"),
+        "price_positive": F.col("l_extendedprice") <= 0,
+        "null_orderkey": F.col("l_orderkey").isNull(),
+    }
+    wide = R.violation_expr_metrics(li, exprs)
+    stack = ", ".join(f"'{k}', {k}" for k in exprs)
+    return wide.selectExpr(
+        f"stack({len(exprs)}, {stack}) as (rule_name, violation_count)"
+    )
+
+
+# =====================================================================
+# Scans / projections (SURVEY §2a, §2c)
+# =====================================================================
+
+@query(
+    "scan_pushdown_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice * (1 - l_discount), 2) AS net_price
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '2001-01-01' AND l_quantity > 45
+    """,
+)
+def scan_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + narrow projection; predicate and column pruning reach the
+    parquet scan (PushedFilters/ReadSchema verified in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("2001-01-01").cast("date"))
+        & (F.col("l_quantity") > 45)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "net_price"
+        ),
+    )
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the headline group-agg (partial
+    aggregation map-side; shuffle carries only group keys + sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2001-09-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# =====================================================================
+# Reference-parity rules over testdata (SURVEY §2c-2e)
+# =====================================================================
+
+@query(
+    "rule_field_count_naive",
+    oracle="""
+    SELECT CAST(len(string_split(text, ' ')) AS INT) AS field_count,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def rule_field_count_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of naive (quote-blind) per-line field counts — the
+    reference's `len(line.split(sep))` as a codegen expression
+    (``big_data_validator.py:191``), demonstrated with a space separator
+    over the documents corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            field_count_naive(F.col("text"), " ").alias("field_count")
+        )
+        .groupBy("field_count")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+@query(
+    "rule_field_count_quote_stripped",
+    oracle="""
+    WITH lines AS (
+        SELECT '"' || p_name || '"|"' || p_brand || '"|"' || CAST(p_size AS VARCHAR)
+               || CASE WHEN p_size % 10 = 0 THEN '|' ELSE '' END || '"' AS line
+        FROM part
+    )
+    SELECT CAST(len(string_split(regexp_replace(line, '"[^"]*"', '', 'g'), '|')) AS INT) AS field_count,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM lines GROUP BY 1
+    """,
+)
+def rule_field_count_quote_stripped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-aware field counting, SQL-expressible formulation: blank out
+    quoted spans, then count separators.  (The reference's exact
+    lookahead-regex counter is `rule_field_count_quoted`, oracle-less
+    because RE2 lacks lookaheads; its parity with Python `re` is pinned in
+    tests.)  Lines are synthesized from `part` with a quoted `|` injected
+    for every p_size divisible by 10."""
+    part = _t(spark, sf_dir, "part")
+    line = F.concat(
+        F.lit('"'), F.col("p_name"), F.lit('"|"'), F.col("p_brand"),
+        F.lit('"|"'), F.col("p_size").cast("string"),
+        F.when(F.col("p_size") % 10 == 0, F.lit("|")).otherwise(F.lit("")),
+        F.lit('"'),
+    )
+    stripped = F.regexp_replace(line, '"[^"]*"', "")
+    return (
+        part.select(
+            F.size(F.split(stripped, "\\|", -1)).alias("field_count")
+        )
+        .groupBy("field_count")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+@query("rule_field_count_quoted")  # no oracle: RE2 lacks lookaheads
+def rule_field_count_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact quote-aware counter
+    (``big_data_validator.py:221-240``) as a `regexp_count` expression,
+    over lines synthesized from `part` (quoted fields, embedded pipes)."""
+    part = _t(spark, sf_dir, "part")
+    line = F.concat(
+        F.lit('"'), F.col("p_name"), F.lit('"|"'), F.col("p_brand"),
+        F.lit('"|"'), F.col("p_type"), F.lit('"'),
+    )
+    return (
+        part.select(field_count_quoted(line, "|", '"').alias("field_count"))
+        .groupBy("field_count")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+    )
+
+
+@query(
+    "rule_column_names",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('L_ORDERKEY', TRUE), ('L_PARTKEY', TRUE), ('L_SUPPKEY', TRUE),
+        ('L_LINENUMBER', TRUE), ('L_QUANTITY', TRUE), ('L_EXTENDEDPRICE', TRUE),
+        ('L_DISCOUNT', TRUE), ('L_TAX', TRUE), ('L_RETURNFLAG', TRUE),
+        ('L_LINESTATUS', TRUE), ('L_SHIPDATE', TRUE), ('L_COMMENT', FALSE)
+    ) AS t(column_name, present)
+    """,
+)
+def rule_column_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-name conformance (case-insensitive superset semantics of
+    ``big_data_validator.py:26-74``) of the lineitem schema against a
+    contract expecting one extra column (L_COMMENT, absent → fails)."""
+    li = _t(spark, sf_dir, "lineitem")
+    actual = {c.upper() for c in li.columns}
+    expected = [
+        "L_ORDERKEY", "L_PARTKEY", "L_SUPPKEY", "L_LINENUMBER", "L_QUANTITY",
+        "L_EXTENDEDPRICE", "L_DISCOUNT", "L_TAX", "L_RETURNFLAG",
+        "L_LINESTATUS", "L_SHIPDATE", "L_COMMENT",
+    ]
+    return spark.createDataFrame(
+        [(c, c in actual) for c in expected], ["column_name", "present"]
+    )
+
+
+@query(
+    "rule_type_enforcement",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderkey,
+      CAST(SUM(CASE WHEN TRY_CAST(o_orderpriority AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_priority,
+      CAST(SUM(CASE WHEN TRY_CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_priority_prefix
+    FROM orders
+    """,
+)
+def rule_type_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-type enforcement (SURVEY §7 P2) demonstrated on orders:
+    NOT-NULL and NUMBER checks via try_cast (ANSI-safe), all in one agg."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("null_orderkey"),
+        F.sum(
+            F.col("o_orderpriority").try_cast("double").isNull().cast("long")
+        ).alias("non_numeric_priority"),
+        F.sum(
+            F.substring(F.col("o_orderpriority"), 1, 1)
+            .try_cast("double")
+            .isNull()
+            .cast("long")
+        ).alias("non_numeric_priority_prefix"),
+    )
+
+
+# =====================================================================
+# Relational rule vocabulary (SURVEY §7 P3)
+# =====================================================================
+
+@query(
+    "rule_uniqueness_dup_keys",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """,
+)
+def rule_uniqueness_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return R.duplicate_key_groups(li, ["l_orderkey", "l_linenumber"])
+
+
+@query(
+    "rule_uniqueness_metrics",
+    oracle="""
+    WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+                      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d_orderkey,
+                      CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d_custkey
+               FROM orders)
+    SELECT 'o_orderkey' AS column_name, row_count, d_orderkey AS distinct_count,
+           CAST(d_orderkey AS DOUBLE) / row_count AS uniqueness_ratio FROM m
+    UNION ALL
+    SELECT 'o_custkey', row_count, d_custkey,
+           CAST(d_custkey AS DOUBLE) / row_count FROM m
+    """,
+)
+def rule_uniqueness_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.uniqueness_metrics(o, ["o_orderkey", "o_custkey"])
+
+
+@query(
+    "rule_completeness",
+    oracle="""
+    WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+                      CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+                      CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+               FROM lineitem)
+    SELECT 'l_quantity' AS column_name, row_count, n_q AS null_count,
+           1.0 - CAST(n_q AS DOUBLE) / row_count AS completeness_ratio FROM m
+    UNION ALL
+    SELECT 'l_returnflag', row_count, n_r, 1.0 - CAST(n_r AS DOUBLE) / row_count FROM m
+    """,
+)
+def rule_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return R.completeness_metrics(li, ["l_quantity", "l_returnflag"])
+
+
+@query(
+    "rule_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS orphan_count
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def rule_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts across three FK relations, each a broadcast left-anti
+    join (dimension key projection broadcast; fact side never shuffles)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+
+    def count_row(label, fact, dim, fk, pk):
+        return (
+            R.orphan_rows(fact, dim, [fk], [pk])
+            .agg(F.count(F.lit(1)).alias("orphan_count"))
+            .select(F.lit(label).alias("relation"), "orphan_count")
+        )
+
+    return (
+        count_row("lineitem->orders", li, o, "l_orderkey", "o_orderkey")
+        .unionByName(count_row("orders->customer", o, c, "o_custkey", "c_custkey"))
+        .unionByName(count_row("customer->nation", c, n, "c_nationkey", "n_nationkey"))
+    )
+
+
+@query(
+    "rule_domain_range",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+      CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+      CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+      CAST(SUM(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.2) THEN 1 ELSE 0 END) AS BIGINT) AS tax_range
+    FROM lineitem
+    """,
+)
+def rule_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    exprs = {
+        "returnflag_domain": F.col("l_returnflag").isNotNull()
+        & ~F.col("l_returnflag").isin("A", "N", "R"),
+        "quantity_range": F.col("l_quantity").isNotNull()
+        & ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        "discount_range": F.col("l_discount").isNotNull()
+        & ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)),
+        "tax_range": F.col("l_tax").isNotNull()
+        & ((F.col("l_tax") < 0) | (F.col("l_tax") > 0.2)),
+    }
+    return R.violation_expr_metrics(li, exprs)
+
+
+@query(
+    "rule_date_bounds",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+                          OR CAST(o_orderdate AS DATE) > DATE '2030-12-31'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS out_of_bounds,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date
+    FROM orders
+    """,
+)
+def rule_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.agg(
+        F.sum(
+            (
+                (d < F.lit("1992-01-01").cast("date"))
+                | (d > F.lit("2030-12-31").cast("date"))
+            ).cast("long")
+        ).alias("out_of_bounds"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+@query(
+    "agg_distribution_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(l_extendedprice) AS BIGINT) AS value_count,
+           ROUND(MIN(l_extendedprice), 2) AS min_value,
+           ROUND(MAX(l_extendedprice), 2) AS max_value,
+           ROUND(AVG(l_extendedprice), 2) AS avg_value,
+           ROUND(STDDEV_SAMP(l_extendedprice), 2) AS stddev_value
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.distribution_stats(li, "l_extendedprice", ["l_returnflag"])
+    return out.select(
+        "l_returnflag",
+        "value_count",
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        F.round("avg_value", 2).alias("avg_value"),
+        F.round("stddev_value", 2).alias("stddev_value"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_suppkey
+    FROM lineitem
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (oracle-checkable).  The 100 TB path is
+    `uniqueness_metrics(..., approx=True)` — HLL sketches, no shuffle of
+    distinct values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_orderkey").alias("d_orderkey"),
+        F.count_distinct("l_partkey").alias("d_partkey"),
+        F.count_distinct("l_suppkey").alias("d_suppkey"),
+    )
+
+
+@query(
+    "topk_order_values",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k_by(o, "o_totalprice", 10, tiebreak_cols=["o_orderkey"]).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+@query(
+    "drift_snapshots",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 10 < 5),
+         new AS (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 10 < 6)
+    SELECT o_orderkey, o_orderstatus, 'added' AS drift_kind FROM (SELECT * FROM new EXCEPT ALL SELECT * FROM old)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'removed' FROM (SELECT * FROM old EXCEPT ALL SELECT * FROM new)
+    """,
+)
+def drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 < 5)
+    new = o.filter(F.col("o_orderkey") % 10 < 6)
+    return R.snapshot_drift(old, new, ["o_orderkey", "o_orderstatus"])
+
+
+@query(
+    "window_dedup_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey, ROUND(l_extendedprice, 2) AS extended_price
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY l_orderkey, l_linenumber
+        ORDER BY l_extendedprice, l_partkey, l_suppkey, l_quantity
+      ) AS rn FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate elimination keeping one deterministic winner per key —
+    `row_number` window (one shuffle on the key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_extendedprice", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            F.round("l_extendedprice", 2).alias("extended_price"),
+        )
+    )
+
+
+# =====================================================================
+# Join-shaped analytics (broadcast + shuffle join coverage)
+# =====================================================================
+
+@query(
+    "join_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: 3-way join, filtered, top-10 by revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "join_region_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS line_count
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join: small dims broadcast, single shuffle on the fact
+    side's aggregated keys."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@query(
+    "join_part_enrichment",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS line_count,
+           ROUND(AVG(p.p_retailprice), 4) AS avg_retail,
+           ROUND(SUM(l.l_quantity), 2) AS total_qty
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def join_part_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-dim enrichment with an explicit broadcast hint — the dim never
+    shuffles the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("line_count"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_retail"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+# =====================================================================
+# Events: JSON extraction, windowed aggregation, sessionization
+# =====================================================================
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(k.cast("int")).cast("long").alias("sum_k"),
+        F.sum(k.isNull().cast("long")).alias("missing_k"),
+    )
+
+
+@query(
+    "events_hourly_windows",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation — the same `window()` expression the
+    streaming validator uses on this table (batch/stream parity)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS session_count,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window —
+    shuffle on user_id only."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = (
+        prev.isNull()
+        | (F.col("ts").cast("long") - prev.cast("long") > 1800)
+    ).cast("long")
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("session_count"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
+
+
+# =====================================================================
+# Text analysis (documents)
+# =====================================================================
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) AS INT) AS char_count,
+           ROUND(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / len(text), 4) AS punct_ratio,
+           ROUND(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text), 4) AS digit_ratio,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|with|for)\\b')) AS DOUBLE)
+                 / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio
+    FROM documents WHERE len(text) > 0
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    text = F.col("text")
+    toks = T.token_count(text)
+    stop = r"\b(the|and|of|with|for)\b"
+    return docs.select(
+        "doc_id",
+        F.length(text).alias("char_count"),
+        F.round(
+            F.regexp_count(text, F.lit(r"[^\w\s]")) / F.length(text), 4
+        ).alias("punct_ratio"),
+        F.round(
+            F.regexp_count(text, F.lit(r"[0-9]")) / F.length(text), 4
+        ).alias("digit_ratio"),
+        F.round(F.regexp_count(F.lower(text), F.lit(stop)) / toks, 4).alias(
+            "stopword_ratio"
+        ),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\b(the|and|of|with|for)\\b')) AS s_en,
+        len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS s_fr,
+        len(regexp_extract_all(lower(text), '\\b(el|los|las|por|una)\\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\\b(de5|shi4|le5|zai4|you3)\\b')) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE
+        WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+        WHEN s_fr > 0 AND s_fr >= s_es AND s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+        WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+        WHEN s_de > 0 AND s_de >= s_zh THEN 'de'
+        WHEN s_zh > 0 THEN 'zh'
+        ELSE 'unknown'
+      END AS lang_guess
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# =====================================================================
+# Dedup (documents)
+# =====================================================================
+
+@query(
+    "dedup_exact_keep_first",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS f
+      FROM corpus
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM fp GROUP BY f HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a corpus with planted duplicates (the table unioned
+    with an id-shifted copy of itself): hash-groupBy, keep lowest id."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return D.exact_duplicate_groups(corpus).select(
+        F.col("keep_id"), F.col("dup_count")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 150
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, substr(t, s, 5) AS sh
+      FROM d, (SELECT unnest(generate_series(1, 4000)) AS s) g
+      WHERE s <= len(t) - 4
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (inverted shingle index) on a bounded
+    sub-corpus; the unbounded-scale variant is `dedup_minhash_lsh`."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # hash-dependent: rows-only check; pytest pins recall
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=8, threshold=0.8)
+
+
+@query("dedup_simhash")  # hash-dependent: rows-only check; pytest pins behavior
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# =====================================================================
+# Embedding similarity (embeddings)
+# =====================================================================
+
+@query(
+    "emb_norm_stats",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS vec_count,
+           ROUND(AVG(nrm), 4) AS avg_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("vec_count"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+    )
+
+
+@query(
+    "sim_bruteforce_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — broadcast nested-loop; the
+    corpus never shuffles."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.brute_force_topk(emb, q, k=10)
+
+
+@query("sim_ann_lsh")  # hash-dependent buckets: rows-only; recall pinned in pytest
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_ann_topk(emb, q, dim=64, k=10, num_planes=8, num_tables=4)
+
+
+@query("emb_near_dup_pairs")  # hash-dependent buckets: rows-only
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+
+
+# =====================================================================
+# Multimodal plumbing (documents → binary assets)
+# =====================================================================
+
+@query(
+    "multimodal_payload_stats",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             encode(text) AS payload,
+             CAST(len(text) % 640 + 1 AS INT) AS width,
+             CAST(len(text) % 480 + 1 AS INT) AS height
+      FROM documents
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS asset_count,
+           CAST(SUM(octet_length(payload)) AS BIGINT) AS total_payload_bytes,
+           ROUND(AVG(octet_length(payload)), 4) AS avg_payload_bytes,
+           CAST(MIN(width) AS INT) AS min_width,
+           CAST(MAX(height) AS INT) AS max_height
+    FROM assets GROUP BY media_type
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = M.assets_from_documents(docs)
+    out = M.payload_stats(assets.drop("duration_ms"))
+    return out.select(
+        "media_type",
+        "asset_count",
+        F.col("total_payload_bytes").cast("long").alias("total_payload_bytes"),
+        "avg_payload_bytes",
+        "min_width",
+        "max_height",
+    )
+
+
+@query("multimodal_features")  # mapInPandas kernel: rows-only check
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    assets = M.assets_from_documents(docs)
+    feats = M.extract_features(assets, dim=16)
+    return feats.select(
+        "asset_id", "media_type", "payload_bytes", F.size("feature").alias("feature_dim")
+    )
+
+
+# =====================================================================
+# Public API consumed by __spark_entry__.py
+# =====================================================================
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }

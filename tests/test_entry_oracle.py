@@ -1,0 +1,97 @@
+"""Local mirror of the driver's correctness gate: run every ``queries()``
+entry on Spark AND its ``oracle_sql()`` on DuckDB over the same parquet,
+compare row count, column names, and order-insensitive values.
+
+Runs at sf0.001 by default (fast); set BDV_ORACLE_SF_DIR=/root/testdata/sf0.01
+to replicate the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = os.environ.get("BDV_ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(rows, columns):
+    """Order-insensitive canonical form: sort columns by name, normalize
+    numeric noise, sort rows."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm_val(v):
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                return ("f", "nan")
+            return ("f", round(v, 9))
+        if isinstance(v, int):
+            return ("i", v)
+        return ("s", str(v))
+
+    return sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
+
+
+ORACLES = E.oracle_sql()
+ALL_QUERIES = E.queries()
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert df.columns == ["rule_name", "violation_count"]
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
+    spark_rows = sdf.collect()
+    spark_cols = sdf.columns
+
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(c.lower() for c in spark_cols) == sorted(
+        c.lower() for c in duck_cols
+    ), f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    got = normalize([list(r) for r in spark_rows], [c.lower() for c in spark_cols])
+    want = normalize([list(r) for r in duck_rows], [c.lower() for c in duck_cols])
+    mismatches = [
+        (g, w) for g, w in zip(got, want) if g != w
+    ]
+    assert got == want, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ORACLES)))
+def test_oracle_less_query_runs(spark, name):
+    """Rows-only check for non-SQL-expressible queries (same as driver)."""
+    sdf = ALL_QUERIES[name](spark, SF_DIR)
+    assert len(sdf.columns) > 0
+    assert sdf.count() >= 0
