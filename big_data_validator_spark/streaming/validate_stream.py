@@ -1,0 +1,128 @@
+"""Validation rules over Structured Streaming.
+
+The reference has no streaming surface (SURVEY.md §2g); this completes the
+north star: the SAME boolean violation expressions the batch runner
+aggregates (``operators/relational.py``, ``operators/typed.py``) evaluated
+continuously over an unbounded source.
+
+Design:
+
+- **Expression reuse is the contract**: a rule is a named ``Column``; batch
+  and stream evaluate the identical Catalyst expression, so batch oracle
+  checks certify streaming semantics up to windowing.
+- **Event-time correctness**: watermarks bound state; late rows beyond the
+  watermark are dropped by Spark, which for a validation pipeline means
+  "metrics finalize after the lateness horizon".
+- **At 100 TB/day**: windowed counts shuffle only (window, flag) partial
+  counts; the violation sink streams full rows append-only, partitioned by
+  window date so triage prunes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+@dataclass
+class StreamingRuleConfig:
+    event_time_col: str = "ts"
+    watermark: str = "10 minutes"
+    window: str = "5 minutes"
+    slide: Optional[str] = None  # None → tumbling
+
+
+def windowed_violation_counts(
+    stream: DataFrame,
+    rules: dict[str, Column],
+    config: StreamingRuleConfig = StreamingRuleConfig(),
+) -> DataFrame:
+    """Per-window, per-rule violation counts over an unbounded stream.
+
+    One ``groupBy(window)`` aggregation evaluates EVERY rule expression in
+    the same pass (the batch runner's single-pass trick, streaming
+    edition).  Output schema: (window_start, window_end, total_rows,
+    <rule>_violations...).
+    """
+    ts = F.col(config.event_time_col)
+    win = (
+        F.window(ts, config.window, config.slide)
+        if config.slide
+        else F.window(ts, config.window)
+    )
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for name, expr in rules.items():
+        aggs.append(F.sum(expr.cast("long")).alias(f"{name}_violations"))
+    return (
+        stream.withWatermark(config.event_time_col, config.watermark)
+        .groupBy(win.alias("w"))
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "total_rows",
+            *[F.col(f"{n}_violations") for n in rules],
+        )
+    )
+
+
+def stream_violation_sink(
+    stream: DataFrame,
+    rules: dict[str, Column],
+    output_path: str,
+    checkpoint_path: str,
+    config: StreamingRuleConfig = StreamingRuleConfig(),
+) -> StreamingQuery:
+    """Continuously append rows violating ANY rule to a partitioned parquet
+    sink (the streaming analogue of the batch failure sink,
+    ``big_data_validator.py:81-95``), tagged with the violated rule names.
+
+    Partitioned by event date → downstream triage prunes partitions."""
+    any_violation = F.lit(False)
+    tags = F.array()
+    for name, expr in rules.items():
+        any_violation = any_violation | expr
+        tags = F.array_union(
+            tags,
+            F.when(expr, F.array(F.lit(name))).otherwise(F.array()),
+        )
+    out = (
+        stream.withWatermark(config.event_time_col, config.watermark)
+        .filter(any_violation)
+        .withColumn("violated_rules", tags)
+        .withColumn(
+            "event_date", F.to_date(F.col(config.event_time_col))
+        )
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("event_date")
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_rule_metrics(
+    stream: DataFrame,
+    rules: dict[str, Column],
+    checkpoint_path: str,
+    config: StreamingRuleConfig = StreamingRuleConfig(),
+    query_name: str = "bdv_stream_metrics",
+) -> StreamingQuery:
+    """Windowed violation counts to an in-memory sink (dashboards/tests).
+    ``update`` mode emits refinements as late data arrives inside the
+    watermark."""
+    counts = windowed_violation_counts(stream, rules, config)
+    return (
+        counts.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("complete")
+        .start()
+    )

@@ -1,0 +1,95 @@
+"""Plan-shape pins: the 100 TB design assertions.  A refactor that loses a
+pushed filter, widens a scan, or drops a broadcast fails here — not in a
+cluster bill."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_validator_spark.plans import (
+    has_broadcast_join,
+    has_take_ordered,
+    plan_report,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_ids,
+)
+from big_data_validator_spark.plans.inspect import shuffle_count
+from big_data_validator_spark.queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def q(name, spark):
+    return REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_pushdown_projection_prunes_and_pushes(spark):
+    df = q("scan_pushdown_projection", spark)
+    pushed = pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+    assert any("l_shipdate" in p for p in pushed), pushed
+    cols = read_schema_columns(df)
+    # narrow projection: only the 5 referenced columns leave the scan
+    assert set(cols) == {
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    } - {"l_quantity"} | {"l_quantity"}
+    assert len(cols) <= 6
+
+
+def test_validation_summary_is_single_scan_no_shuffle_of_rows(spark):
+    df = q("validation_summary_lineitem", spark)
+    # one aggregation over one scan: a single exchange of ONE partial row
+    assert shuffle_count(df) <= 1
+    assert wholestage_codegen_ids(df) >= 1
+    cols = read_schema_columns(df)
+    # only rule-referenced columns are read
+    assert set(cols) <= {
+        "l_quantity", "l_discount", "l_returnflag", "l_extendedprice",
+        "l_orderkey",
+    }
+
+
+def test_star_join_broadcasts_dims(spark):
+    df = q("join_region_revenue", spark)
+    assert has_broadcast_join(df)
+
+
+def test_part_enrichment_broadcasts(spark):
+    df = q("join_part_enrichment", spark)
+    assert has_broadcast_join(df)
+
+
+def test_referential_integrity_broadcast_anti(spark):
+    df = q("rule_referential_integrity", spark)
+    assert has_broadcast_join(df)
+
+
+def test_topk_uses_take_ordered(spark):
+    df = q("topk_order_values", spark)
+    assert has_take_ordered(df)
+
+
+def test_bruteforce_topk_broadcasts_queries(spark):
+    df = q("sim_bruteforce_topk", spark)
+    assert has_broadcast_join(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "agg_pricing_summary",
+        "rule_domain_range",
+        "text_fingerprint",
+        "events_sessionize",
+    ],
+)
+def test_hot_paths_stay_in_codegen(spark, name):
+    df = q(name, spark)
+    assert wholestage_codegen_ids(df) >= 1, plan_report(df)
+
+
+def test_narrow_scans_for_text_queries(spark):
+    df = q("text_token_counts", spark)
+    assert set(read_schema_columns(df)) == {"doc_id", "text"}

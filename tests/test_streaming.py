@@ -1,0 +1,120 @@
+"""Streaming validation: the batch rule expressions evaluated over a
+bounded file stream, checked against the same rules evaluated in batch
+(stream/batch parity is the whole design)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.streaming import (
+    StreamingRuleConfig,
+    stream_violation_sink,
+    windowed_violation_counts,
+)
+
+def rules():
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "negative_value": F.col("value") < 0,
+        "bad_type": ~F.col("event_type").isin(
+            "click", "view", "error", "purchase"
+        ),
+    }
+
+
+@pytest.fixture()
+def event_data(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                f"2024-01-01 10:{i % 60:02d}:{i % 60:02d}",
+                "click" if i % 3 else "bogus",
+                float(i - 50),  # first 50 negative
+            )
+        )
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_str", "event_type", "value"]
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    df.write.parquet(src)
+    return src, df
+
+
+def _wait(q, timeout=60):
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(timeout)
+
+
+def test_windowed_counts_match_batch(spark, event_data, tmp_path):
+    src, batch_df = event_data
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+
+    cfg = StreamingRuleConfig(watermark="1 hour", window="10 minutes")
+    RULES = rules()
+    counts = windowed_violation_counts(stream, RULES, cfg)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .start()
+    )
+    _wait(q)
+    got = {
+        r["window_start"]: r
+        for r in spark.sql("select * from win_counts").collect()
+    }
+
+    # batch reference: identical expressions, identical windows
+    want_rows = (
+        batch_df.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(RULES["negative_value"].cast("long")).alias("nv"),
+            F.sum(RULES["bad_type"].cast("long")).alias("bt"),
+        )
+        .collect()
+    )
+    assert len(got) == len(want_rows) > 0
+    for r in want_rows:
+        g = got[r["w"]["start"]]
+        assert g["total_rows"] == r["total_rows"]
+        assert g["negative_value_violations"] == r["nv"]
+        assert g["bad_type_violations"] == r["bt"]
+
+
+def test_stream_violation_sink_partitioned(spark, event_data, tmp_path):
+    src, batch_df = event_data
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "violations")
+    RULES = rules()
+    q = stream_violation_sink(
+        stream,
+        RULES,
+        output_path=out,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        config=StreamingRuleConfig(watermark="1 hour", window="10 minutes"),
+    )
+    _wait(q)
+    sunk = spark.read.parquet(out)
+    expected = batch_df.filter(
+        RULES["negative_value"] | RULES["bad_type"]
+    ).count()
+    assert sunk.count() == expected
+    assert "violated_rules" in sunk.columns
+    assert "event_date" in sunk.columns  # partition column survives
+    # multi-rule rows are tagged with both names
+    both = sunk.filter(F.array_size("violated_rules") == 2)
+    want_both = batch_df.filter(
+        RULES["negative_value"] & RULES["bad_type"]
+    ).count()
+    assert both.count() == want_both
