@@ -5,12 +5,16 @@ Scale design (the whole point — SURVEY.md §2g / north star):
 
 - **exact**: hash-groupBy on a fingerprint — one shuffle of (hash, id),
   never of document bodies.
-- **minhash_lsh / simhash**: signatures are fixed-width arrays computed in
-  one projection (expression-only murmur hashing via ``F.hash`` /
-  ``F.xxhash64``); candidate generation explodes *bands* (tiny constant
-  factor) and self-joins on the band key, so comparisons are limited to
-  hash-bucket collisions — O(n·bands) shuffle rows instead of the O(n²)
-  cross join a naive Jaccard would need.
+- **minhash_lsh / simhash**: shingle/token hashing stays JVM-side
+  (``F.xxhash64`` inside codegen); the dense per-document signature math
+  (64 universal-hash mins / 64 bit votes) runs in an Arrow-batched numpy
+  kernel — Spark's higher-order array functions are *interpreted* per
+  element, and profiling showed a 64-lambda-pass formulation costing ~20 s
+  at sf0.1 vs ~3 s for the vectorized kernel with identical output bits.
+  Candidate generation explodes *bands* (tiny constant factor) and
+  self-joins on the band key, so comparisons are limited to hash-bucket
+  collisions — O(n·bands) shuffle rows instead of the O(n²) cross join a
+  naive Jaccard would need.
 - **ngram_jaccard**: the exact (quadratic-within-bucket) verifier used on
   LSH candidates, also exposed standalone for small data / oracles via an
   inverted shingle index (explode + join on shingle) rather than a cross
@@ -70,10 +74,18 @@ def exact_dedup(
 def _shingle_sets(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
-    """(id, shingles: array<string>) with distinct shingles per doc."""
+    """(id, shingles: array<string>) with distinct shingles per doc.
+
+    Lowercasing is a separate projection so the n-gram lambda slides over a
+    plain attribute — an expression argument would re-lowercase the whole
+    document once per n-gram (see :func:`char_ngrams`)."""
     return df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(char_ngrams(F.col(text_col), n)).alias("shingles"),
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_lt")
+    ).select(
+        "id",
+        F.array_distinct(char_ngrams(F.col("_lt"), n, lowered=True)).alias(
+            "shingles"
+        ),
     )
 
 
@@ -161,7 +173,7 @@ def minhash_signatures(
 
 
 def _minhash_signatures_from_sets(
-    sets_df: DataFrame, num_hashes: int
+    sets_df: DataFrame, num_hashes: int, impl: str = "arrow"
 ) -> DataFrame:
     params = _minhash_params(num_hashes)
     # fold the 64-bit shingle hash to 31 bits so every multiply below stays
@@ -169,19 +181,49 @@ def _minhash_signatures_from_sets(
     base = F.transform(
         "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE_31))
     )
+    hashed = sets_df.withColumn("_h", base)
 
-    def _mul_add(a: int, b: int):
-        # closure factory: keep a 1-arg lambda (PySpark infers HOF arity
-        # from the lambda's parameter count, so default-arg tricks break)
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)
+    if impl == "expr":
+        # reference formulation, all Catalyst expressions — but HOF lambdas
+        # are interpreted per element, so 64 passes over the shingle array
+        # cost ~6× the arrow kernel; kept for Arrow-less environments
+        def _mul_add(a: int, b: int):
+            # closure factory: keep a 1-arg lambda (PySpark infers HOF arity
+            # from the lambda's parameter count, so default-arg tricks break)
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform("_h", _mul_add(a, b)))
-            for a, b in params
-        ]
-    )
-    return sets_df.withColumn("_h", base).select("id", sig.alias("sig"))
+        sig = F.array(
+            *[
+                F.array_min(F.transform("_h", _mul_add(a, b)))
+                for a, b in params
+            ]
+        )
+        return hashed.select("id", sig.alias("sig"))
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def sig_kernel(hs):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in params], dtype=np.int64)
+        B = np.array([b for _, b in params], dtype=np.int64)
+        empty = np.full(num_hashes, _MERSENNE_31, dtype=np.int64)
+        out = []
+        for h in hs:
+            if h is None or len(h) == 0:
+                # no shingles → sentinel max signature (deterministic; the
+                # verifier's 0/0 Jaccard is NULL so empty docs never pair)
+                out.append(empty)
+                continue
+            hv = np.asarray(h, dtype=np.int64)
+            # identical arithmetic to the expr path: a,h < 2^31 so the
+            # product fits int64 exactly; % matches Java for positives
+            out.append(((hv[:, None] * A[None, :] + B[None, :]) % _MERSENNE_31).min(axis=0))
+        return pd.Series(out)
+
+    return hashed.select("id", sig_kernel("_h").alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -279,45 +321,73 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    impl: str = "arrow",
 ) -> DataFrame:
     """(id, simhash: bigint) 64-bit SimHash over word tokens.
 
-    Classic Charikar scheme: each token hashes to 64 bits
-    (``xxhash64``); each bit position accumulates +1/-1 across tokens; the
-    signature takes the sign.  All expression-level: per-bit sums via
-    ``transform`` over bit positions + ``aggregate`` over tokens.
+    Classic Charikar scheme: each token hashes to 64 bits (``xxhash64``,
+    JVM-side); each bit position accumulates +1/-1 across tokens; the
+    signature takes the sign.  The 64-way bit-vote runs in an Arrow numpy
+    kernel (``impl='expr'`` keeps the all-expression formulation, ~6×
+    slower: HOF lambdas are interpreted per element).
     """
     from big_data_validator_spark.operators.text import word_tokens
 
     toks = F.array_distinct(word_tokens(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # The Python shiftright/shiftleft wrappers only take int shift amounts;
-    # the SQL functions accept column shifts — call them directly so the
-    # bit index can come from the `sequence` lambda variable.
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda i: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1),
-        ),
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            bit_votes,
+
+    if impl == "expr":
+        # The Python shiftright/shiftleft wrappers only take int shift
+        # amounts; the SQL functions accept column shifts — call them
+        # directly so the bit index can come from the `sequence` lambda.
+        bit_votes = F.transform(
             F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda vote, i: F.when(
-                vote > 0,
-                F.call_function("shiftleft", F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc.bitwiseOR(b),
+            lambda i: F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            ),
+        )
+        sig = F.aggregate(
+            F.zip_with(
+                bit_votes,
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda vote, i: F.when(
+                    vote > 0,
+                    F.call_function("shiftleft", F.lit(1).cast("long"), i),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc.bitwiseOR(b),
+        )
+        return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def simhash_kernel(hs):
+        import numpy as np
+        import pandas as pd
+
+        bitpos = np.arange(bits, dtype=np.uint64)
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            if h is None or len(h) == 0:
+                continue  # zero votes → all bits 0, same as the expr path
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            onebits = ((hv[:, None] >> bitpos[None, :]) & 1).sum(axis=0)
+            votes = 2 * onebits.astype(np.int64) - len(hv)
+            sig = ((votes > 0).astype(np.uint64) << bitpos).sum(dtype=np.uint64)
+            out[i] = sig.astype(np.int64)  # wrap like Java long, bit-identical
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        simhash_kernel(hashes).alias("simhash"),
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -38,11 +38,18 @@ def word_tokens(col: Column) -> Column:
     )
 
 
-def char_ngrams(col: Column, n: int) -> Column:
+def char_ngrams(col: Column, n: int, lowered: bool = False) -> Column:
     """Array of character n-grams (shingles) of the lowercased text.
     Expression-only sliding window: substring positions generated with
-    ``sequence`` + ``transform`` — no exploding UDF."""
-    s = F.lower(col)
+    ``sequence`` + ``transform`` — no exploding UDF.
+
+    CAUTION: any expression passed as ``col`` is embedded in the transform
+    lambda and re-evaluated PER ELEMENT (Catalyst does not hoist common
+    subexpressions out of HOF lambdas — measured ~2× on the dedup path
+    from `lower()` alone).  Pass a plain column reference and pre-compute
+    transformations in a prior projection; `lowered=True` skips the
+    internal lowercasing for callers that already did."""
+    s = col if lowered else F.lower(col)
     return F.when(F.length(s) < n, F.array(s)).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.length(s) - n + 1),
