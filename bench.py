@@ -41,6 +41,13 @@ HEADLINE = [
     "agg_count_distinct",
     "topk_order_values",
     "window_dedup_rank",
+    "agg_rollup_region_nation",
+    "agg_percentiles",
+    "pivot_priority_status",
+    "window_running_total",
+    "supplier_acctbal_by_nation",
+    "join_asof_orders_events",
+    "join_range_value_buckets",
     "join_shipping_priority",
     "join_region_revenue",
     "join_part_enrichment",
@@ -51,6 +58,7 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_top_bigrams",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
     "dedup_simhash",

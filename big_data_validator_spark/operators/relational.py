@@ -213,6 +213,89 @@ def distribution_stats(
     return df.agg(*aggs)
 
 
+# ------------------------------------------------------- temporal joins
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join: each left row picks up ``value_cols`` from the
+    latest right row with ``right_ts <= left_ts`` for the same key
+    (inclusive); unmatched left rows keep NULLs.
+
+    Spark has no native as-of join; the scalable formulation is the
+    union-and-fill trick: tag both sides, union them, and run ONE window
+    pass per key ordered by time — ``last(value, ignorenulls=True)`` over
+    an unbounded-preceding frame carries each right row's values forward to
+    the left rows that follow it.  Cost is a single shuffle on the key
+    (same as any join) + one sort within partitions; no range explosion,
+    no per-row probe.  This is how Flink/kdb-style as-of joins are usually
+    re-expressed on Spark.
+
+    ``value_cols`` must not collide with left's column names; right rows
+    should be unique per (key, ts) for deterministic results (pre-aggregate
+    otherwise).
+    """
+    lpay = list(left.columns)
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    l2 = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_is_r"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+    )
+    r2 = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_is_r"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
+        *[F.col(c) for c in value_cols],
+    )
+    # right rows sort before left rows at equal timestamps → inclusive <=
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l2.unionByName(r2).select(
+        "_is_r",
+        *[F.col(c) for c in lpay],
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_is_r") == 0).drop("_is_r")
+
+
+def range_bucket_join(
+    fact: DataFrame,
+    buckets: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Join each fact row to the bucket where ``lo <= value < hi``.
+
+    A non-equi (range) join has no hash key; against a *small* bucket dim
+    the right plan is a broadcast nested-loop join — the fact side streams
+    through executors unshuffled and probes the handful of broadcast
+    ranges.  Never use this shape dim-to-dim at scale; for large interval
+    tables, bucketize both sides to a common grid first to recover an
+    equi-join."""
+    cond = (F.col(value_col) >= buckets[lo_col]) & (
+        F.col(value_col) < buckets[hi_col]
+    )
+    return fact.join(F.broadcast(buckets), cond, "left")
+
+
 def top_k_by(
     df: DataFrame,
     order_col: str,

@@ -78,7 +78,9 @@ def _random_hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float
 def lsh_bucket_expr(vec_col: str, planes: Sequence[Sequence[float]]):
     """Bucket id = bit pattern of sign(v·p) over the hyperplanes — a pure
     expression: dot products via ``zip_with``+``aggregate``, packed into a
-    long with shift/or."""
+    long with shift/or.  Interpreted per element (HOF lambdas don't
+    codegen) — kept as the Arrow-less reference; the hot path is
+    :func:`lsh_buckets_kernel`, one matmul for every table at once."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -93,6 +95,52 @@ def lsh_bucket_expr(vec_col: str, planes: Sequence[Sequence[float]]):
             )
         )
     return bucket
+
+
+def lsh_buckets_kernel(tables: Sequence[Sequence[Sequence[float]]]):
+    """Arrow-batched kernel computing EVERY table's bucket id in one
+    ``V @ P.T`` matmul: stack all tables' hyperplanes into a single
+    (tables*planes, dim) matrix, take signs, pack each table's bit block
+    into a long.  Returns a pandas_udf column: ``array<bigint>`` of
+    ``len(tables)`` bucket ids per row.
+
+    Versus :func:`lsh_bucket_expr` this collapses tables×planes
+    interpreted array passes per row into one BLAS call per Arrow batch —
+    the same ~6× win measured on the MinHash/SimHash kernels."""
+    import numpy as np
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    num_tables = len(tables)
+    num_planes = len(tables[0])
+    P = np.array(
+        [p for planes in tables for p in planes], dtype=np.float64
+    )  # (tables*planes, dim)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))  # bit packing
+
+    @pandas_udf("array<bigint>")
+    def kernel(vs):
+        import pandas as pd
+
+        null_mask = vs.isna()
+        if null_mask.all():
+            return pd.Series([None] * len(vs))
+        V = np.stack(
+            [
+                np.zeros(P.shape[1]) if m else np.asarray(v, dtype=np.float64)
+                for v, m in zip(vs, null_mask)
+            ]
+        )
+        signs = (V @ P.T) >= 0.0  # same >= 0 rule as the expr path
+        buckets = (
+            signs.reshape(len(vs), num_tables, num_planes).astype(np.int64)
+            * weights
+        ).sum(axis=2)
+        out = pd.Series(list(buckets))
+        out[null_mask] = None
+        return out
+
+    return kernel
 
 
 def lsh_ann_topk(
@@ -119,21 +167,15 @@ def lsh_ann_topk(
         _random_hyperplanes(dim, num_planes, seed + 1000 * t)
         for t in range(num_tables)
     ]
+    kernel = lsh_buckets_kernel(tables)
 
     def bucketize(df: DataFrame, idc: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    lsh_bucket_expr(vec_col, planes).alias("bucket"),
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
-        return df.select(
-            F.col(idc), F.col(vec_col), F.explode(buckets).alias("tb")
-        ).select(
-            idc, vec_col, F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+        return (
+            df.select(
+                F.col(idc),
+                F.col(vec_col),
+                F.posexplode(kernel(vec_col)).alias("table", "bucket"),
+            )
         )
 
     cb = bucketize(corpus, id_col)
@@ -181,18 +223,12 @@ def embedding_near_dup_pairs(
         _random_hyperplanes(dim, num_planes, seed + 1000 * t)
         for t in range(num_tables)
     ]
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_bucket_expr(vec_col, planes).alias("bucket"),
-            )
-            for t, planes in enumerate(tables)
-        ]
-    )
+    kernel = lsh_buckets_kernel(tables)
     b = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), F.explode(buckets).alias("tb")
-    ).select("id", "vec", "tb.table", "tb.bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(kernel(vec_col)).alias("table", "bucket"),
+    )
     left = b.alias("a")
     right = b.alias("b")
     return (

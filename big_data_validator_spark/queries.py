@@ -686,6 +686,257 @@ def join_part_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Grouping-set / pivot / percentile / window-frame coverage
+# =====================================================================
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           CASE WHEN r.r_name IS NULL THEN 'ALL'
+                ELSE COALESCE(n.n_name, 'ALL') END AS nation_name,
+           ROUND(SUM(o.o_totalprice), 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ``rollup`` — Spark plans ONE aggregation
+    with an Expand node (each row fans out per grouping set map-side), not
+    one job per level.  NULL grouping keys are labeled 'ALL' so the result
+    is oracle-hashable."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.when(F.col("r_name").isNull(), F.lit("ALL"))
+            .otherwise(F.coalesce("n_name", F.lit("ALL")))
+            .alias("nation_name"),
+            "total_price",
+            "order_count",
+        )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (``F.percentile`` ==
+    ``quantile_cont``).  Exact percentiles sort each group's values; the
+    100 TB path is ``F.approx_percentile`` (t-digest sketch, mergeable
+    map-side, no per-group sort) — exact kept here because sketches are
+    engine-specific and the oracle gate needs bit-stable output."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99}
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(q)), 4).alias(name)
+            for name, q in pcts.items()
+        ]
+    )
+
+
+@query(
+    "pivot_priority_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS status_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS status_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an *explicit* value list — omitting it would cost an
+    extra distinct-values job over the full table before the real
+    aggregation could even be planned."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer — running-frame window (ROWS
+    UNBOUNDED PRECEDING), one shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "supplier_acctbal_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(COUNT(*) AS BIGINT) AS supplier_count,
+           ROUND(SUM(s.s_acctbal), 2) AS total_acctbal,
+           ROUND(AVG(s.s_acctbal), 4) AS avg_acctbal,
+           CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_balance_count
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def supplier_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier balance profile per nation (broadcast dim) with a
+    negative-balance violation counter folded into the same pass."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("supplier_count"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+            F.sum((F.col("s_acctbal") < 0).cast("long")).alias(
+                "negative_balance_count"
+            ),
+        )
+    )
+
+
+# =====================================================================
+# Temporal / range joins (as-of, interval buckets)
+# =====================================================================
+
+@query(
+    "join_asof_orders_events",
+    oracle="""
+    WITH day_orders AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS day_order_count,
+             ROUND(MAX(o_totalprice), 2) AS max_total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(d.o_orderdate, '%Y-%m-%d') AS last_order_date,
+           d.day_order_count, d.max_total
+    FROM events e
+    ASOF LEFT JOIN day_orders d
+      ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    """,
+)
+def join_asof_orders_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment: each event picks up the customer's most recent
+    order-day stats (union-and-fill window formulation; DuckDB's native
+    ASOF JOIN is the oracle).  Right side pre-aggregated per (key, day) so
+    the as-of winner is unique → deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    day_orders = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("day_order_count"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+    )
+    out = R.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        day_orders.withColumnRenamed("o_orderdate", "_ots"),
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="_ots",
+        value_cols=["_ots", "day_order_count", "max_total"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("_ots", "yyyy-MM-dd").alias("last_order_date"),
+        "day_order_count",
+        "max_total",
+    )
+
+
+@query(
+    "join_range_value_buckets",
+    oracle="""
+    WITH buckets(bucket_name, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1000.0)
+    )
+    SELECT COALESCE(b.bucket_name, 'none') AS bucket_name,
+           CAST(COUNT(*) AS BIGINT) AS event_count,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    LEFT JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def join_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-bucket range join: broadcast nested-loop against a 3-row
+    bucket dim (fact side never shuffles for the join; the only shuffle is
+    the final 3-group aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000.0)],
+        ["bucket_name", "lo", "hi"],
+    )
+    return (
+        R.range_bucket_join(ev, buckets, "value")
+        .groupBy(
+            F.coalesce("bucket_name", F.lit("none")).alias("bucket_name")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
 # Events: JSON extraction, windowed aggregation, sessionization
 # =====================================================================
 
@@ -864,6 +1115,55 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i) g
+      WHERE i <= len(t) - 1
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS bigram_count
+    FROM bigrams GROUP BY bigram
+    ORDER BY bigram_count DESC, bigram ASC LIMIT 20
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 word bigrams: tokenize (pre-projected so the
+    bigram lambda slides over a plain attribute), pairwise-concat via
+    ``transform`` over positions, explode, count, TakeOrderedAndProject.
+    The shuffle carries (bigram, partial count) pairs — never documents."""
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(T.word_tokens(F.col("text")).alias("t"))
+    bigrams = toked.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i.cast("int")),
+                        F.element_at(F.col("t"), (i + 1).cast("int")),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+        .orderBy(F.col("bigram_count").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
 
 
 # =====================================================================

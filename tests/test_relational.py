@@ -91,6 +91,45 @@ def test_distribution_stats_grouped(spark):
     assert got["b"]["value_count"] == 1
 
 
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "e1"),
+         (1, "2024-01-01 12:00:00", "e2"),
+         (2, "2024-01-01 09:00:00", "e3"),
+         (3, "2024-01-01 09:00:00", "e4")],
+        ["uid", "ts", "tag"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 100.0),
+         (1, "2024-01-01 12:00:00", 200.0),   # equal ts → inclusive match
+         (2, "2024-01-01 11:00:00", 300.0)],  # after e3 → no match
+        ["uid", "rts", "price"],
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = R.asof_join(
+        left, right, "uid", "uid", "ts", "rts", value_cols=["price"]
+    )
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    assert got == {"e1": 100.0, "e2": 200.0, "e3": None, "e4": None}
+    # each row shuffles once on the key: Spark pushes the exchange below
+    # the union (one per branch), and nothing reshuffles after the window
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_range_bucket_join_broadcast(spark):
+    fact = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 149.9), (4, -1.0)], ["id", "v"]
+    )
+    buckets = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0)], ["bucket_name", "lo", "hi"]
+    )
+    out = R.range_bucket_join(fact, buckets, "v")
+    got = {r["id"]: r["bucket_name"] for r in out.collect()}
+    assert got == {1: "low", 2: "mid", 3: "mid", 4: None}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_top_k_deterministic_and_take_ordered(spark):
     df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "v"])
     top = R.top_k_by(df, "v", 5, tiebreak_cols=["id"])
