@@ -79,6 +79,9 @@ def _shingle_sets(
     Lowercasing is a separate projection so the n-gram lambda slides over a
     plain attribute — an expression argument would re-lowercase the whole
     document once per n-gram (see :func:`char_ngrams`)."""
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    df = rebalance_for_compute(df)
     return df.select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_lt")
     ).select(
@@ -331,8 +334,10 @@ def simhash_signatures(
     kernel (``impl='expr'`` keeps the all-expression formulation, ~6×
     slower: HOF lambdas are interpreted per element).
     """
+    from big_data_validator_spark.operators import rebalance_for_compute
     from big_data_validator_spark.operators.text import word_tokens
 
+    df = rebalance_for_compute(df)
     toks = F.array_distinct(word_tokens(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 

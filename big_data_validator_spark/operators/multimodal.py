@@ -126,6 +126,111 @@ def extract_features(
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), True),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB standing in for a real PIL/libav resample: deterministic
+    truncate-or-tile of the payload to width*height bytes, so output size
+    actually tracks the requested dimensions and tests can assert on it."""
+    target = max(width * height, 1)
+    data = payload or b"\x00"
+    reps = target // len(data) + 1
+    return (data * reps)[:target]
+
+
+def resize_assets(
+    assets: DataFrame,
+    width: int,
+    height: int,
+    batch_resizer: Callable[[str, bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize every image/video payload to ``width``×``height``.
+
+    Same Arrow-batched ``mapInPandas`` shape as :func:`extract_features`:
+    payloads cross the JVM↔Python boundary once per record batch.  The
+    default kernel is the deterministic stub (no media libs in this
+    container); pass ``batch_resizer`` for a real one.  Audio assets pass
+    through unchanged (no spatial dims)."""
+    kernel = batch_resizer or (
+        lambda mt, p, w, h: _fake_resize(p, w, h)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            spatial = pdf["media_type"].isin(["image", "video"])
+            out = pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [
+                        kernel(mt, p, width, height) if sp else p
+                        for mt, p, sp in zip(
+                            pdf["media_type"], pdf["payload"], spatial
+                        )
+                    ],
+                    "width": [
+                        width if sp else w
+                        for w, sp in zip(pdf["width"], spatial)
+                    ],
+                    "height": [
+                        height if sp else h
+                        for h, sp in zip(pdf["height"], spatial)
+                    ],
+                }
+            )
+            yield out
+
+    return assets.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, num_frames: int = 4) -> DataFrame:
+    """Sample ``num_frames`` evenly-spaced frames from each video asset —
+    a one-to-many ``mapInPandas`` (each input row yields multiple output
+    rows; Arrow batches amortize the fan-out).  Frame payloads are
+    deterministic byte slices standing in for decoded frames; ``ts_ms``
+    spaces frames evenly across the asset's duration.
+
+    Scale note: the output is ``num_frames``× the video row count but each
+    frame row is payload/num_frames wide — total bytes stay ~constant and
+    the exploded rows inherit the input partitioning (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"asset_id": [], "frame_index": [], "ts_ms": [], "frame_payload": []}
+            for _, r in pdf[pdf["media_type"] == "video"].iterrows():
+                payload = r["payload"] or b""
+                dur = r["duration_ms"] or 0
+                step = max(len(payload) // num_frames, 1)
+                for i in range(num_frames):
+                    rows["asset_id"].append(r["asset_id"])
+                    rows["frame_index"].append(i)
+                    rows["ts_ms"].append(int(dur * i / num_frames))
+                    rows["frame_payload"].append(
+                        payload[i * step : (i + 1) * step]
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def payload_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only profile of a multimodal table — expression-only, and
     because payload is untouched, parquet column pruning means the scan

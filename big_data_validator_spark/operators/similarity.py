@@ -39,6 +39,9 @@ def brute_force_topk(
     uses a rank window partitioned by query id.  Returns
     ``(query_id, vec_id, cosine, rank)``; self-matches excluded.
     """
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    corpus = rebalance_for_compute(corpus)
     query_id_col = query_id_col or id_col
     query_vec_col = query_vec_col or vec_col
     q = F.broadcast(
@@ -163,6 +166,9 @@ def lsh_ann_topk(
     Gaussian data (pinned by tests against :func:`brute_force_topk`).
     Returns ``(query_id, vec_id, cosine, rank)``.
     """
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    corpus = rebalance_for_compute(corpus)
     tables = [
         _random_hyperplanes(dim, num_planes, seed + 1000 * t)
         for t in range(num_tables)
@@ -219,6 +225,9 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs (LSH-bucketed): pairs sharing a
     bucket in any table, verified by exact cosine ≥ threshold.
     Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``."""
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    df = rebalance_for_compute(df)
     tables = [
         _random_hyperplanes(dim, num_planes, seed + 1000 * t)
         for t in range(num_tables)

@@ -32,6 +32,7 @@ from big_data_validator_spark.functions.exprs import (
     field_count_naive,
     field_count_quoted,
 )
+from big_data_validator_spark.operators import rebalance_for_compute as _rb
 from big_data_validator_spark.operators import dedup as D
 from big_data_validator_spark.operators import multimodal as M
 from big_data_validator_spark.operators import relational as R
@@ -101,7 +102,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def validation_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All rule counters in ONE aggregation over ONE scan, then unpivoted to
-    (rule_name, violation_count) rows."""
+    (rule_name, violation_count) rows.  Deliberately NOT rebalanced: the
+    rules are cheap expressions, so the scan is IO-bound and the 100 TB
+    contract (no row shuffle, one partial-agg row per partition) matters
+    more than local core count — pinned by test_plans."""
     li = _t(spark, sf_dir, "lineitem")
     exprs = {
         "quantity_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
@@ -201,7 +205,7 @@ def rule_field_count_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's `len(line.split(sep))` as a codegen expression
     (``big_data_validator.py:191``), demonstrated with a space separator
     over the documents corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _rb(_t(spark, sf_dir, "documents"))
     return (
         docs.select(
             field_count_naive(F.col("text"), " ").alias("field_count")
@@ -424,7 +428,7 @@ def rule_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rule_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    li = _rb(_t(spark, sf_dir, "lineitem"))
     exprs = {
         "returnflag_domain": F.col("l_returnflag").isNotNull()
         & ~F.col("l_returnflag").isin("A", "N", "R"),
@@ -752,7 +756,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path is ``F.approx_percentile`` (t-digest sketch, mergeable
     map-side, no per-group sort) — exact kept here because sketches are
     engine-specific and the oracle gate needs bit-stable output."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _rb(_t(spark, sf_dir, "lineitem"))
     pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99}
     return li.groupBy("l_returnflag").agg(
         *[
@@ -919,7 +923,7 @@ def join_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-bucket range join: broadcast nested-loop against a 3-row
     bucket dim (fact side never shuffles for the join; the only shuffle is
     the final 3-group aggregation)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _rb(_t(spark, sf_dir, "events"))
     buckets = spark.createDataFrame(
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000.0)],
         ["bucket_name", "lo", "hi"],
@@ -951,7 +955,7 @@ def join_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _rb(_t(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("event_count"),
@@ -1039,7 +1043,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _rb(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
 
 
@@ -1056,7 +1060,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = _rb(_t(spark, sf_dir, "documents")).filter(F.length("text") > 0)
     text = F.col("text")
     toks = T.token_count(text)
     stop = r"\b(the|and|of|with|for)\b"
@@ -1100,7 +1104,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _rb(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.lang_guess(F.col("text")).alias("lang_guess"))
 
 
@@ -1113,7 +1117,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _rb(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
@@ -1141,7 +1145,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram lambda slides over a plain attribute), pairwise-concat via
     ``transform`` over positions, explode, count, TakeOrderedAndProject.
     The shuffle carries (bigram, partial count) pairs — never documents."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _rb(_t(spark, sf_dir, "documents"))
     toked = docs.select(T.word_tokens(F.col("text")).alias("t"))
     bigrams = toked.select(
         F.explode(
@@ -1356,6 +1360,76 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_payload_bytes",
         "min_width",
         "max_height",
+    )
+
+
+@query(
+    "multimodal_resize_stats",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id AS asset_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             encode(text) AS payload,
+             CAST(len(text) % 640 + 1 AS INT) AS width,
+             CAST(len(text) % 480 + 1 AS INT) AS height
+      FROM documents
+    ),
+    resized AS (
+      SELECT media_type,
+             CASE WHEN media_type IN ('image','video') THEN 768
+                  ELSE octet_length(payload) END AS nbytes,
+             CASE WHEN media_type IN ('image','video') THEN 32 ELSE width END AS width,
+             CASE WHEN media_type IN ('image','video') THEN 24 ELSE height END AS height
+      FROM assets
+    )
+    SELECT media_type, CAST(COUNT(*) AS BIGINT) AS asset_count,
+           CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(width) AS INT) AS min_width,
+           CAST(MAX(height) AS INT) AS max_height
+    FROM resized GROUP BY media_type
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: the stub resizer deterministically maps
+    spatial payloads to width*height bytes, so the byte math is
+    oracle-checkable even though the real decoder is stubbed."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = M.assets_from_documents(docs)
+    resized = M.resize_assets(assets, width=32, height=24)
+    return resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("asset_count"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS asset_id, octet_length(encode(text)) AS plen
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT CAST(4 * COUNT(*) AS BIGINT) AS frame_count,
+           CAST(SUM(CASE WHEN plen >= 4 THEN 4 * (plen // 4) ELSE plen END) AS BIGINT) AS total_frame_bytes,
+           CAST(COUNT(*) AS BIGINT) AS video_count
+    FROM v
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (one-to-many mapInPandas): 4 evenly-spaced frames per
+    video; deterministic byte-slice frames make the fan-out byte math
+    oracle-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = M.assets_from_documents(docs)
+    frames = M.sample_frames(assets, num_frames=4)
+    return frames.agg(
+        F.count(F.lit(1)).alias("frame_count"),
+        F.sum(F.octet_length("frame_payload")).cast("long").alias(
+            "total_frame_bytes"
+        ),
+        F.count_distinct("asset_id").alias("video_count"),
     )
 
 

@@ -121,6 +121,44 @@ def test_decode_stub_raises():
         M._decode_asset("image", b"\x89PNG")
 
 
+def test_resize_assets_spatial_only(spark):
+    docs = spark.createDataFrame(
+        [(0, "an image doc"), (1, "an audio doc"), (2, "a video doc"), (3, "")],
+        ["doc_id", "text"],
+    )
+    assets = M.assets_from_documents(docs)
+    resized = {r["asset_id"]: r for r in M.resize_assets(assets, 8, 4).collect()}
+    # doc 0 -> image, 1 -> audio, 2 -> video, 3 -> image (doc_id % 3)
+    for aid in (0, 2, 3):
+        assert resized[aid]["width"] == 8 and resized[aid]["height"] == 4
+        assert len(resized[aid]["payload"]) == 32  # exactly w*h bytes
+    # audio passes through untouched
+    assert resized[1]["payload"] == bytes("an audio doc", "utf-8")
+    assert resized[1]["width"] != 8 or resized[1]["height"] != 4
+
+
+def test_sample_frames_fanout_and_bytes(spark):
+    docs = spark.createDataFrame(
+        [(2, "0123456789abcdef"), (5, "xyz"), (8, ""), (1, "not a video")],
+        ["doc_id", "text"],
+    )
+    assets = M.assets_from_documents(docs)
+    frames = M.sample_frames(assets, num_frames=4).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # only video assets (doc_id % 3 == 2) produce frames
+    assert set(by_asset) == {2, 5, 8}
+    assert all(len(v) == 4 for v in by_asset.values())
+    # 16-byte payload → 4 frames of 4 bytes, reassembling the payload
+    f2 = sorted(by_asset[2], key=lambda r: r["frame_index"])
+    assert b"".join(r["frame_payload"] for r in f2) == b"0123456789abcdef"
+    # 3-byte payload → slices of 1,1,1,0 bytes
+    assert sorted(len(r["frame_payload"]) for r in by_asset[5]) == [0, 1, 1, 1]
+    # empty payload → 4 empty frames
+    assert all(len(r["frame_payload"]) == 0 for r in by_asset[8])
+
+
 def test_payload_stats_prunes_payload_column(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, f"doc number {i}") for i in range(9)], ["doc_id", "text"]
