@@ -150,6 +150,76 @@ def scan_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_csv_permissive_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN p_partkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS corrupt_rows,
+           CAST(COUNT(DISTINCT CASE WHEN p_partkey % 97 <> 0 THEN p_brand END) AS BIGINT) AS clean_distinct_brands,
+           CAST(SUM(CASE WHEN p_partkey % 97 <> 0 THEN p_size END) AS BIGINT) AS clean_total_size
+    FROM part
+    """,
+)
+def scan_csv_permissive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core scan surface end-to-end (SURVEY §2a
+    `scan_csv_permissive` + §2c `filter_corrupt_rows`): materialize a CSV
+    with planted wrong-arity rows (every p_partkey % 97 == 0 gets an extra
+    field), scan it back with the quote-aware PERMISSIVE reader + explicit
+    all-string schema + CorruptRecCol, and report corrupt/clean metrics in
+    one aggregation.  The oracle derives the same counts from the parquet
+    table directly — the CSV write is local test scaffolding, the scan
+    itself is the production path (options verbatim from
+    ``big_data_validator.py:135-146``)."""
+    import tempfile
+
+    from big_data_validator_spark.contract import ColumnSpec, TableContract
+    from big_data_validator_spark.sources.csv_source import scan_csv_permissive
+
+    part = _t(spark, sf_dir, "part")
+    line = F.concat(
+        F.col("p_partkey").cast("string"),
+        F.lit('|"'), F.col("p_name"), F.lit('"|'),
+        F.col("p_brand"), F.lit("|"),
+        F.col("p_size").cast("string"),
+        F.when(F.col("p_partkey") % 97 == 0, F.lit("|XTRA")).otherwise(F.lit("")),
+    )
+    header = spark.createDataFrame(
+        [(0, 'P_PARTKEY|"P_NAME"|P_BRAND|P_SIZE')], ["ord", "value"]
+    )
+    csv_dir = tempfile.mkdtemp(prefix="bdv_csv_scan_")
+    (
+        part.select((F.col("p_partkey") + 1).alias("ord"), line.alias("value"))
+        .unionByName(header)
+        .repartition(1)
+        .sortWithinPartitions("ord")
+        .select("value")
+        .write.mode("overwrite")
+        .text(csv_dir)
+    )
+    contract = TableContract(
+        columns=[
+            ColumnSpec("P_PARTKEY", "NUMBER"),
+            ColumnSpec("P_NAME", "VARCHAR2"),
+            ColumnSpec("P_BRAND", "VARCHAR2"),
+            ColumnSpec("P_SIZE", "NUMBER"),
+        ],
+        field_separator="|",
+        string_separator='"',
+    )
+    scanned = scan_csv_permissive(spark, csv_dir, contract)
+    corrupt = F.col("CorruptRecCol").isNotNull()
+    return scanned.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.sum(corrupt.cast("long")).alias("corrupt_rows"),
+        F.count_distinct(
+            F.when(~corrupt, F.col("P_BRAND"))
+        ).alias("clean_distinct_brands"),
+        F.sum(
+            F.when(~corrupt, F.col("P_SIZE").try_cast("long"))
+        ).alias("clean_total_size"),
+    )
+
+
+@query(
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
