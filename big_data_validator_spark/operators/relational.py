@@ -213,6 +213,66 @@ def distribution_stats(
     return df.agg(*aggs)
 
 
+# ------------------------------------------------------------ skew handling
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    Phase 1 groups on (keys..., salt) — a hot key's rows spread across
+    ``salt_buckets`` reducers instead of melting one; phase 2 merges the
+    per-salt partials on the true keys (tiny input: one row per key per
+    bucket).  Only SUM/COUNT-decomposable aggregates belong here — pass
+    the partial expression in ``aggs`` and the helper sums partials.
+    AQE's skew-join handling covers joins; this covers aggregations,
+    where AQE cannot split a hot reducer because the group-by contract
+    pins a key to one task.
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(
+        *[expr.alias(f"_p_{name}") for name, expr in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[F.sum(f"_p_{name}").alias(name) for name in aggs]
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof fact-dim equi-join: salt the fact side with a random
+    bucket, explode the dim side across all buckets, join on (key, salt).
+
+    A hot fact key's rows land on ``salt_buckets`` different reducers,
+    each holding its own copy of the dim row.  Dim-side replication costs
+    ``salt_buckets``× the dim size — use for moderate dims too big to
+    broadcast but small enough to replicate; with AQE's
+    ``skewJoin.enabled`` this is only needed when runtime splitting is
+    unavailable (e.g. bucketed tables or forced sort-merge plans)."""
+    salted_fact = fact.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    exploded_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_fact.join(
+        exploded_dim,
+        (salted_fact[fact_key] == exploded_dim[dim_key])
+        & (salted_fact["_salt"] == exploded_dim["_salt"]),
+    )
+    return out.drop("_salt")
+
+
 # ------------------------------------------------------- temporal joins
 
 def asof_join(

@@ -212,6 +212,125 @@ def lsh_ann_topk(
     )
 
 
+def _train_centroids_kmeans(
+    vectors, num_centroids: int, iters: int = 8, seed: int = 42
+):
+    """Driver-side mini k-means over a bounded sample (numpy, deterministic
+    seed + fixed iterations).  The sample is small by construction — the
+    coarse quantizer needs only the shape of the distribution, not the
+    data; FAISS trains IVF the same way."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(X), size=min(num_centroids, len(X)), replace=False)
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def ivf_assign_kernel(centroids, nprobe: int):
+    """Arrow kernel: nearest-``nprobe`` centroid ids per vector (one
+    distance matmul per batch).  ``nprobe=1`` assigns corpus cells;
+    queries probe several cells to recover recall at the cell boundary —
+    the classic IVF trade-off."""
+    import numpy as np
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn2 = (C**2).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def kernel(vs):
+        import pandas as pd
+
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            d2 = cn2 - 2 * (C @ x)  # ||c||² - 2c·x (+||x||² is rank-free)
+            out.append(np.argsort(d2, kind="stable")[:nprobe].astype(np.int32))
+        return pd.Series(out)
+
+    return kernel
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 1024,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse k-means quantizer partitions the
+    corpus into cells; each query scores only the ``nprobe`` nearest cells.
+
+    At 100 TB: centroid training reads a bounded sample (driver-side
+    k-means over ≤``train_sample`` vectors), cell assignment is one Arrow
+    matmul pass, and the probe join is an equi-join on cell id — shuffle
+    volume O(n) cell tuples, never O(n²) pairs.  Expected scan fraction is
+    ``nprobe/num_centroids`` of the corpus per query, the standard IVF
+    trade-off.  Returns ``(query_id, vec_id, cosine, rank)``; rows-only
+    (sampling + float iteration make it engine-specific), recall pinned in
+    pytest against :func:`brute_force_topk`.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    corpus = rebalance_for_compute(corpus)
+    sample = [
+        r[0]
+        for r in corpus.select(vec_col).limit(train_sample).collect()
+    ]
+    centroids = _train_centroids_kmeans(sample, num_centroids, seed=seed)
+
+    assign1 = ivf_assign_kernel(centroids, 1)
+    assignN = ivf_assign_kernel(centroids, nprobe)
+
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(assign1(vec_col), 1).alias("cell"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(assignN(vec_col)).alias("cell"),
+    )
+    cands = (
+        cb.join(F.broadcast(qb), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, vec_col, "_qvec")
+    )
+    scored = cands.select(
+        "query_id",
+        id_col,
+        F.round(cosine_similarity(F.col(vec_col), F.col("_qvec")), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

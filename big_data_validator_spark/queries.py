@@ -1387,6 +1387,15 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(emb, q, dim=64, k=10, num_planes=8, num_tables=4)
 
 
+@query("sim_ann_ivf")  # sampled k-means cells: rows-only; recall pinned in pytest
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_ann_topk(emb, q, dim=64, k=10, num_centroids=16, nprobe=4)
+
+
 @query("emb_near_dup_pairs")  # hash-dependent buckets: rows-only
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(

@@ -5,7 +5,8 @@ from pyspark.sql import SparkSession
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
+    warehouse = str(tmp_path_factory.mktemp("spark-warehouse"))
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("bdv-tests")
@@ -14,6 +15,9 @@ def spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .config("spark.sql.session.timeZone", "UTC")
+        # static conf: set at build time so bucketed-table tests write to
+        # a tmp warehouse, never into the repo
+        .config("spark.sql.warehouse.dir", warehouse)
         .getOrCreate()
     )
     yield spark

@@ -91,6 +91,50 @@ def test_distribution_stats_grouped(spark):
     assert got["b"]["value_count"] == 1
 
 
+def test_salted_aggregate_matches_plain(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)],
+        ["k", "v"],
+    )
+    got = {
+        r["k"]: (r["total"], r["cnt"])
+        for r in R.salted_aggregate(
+            df, ["k"], {"total": F.sum("v"), "cnt": F.count(F.lit(1))}
+        ).collect()
+    }
+    assert got["hot"] == (sum(range(500)), 500)
+    assert got["cold"] == (3.0, 2)
+
+
+def test_salted_join_matches_plain(spark):
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(300)] + [(2, 0), (3, 9)], ["fk", "payload"]
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["pk", "name"])
+    out = R.salted_join(fact, dim, "fk", "pk", salt_buckets=4)
+    assert out.count() == 301  # fk=3 has no dim match
+    by_name = out.groupBy("name").count().collect()
+    assert {r["name"]: r["count"] for r in by_name} == {"a": 300, "b": 1}
+
+
+def test_bucketed_join_is_co_located(spark, tmp_path):
+    """Bucketed tables joined on the bucket key: neither side shuffles —
+    the 100 TB co-location story (SortMergeJoin reads pre-bucketed
+    files)."""
+    fact = spark.createDataFrame(
+        [(i % 50, f"p{i}") for i in range(1000)], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(50)], ["k", "name"])
+    fact.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("fact_b")
+    dim.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("dim_b")
+    joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE fact_b")
+    spark.sql("DROP TABLE dim_b")
+
+
 def test_asof_join_backward_inclusive(spark):
     left = spark.createDataFrame(
         [(1, "2024-01-01 10:00:00", "e1"),

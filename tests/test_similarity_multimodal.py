@@ -85,6 +85,32 @@ def test_lsh_ann_recall(spark, vectors):
     assert sum(recalls) / len(recalls) >= 0.6  # approximate, but useful
 
 
+def test_ivf_ann_recall(spark, vectors):
+    df, dim = vectors
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(df, queries, k=5).collect()
+    got = S.ivf_ann_topk(
+        df, queries, dim=dim, k=5, num_centroids=8, nprobe=3
+    ).collect()
+    exact_sets, got_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # clustered data (8 true centers, 8 centroids): probing 3 cells must
+    # recover most true neighbors
+    assert sum(recalls) / len(recalls) >= 0.7
+
+    # deterministic: identical results on a second run
+    again = {(r["query_id"], r["vec_id"]) for r in S.ivf_ann_topk(
+        df, queries, dim=dim, k=5, num_centroids=8, nprobe=3).collect()}
+    assert {(r["query_id"], r["vec_id"]) for r in got} == again
+
+
 def test_embedding_near_dup_pairs(spark, vectors):
     df, dim = vectors
     pairs = S.embedding_near_dup_pairs(df, dim=dim, threshold=0.99).collect()
