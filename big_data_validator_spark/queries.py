@@ -1310,6 +1310,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=8, threshold=0.8)
 
 
+@query("dedup_winnowing")  # rolling-hash sketch: rows-only; pytest pins parity
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing near-dup pairs (Karp-Rabin rolling hash +
+    sliding-window min sketch); ~4× smaller inverted index than raw
+    shingles with a guaranteed-match window."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.winnowing_near_dup_pairs(docs)
+
+
 @query("dedup_simhash")  # hash-dependent: rows-only check; pytest pins behavior
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

