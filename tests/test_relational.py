@@ -82,6 +82,27 @@ def test_snapshot_drift(spark):
     assert drift == {(4, "added"), (1, "removed")}
 
 
+def test_distribution_drift_psi(spark):
+    import math
+
+    old = spark.createDataFrame([(float(v),) for v in [1, 1, 5, 5, 20, 20]], ["v"])
+    new = spark.createDataFrame([(float(v),) for v in [1, 5, 5, 20, 20, 20]], ["v"])
+    out = {
+        r["bin_id"]: r
+        for r in R.distribution_drift_psi(old, new, "v", [2.0, 10.0]).collect()
+    }
+    # bins: 0 → v<2, 1 → 2<=v<10, 2 → v>=10
+    assert abs(out[0]["p_old"] - 2 / 6) < 1e-9 and abs(out[0]["p_new"] - 1 / 6) < 1e-9
+    assert abs(out[1]["p_old"] - 2 / 6) < 1e-9 and abs(out[1]["p_new"] - 2 / 6) < 1e-9
+    assert abs(out[2]["p_old"] - 2 / 6) < 1e-9 and abs(out[2]["p_new"] - 3 / 6) < 1e-9
+    expected_term0 = (1 / 6 - 2 / 6) * math.log((1 / 6 + 1e-6) / (2 / 6 + 1e-6))
+    assert abs(out[0]["psi_term"] - expected_term0) < 1e-6
+    assert abs(out[1]["psi_term"]) < 1e-6  # unchanged bin contributes ~0
+    # identical snapshots → PSI == 0
+    same = R.distribution_drift_psi(old, old, "v", [2.0, 10.0]).collect()
+    assert all(abs(r["psi_term"]) < 1e-9 for r in same)
+
+
 def test_distribution_stats_grouped(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", 3.0), ("b", 10.0)], ["g", "v"]
