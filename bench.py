@@ -42,6 +42,7 @@ HEADLINE = [
     "topk_order_values",
     "window_dedup_rank",
     "agg_rollup_region_nation",
+    "agg_cube_segment_status",
     "agg_percentiles",
     "pivot_priority_status",
     "window_running_total",
@@ -51,6 +52,8 @@ HEADLINE = [
     "join_shipping_priority",
     "join_region_revenue",
     "join_part_enrichment",
+    "join_semi_returned_orders",
+    "drift_psi_totalprice",
     "events_json_extract",
     "events_hourly_windows",
     "events_sessionize",

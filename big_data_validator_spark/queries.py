@@ -855,6 +855,79 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_cube_segment_status",
+    oracle="""
+    SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY CUBE(c_mktsegment, o_orderstatus)
+    """,
+)
+def agg_cube_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^n grouping-set combinations via ``cube`` — like rollup this is
+    ONE aggregation behind an Expand node (rows fan out per grouping set
+    map-side), not 4 jobs.  ``F.grouping`` distinguishes a real NULL key
+    from a subtotal row, which keeps the 'ALL' labeling unambiguous."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    return (
+        joined.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("order_count"),
+            # grouping() is only resolvable inside the Aggregate node
+            F.grouping("c_mktsegment").alias("_g_seg"),
+            F.grouping("o_orderstatus").alias("_g_st"),
+        )
+        .select(
+            F.when(F.col("_g_seg") == 1, F.lit("ALL"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.when(F.col("_g_st") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "total_price",
+            "order_count",
+        )
+    )
+
+
+@query(
+    "join_semi_returned_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           ROUND(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    """,
+)
+def join_semi_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style filtering via LEFT SEMI join: orders with ≥1 returned
+    line.  The semi join never materializes lineitem columns — the probe
+    side is pruned to ``l_orderkey`` alone (filter + projection pushed to
+    the scan), and the build side short-circuits on first match instead of
+    multiplying matches like an inner join + distinct would."""
+    o = _t(spark, sf_dir, "orders")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return o.join(
+        li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@query(
     "agg_percentiles",
     oracle="""
     SELECT l_returnflag,
@@ -873,11 +946,18 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific and the oracle gate needs bit-stable output."""
     li = _rb(_t(spark, sf_dir, "lineitem"))
     pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99}
-    return li.groupBy("l_returnflag").agg(
+    # ONE percentile aggregate over an array of quantiles: the group's
+    # values are buffered and sorted once, not once per quantile
+    arr = F.percentile(
+        "l_extendedprice", F.array(*[F.lit(q) for q in pcts.values()])
+    )
+    agg = li.groupBy("l_returnflag").agg(arr.alias("_p"))
+    return agg.select(
+        "l_returnflag",
         *[
-            F.round(F.percentile("l_extendedprice", F.lit(q)), 4).alias(name)
-            for name, q in pcts.items()
-        ]
+            F.round(F.col("_p")[i], 4).alias(name)
+            for i, name in enumerate(pcts)
+        ],
     )
 
 
