@@ -57,6 +57,7 @@ HEADLINE = [
     "events_json_extract",
     "events_hourly_windows",
     "events_sessionize",
+    "streaming_windowed_violations",
     "text_token_counts",
     "text_quality",
     "text_langid",

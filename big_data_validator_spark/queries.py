@@ -1224,6 +1224,96 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_windowed_violations",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN value IS NULL OR value < 0 OR value > 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS value_range_violations,
+           CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN
+                              ('click', 'view', 'purchase', 'signup')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS type_domain_violations
+    FROM events GROUP BY 1
+    """,
+)
+def streaming_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end, oracle-checked: the SAME rule
+    expressions the batch runner aggregates, evaluated by a real
+    ``readStream`` → watermark → tumbling-window plan, drained to a memory
+    sink with ``trigger(availableNow=True)`` (process-everything-then-stop,
+    so the finite parquet source yields a deterministic, batch-equal
+    answer).  Streaming here is genuinely the engine under test — the
+    returned DataFrame is read back from the sink's result table.
+
+    At 100 TB/day the identical plan runs unbounded: the shuffle carries
+    only per-window partial counts and the watermark bounds state."""
+    import tempfile
+    import uuid
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        StreamingRuleConfig,
+        windowed_violation_counts,
+    )
+
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    batch = _t(spark, sf_dir, "events")  # also sets nanosAsLong
+    # the testdata stores ns timestamps → stream reads ts as long and
+    # converts exactly like the batch loader (_t) does
+    read_schema = StructType(
+        [
+            StructField("ts", LongType(), f.nullable)
+            if f.name == "ts"
+            else f
+            for f in batch.schema.fields
+        ]
+    )
+    # the file-source needs a DIRECTORY (it watches for new files);
+    # testdata is a flat dir of tables, so expose the one table through a
+    # symlink — zero copy, and in production the source dir is already
+    # per-table
+    src_dir = tempfile.mkdtemp(prefix="bdv_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    stream = spark.readStream.schema(read_schema).parquet(src_dir).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    rules = {
+        "value_range": (
+            F.col("value").isNull()
+            | (F.col("value") < 0)
+            | (F.col("value") > 100)
+        ),
+        "type_domain": (
+            ~F.col("event_type").isin("click", "view", "purchase", "signup")
+            | F.col("event_type").isNull()
+        ),
+    }
+    counts = windowed_violation_counts(
+        stream,
+        rules,
+        StreamingRuleConfig(event_time_col="ts", watermark="0 seconds", window="1 hour"),
+    )
+    sink_name = f"bdv_stream_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "total_rows",
+        F.col("value_range_violations").cast("long").alias("value_range_violations"),
+        F.col("type_domain_violations").cast("long").alias("type_domain_violations"),
+    )
+
+
 # =====================================================================
 # Text analysis (documents)
 # =====================================================================
