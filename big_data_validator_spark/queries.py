@@ -584,6 +584,47 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_distinct")  # HLL sketch values are engine-specific: rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB distinct-count path: HyperLogLog++ sketches
+    (``approx_count_distinct``).  Unlike ``count_distinct`` — which
+    shuffles every distinct value — the sketch is a fixed few-KB buffer
+    merged map-side, so cost is independent of cardinality.  rsd=0.01
+    bounds relative error at ~1%; pytest pins the bound against the exact
+    counts (engine-specific sketch values can't hash-match a SQL oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ad_orderkey"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ad_partkey"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("ad_suppkey"),
+    )
+
+
+@query(
+    "set_intersect_priority_profiles",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    INTERSECT
+    SELECT o_orderstatus, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def set_intersect_priority_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) between two snapshot projections — with
+    `drift_snapshots`' exceptAll this completes the set-op family.  Spark
+    plans it as an aggregate + join on all columns; both sides prune to
+    the two projected columns at the scan."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    return a.intersect(b)
+
+
 @query(
     "topk_order_values",
     oracle="""

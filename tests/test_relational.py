@@ -203,3 +203,18 @@ def test_top_k_deterministic_and_take_ordered(spark):
     assert [r["id"] for r in rows] == [2, 5, 8, 11, 14]  # v=2 ties → id asc
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort at scale
+
+
+def test_approx_distinct_error_bound(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    approx = E.queries()["agg_approx_distinct"](spark, sf).collect()[0]
+    exact = E.queries()["agg_count_distinct"](spark, sf).collect()[0]
+    for a, e in [
+        (approx["ad_orderkey"], exact["d_orderkey"]),
+        (approx["ad_partkey"], exact["d_partkey"]),
+        (approx["ad_suppkey"], exact["d_suppkey"]),
+    ]:
+        # rsd=0.01 → generous 5% assertion head-room
+        assert abs(a - e) / e < 0.05, (a, e)
