@@ -681,6 +681,40 @@ def set_intersect_priority_profiles(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "agg_salted_skew_counts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS line_count,
+           ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation over a deliberately hot key space
+    (3 distinct l_returnflag values across all of lineitem — the worst
+    case for a group-by, every key is hot).  Phase 1 spreads each key over
+    16 salt buckets, phase 2 merges partials (one row per key per bucket
+    crosses the second shuffle).  Result is EXACTLY the plain GROUP BY —
+    the oracle proves it; AQE can't help here because the group-by
+    contract pins a key to one reducer."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "line_count": F.count(F.lit(1)),
+            "total_qty": F.sum("l_quantity"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        "line_count",
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
+@query(
     "topk_order_values",
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
