@@ -93,3 +93,40 @@ def test_hot_paths_stay_in_codegen(spark, name):
 def test_narrow_scans_for_text_queries(spark):
     df = q("text_token_counts", spark)
     assert set(read_schema_columns(df)) == {"doc_id", "text"}
+
+
+def test_cube_is_single_expand_aggregation(spark):
+    df = q("agg_cube_segment_status", spark)
+    plan = executed_plan_str(df)
+    # ONE Expand node fans rows out per grouping set — not one job per set
+    assert plan.count("Expand") == 1, plan
+    assert has_broadcast_join(df)
+
+
+def test_semi_join_prunes_probe_side(spark):
+    df = q("join_semi_returned_orders", spark)
+    plan = executed_plan_str(df)
+    assert "LeftSemi" in plan, plan
+    # the lineitem side must reach the join as l_orderkey alone, with the
+    # returnflag filter pushed into its scan
+    pushed = pushed_filters(df)
+    assert any("l_returnflag" in p for p in pushed), pushed
+
+
+def test_salted_agg_is_two_phase(spark):
+    df = q("agg_salted_skew_counts", spark)
+    # phase 1 (keys+salt) and phase 2 (keys): two shuffles, no more
+    assert shuffle_count(df) == 2
+
+
+def test_psi_shuffles_bin_counts_only(spark):
+    df = q("drift_psi_totalprice", spark)
+    cols = read_schema_columns(df)
+    # both snapshots read only the key (filter) + value columns
+    assert set(cols) <= {"o_orderkey", "o_totalprice"}
+
+
+def executed_plan_str(df):
+    from big_data_validator_spark.plans.inspect import executed_plan
+
+    return executed_plan(df)
