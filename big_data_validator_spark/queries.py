@@ -1590,6 +1590,77 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query(
+    "pipeline_curate_corpus",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             len(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|with|for)\\b')) AS s_en,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_hits,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(el|los|las|por|una)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(de5|shi4|le5|zai4|you3)\\b')) AS s_zh
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es
+                       AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                  ELSE 'other' END AS lang,
+             ROUND(0.4 * LEAST(CASE WHEN n_tokens > 0
+                                    THEN CAST(s_en AS DOUBLE) / n_tokens
+                                    ELSE 0 END * 4, 1.0)
+                 + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0
+                                           THEN CAST(punct_hits AS DOUBLE) / n_chars
+                                           ELSE 0 END * 5, 1.0)), 4) AS quality
+      FROM f
+    ),
+    curated AS (
+      SELECT doc_id, lang, quality,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      FROM scored WHERE lang = 'en' AND quality >= 0.5
+    )
+    SELECT doc_id, lang, quality
+    FROM (SELECT doc_id, lang, quality,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM curated)
+    WHERE rn = 1
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation pipeline as ONE declarative plan:
+    language-ID → quality threshold → exact dedup (fingerprint,
+    keep-lowest-id), composed from the independently-oracled text
+    operators.  Catalyst fuses langid + scoring + fingerprint into a
+    single codegen'd projection over one scan; the only data shuffle at
+    scale is the dedup window on the fingerprint (locally a second
+    round-robin exchange appears from the small-input rebalance guard,
+    which no-ops on properly-partitioned 100 TB inputs).  Filters cut the
+    corpus BEFORE the shuffle, and the window key (md5) is uniformly
+    distributed — no skew; Spark further plans WindowGroupLimit, so each
+    partition ships only its per-key minimum row."""
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    text = F.col("text")
+    lang = T.lang_guess(text)
+    scored = docs.select(
+        "doc_id",
+        F.when(lang == "en", "en").otherwise("other").alias("lang"),
+        T.quality_score(text).alias("quality"),
+        T.fingerprint(text).alias("fp"),
+    ).filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "quality")
+    )
+
+
+@query(
     "dedup_exact_keep_first",
     oracle="""
     WITH corpus AS (
