@@ -63,6 +63,7 @@ HEADLINE = [
     "text_langid",
     "text_fingerprint",
     "text_top_bigrams",
+    "text_chunk_windows",
     "pipeline_curate_corpus",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",

@@ -685,6 +685,9 @@ def simhash_near_dup_pairs(
                 F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the dedup shuffle: hamming is deterministic per
+        # pair, so dropping non-matches first shrinks the exchange (Catalyst
+        # can't push a non-key predicate through the aggregate itself)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

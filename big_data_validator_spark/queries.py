@@ -1590,6 +1590,52 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @query(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents WHERE len(trim(text)) > 0
+    ),
+    s AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 80)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 80 AS INT) AS chunk_id,
+           CAST(len(list_slice(toks, start, start + 99)) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, start, start + 99), ' ')) AS chunk_hash
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (100-token chunks, stride 80) —
+    the generator/UDTF-shaped op every LLM training pipeline needs, as a
+    pure ``sequence``+``explode``+``slice`` expression: one scan, zero
+    shuffles, rows fan out inside codegen (a Python UDTF would move every
+    chunk through a Python worker for no semantic gain).  Chunks are
+    emitted as md5 hashes so the oracle compare ships digests, not text."""
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    toks = F.split(F.trim("text"), r"\s+")
+    t = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", toks.alias("toks")
+    )
+    exploded = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(80))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), 100)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / 80).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ").cast("binary")).alias("chunk_hash"),
+    )
+
+
+@query(
     "pipeline_curate_corpus",
     oracle="""
     WITH f AS (
