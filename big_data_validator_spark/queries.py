@@ -985,6 +985,54 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_full_outer_reconcile",
+    oracle="""
+    WITH c2 AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    oc AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders WHERE o_custkey % 11 <> 0 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c2.c_custkey, oc.o_custkey) AS custkey,
+           c2.c_custkey IS NOT NULL AS in_customer,
+           COALESCE(oc.order_count, 0) AS order_count
+    FROM c2 FULL OUTER JOIN oc ON c2.c_custkey = oc.o_custkey
+    WHERE c2.c_custkey IS NULL OR oc.o_custkey IS NULL
+    """,
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source reconciliation via FULL OUTER join: customers with no
+    orders AND order custkeys dangling outside the customer table, in one
+    pass — the two-sided variant of the left-anti referential check.  The
+    fact side is pre-aggregated to one row per key BEFORE the join, so the
+    outer join matches key-to-key (no row multiplication) and the shuffle
+    carries (key, count) pairs, not order rows.  The synthetic tables
+    reconcile perfectly, so each side drops a deterministic key slice
+    (%7 / %11) to plant discrepancies in both directions — the operator
+    under test is the join, not the planted filter."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey")
+    )
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 11 != 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+    joined = c.join(oc, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+    return joined.filter(
+        F.col("c_custkey").isNull() | F.col("o_custkey").isNull()
+    ).select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNotNull().alias("in_customer"),
+        F.coalesce("order_count", F.lit(0)).alias("order_count"),
+    )
+
+
+@query(
     "agg_cube_segment_status",
     oracle="""
     SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
