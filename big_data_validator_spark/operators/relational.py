@@ -276,6 +276,37 @@ def distribution_stats(
     return df.agg(*aggs)
 
 
+def outlier_zscore_violations(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates more than ``z_threshold`` standard
+    deviations from their group mean — the distribution-check rule of the
+    generalized vocabulary (SURVEY §2g: reference has no distribution
+    rules at all).
+
+    Two-pass formulation: aggregate per-group mean/stddev first (tiny:
+    one row per group), then broadcast-join the stats back and filter.
+    At 100 TB this beats the window formulation — a window over the group
+    would shuffle EVERY data row on the group key; here the full-size
+    side streams through map-side with stats broadcast, no data shuffle
+    at all.  ``stddev_samp`` matches ANSI/DuckDB ``stddev``."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_samp(value_col).alias("_sd"),
+    )
+    joined = df.join(F.broadcast(stats), list(group_cols))
+    zscore = (F.col(value_col) - F.col("_mu")) / F.col("_sd")
+    return (
+        joined.filter(F.col("_sd") > 0)
+        .withColumn("zscore", zscore)
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+        .drop("_mu", "_sd")
+    )
+
+
 # ------------------------------------------------------------ skew handling
 
 def salted_aggregate(

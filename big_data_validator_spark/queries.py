@@ -594,6 +594,41 @@ def rule_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rule_outlier_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             AVG(o_totalprice) AS mu,
+             STDDEV(o_totalprice) AS sd
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority,
+           ROUND(o.o_totalprice, 2) AS total_price,
+           ROUND((o.o_totalprice - s.mu) / s.sd, 4) AS zscore
+    FROM orders o JOIN s USING (o_orderpriority)
+    WHERE s.sd > 0 AND ABS((o.o_totalprice - s.mu) / s.sd) > 1.7
+    """,
+)
+def rule_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-check rule: per-group z-score outliers.  Two-pass
+    plan — per-group stats aggregate (one row per group), broadcast back,
+    filter map-side.  No shuffle of data rows, unlike the window
+    formulation.  Threshold 1.7 here because the synthetic prices are
+    near-uniform (max |z| = sqrt(3) ~= 1.73 for a uniform) — the
+    operator's production default stays 3.0."""
+    o = _t(spark, sf_dir, "orders")
+    out = R.outlier_zscore_violations(
+        o, "o_totalprice", ["o_orderpriority"], z_threshold=1.7
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round("zscore", 4).alias("zscore"),
+    )
+
+
+@query(
     "agg_distribution_stats",
     oracle="""
     SELECT l_returnflag,

@@ -218,3 +218,14 @@ def test_approx_distinct_error_bound(spark):
     ]:
         # rsd=0.01 → generous 5% assertion head-room
         assert abs(a - e) / e < 0.05, (a, e)
+
+
+def test_outlier_zscore_violations(spark):
+    rows = [("g", float(v)) for v in [10, 11, 9, 10, 11, 9, 10, 11, 9, 100]]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = R.outlier_zscore_violations(df, "v", ["grp"], z_threshold=2.0).collect()
+    assert [r["v"] for r in out] == [100.0]
+    assert out[0]["zscore"] > 2.0
+    # constant group (sd == 0) produces no violations, not a div-by-zero
+    const = spark.createDataFrame([("c", 5.0)] * 4, ["grp", "v"])
+    assert R.outlier_zscore_violations(const, "v", ["grp"]).count() == 0
