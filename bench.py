@@ -58,10 +58,8 @@ HEADLINE = [
     "events_hourly_windows",
     "events_sessionize",
     "streaming_windowed_violations",
-    "text_token_counts",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
+    "streaming_failure_sink",
+    "text_profile",
     "text_top_bigrams",
     "text_chunk_windows",
     "pipeline_curate_corpus",
@@ -71,6 +69,7 @@ HEADLINE = [
     "emb_norm_stats",
     "sim_bruteforce_topk",
     "sim_ann_lsh",
+    "sim_ann_recall",
     "multimodal_payload_stats",
 ]
 

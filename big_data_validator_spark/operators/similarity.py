@@ -291,9 +291,16 @@ def ivf_ann_topk(
     from big_data_validator_spark.operators import rebalance_for_compute
 
     corpus = rebalance_for_compute(corpus)
+    # deterministic bounded sample: orderBy+limit plans as a distributed
+    # top-k (TakeOrderedAndProject), so the training set is stable across
+    # runs/partitionings — a bare limit() picks whichever tasks finish
+    # first, which would make centroids (and ANN recall) run-dependent
     sample = [
-        r[0]
-        for r in corpus.select(vec_col).limit(train_sample).collect()
+        r[1]
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
     ]
     centroids = _train_centroids_kmeans(sample, num_centroids, seed=seed)
 

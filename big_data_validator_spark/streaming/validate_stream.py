@@ -76,6 +76,7 @@ def stream_violation_sink(
     output_path: str,
     checkpoint_path: str,
     config: StreamingRuleConfig = StreamingRuleConfig(),
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Continuously append rows violating ANY rule to a partitioned parquet
     sink (the streaming analogue of the batch failure sink,
@@ -98,14 +99,18 @@ def stream_violation_sink(
             "event_date", F.to_date(F.col(config.event_time_col))
         )
     )
-    return (
+    writer = (
         out.writeStream.format("parquet")
         .option("path", output_path)
         .option("checkpointLocation", checkpoint_path)
         .partitionBy("event_date")
         .outputMode("append")
-        .start()
     )
+    if available_now:
+        # drain-everything-then-stop: bounded replays and tests get the
+        # deterministic batch-equal sink without changing the plan
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_rule_metrics(

@@ -65,8 +65,20 @@ def test_entry_smoke(spark):
     assert df.columns == ["rule_name", "violation_count"]
 
 
+#: Oracles whose constants are pinned at the driver's sf0.01 (deterministic
+#: seeds over fixed testdata).  At other scales the full compare is replaced
+#: by the scale-free invariant (full-probe IVF == brute force exactly).
+SF_PINNED = {"sim_ann_recall"}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
+    if name in SF_PINNED and not SF_DIR.rstrip("/").endswith("sf0.01"):
+        rows = {r["method"]: r for r in ALL_QUERIES[name](spark, SF_DIR).collect()}
+        assert rows["ivf_full_probe"]["recall"] == 1.0, rows
+        assert rows["ivf_full_probe"]["hits"] == 50, rows
+        assert set(rows) == {"ivf_full_probe", "ivf_nprobe4", "lsh"}
+        return
     sdf = ALL_QUERIES[name](spark, SF_DIR)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns

@@ -81,7 +81,7 @@ def test_bruteforce_topk_broadcasts_queries(spark):
     [
         "agg_pricing_summary",
         "rule_domain_range",
-        "text_fingerprint",
+        "text_profile",
         "events_sessionize",
     ],
 )
@@ -91,7 +91,7 @@ def test_hot_paths_stay_in_codegen(spark, name):
 
 
 def test_narrow_scans_for_text_queries(spark):
-    df = q("text_token_counts", spark)
+    df = q("text_profile", spark)
     assert set(read_schema_columns(df)) == {"doc_id", "text"}
 
 
