@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -105,19 +106,25 @@ def main() -> None:
     ).format("noop").save()
 
     registry = all_queries()
-    timings: dict[str, float] = {}
-    # two passes, keep the per-query minimum: single-shot numbers on a
-    # shared host swing 3-6x from scheduler noise; the min is the plan's
-    # actual cost (standard practice, same rule for every query)
-    for _ in range(2):
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # one untimed warm pass (JIT/codegen caches, file-index warm), then
+    # `passes` timed runs reported as the per-query MEDIAN: single-shot
+    # numbers on a shared host swing 3-6x from scheduler noise; the median
+    # is robust to one bad run AND attributable round-over-round (a min
+    # hides regressions that only show in the typical run)
+    for timed in [False] + [True] * passes:
         for name in HEADLINE:
             fn = registry[name]
             start = time.perf_counter()
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            elapsed = round(time.perf_counter() - start, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
+            if timed:
+                samples[name].append(time.perf_counter() - start)
+    timings = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 
 
@@ -14,20 +17,39 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     in as one partition and the whole pipeline runs on one core (measured:
     the sf0.1 documents table is a single file; MinHash ran 1/32 cores).
     At 100 TB scans are already thousands of partitions and this is a
-    no-op; the guard uses Catalyst's size estimate (driver-side, free —
-    probing ``df.rdd.getNumPartitions()`` would cost an RDD conversion and
-    a file-listing job per call), so only inputs small enough to have been
-    read as fewer splits than cores ever get the extra exchange."""
+    no-op; the guard is driver-side file metadata through the PUBLIC
+    ``DataFrame.inputFiles()`` API (the file index is already materialized
+    by the reader, so no extra listing job; probing
+    ``df.rdd.getNumPartitions()`` would cost an RDD conversion per call,
+    and the py4j ``_jdf...stats()`` route is version-brittle private API).
+    Only inputs small enough to have been read as fewer splits than cores
+    ever get the extra exchange:
+
+    - ≥ one file per core → the reader already parallelizes; no-op.
+    - fewer, but ≥ 128 MiB/core total (the default ``maxPartitionBytes``)
+      → splittable formats fan out on their own; no-op.
+    - non-local URIs or in-memory relations (no files) → trust the
+      source's split planning; no-op.
+    """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        est_bytes = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        files = df.inputFiles()
     except Exception:
         return df
+    if not files or len(files) >= target:
+        return df
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return df
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return df
     # One split per core at the default 128 MiB maxPartitionBytes: inputs
     # under this arrive under-parallelized; above it Spark already splits.
-    if est_bytes < target * (128 << 20):
+    if total < target * (128 << 20):
         return df.repartition(target)
     return df

@@ -156,6 +156,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.8,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via an inverted shingle
     index: explode shingles, self-join on the shingle, count common shingles
@@ -165,11 +166,25 @@ def ngram_jaccard_pairs(
     — already far sparser than a cross join — but is still quadratic in
     pathological corpora; at 100 TB use :func:`minhash_lsh_candidates` to
     pre-bucket and feed candidates here for exact verification.
+    ``max_doc_freq`` (default off, preserving exact Jaccard) drops
+    stop-shingles — those appearing in more than that many documents —
+    before the self-join, the same inverted-index skew control as
+    :func:`winnowing_near_dup_pairs`; with it on, the reported Jaccard is
+    a lower bound (common counts lose the dropped shingles while set
+    sizes keep them).
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
     sets_df = _shingle_sets(df, text_col, id_col, n).cache()
     sizes = sets_df.select("id", F.size("shingles").alias("set_size"))
     inv = sets_df.select("id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -290,6 +305,81 @@ def _minhash_signatures_from_sets(
     return hashed.select("id", sig_kernel("_h").alias("sig"))
 
 
+def capped_bucket_pairs(
+    bucketed: DataFrame,
+    key_cols: Sequence[str],
+    max_bucket_size: Optional[int],
+    payload_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b)`` from rows sharing a bucket key,
+    with a per-bucket size cap — the skew guard for every LSH-style
+    self-join here.
+
+    The all-pairs self-join is quadratic *within* a bucket: a degenerate
+    corpus (thousands of byte-identical documents) collapses into ONE
+    bucket and produces O(size²) shuffle rows — the classic LSH skew
+    bomb.  Buckets at or under ``max_bucket_size`` keep the exact
+    all-pairs behavior.  Oversized buckets fall back to *leader edges*:
+    every member pairs with the bucket's minimum id only — O(size) pairs
+    that keep the bucket's candidate graph connected (any member still
+    reaches any other through the leader after the verifier confirms the
+    edges), which is what dedup clustering consumes.  The trade-off is
+    deliberate: member↔member edges inside an oversized bucket are
+    dropped, so pair *enumeration* (not clustering) of a mostly-identical
+    corpus should raise the cap.
+
+    ``payload_cols`` are carried through as ``<col>_a`` / ``<col>_b`` so
+    verifiers (true Jaccard, Hamming) run without re-joining the inputs;
+    the leader's payload comes from ``min_by`` in the same size
+    aggregation — no extra shuffle.
+
+    Cost: one key-only aggregation (bucket sizes + leader) and one
+    key-equi-join against it, both co-partitioned with the pair join's own
+    shuffle.  Pass ``max_bucket_size=None`` to disable the guard.
+    """
+    keys = list(key_cols)
+    if max_bucket_size is None:
+        a, b = bucketed.alias("a"), bucketed.alias("b")
+        cond = (F.col("a.id") < F.col("b.id"))
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return a.join(b, cond).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
+    sizes = bucketed.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_bsz"),
+        F.min("id").alias("_leader"),
+        *[F.min_by(c, "id").alias(f"_leader_{c}") for c in payload_cols],
+    )
+    tagged = bucketed.join(sizes, keys)
+    small = tagged.filter(F.col("_bsz") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    small_pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+        *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+    )
+    big_pairs = (
+        tagged.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("id") != F.col("_leader"))
+        )
+        .select(
+            F.col("_leader").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[F.col(f"_leader_{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -298,6 +388,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 8,
     sigs: Optional[DataFrame] = None,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over MinHash
     signatures.
@@ -305,10 +396,12 @@ def minhash_lsh_candidates(
     The signature is cut into ``bands`` bands of ``num_hashes/bands`` rows;
     two docs are candidates if any band hashes identically.  Shuffle volume
     is O(n·bands) small (band_id, band_hash, id) tuples; the per-bucket
-    self-join only compares docs that collided.  With 64 hashes / 8 bands
-    (r=8) the S-curve threshold sits near (1/8)^(1/8) ≈ 0.77 Jaccard —
-    tuned for the usual 0.8 near-dup cutoff; corpora with high mutual
-    similarity would drown r=4 banding in false candidates.
+    self-join only compares docs that collided, and oversized buckets
+    degrade to leader edges (:func:`capped_bucket_pairs`) so a degenerate
+    corpus cannot go quadratic.  With 64 hashes / 8 bands (r=8) the
+    S-curve threshold sits near (1/8)^(1/8) ≈ 0.77 Jaccard — tuned for the
+    usual 0.8 near-dup cutoff; corpora with high mutual similarity would
+    drown r=4 banding in false candidates.
     Returns distinct ``(id_a, id_b)`` with ``id_a < id_b``.
     """
     rows_per_band = num_hashes // bands
@@ -328,18 +421,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates()
-    )
+    return capped_bucket_pairs(
+        banded, ["band", "bucket"], max_bucket_size
+    ).dropDuplicates()
 
 
 def minhash_dedup_pairs(
@@ -350,6 +434,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     bands: int = 8,
     threshold: float = 0.8,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: LSH candidates → exact Jaccard
     verification (join back to shingle sets, intersect/union on arrays).
@@ -367,7 +452,8 @@ def minhash_dedup_pairs(
     sets_df = hashed_shingle_sets(df, text_col, id_col, n).cache()
     sigs = _minhash_signatures_from_sets(sets_df, num_hashes, prehashed=True)
     cands = minhash_lsh_candidates(
-        df, text_col, id_col, n, num_hashes, bands, sigs=sigs
+        df, text_col, id_col, n, num_hashes, bands, sigs=sigs,
+        max_bucket_size=max_bucket_size,
     )
     sa = sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
     sb = sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")
@@ -643,14 +729,18 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ ``max_hamming`` between
     64-bit SimHashes.
 
     Pigeonhole blocking: split the signature into ``max_hamming+1`` chunks;
     any pair within distance ``max_hamming`` must agree exactly on ≥1 chunk
-    → self-join per chunk bucket (shuffle O(n·chunks)), then verify the
-    true Hamming distance with ``bit_count(xor)``.
+    → self-join per chunk bucket (shuffle O(n·chunks)) with oversized
+    buckets degraded to leader edges (:func:`capped_bucket_pairs` — a
+    corpus of near-identical documents shares every chunk key and would
+    otherwise go quadratic), then verify the true Hamming distance with
+    ``bit_count(xor)``.
     """
     chunks = max_hamming + 1
     chunk_bits = 64 // chunks
@@ -669,20 +759,15 @@ def simhash_near_dup_pairs(
         "simhash",
         F.explode(F.array(*chunk_structs)).alias("cb"),
     ).select("id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.key").alias("key"))
-    a = blocked.alias("a")
-    b = blocked.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+        capped_bucket_pairs(
+            blocked, ["chunk", "key"], max_bucket_size, payload_cols=["simhash"]
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
             ).alias("hamming"),
         )
         # filter BEFORE the dedup shuffle: hamming is deterministic per

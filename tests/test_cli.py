@@ -59,3 +59,53 @@ def test_cli_missing_metadata(tmp_path):
     proc = run_cli(tmp_path)
     assert proc.returncode == 2
     assert "not found" in proc.stderr
+
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+
+
+def _fixture(name):
+    with open(os.path.join(FIXTURES, name)) as f:
+        return f.read()
+
+
+def test_cli_reference_fail_column_metadata(tmp_path):
+    """Replay of the reference's own fail fixture
+    (``tableExamples/fail_column_metadata (1).csv`` + ``success (1).csv``):
+    the contract expects BIRH_DATE (typo), the header says BIRTH_DATE —
+    superset column semantics (``big_data_validator.py:53-74``) must fail
+    the run through the full CLI path."""
+    base = layout(
+        tmp_path,
+        _fixture("PERSON.csv"),
+        _fixture("PERSON_fail_column_metadata.csv"),
+        table="PERSON",
+    )
+    proc = run_cli(base, table="PERSON")
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    report = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert report["ok"] is False
+    names = {r["rule"]: r for r in report["results"]}["column_names"]
+    assert not names["passed"]
+    assert "BIRH_DATE" in names["details"]["missing"]
+
+
+def test_cli_reference_fail_data_type(tmp_path):
+    """Replay of the reference's type-fail intent
+    (``tableExamples/fail_data_type_metadata (1).csv``: ``ID;NUMBER``):
+    with the column-name typo corrected so the name rule passes (type
+    enforcement requires resolvable columns), a non-numeric ID value must
+    fail declared-type enforcement end-to-end through the CLI."""
+    meta = _fixture("PERSON_fail_data_type_metadata.csv").replace(
+        "BIRH_DATE", "BIRTH_DATE"
+    )
+    csv_text = _fixture("PERSON.csv").replace('"12378687"', '"12x78687"', 1)
+    base = layout(tmp_path, csv_text, meta, table="PERSON")
+    proc = run_cli(base, table="PERSON")
+    assert proc.returncode == 1, proc.stderr[-2000:]
+    report = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert report["ok"] is False
+    types = {r["rule"]: r for r in report["results"]}["type_enforcement"]
+    assert not types["passed"]
+    assert types["violation_count"] >= 1
+    assert "ID" in str(types["details"])

@@ -122,6 +122,35 @@ def test_bad_arity_writes_failure_sink(spark, tmp_path):
     assert sunk.count() == 1  # the arity-2 row
 
 
+def test_failure_sink_partitioned_by_contract_column(spark, tmp_path):
+    """failure_partition_by lays the sink out as <col>=<value>/ directories
+    (partition pruning for triage); columns absent from the failing rows
+    are ignored rather than failing the run."""
+    import os
+
+    p = tmp_path / "BADP.csv"
+    p.write_text("A|B|C\n1|x|3\n1|x\n4|y\n5|z|6\n")
+    contract = TableContract(
+        columns=[ColumnSpec("A"), ColumnSpec("B"), ColumnSpec("C")],
+        field_separator="|",
+    )
+    runner = ValidationRunner(
+        spark,
+        RunnerConfig(
+            failure_base_dir=str(tmp_path / "sink"),
+            failure_partition_by=("B", "NOT_A_COLUMN"),
+        ),
+    )
+    report = runner.validate_csv("BADP", str(p), contract)
+    assert not report.ok
+    sunk = spark.read.parquet(report.failure_sink_path)
+    assert sunk.count() == 2  # the two arity-2 rows
+    subdirs = {
+        d for d in os.listdir(report.failure_sink_path) if d.startswith("B=")
+    }
+    assert subdirs == {"B=x", "B=y"}
+
+
 def test_naive_branch_without_string_separator(spark, tmp_path):
     """No StringSeparator in the contract → naive count branch
     (reference :273-278)."""

@@ -139,3 +139,49 @@ def test_simhash_signature_is_stable(spark, docs):
     s2 = {r["id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
     assert s1 == s2
     assert s1[1] == s1[2]  # identical text → identical signature
+
+
+def test_degenerate_corpus_bucket_cap_bounds_candidates(spark):
+    """The LSH skew guard: 5k byte-identical documents collapse into ONE
+    band bucket (and one simhash chunk bucket) per table — uncapped that is
+    ~12.5M candidate pairs per band.  With the cap, oversized buckets emit
+    leader edges only: exactly n-1 candidates, every pair anchored at the
+    minimum id, and the dedup cluster stays fully connected through the
+    leader."""
+    n = 5000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same identical document body repeated verbatim").alias(
+            "text"
+        ),
+    )
+
+    cands = D.minhash_lsh_candidates(docs, max_bucket_size=100)
+    rows = cands.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)  # leader = min doc_id
+    assert {r["id_b"] for r in rows} == set(range(1, n))
+
+    verified = D.minhash_dedup_pairs(docs, max_bucket_size=100)
+    vrows = verified.collect()
+    assert len(vrows) == n - 1
+    assert all(r["jaccard"] == 1.0 for r in vrows)
+
+    sim = D.simhash_near_dup_pairs(docs, max_bucket_size=100)
+    srows = sim.collect()
+    assert len(srows) == n - 1
+    assert all(r["hamming"] == 0 and r["id_a"] == 0 for r in srows)
+
+
+def test_bucket_cap_no_op_below_threshold(spark, docs):
+    """Small buckets keep exact all-pairs semantics: capped and uncapped
+    runs agree on the fixture corpus."""
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, max_bucket_size=1000).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_dedup_pairs(docs, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped
