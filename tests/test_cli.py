@@ -109,3 +109,42 @@ def test_cli_reference_fail_data_type(tmp_path):
     assert not types["passed"]
     assert types["violation_count"] >= 1
     assert "ID" in str(types["details"])
+
+
+def test_cli_stage_then_validate(tmp_path):
+    """The reference's upload surface (views.py:4-24) as a CLI: `stage`
+    places the two files into the conventional layout, after which the
+    normal validate invocation runs against them."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "data.csv").write_text("A|B\n1|x\n2|y\n")
+    (src / "meta.csv").write_text(META)
+    base = tmp_path / "base"
+    base.mkdir()
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_validator_spark", "stage", "T",
+         "--input", str(src / "data.csv"), "--metadata", str(src / "meta.csv"),
+         "--base-dir", str(base)],
+        capture_output=True, text=True, cwd=REPO, timeout=60,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    staged = json.loads(proc.stdout)["staged"]
+    assert staged["input"].endswith("inputs/T.csv")
+    assert (base / "inputs" / "T.csv").exists()
+    assert (base / "metadata" / "csv" / "T_metadata.csv").exists()
+    proc = run_cli(base)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert report["ok"] is True
+
+
+def test_cli_stage_missing_file(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_validator_spark", "stage", "T",
+         "--input", str(tmp_path / "nope.csv"),
+         "--metadata", str(tmp_path / "nope_meta.csv"),
+         "--base-dir", str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO, timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "not found" in proc.stderr

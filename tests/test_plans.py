@@ -119,6 +119,23 @@ def test_salted_agg_is_two_phase(spark):
     assert shuffle_count(df) == 2
 
 
+def test_exact_dedup_single_shuffle(spark):
+    df = q("dedup_exact_keep_first", spark)
+    # fingerprint groupBy: ONE exchange of (hash, id) pairs — document
+    # bodies never shuffle, and the planted-duplicate union adds scans,
+    # not exchanges
+    assert shuffle_count(df) <= 1
+    cols = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}
+
+
+def test_ann_recall_broadcasts_truth_joins(spark):
+    df = q("sim_ann_recall", spark)
+    # the n_queries×k truth/candidate sets stay broadcast — the corpus
+    # never shuffles for the semi-joins
+    assert has_broadcast_join(df)
+
+
 def test_psi_shuffles_bin_counts_only(spark):
     df = q("drift_psi_totalprice", spark)
     cols = read_schema_columns(df)
