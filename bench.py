@@ -85,6 +85,7 @@ def main() -> None:
         .config("spark.driver.memory", "32g")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -135,6 +136,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                # r1 reported min-of-2; medians read higher by construction
+                # but are attributable round-over-round (see VERDICT r1 §6)
+                "stat": "median",
+                "passes": passes,
             }
         )
     )

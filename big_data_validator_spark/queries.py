@@ -1928,9 +1928,15 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same scan fraction.  Truth and candidate sets are small
     (n_queries × k rows) so the three semi-joins are broadcast; the
     corpus scans stay distributed."""
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    # the audit runs FOUR pipelines (brute force + 3 ANN variants) over the
+    # same corpus — cache it once instead of four scan+rebalance passes.
+    # This is audit-query hygiene, not the serving path: the ANN operators
+    # themselves never require a cached corpus.
+    emb = _rb(
+        _t(spark, sf_dir, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+    ).cache()
     q = emb.filter(F.col("vec_id") < 5)
     k, n_queries = 10, 5
     truth = S.brute_force_topk(emb, q, k=k).select("query_id", "vec_id").cache()
