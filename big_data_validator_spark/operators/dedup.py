@@ -349,6 +349,15 @@ def capped_bucket_pairs(
             *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
             *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
         )
+    # The capped plan consumes `bucketed` in three branches (size agg,
+    # tagged join, self-join); the size aggregate's partial-agg subplan
+    # differs from the join exchanges, so Catalyst cannot reuse one
+    # exchange across them and the upstream signature kernel would run
+    # per branch.  The projection is narrow — (id, keys, payload) tuples,
+    # O(n·bands) longs, a small fraction of corpus bytes — so pinning it
+    # is the cheap side of the trade at any scale (MEMORY_AND_DISK spills
+    # rather than OOMs).
+    bucketed = bucketed.cache()
     sizes = bucketed.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_bsz"),
         F.min("id").alias("_leader"),
