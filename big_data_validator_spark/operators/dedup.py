@@ -655,6 +655,98 @@ def winnowing_near_dup_pairs(
     )
 
 
+# ----------------------------------------------------------- dedup clusters
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: the endpoint
+    of every dedup pipeline (pairs only say "these two match"; keeping one
+    representative per GROUP needs the transitive closure).
+
+    Iterative min-label propagation, all DataFrame ops: each vertex starts
+    labeled with itself; every round each vertex takes the minimum label
+    among itself and its neighbors.  Converges in O(graph diameter)
+    rounds — for pair lists produced by :func:`capped_bucket_pairs` the
+    leader-edge fallback keeps oversized buckets star-shaped (diameter 2),
+    and verified LSH pair graphs are locally dense, so the loop ends far
+    below ``max_iter``.  Convergence is detected with a ``sum(label)``
+    scalar action per round (labels are non-negative and only ever
+    decrease, so an unchanged sum IS the fixpoint — no extra join to diff
+    label sets); per round the work is one equi-join + one groupBy, both
+    shuffling (id, label) pairs only.  The classic two-phase
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") halves round count on adversarial
+    chains; plain propagation is kept here for plan transparency.
+
+    Returns ``(id, cluster_id)`` for every id appearing in ``pairs``,
+    where ``cluster_id`` is the minimum member id of the component.
+    Singleton documents never enter the pair list, so they are implicitly
+    their own cluster.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .cache()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .select(F.col("src").alias("id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Drop every near-duplicate except the minimum-id representative of
+    its cluster: anti-join the corpus against the non-representative
+    member ids (a set far smaller than the corpus, broadcast when it
+    fits).  Rows never appearing in ``pairs`` are kept untouched."""
+    clusters = duplicate_clusters(pairs, max_iter=max_iter)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_signatures(

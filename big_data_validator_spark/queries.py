@@ -2201,6 +2201,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+@query("dedup_minhash_clusters")  # clusters of hash-dependent pairs: rows-only
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → transitive clusters (connected components via iterative
+    min-label propagation) → per-cluster summary; the full dedup endpoint
+    a training pipeline actually consumes (keep one representative per
+    CLUSTER, not per pair)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=8, threshold=0.8)
+    clusters = D.duplicate_clusters(pairs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("member_count"))
+        .orderBy("cluster_id")
+    )
+
+
 @query("sim_ann_lsh")  # hash-dependent buckets: recall oracled via sim_ann_recall
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(

@@ -185,3 +185,40 @@ def test_bucket_cap_no_op_below_threshold(spark, docs):
         for r in D.minhash_dedup_pairs(docs, max_bucket_size=None).collect()
     }
     assert capped == uncapped
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    """A 4-chain needs label propagation across diameter 3; disjoint
+    components keep separate labels."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_from_leader_edges_and_keep_representatives(spark):
+    """End-to-end over a degenerate corpus: capped leader edges → one
+    cluster anchored at the minimum id; keep_representatives leaves
+    exactly one row of the duplicate set plus all uniques."""
+    n = 200
+    dup = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("identical body text").alias("text")
+    )
+    uniq = spark.createDataFrame(
+        [(1000, "a genuinely unique document about spark plans"),
+         (1001, "another singleton text mentioning catalysts")],
+        ["doc_id", "text"],
+    )
+    corpus = dup.unionByName(uniq)
+    pairs = D.minhash_dedup_pairs(corpus, max_bucket_size=50)
+    clusters = D.duplicate_clusters(pairs)
+    rows = clusters.collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == n  # every duplicate labeled, singletons absent
+    kept = D.dedup_keep_representatives(corpus, pairs)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {0, 1000, 1001}
