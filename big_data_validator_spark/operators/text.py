@@ -32,10 +32,30 @@ def token_count(col: Column) -> Column:
 
 
 def word_tokens(col: Column) -> Column:
-    """Array of lowercase word tokens (BPE-ish: alnum runs)."""
+    """Array of lowercase word tokens (alnum runs)."""
     return F.filter(
         F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != ""
     )
+
+
+#: GPT-2-family pre-tokenizer pattern (the public regex from the GPT-2 /
+#: RoBERTa BPE vocab files): contraction suffixes, optionally-space-prefixed
+#: letter runs, digit runs, punctuation runs, then residual whitespace.
+#: Java regex supports the \p{L}/\p{N} classes and the lookahead verbatim.
+_BPE_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bpe_pretoken_count(col: Column) -> Column:
+    """Pre-token count under the GPT-2 BPE pre-tokenizer regex — the
+    standard first-cut estimate of LLM token cost (every BPE token is a
+    piece of exactly one pre-token, so this lower-bounds the true token
+    count and tracks it closely on natural text).  Pure ``regexp_count``
+    expression: codegen'd, no vocab file, no Python."""
+    return F.regexp_count(col, F.lit(_BPE_PRETOKEN_PATTERN))
 
 
 def char_ngrams(col: Column, n: int, lowered: bool = False) -> Column:

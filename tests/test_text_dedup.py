@@ -222,3 +222,24 @@ def test_duplicate_clusters_from_leader_edges_and_keep_representatives(spark):
     kept = D.dedup_keep_representatives(corpus, pairs)
     kept_ids = {r["doc_id"] for r in kept.collect()}
     assert kept_ids == {0, 1000, 1001}
+
+
+def test_bpe_pretoken_count(spark):
+    """Handcrafted expectations for the GPT-2 pre-tokenizer regex: each
+    contraction suffix, space-prefixed word/number run, and punctuation
+    run is one pre-token; whitespace between pre-tokens is absorbed by
+    the following token's optional leading space."""
+    rows = [
+        ("hello world", 2),            # "hello", " world"
+        ("I'm fine.", 4),              # "I", "'m", " fine", "."
+        ("can't stop", 3),             # "can", "'t", " stop"
+        ("abc 123 x!", 4),             # "abc", " 123", " x", "!"
+        ("", 0),
+        ("   ", 1),                    # pure whitespace → one \s+ token
+    ]
+    df = spark.createDataFrame(rows, ["text", "expected"])
+    got = df.select(
+        "text", "expected", T.bpe_pretoken_count(F.col("text")).alias("n")
+    ).collect()
+    for r in got:
+        assert r["n"] == r["expected"], (r["text"], r["n"], r["expected"])
