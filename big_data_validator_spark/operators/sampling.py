@@ -1,0 +1,104 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+Large-corpus pipelines sample by CONTENT KEY, not by RNG state: a row's
+fate must be reproducible across reruns, cluster sizes, and partitionings
+(``df.sample()`` is seed-stable only for a fixed partitioning).  Everything
+here derives the decision from a hash of a key column, so it is:
+
+- **deterministic**: same key → same verdict, on any cluster layout;
+- **shuffle-free** for Bernoulli sampling and splitting (a filter /
+  projection — no exchange at all);
+- **disjoint-and-covering** for splits (one hash, contiguous ranges);
+- **oracle-able** when the hash is an engine-portable digest (md5 of the
+  key string sorts identically in Spark and DuckDB, so the stratified
+  exact sample has a SQL oracle).
+
+At 100 TB the Bernoulli paths are pure map-side codegen; the stratified
+exact sample shuffles one (strata, key) tuple per row and Spark plans
+``WindowGroupLimit``, so each partition forwards only its per-stratum
+top-k candidates.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Granularity of the hash → [0, 1) mapping used for fractions.
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key: Column, seed: int) -> Column:
+    """Uniform pseudo-random bucket in [0, _BUCKETS) derived from the key:
+    ``xxhash64`` is JVM-side, codegen'd, and seed-parameterized."""
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key hashes below
+    ``fraction``.  Repeated runs (and overlapping pipelines using the same
+    seed) select the SAME rows — the property corpus subsampling needs and
+    ``df.sample()`` does not give across repartitionings."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(
+        _hash_bucket(F.col(key_col), seed) < int(round(fraction * _BUCKETS))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Sequence[float],
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row with a split index (0..len(weights)-1) from contiguous
+    hash ranges: splits are DISJOINT and COVER the input exactly — the
+    train/val/test contract.  A single projection; filter on ``split_col``
+    downstream and the predicate pushes into the scan."""
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = _hash_bucket(F.col(key_col), seed)
+    expr = F.lit(len(weights) - 1)
+    acc = 0.0
+    # build right-to-left so each WHEN tests the cumulative upper bound
+    bounds = []
+    for w in weights[:-1]:
+        acc += w / total
+        bounds.append(int(round(acc * _BUCKETS)))
+    for i in range(len(bounds) - 1, -1, -1):
+        expr = F.when(bucket < bounds[i], F.lit(i)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer if the stratum is smaller),
+    chosen by a deterministic pseudo-random order: ``md5`` of the key
+    string, tie-broken by the key.  md5 is an engine-portable digest, so
+    the selection is reproducible outside Spark (the registry ships a
+    DuckDB oracle for it) — unlike ``sampleBy``, which is approximate AND
+    engine-specific.  Plans as one shuffle on the strata plus
+    ``WindowGroupLimit`` (partitions forward only per-stratum top-k)."""
+    order = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(order.asc(), F.col(key_col).asc())
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

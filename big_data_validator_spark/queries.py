@@ -2243,6 +2243,37 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
 
 
+@query(
+    "sample_stratified_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 20
+    """,
+)
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 orders per priority,
+    selected by md5-of-key pseudo-random order — engine-portable, so the
+    EXACT row selection (not just counts) hash-matches the SQL oracle.
+    Tail entry (outside the driver window); the local mirror harness
+    verifies the oracle."""
+    o = _t(spark, sf_dir, "orders")
+    from big_data_validator_spark.operators.sampling import (
+        stratified_exact_sample,
+    )
+
+    out = stratified_exact_sample(
+        o, ["o_orderpriority"], k=20, key_col="o_orderkey"
+    )
+    return out.select("o_orderpriority", "o_orderkey")
+
+
 @query("multimodal_features")  # mapInPandas kernel: rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
