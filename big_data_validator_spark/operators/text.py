@@ -161,6 +161,52 @@ def lang_guess(col: Column) -> Column:
     return expr
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic two-pass corpus
+    statistic (keyword extraction / quality signals for curation).
+
+    Plan shape at scale: one scan tokenizes and counts term frequencies
+    (shuffle on (doc, term)); document frequencies aggregate from the SAME
+    tf relation (shuffle carries (term, partial df) only — documents are
+    never re-read); the corpus size joins in as a broadcast 1-row
+    aggregate, NOT a driver-side ``count()``.  The per-doc top-k window
+    plans ``WindowGroupLimit``.  ``idf = ln(N / df)``, score rounded to 4
+    digits with (score desc, term asc) tie-break — deterministic and
+    expressible identically in ANSI SQL for the oracle.
+    Returns ``(id, term, tf, df, score, rank)``.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience profile: all quality features + fingerprint + language
     guess in a single projection (one scan, codegen end-to-end)."""

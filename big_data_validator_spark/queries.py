@@ -2244,6 +2244,42 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''
+             )) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 4) AS score
+      FROM tf JOIN dfreq USING (term), n
+    )
+    SELECT id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY score DESC, term ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords over the corpus; tail entry, the
+    local mirror verifies the row-exact oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(docs, k=3)
+
+
+@query(
     "sample_stratified_orders",
     oracle="""
     SELECT o_orderpriority, o_orderkey
