@@ -66,12 +66,15 @@ HEADLINE = [
     "pipeline_curate_corpus",
     "dedup_exact_keep_first",
     "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "dedup_simhash",
     "emb_norm_stats",
     "sim_bruteforce_topk",
     "sim_ann_lsh",
     "sim_ann_recall",
     "multimodal_payload_stats",
+    "text_tfidf_top_terms",
+    "sample_stratified_orders",
 ]
 
 
