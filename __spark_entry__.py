@@ -20,10 +20,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Make the package importable no matter where the driver launches from.
+# Make the package importable no matter where the driver launches from —
+# both on the driver (sys.path) and in Python workers: local-mode workers
+# are forked by the JVM with the JVM's PYTHONPATH, so exporting it before
+# the SparkSession is built covers Arrow UDF deserialization too.  For a
+# session created elsewhere/earlier, queries.py additionally ships the
+# package via ``addPyFile`` on first use.
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO_ROOT}{os.pathsep}{_pp}" if _pp else _REPO_ROOT
+    )
 
 from big_data_validator_spark.queries import (  # noqa: E402
     all_oracles,
