@@ -75,6 +75,8 @@ HEADLINE = [
     "multimodal_payload_stats",
     "text_tfidf_top_terms",
     "sample_stratified_orders",
+    "pack_sequences_docs",
+    "corpus_mixture_plan",
 ]
 
 

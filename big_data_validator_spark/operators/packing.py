@@ -1,0 +1,185 @@
+"""Sequence packing and corpus-mixture planning for LLM training data.
+
+GPT-style pretraining concatenates the token stream of an ordered corpus
+and cuts it into fixed-length sequences; a document "starts in" the
+sequence holding its first token and may straddle a boundary.  Assigning
+those positions needs a *global running sum* of token counts — the naive
+Spark expression (``sum().over(Window.orderBy(...))`` with no
+``partitionBy``) funnels the whole table through ONE task and dies at
+scale.  :func:`running_offset` instead does the classic two-pass
+distributed scan:
+
+1. block-local cumulative sums (window partitioned by a block key —
+   parallel, no global shuffle of rows into one task), and
+2. a tiny per-block totals aggregate, prefix-summed and broadcast back.
+
+The result is byte-identical to the single-window answer (packing is
+deterministic in the given order) while every row-bearing stage stays
+parallel.  At 100 TB the block key is the natural sort bucket (e.g. the
+range-partition id of the corpus order); here it is derived from the
+order column itself so results are reproducible on any layout.
+
+Mixture planning (:func:`mixture_sampling_plan`) is the other half of
+corpus assembly: given target domain proportions, compute the largest
+total corpus honouring them without up-sampling any domain, and the
+per-domain keep rates — one tiny aggregate, broadcastable everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["running_offset", "pack_sequences", "mixture_sampling_plan"]
+
+
+def running_offset(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    block_rows: int = 65536,
+) -> DataFrame:
+    """Add ``offset`` = exclusive running sum of ``size_col`` in
+    ``order_col`` order, computed with the two-pass block-scan pattern
+    (no single-task global window).
+
+    ``order_col`` must be unique and non-negative (a rowid / doc id).
+    ``block_rows`` controls the block key granularity: ``order_col div
+    block_rows``.  The per-block totals frame has one row per block —
+    thousands of rows at 100 TB — and is prefix-summed with a window
+    over that tiny frame only, then broadcast-joined back.
+    """
+    block = (F.col(order_col) / F.lit(block_rows)).cast("long").alias("_blk")
+    keyed = df.withColumn("_blk", block)
+    local = keyed.withColumn(
+        "_local_cum",
+        F.sum(size_col).over(
+            Window.partitionBy("_blk")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    # Totals come from the pre-window frame: a map-side-combinable agg whose
+    # shuffle carries one partial row per (partition, block) — re-deriving
+    # them from ``local`` would recompute (and re-sort) the windowed subtree.
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum(size_col).alias("_blk_total"))
+        .withColumn(
+            "_blk_offset",
+            F.coalesce(
+                F.sum("_blk_total").over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_blk", "_blk_offset")
+    )
+    return (
+        local.join(F.broadcast(totals), "_blk")
+        .withColumn(
+            "offset",
+            (F.coalesce(F.col("_local_cum"), F.lit(0)) + F.col("_blk_offset")).cast(
+                "long"
+            ),
+        )
+        .drop("_blk", "_local_cum")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    order_col: str,
+    seq_len: int,
+    block_rows: int = 65536,
+) -> DataFrame:
+    """Assign each document its packed-sequence coordinates under
+    concatenate-and-cut packing at ``seq_len`` tokens per sequence.
+
+    Adds:
+      * ``offset``     — first token's global position,
+      * ``seq_id``     — sequence holding that first token,
+      * ``seq_pos``    — position within that sequence,
+      * ``n_seqs``     — how many sequences the document spans
+                         (boundary-straddlers have ``n_seqs > 1``).
+
+    Zero-token documents occupy no stream positions; they report the
+    sequence their offset falls in and ``n_seqs = 0``.
+    """
+    out = running_offset(df, size_col, order_col, block_rows=block_rows)
+    seq = F.lit(seq_len)
+    first = (F.col("offset") / seq).cast("long")
+    last = ((F.col("offset") + F.col(size_col) - 1) / seq).cast("long")
+    return (
+        out.withColumn("seq_id", first)
+        .withColumn("seq_pos", (F.col("offset") % seq).cast("long"))
+        .withColumn(
+            "n_seqs",
+            F.when(F.col(size_col) <= 0, F.lit(0)).otherwise(last - first + 1),
+        )
+    )
+
+
+def mixture_sampling_plan(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: Mapping[str, float],
+) -> DataFrame:
+    """Per-domain keep rates that realize ``target_weights`` proportions
+    without up-sampling any domain.
+
+    The binding domain is the one whose available mass, scaled by its
+    target share, supports the smallest total:
+    ``total = min_d(count_d / weight_d)``; every domain then keeps
+    ``weight_d * total`` rows (rate ≤ 1 by construction).  Domains not
+    in the plan get weight 0.  One aggregate over the corpus, one
+    window over the handful of domain rows.
+    """
+    total_w = float(sum(target_weights.values()))
+    if total_w <= 0:
+        raise ValueError("target_weights must have positive mass")
+    weight_expr: Column = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for kv in target_weights.items()
+                for x in (kv[0], kv[1] / total_w)
+            ]
+        ),
+        F.col(domain_col),
+    )
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("available"))
+        .withColumn("weight", F.coalesce(weight_expr, F.lit(0.0)))
+    )
+    supported = F.when(
+        F.col("weight") > 0, F.col("available") / F.col("weight")
+    )
+    tiny = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        counts.withColumn("_total", F.floor(F.min(supported).over(tiny)))
+        .withColumn(
+            "planned_rows",
+            F.floor(F.col("weight") * F.col("_total")).cast("long"),
+        )
+        .withColumn(
+            "keep_rate",
+            F.round(F.col("planned_rows") / F.col("available"), 6),
+        )
+        .select(
+            domain_col,
+            "available",
+            F.round("weight", 6).alias("weight"),
+            "planned_rows",
+            "keep_rate",
+        )
+    )

@@ -36,6 +36,7 @@ from big_data_validator_spark.functions.exprs import (
 from big_data_validator_spark.operators import rebalance_for_compute as _rb
 from big_data_validator_spark.operators import dedup as D
 from big_data_validator_spark.operators import multimodal as M
+from big_data_validator_spark.operators import packing as P
 from big_data_validator_spark.operators import relational as R
 from big_data_validator_spark.operators import similarity as S
 from big_data_validator_spark.operators import text as T
@@ -2347,6 +2348,75 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderpriority", "o_orderkey")
 
 
+@query(
+    "pack_sequences_docs",
+    oracle="""
+    WITH offs AS (
+      SELECT doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS "offset"
+      FROM documents
+    )
+    SELECT doc_id, "offset",
+           CAST("offset" // 2048 AS BIGINT) AS seq_id,
+           CAST("offset" % 2048 AS BIGINT) AS seq_pos,
+           CAST(CASE WHEN n_chars <= 0 THEN 0
+                     ELSE ("offset" + n_chars - 1) // 2048
+                          - "offset" // 2048 + 1 END AS BIGINT) AS n_seqs
+    FROM offs
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-cut sequence packing at 2048 units: every document's
+    global stream offset, owning sequence, in-sequence position, and span
+    count.  The global running sum is the two-pass block scan from
+    ``operators/packing.py`` — block-local cumulative windows plus a tiny
+    broadcast prefix of per-block totals — so no row-bearing window ever
+    funnels the corpus through one task (the oracle's single ORDER BY
+    window is exactly the plan shape this operator exists to avoid)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    packed = P.pack_sequences(
+        docs, "n_chars", "doc_id", seq_len=2048, block_rows=128
+    )
+    return packed.select("doc_id", "offset", "seq_id", "seq_pos", "n_seqs")
+
+
+@query(
+    "corpus_mixture_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS available
+      FROM documents GROUP BY lang
+    ), weighted AS (
+      SELECT lang, available,
+             CAST(COALESCE(CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+                                     WHEN 'es' THEN 0.2 WHEN 'de' THEN 0.2
+                           END, 0.0) AS DOUBLE) AS weight
+      FROM counts
+    ), tot AS (
+      SELECT CAST(FLOOR(MIN(available / weight)) AS BIGINT) AS total
+      FROM weighted WHERE weight > 0
+    )
+    SELECT w.lang, w.available, ROUND(w.weight, 6) AS weight,
+           CAST(FLOOR(w.weight * t.total) AS BIGINT) AS planned_rows,
+           ROUND(CAST(FLOOR(w.weight * t.total) AS BIGINT)
+                 / CAST(w.available AS DOUBLE), 6) AS keep_rate
+    FROM weighted w CROSS JOIN tot t
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture plan: largest total corpus honouring target domain
+    proportions with no up-sampling, plus per-domain keep rates.  One
+    aggregate over the corpus; the min/total window runs over the
+    handful of domain rows only.  ``fr`` is deliberately absent from the
+    plan to pin the weight-0 path."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.mixture_sampling_plan(
+        docs, "lang", {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2}
+    )
+
+
 @query("multimodal_features")  # mapInPandas kernel: rows-only check
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -2380,6 +2450,12 @@ _DEMOTED_TO_TAIL = [
     # Exact COUNT(DISTINCT) twin of agg_approx_distinct; distinct-count
     # semantics stay in-window via rule_uniqueness_metrics.
     "agg_count_distinct",
+    # Broadcast fact-dim enrichment join; the same plan shape stays
+    # in-window via join_region_revenue (broadcast dims, pushed filters).
+    "join_part_enrichment",
+    # Resize byte-math variant; multimodal keeps payload_stats and
+    # frame_sample in-window, covering scan and one-to-many fan-out.
+    "multimodal_resize_stats",
 ]
 
 

@@ -124,7 +124,8 @@ def test_driver_window_is_all_oracled():
     for required in [
         "dedup_exact_keep_first", "dedup_ngram_jaccard", "emb_norm_stats",
         "sim_bruteforce_topk", "sim_ann_recall", "multimodal_payload_stats",
-        "multimodal_resize_stats", "multimodal_frame_sample",
+        "multimodal_frame_sample",
         "text_tfidf_top_terms", "sample_stratified_orders",
+        "pack_sequences_docs", "corpus_mixture_plan",
     ]:
         assert required in window, required
