@@ -131,6 +131,15 @@ def main() -> None:
         name: round(statistics.median(vals), 3)
         for name, vals in samples.items()
     }
+    # BOTH stats ship every round so a stat change can never again confound
+    # round-over-round attribution (r1 reported min-of-2, r2 median-of-3,
+    # and the switch masqueraded as a regression — VERDICT r2 §6):
+    # `queries` stays the median (robust, headline), `queries_min` is the
+    # noise floor (best observed run — what the plan costs when the shared
+    # host isn't interfering).
+    timings_min = {
+        name: round(min(vals), 3) for name, vals in samples.items()
+    }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -140,9 +149,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
+                "value_min": round(sum(timings_min.values()), 3),
                 "sf": float(sf) if sf else None,
-                # r1 reported min-of-2; medians read higher by construction
-                # but are attributable round-over-round (see VERDICT r1 §6)
                 "stat": "median",
                 "passes": passes,
             }

@@ -698,7 +698,7 @@ def duplicate_clusters(
         .cache()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -710,16 +710,23 @@ def duplicate_clusters(
             .agg(F.min("dst_label").alias("nbr_label"))
             .select(F.col("src").alias("id"), "nbr_label")
         )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    "label", F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
-            )
-            .cache()
+        new_labels = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                "label", F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
         )
+        # Each round's frame chains one join deeper on the last; caching
+        # materializes the DATA but the LOGICAL plan still grows linearly,
+        # so analysis/optimization time per round creeps up and a long run
+        # carries a 20-join lineage.  localCheckpoint (standard iterative-
+        # algorithm hygiene — GraphX does the same) truncates the plan to
+        # the materialized blocks every few rounds; intermediate rounds
+        # just cache.
+        if (i + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
         labels.unpersist()
         labels = new_labels

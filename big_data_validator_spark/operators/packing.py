@@ -51,7 +51,11 @@ def running_offset(
     thousands of rows at 100 TB — and is prefix-summed with a window
     over that tiny frame only, then broadcast-joined back.
     """
-    block = (F.col(order_col) / F.lit(block_rows)).cast("long").alias("_blk")
+    # integral division — double division + cast loses exactness past 2^53
+    # (e.g. (2049*10**13-1)/2049 casts to 1e13, true quotient 1e13-1) and
+    # truncates toward zero on negatives, which would merge a negative id
+    # into block 0 out of order (ADVICE r2); `div` is exact at any long.
+    block = F.expr(f"`{order_col}` div {int(block_rows)}").alias("_blk")
     keyed = df.withColumn("_blk", block)
     local = keyed.withColumn(
         "_local_cum",
@@ -113,9 +117,12 @@ def pack_sequences(
     sequence their offset falls in and ``n_seqs = 0``.
     """
     out = running_offset(df, size_col, order_col, block_rows=block_rows)
-    seq = F.lit(seq_len)
-    first = (F.col("offset") / seq).cast("long")
-    last = ((F.col("offset") + F.col(size_col) - 1) / seq).cast("long")
+    # `div` (exact integral division), not double division + cast: offsets
+    # at 100 TB token streams exceed 2^53 where doubles drop ulps and the
+    # cast truncates to the wrong sequence id (ADVICE r2).  Offsets are
+    # non-negative by construction so div == floor-div here.
+    first = F.expr(f"offset div {int(seq_len)}")
+    last = F.expr(f"(offset + `{size_col}` - 1) div {int(seq_len)}")
     return (
         out.withColumn("seq_id", first)
         .withColumn("seq_pos", (F.col("offset") % seq).cast("long"))

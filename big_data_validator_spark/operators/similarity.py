@@ -347,11 +347,23 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (LSH-bucketed): pairs sharing a
     bucket in any table, verified by exact cosine ≥ threshold.
-    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``."""
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+
+    The per-bucket self-join goes through
+    :func:`~big_data_validator_spark.operators.dedup.capped_bucket_pairs`
+    — the same skew guard every text-dedup LSH self-join here uses: a
+    degenerate corpus (thousands of identical embeddings) collapses into
+    one (table, bucket) key and an uncapped join would emit O(size²)
+    shuffle rows; oversized buckets degrade to O(size) leader edges,
+    which keeps the candidate graph connected for downstream clustering.
+    ``max_bucket_size=None`` restores exact all-pairs enumeration.
+    """
     from big_data_validator_spark.operators import rebalance_for_compute
+    from big_data_validator_spark.operators.dedup import capped_bucket_pairs
 
     df = rebalance_for_compute(df)
     tables = [
@@ -364,20 +376,9 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         F.posexplode(kernel(vec_col)).alias("table", "bucket"),
     )
-    left = b.alias("a")
-    right = b.alias("b")
     return (
-        left.join(
-            right,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("vec_a"),
-            F.col("b.vec").alias("vec_b"),
+        capped_bucket_pairs(
+            b, ["table", "bucket"], max_bucket_size, payload_cols=["vec"]
         )
         .dropDuplicates(["id_a", "id_b"])
         .select(

@@ -59,7 +59,7 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
-_SESSIONS_WITH_PYFILES: set[int] = set()
+_SESSIONS_WITH_PYFILES: set[str] = set()
 
 
 def _ensure_worker_imports(spark: SparkSession) -> None:
@@ -72,7 +72,10 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
     of a package zip makes the kernels importable regardless of launcher
     layout; it is a no-op burden (<100 KB) when PYTHONPATH already works.
     """
-    key = id(spark)
+    # applicationId is stable and unique per session; a memo on id(spark)
+    # could collide when a stopped session's id() is reused by a new one
+    # and silently skip the shipping this exists for (ADVICE r2).
+    key = spark.sparkContext.applicationId
     if key in _SESSIONS_WITH_PYFILES:
         return
     _SESSIONS_WITH_PYFILES.add(key)
@@ -1969,41 +1972,53 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the audit runs FOUR pipelines (brute force + 3 ANN variants) over the
     # same corpus — cache it once instead of four scan+rebalance passes.
     # This is audit-query hygiene, not the serving path: the ANN operators
-    # themselves never require a cached corpus.
+    # themselves never require a cached corpus.  The hit counts are
+    # materialized EAGERLY (each is a one-row aggregate; the distributed
+    # scans/joins all run here) so the try/finally can unpersist both
+    # frames before returning — a registry function must not leave caches
+    # pinned for the rest of a 50-query driver session (VERDICT r2).
     emb = _rb(
         _t(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
     ).cache()
-    q = emb.filter(F.col("vec_id") < 5)
     k, n_queries = 10, 5
-    truth = S.brute_force_topk(emb, q, k=k).select("query_id", "vec_id").cache()
-    methods = {
-        "ivf_full_probe": S.ivf_ann_topk(
-            emb, q, dim=64, k=k, num_centroids=16, nprobe=16
-        ),
-        "ivf_nprobe4": S.ivf_ann_topk(
-            emb, q, dim=64, k=k, num_centroids=16, nprobe=4
-        ),
-        "lsh": S.lsh_ann_topk(emb, q, dim=64, k=k, num_planes=4, num_tables=8),
-    }
-    rows = []
-    for name, ann in methods.items():
-        hits = truth.join(
-            ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
-        ).agg(F.count(F.lit(1)).alias("hits"))
-        rows.append(
-            hits.select(
-                F.lit(name).alias("method"),
-                F.lit(k).alias("k"),
-                F.lit(n_queries).alias("n_queries"),
-                F.col("hits").cast("int").alias("hits"),
-                F.round(F.col("hits") / (k * n_queries), 4).alias("recall"),
-            )
+    truth = None
+    try:
+        q = emb.filter(F.col("vec_id") < 5)
+        truth = (
+            S.brute_force_topk(emb, q, k=k).select("query_id", "vec_id").cache()
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+        methods = {
+            "ivf_full_probe": S.ivf_ann_topk(
+                emb, q, dim=64, k=k, num_centroids=16, nprobe=16
+            ),
+            "ivf_nprobe4": S.ivf_ann_topk(
+                emb, q, dim=64, k=k, num_centroids=16, nprobe=4
+            ),
+            "lsh": S.lsh_ann_topk(
+                emb, q, dim=64, k=k, num_planes=4, num_tables=8
+            ),
+        }
+        hit_counts = {
+            name: truth.join(
+                ann.select("query_id", "vec_id"),
+                ["query_id", "vec_id"],
+                "left_semi",
+            ).count()
+            for name, ann in methods.items()
+        }
+    finally:
+        if truth is not None:
+            truth.unpersist()
+        emb.unpersist()
+    out = spark.createDataFrame(
+        [
+            (name, k, n_queries, int(hits), round(hits / (k * n_queries), 4))
+            for name, hits in hit_counts.items()
+        ],
+        schema="method string, k int, n_queries int, hits int, recall double",
+    )
     return out
 
 
