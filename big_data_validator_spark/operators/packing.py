@@ -125,7 +125,7 @@ def pack_sequences(
     last = F.expr(f"(offset + `{size_col}` - 1) div {int(seq_len)}")
     return (
         out.withColumn("seq_id", first)
-        .withColumn("seq_pos", (F.col("offset") % seq).cast("long"))
+        .withColumn("seq_pos", F.expr(f"offset % {int(seq_len)}").cast("long"))
         .withColumn(
             "n_seqs",
             F.when(F.col(size_col) <= 0, F.lit(0)).otherwise(last - first + 1),

@@ -97,19 +97,62 @@ def _ensure_worker_imports(spark: SparkSession) -> None:
         pass
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to one canonical TIMESTAMP type whatever the
+    parquet storage layout is, so no query ever sees the storage type.
+
+    The testdata has shipped ``events.ts`` in several layouts across
+    regenerations: nanosecond timestamps (which Spark's reader surfaces as
+    ``bigint`` under ``nanosAsLong`` — DuckDB silently truncates them to
+    µs), plain ``timestamp[us]`` (read as TIMESTAMP_NTZ), and tz-adjusted
+    µs (read as TIMESTAMP).  Branching here once is the contract; queries
+    downstream may rely on ``ts`` being castable to long, windowable, and
+    comparable (VERDICT r3 — the un-normalized NTZ layout broke three
+    queries and the whole bench run).
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # ns-epoch longs: integer division — float division would lose
+        # precision at ns-epoch magnitude (~2^60).
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype is not None and dtype.startswith("timestamp"):
+        # NTZ → TIMESTAMP is a legal cast (wall-clock reinterpreted in the
+        # session zone); collecting converts back with the same zone, so
+        # the round-trip is layout-independent.  No-op if already LTZ.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_worker_imports(spark)
     if name == "events":
-        # The testdata's events.parquet stores nanosecond timestamps, which
-        # Spark's parquet reader rejects outright (DuckDB silently truncates
-        # to µs).  Read nanos as long and convert with integer division —
-        # float division would lose precision at ns-epoch magnitude (~2^60).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reader for the events table with ``ts`` normalized to the
+    SAME canonical TIMESTAMP the batch loader (:func:`_t`) produces.
+
+    ``readStream`` needs an explicit schema, so this reads the file's own
+    footer schema via a batch probe (driver-side metadata only, no data
+    scan) and then applies :func:`_normalize_ts` — the stream and batch
+    legs of every streaming query therefore agree on the events layout by
+    construction instead of hard-coding one storage era's schema.
+
+    The file source watches a DIRECTORY; testdata is a flat dir of tables,
+    so the one table is exposed through a symlink — zero copy, and in
+    production the source dir is already per-table.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="bdv_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
+    return _normalize_ts(spark.readStream.schema(raw_schema).parquet(src_dir))
 
 
 # =====================================================================
@@ -1430,30 +1473,7 @@ def streaming_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame
         windowed_violation_counts,
     )
 
-    import os
-
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    batch = _t(spark, sf_dir, "events")  # also sets nanosAsLong
-    # the testdata stores ns timestamps → stream reads ts as long and
-    # converts exactly like the batch loader (_t) does
-    read_schema = StructType(
-        [
-            StructField("ts", LongType(), f.nullable)
-            if f.name == "ts"
-            else f
-            for f in batch.schema.fields
-        ]
-    )
-    # the file-source needs a DIRECTORY (it watches for new files);
-    # testdata is a flat dir of tables, so expose the one table through a
-    # symlink — zero copy, and in production the source dir is already
-    # per-table
-    src_dir = tempfile.mkdtemp(prefix="bdv_stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(read_schema).parquet(src_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = _events_stream(spark, sf_dir)
     rules = {
         "value_range": (
             F.col("value").isNull()
@@ -1515,28 +1535,14 @@ def streaming_failure_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer — the oracle recomputes it relationally from the source table.
     ``event_dates`` counts the sink's physical partition values, proving
     the partitioned layout round-trips."""
-    import os
     import tempfile
-
-    from pyspark.sql.types import LongType, StructField, StructType
 
     from big_data_validator_spark.streaming.validate_stream import (
         StreamingRuleConfig,
         stream_violation_sink,
     )
 
-    batch = _t(spark, sf_dir, "events")  # also sets nanosAsLong
-    read_schema = StructType(
-        [
-            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
-            for f in batch.schema.fields
-        ]
-    )
-    src_dir = tempfile.mkdtemp(prefix="bdv_stream_sink_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{src_dir}/events.parquet")
-    stream = spark.readStream.schema(read_schema).parquet(src_dir).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    stream = _events_stream(spark, sf_dir)
     rules = {
         "value_range": (
             F.col("value").isNull()

@@ -130,10 +130,25 @@ def test_exact_dedup_single_shuffle(spark):
 
 
 def test_ann_recall_broadcasts_truth_joins(spark):
-    df = q("sim_ann_recall", spark)
-    # the n_queries×k truth/candidate sets stay broadcast — the corpus
-    # never shuffles for the semi-joins
-    assert has_broadcast_join(df)
+    # sim_ann_recall materializes its hit counts eagerly (so its caches can
+    # unpersist before returning) — the registry result is a local frame
+    # with no joins left in it.  Pin the plan shape on the semi-join leg it
+    # runs internally: the n_queries×k truth/candidate sets stay broadcast,
+    # the corpus never shuffles for the join.
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter(F.col("vec_id") < 5)
+    truth = S.brute_force_topk(emb, qv, k=10).select("query_id", "vec_id")
+    ann = S.lsh_ann_topk(emb, qv, dim=64, k=10, num_planes=4, num_tables=8)
+    joined = truth.join(
+        ann.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    assert has_broadcast_join(joined)
 
 
 def test_psi_shuffles_bin_counts_only(spark):
