@@ -336,6 +336,13 @@ def capped_bucket_pairs(
     Cost: one key-only aggregation (bucket sizes + leader) and one
     key-equi-join against it, both co-partitioned with the pair join's own
     shuffle.  Pass ``max_bucket_size=None`` to disable the guard.
+
+    The capped path pins a narrow ``(id, keys, payload)`` cache for the
+    lifetime of the returned plan (rationale in the inline comment); a
+    long-lived driver session that is done with the pairs can release it
+    via the ``_bdv_pinned`` attribute on the returned frame
+    (``pairs._bdv_pinned.unpersist()``) once downstream results are
+    materialized (ADVICE r3).
     """
     keys = list(key_cols)
     if max_bucket_size is None:
@@ -386,7 +393,9 @@ def capped_bucket_pairs(
             *[F.col(c).alias(f"{c}_b") for c in payload_cols],
         )
     )
-    return small_pairs.unionByName(big_pairs)
+    out = small_pairs.unionByName(big_pairs)
+    out._bdv_pinned = bucketed
+    return out
 
 
 def minhash_lsh_candidates(
@@ -698,6 +707,7 @@ def duplicate_clusters(
         .cache()
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    prev_checkpointed = False
     for i in range(max_iter):
         nbr_min = (
             edges.join(
@@ -723,13 +733,22 @@ def duplicate_clusters(
         # algorithm hygiene — GraphX does the same) truncates the plan to
         # the materialized blocks every few rounds; intermediate rounds
         # just cache.
-        if (i + 1) % 5 == 0:
+        checkpointed = (i + 1) % 5 == 0
+        if checkpointed:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.cache()
         new_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
+        # A checkpointed frame's blocks are NOT in the cache manager, so
+        # unpersist() would be a silent no-op (ADVICE r3); dropping the
+        # reference is the cleanup — the ContextCleaner frees checkpoint
+        # blocks when the driver GCs the RDD.  (localCheckpoint data is
+        # non-recoverable on executor failure; acceptable for a bounded
+        # refinement loop that re-runs from the pairs frame.)
+        if not prev_checkpointed:
+            labels.unpersist()
         labels = new_labels
+        prev_checkpointed = checkpointed
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

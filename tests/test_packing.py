@@ -94,3 +94,28 @@ def test_mixture_rejects_zero_mass(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         mixture_sampling_plan(df, "lang", {"en": 0.0})
+
+
+def test_running_offset_rejects_negative_order_col(spark):
+    df = spark.createDataFrame(
+        [(-1, 5), (0, 5), (1, 5)], "doc_id long, tokens long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        running_offset(df, "tokens", "doc_id").collect()
+
+
+def test_mixture_ulp_total_passes_weights_through(spark):
+    # ten weights of 0.1 float-sum to 0.9999999999999999 — one ulp under
+    # 1.0.  Re-normalizing by that total perturbs each weight upward and
+    # the floor()-ed supported total drops from 1000 to 999, shaving a row
+    # off every domain; the ulp guard must pass the weights through.
+    langs = [f"d{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, langs[i % 10]) for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    w = {lang: 0.1 for lang in langs}
+    assert sum(w.values()) != 1.0  # the float sum really is off 1.0
+    got = {r["lang"]: r for r in mixture_sampling_plan(df, "lang", w).collect()}
+    assert all(got[lang]["planned_rows"] == 100 for lang in langs), got
+    assert all(got[lang]["keep_rate"] == 1.0 for lang in langs)
