@@ -1978,50 +1978,55 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the audit runs FOUR pipelines (brute force + 3 ANN variants) over the
     # same corpus — cache it once instead of four scan+rebalance passes.
     # This is audit-query hygiene, not the serving path: the ANN operators
-    # themselves never require a cached corpus.  The hit counts are
-    # materialized EAGERLY (each is a one-row aggregate; the distributed
-    # scans/joins all run here) so the try/finally can unpersist both
-    # frames before returning — a registry function must not leave caches
-    # pinned for the rest of a 50-query driver session (VERDICT r2).
+    # themselves never require a cached corpus.  At audit granularity the
+    # cost driver is JOB COUNT, not data (BENCH r4: 4 pipelines × eager
+    # semi-join counts + 2 duplicate IVF trainings ≈ 15 jobs of overhead
+    # on a 2000-row table), so: the IVF quantizer trains and assigns ONCE
+    # for both probe settings, the three candidate sets union under a
+    # method tag, and every hit count comes out of ONE aggregation job.
+    # That job runs eagerly (3-row collect) so the try/finally can
+    # unpersist the cache before returning — a registry function must not
+    # leave caches pinned for the rest of a 50-query driver session
+    # (VERDICT r2).
     emb = _rb(
         _t(spark, sf_dir, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
     ).cache()
     k, n_queries = 10, 5
-    truth = None
     try:
         q = emb.filter(F.col("vec_id") < 5)
-        truth = (
-            S.brute_force_topk(emb, q, k=k).select("query_id", "vec_id").cache()
-        )
-        methods = {
-            "ivf_full_probe": S.ivf_ann_topk(
-                emb, q, dim=64, k=k, num_centroids=16, nprobe=16
-            ),
-            "ivf_nprobe4": S.ivf_ann_topk(
-                emb, q, dim=64, k=k, num_centroids=16, nprobe=4
-            ),
-            "lsh": S.lsh_ann_topk(
-                emb, q, dim=64, k=k, num_planes=4, num_tables=8
-            ),
-        }
+        truth = S.brute_force_topk(emb, q, k=k).select("query_id", "vec_id")
+        centroids = S.ivf_train(emb, num_centroids=16)
+        cells = S.ivf_assign_cells(emb, centroids)
+        ann_union = None
+        for name, ann in [
+            ("ivf_full_probe", S.ivf_probe_topk(cells, q, centroids, nprobe=16, k=k)),
+            ("ivf_nprobe4", S.ivf_probe_topk(cells, q, centroids, nprobe=4, k=k)),
+            ("lsh", S.lsh_ann_topk(emb, q, dim=64, k=k, num_planes=4, num_tables=8)),
+        ]:
+            tagged = ann.select(
+                F.lit(name).alias("method"), "query_id", "vec_id"
+            )
+            ann_union = tagged if ann_union is None else ann_union.unionByName(tagged)
+        # top-k outputs are unique per (query_id, vec_id) within a method,
+        # so inner-join counts equal the per-method semi-join counts
         hit_counts = {
-            name: truth.join(
-                ann.select("query_id", "vec_id"),
-                ["query_id", "vec_id"],
-                "left_semi",
-            ).count()
-            for name, ann in methods.items()
+            r["method"]: r["hits"]
+            for r in truth.join(ann_union, ["query_id", "vec_id"])
+            .groupBy("method")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .collect()
         }
     finally:
-        if truth is not None:
-            truth.unpersist()
         emb.unpersist()
     out = spark.createDataFrame(
         [
             (name, k, n_queries, int(hits), round(hits / (k * n_queries), 4))
-            for name, hits in hit_counts.items()
+            for name, hits in (
+                (m, hit_counts.get(m, 0))
+                for m in ("ivf_full_probe", "ivf_nprobe4", "lsh")
+            )
         ],
         schema="method string, k int, n_queries int, hits int, recall double",
     )
