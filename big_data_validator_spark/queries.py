@@ -2453,6 +2453,86 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_sessionize_stateful",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ), agg AS (
+      SELECT user_id, session_no,
+             MIN(ts) AS s_start, MAX(ts) AS s_end,
+             COUNT(*) AS event_count,
+             SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS violation_count
+      FROM sess GROUP BY user_id, session_no
+    ), final AS (
+      SELECT *, MAX(session_no) OVER (PARTITION BY user_id) AS last_no FROM agg
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(event_count AS BIGINT) AS event_count,
+           CAST(violation_count AS BIGINT) AS violation_count
+    FROM final WHERE session_no < last_no
+    """,
+)
+def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful streaming operator, oracle-checked end-to-end:
+    ``applyInPandasWithState`` sessionization (per-user gap state machine
+    with in-session violation counts) drained through a real
+    ``readStream`` → memory sink with ``trigger(availableNow=True)``.
+
+    The emission contract on bounded input is deterministic: a session
+    closed by a later event of the same user is emitted in-batch; each
+    user's FINAL session stays in state awaiting an event-time timeout
+    that a drained finite stream never fires (the watermark delay here is
+    set beyond the data's span to pin that).  The oracle therefore
+    reproduces, relationally, exactly the non-final sessions of every
+    user.  State timestamps are µs-precise so gap splits agree
+    bit-for-bit with the SQL interval comparison.
+
+    At 100 TB/day the identical plan runs unbounded with a real watermark:
+    state is bounded per active user and timeouts flush idle sessions —
+    the capability the windowed-aggregation queries can't express
+    (SURVEY.md §2g streaming)."""
+    import tempfile
+    import uuid
+
+    from big_data_validator_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    sessions = sessionize_with_state(
+        stream, gap_seconds=1800, watermark="36500 days"
+    )
+    sink_name = f"bdv_stateful_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "event_count",
+        "violation_count",
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

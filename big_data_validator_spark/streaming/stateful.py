@@ -36,8 +36,8 @@ SESSION_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType(), True),
-        StructField("last_ms", LongType(), True),
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
         StructField("events", LongType(), True),
         StructField("violations", LongType(), True),
     ]
@@ -68,6 +68,12 @@ def sessionize_with_state(
 
     ``applyInPandasWithState`` batches each key group through Arrow — state
     transitions run vectorized per group, not per row.
+
+    State timestamps are kept at MICROsecond precision — the storage
+    precision of the event time — so gap decisions agree bit-for-bit with
+    the batch/SQL formulation (``ts - lag(ts) > INTERVAL``); a coarser
+    state unit would merge sessions whose gap straddles the boundary by
+    less than the truncation (e.g. 1800.0004 s at ms state).
     """
 
     def update(
@@ -78,48 +84,50 @@ def sessionize_with_state(
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                start_ms, last_ms, events, violations = state.get
+                start_us, last_us, events, violations = state.get
                 state.remove()
                 yield pd.DataFrame(
                     {
                         "user_id": [user_id],
-                        "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                        "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(last_us, unit="us")],
                         "event_count": [events],
                         "violation_count": [violations],
                     }
                 )
             return
 
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="stable")
         if state.exists:
-            start_ms, last_ms, events, violations = state.get
+            start_us, last_us, events, violations = state.get
         else:
-            start_ms = last_ms = None
+            start_us = last_us = None
             events = violations = 0
 
         out = []
-        gap_ms = gap_seconds * 1000
+        gap_us = gap_seconds * 1_000_000
         for _, row in rows.iterrows():
-            t_ms = int(row[ts_col].value // 1_000_000)
+            t_us = int(row[ts_col].value // 1_000)  # pandas .value is ns
             bad = int(row[value_col] < 0)
-            if last_ms is not None and t_ms - last_ms > gap_ms:
-                out.append((start_ms, last_ms, events, violations))
-                start_ms, events, violations = t_ms, 0, 0
-            if start_ms is None:
-                start_ms = t_ms
-            last_ms = t_ms
+            if last_us is not None and t_us - last_us > gap_us:
+                out.append((start_us, last_us, events, violations))
+                start_us, events, violations = t_us, 0, 0
+            if start_us is None:
+                start_us = t_us
+            last_us = t_us
             events += 1
             violations += bad
-        state.update((start_ms, last_ms, events, violations))
-        if last_ms is not None:
-            state.setTimeoutTimestamp(last_ms + gap_ms)
+        state.update((start_us, last_us, events, violations))
+        if last_us is not None:
+            # GroupState timeouts are epoch-ms; round UP so the timeout
+            # never fires a fraction of a ms before gap_seconds elapsed
+            state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1000))
         if out:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(out),
-                    "session_start": [pd.Timestamp(s, unit="ms") for s, _, _, _ in out],
-                    "session_end": [pd.Timestamp(l, unit="ms") for _, l, _, _ in out],
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in out],
+                    "session_end": [pd.Timestamp(l, unit="us") for _, l, _, _ in out],
                     "event_count": [e for _, _, e, _ in out],
                     "violation_count": [v for _, _, _, v in out],
                 }
