@@ -666,40 +666,101 @@ def winnowing_near_dup_pairs(
 
 # ----------------------------------------------------------- dedup clusters
 
+def _driver_union_find(spark, e: DataFrame, edges: DataFrame) -> DataFrame:
+    """Union-find (path compression + union-by-min-root) over a BOUNDED
+    collected edge list; the caller enforces the bound.  Roots are always
+    the minimum id, so labels match the distributed propagation exactly."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    # the symmetric frame is cached (and being materialized by the probe
+    # count); collecting it instead of `e` avoids recomputing candidate
+    # generation at the cost of 2x tiny rows
+    vertices = set()
+    for r in edges.collect():
+        a, b = r[0], r[1]
+        vertices.add(a)
+        vertices.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    id_type = edges.schema["src"].dataType
+    return spark.createDataFrame(
+        [(v, find(v)) for v in vertices],
+        StructType(
+            [StructField("id", id_type), StructField("cluster_id", id_type)]
+        ),
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_edge_limit: Optional[int] = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: the endpoint
     of every dedup pipeline (pairs only say "these two match"; keeping one
     representative per GROUP needs the transitive closure).
 
-    Iterative min-label propagation, all DataFrame ops: each vertex starts
-    labeled with itself; every round each vertex takes the minimum label
-    among itself and its neighbors.  Converges in O(graph diameter)
-    rounds — for pair lists produced by :func:`capped_bucket_pairs` the
-    leader-edge fallback keeps oversized buckets star-shaped (diameter 2),
-    and verified LSH pair graphs are locally dense, so the loop ends far
-    below ``max_iter``.  Convergence is detected with a ``sum(label)``
-    scalar action per round (labels are non-negative and only ever
-    decrease, so an unchanged sum IS the fixpoint — no extra join to diff
-    label sets); per round the work is one equi-join + one groupBy, both
-    shuffling (id, label) pairs only.  The classic two-phase
-    large-star/small-star optimization (Kiveris et al., "Connected
-    Components in MapReduce and Beyond") halves round count on adversarial
-    chains; plain propagation is kept here for plan transparency.
+    Two regimes, picked by measured edge count:
 
-    Returns ``(id, cluster_id)`` for every id appearing in ``pairs``,
-    where ``cluster_id`` is the minimum member id of the component.
+    1. **Bounded driver union-find** when the (deduplicated) pair list has
+       at most ``driver_edge_limit`` edges.  A near-dup pair list is a
+       tiny fraction of the corpus (it holds only matched documents — at
+       1M edges ≈ 16 MB of longs), and the iterative path below costs one
+       whole Spark job PER ROUND just in scheduling; union-find on the
+       driver answers in two jobs total (count + collect).  This is the
+       same bounded-driver-work pattern as the IVF training sample — the
+       limit, not optimism, is what makes it scale-safe.
+    2. **Iterative min-label propagation** (all DataFrame ops) above the
+       limit: each vertex starts labeled with itself; every round each
+       vertex takes the minimum label among itself and its neighbors.
+       Converges in O(graph diameter) rounds — for pair lists produced by
+       :func:`capped_bucket_pairs` the leader-edge fallback keeps
+       oversized buckets star-shaped (diameter 2), and verified LSH pair
+       graphs are locally dense, so the loop ends far below ``max_iter``.
+       Convergence is detected with a ``sum(label)`` scalar action per
+       round (labels are non-negative and only ever decrease, so an
+       unchanged sum IS the fixpoint — no extra join to diff label sets);
+       per round the work is one equi-join + one groupBy, both shuffling
+       (id, label) pairs only.  The classic two-phase
+       large-star/small-star optimization (Kiveris et al., "Connected
+       Components in MapReduce and Beyond") halves round count on
+       adversarial chains; plain propagation is kept here for plan
+       transparency.
+
+    Both regimes return identical labels: ``(id, cluster_id)`` for every
+    id appearing in ``pairs``, where ``cluster_id`` is the minimum member
+    id of the component (pinned equal by ``tests/test_text_dedup.py``).
     Singleton documents never enter the pair list, so they are implicitly
-    their own cluster.
+    their own cluster.  Pass ``driver_edge_limit=None`` to force the
+    distributed path.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).cache()
+    if driver_edge_limit is not None:
+        # edges.count() also materializes the cache the iterative path
+        # would fill anyway, so the probe is not wasted work either way
+        if edges.count() <= 2 * driver_edge_limit:
+            try:
+                return _driver_union_find(pairs.sparkSession, e, edges)
+            finally:
+                edges.unpersist()
     labels = (
         edges.select("src")
         .distinct()

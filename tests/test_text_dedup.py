@@ -187,17 +187,44 @@ def test_bucket_cap_no_op_below_threshold(spark, docs):
     assert capped == uncapped
 
 
-def test_duplicate_clusters_transitive_closure(spark):
+@pytest.mark.parametrize("limit", [1_000_000, None])
+def test_duplicate_clusters_transitive_closure(spark, limit):
     """A 4-chain needs label propagation across diameter 3; disjoint
-    components keep separate labels."""
+    components keep separate labels.  Runs both regimes: the bounded
+    driver union-find (default limit) and the distributed loop
+    (limit=None)."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
     )
     got = {
         r["id"]: r["cluster_id"]
-        for r in D.duplicate_clusters(pairs).collect()
+        for r in D.duplicate_clusters(pairs, driver_edge_limit=limit).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_clusters_regimes_agree(spark):
+    """Union-find and distributed propagation must label identically:
+    chains (worst diameter), a star, a cycle, reversed-order edges, and
+    a merge-through-shared-minimum case."""
+    edges = (
+        [(i, i + 1) for i in range(0, 20)]          # 21-chain
+        + [(50, j) for j in range(51, 60)]          # star at 50
+        + [(70, 71), (71, 72), (72, 70)]            # cycle
+        + [(81, 80), (82, 81)]                      # reversed order
+        + [(90, 95), (91, 95)]                      # merge via shared max
+    )
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    fast = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs, driver_edge_limit=None).collect()
+    }
+    assert fast == dist
+    assert fast[20] == 0 and fast[59] == 50 and fast[95] == 90
 
 
 def test_duplicate_clusters_from_leader_edges_and_keep_representatives(spark):
