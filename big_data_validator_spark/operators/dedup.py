@@ -439,9 +439,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    return capped_bucket_pairs(
-        banded, ["band", "bucket"], max_bucket_size
-    ).dropDuplicates()
+    pairs = capped_bucket_pairs(banded, ["band", "bucket"], max_bucket_size)
+    out = pairs.dropDuplicates()
+    out._bdv_pinned = getattr(pairs, "_bdv_pinned", None)
+    return out
 
 
 def minhash_dedup_pairs(
@@ -947,11 +948,11 @@ def simhash_near_dup_pairs(
         "simhash",
         F.explode(F.array(*chunk_structs)).alias("cb"),
     ).select("id", "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.key").alias("key"))
-    return (
-        capped_bucket_pairs(
-            blocked, ["chunk", "key"], max_bucket_size, payload_cols=["simhash"]
-        )
-        .select(
+    pairs = capped_bucket_pairs(
+        blocked, ["chunk", "key"], max_bucket_size, payload_cols=["simhash"]
+    )
+    out = (
+        pairs.select(
             "id_a",
             "id_b",
             F.bit_count(
@@ -964,3 +965,5 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    out._bdv_pinned = getattr(pairs, "_bdv_pinned", None)
+    return out

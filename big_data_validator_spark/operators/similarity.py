@@ -423,11 +423,11 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         F.posexplode(kernel(vec_col)).alias("table", "bucket"),
     )
-    return (
-        capped_bucket_pairs(
-            b, ["table", "bucket"], max_bucket_size, payload_cols=["vec"]
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    pairs = capped_bucket_pairs(
+        b, ["table", "bucket"], max_bucket_size, payload_cols=["vec"]
+    )
+    out = (
+        pairs.dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
@@ -435,3 +435,5 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    out._bdv_pinned = getattr(pairs, "_bdv_pinned", None)
+    return out

@@ -203,6 +203,22 @@ def test_duplicate_clusters_transitive_closure(spark, limit):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_pinned_cache_handle_propagates_and_releases(spark):
+    """The capped path's narrow cache is reachable (and releasable) from
+    the frames the public pair functions return (ADVICE r3)."""
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body {i % 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    pairs = D.minhash_lsh_candidates(docs)
+    pinned = getattr(pairs, "_bdv_pinned", None)
+    assert pinned is not None
+    pairs.count()
+    assert pinned.storageLevel.useMemory  # cached while the plan lives
+    pinned.unpersist()
+    assert not pinned.storageLevel.useMemory
+
+
 def test_duplicate_clusters_regimes_agree(spark):
     """Union-find and distributed propagation must label identically:
     chains (worst diameter), a star, a cycle, reversed-order edges, and
