@@ -30,7 +30,16 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
       → splittable formats fan out on their own; no-op.
     - non-local URIs or in-memory relations (no files) → trust the
       source's split planning; no-op.
+
+    Idempotent per DataFrame object: a frame this function already
+    rebalanced (e.g. a cached corpus an audit passes to several
+    operators, each of which defensively rebalances its input) is
+    returned as-is instead of getting a second exchange.  The marker
+    rides the Python object, so derived frames — new objects — are
+    re-evaluated from their own file metadata as before.
     """
+    if getattr(df, "_bdv_rebalanced", False):
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
@@ -51,5 +60,7 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     # One split per core at the default 128 MiB maxPartitionBytes: inputs
     # under this arrive under-parallelized; above it Spark already splits.
     if total < target * (128 << 20):
-        return df.repartition(target)
+        out = df.repartition(target)
+        out._bdv_rebalanced = True
+        return out
     return df

@@ -151,6 +151,18 @@ def test_ann_recall_broadcasts_truth_joins(spark):
     assert has_broadcast_join(joined)
 
 
+def test_rebalance_is_idempotent_per_object(spark):
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r1 = rebalance_for_compute(df)
+    # second pass on the same object must not add another exchange
+    assert rebalance_for_compute(r1) is r1
+    # a derived frame is a new object: evaluated from its own metadata
+    derived = r1.select("doc_id")
+    assert rebalance_for_compute(derived) is not r1
+
+
 def test_psi_shuffles_bin_counts_only(spark):
     df = q("drift_psi_totalprice", spark)
     cols = read_schema_columns(df)
