@@ -385,6 +385,175 @@ def ivf_ann_topk(
     return ivf_probe_topk(cells, queries, centroids, nprobe, k, id_col, vec_col)
 
 
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    train_sample: int = 1024,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: split the vector into
+    ``num_subspaces`` contiguous blocks and k-means each block
+    independently over a bounded deterministic sample (same
+    bounded-driver-work pattern as :func:`ivf_train`).
+
+    Returns a ``(num_subspaces, codes_per_subspace, dim/num_subspaces)``
+    numpy array.  PQ is the memory-side scale lever the hash/cell indexes
+    don't give: an encoded vector is ``num_subspaces`` small ints
+    (8 bytes at the defaults) instead of ``4·dim`` float bytes — at
+    100 TB of embeddings that is the difference between a scored scan
+    that fits executor memory and one that doesn't.  Vectors are
+    L2-normalized before training/encoding so minimum squared distance
+    equals maximum cosine (monotonic equivalence on the unit sphere).
+    """
+    import numpy as np
+
+    if dim % num_subspaces != 0:
+        raise ValueError("dim must divide evenly into num_subspaces")
+    sample = [
+        r[1]
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(train_sample)
+        .collect()
+    ]
+    X = np.asarray(sample, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dsub = dim // num_subspaces
+    books = [
+        _train_centroids_kmeans(
+            X[:, s * dsub : (s + 1) * dsub], codes_per_subspace, seed=seed + s
+        )
+        for s in range(num_subspaces)
+    ]
+    return np.stack(books)
+
+
+def pq_encode_kernel(codebooks):
+    """Arrow kernel: nearest-centroid code per subspace — one distance
+    matmul per (batch, subspace).  Output ``array<int>`` of codes."""
+    import numpy as np
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, dsub)
+    m, _, dsub = B.shape
+    bn2 = (B**2).sum(axis=2)  # (m, k)
+
+    @pandas_udf("array<int>")
+    def kernel(vs):
+        import pandas as pd
+
+        out = []
+        for v in vs:
+            if v is None:
+                out.append(None)
+                continue
+            x = np.asarray(v, dtype=np.float64)
+            x = x / max(np.linalg.norm(x), 1e-12)
+            xs = x.reshape(m, dsub)  # (m, dsub)
+            # ||c||² - 2c·x per subspace; ||x||² is rank-free
+            d2 = bn2 - 2 * np.einsum("mkd,md->mk", B, xs)
+            out.append(d2.argmin(axis=1).astype(np.int32))
+        return pd.Series(out)
+
+    return kernel
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    train_sample: int = 1024,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus once (tiny codes),
+    score each (query, code) pair by summing per-subspace lookup-table
+    entries — queries stay full-precision, the corpus never needs its
+    floats again after encoding.
+
+    The LUT per query is ``num_subspaces × codes_per_subspace`` doubles —
+    broadcast with the query set; scoring is a pure expression over the
+    code array (``aggregate`` over zipped LUT slices), JVM-side, no
+    Python in the scoring scan.  Returns ``(query_id, vec_id, adc_score,
+    rank)`` where higher ``adc_score`` ≈ higher cosine; rows-only
+    (k-means codebooks are engine-specific), recall pinned in pytest
+    against :func:`brute_force_topk`.
+    """
+    import numpy as np
+
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    corpus = rebalance_for_compute(corpus)
+    books = pq_train(
+        corpus, dim, num_subspaces, codes_per_subspace, train_sample, seed,
+        id_col, vec_col,
+    )
+    encode = pq_encode_kernel(books)
+    coded = corpus.select(F.col(id_col), encode(vec_col).alias("_codes"))
+
+    B = np.asarray(books)  # (m, k, dsub)
+    m, kc, dsub = B.shape
+
+    # per-query LUT of NEGATED squared distances (so bigger = closer),
+    # flattened to one literal array the scoring expression indexes into:
+    # lut[s*kc + code] — built driver-side from the collected query set
+    # (the query side is small by construction, same as brute force)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).collect()
+    lut_rows = []
+    for r in qrows:
+        x = np.asarray(r["_qvec"], dtype=np.float64)
+        x = x / max(np.linalg.norm(x), 1e-12)
+        xs = x.reshape(m, dsub)
+        d2 = (B**2).sum(axis=2) - 2 * np.einsum("mkd,md->mk", B, xs)
+        lut_rows.append((r["query_id"], [float(v) for v in (-d2).ravel()]))
+    spark = corpus.sparkSession
+    luts = F.broadcast(
+        spark.createDataFrame(lut_rows, "query_id long, _lut array<double>")
+    )
+
+    # ADC score = Σ_s lut[s*kc + code_s]: aggregate over the code array
+    # with its position — JVM expression, codegen'd, no Python per row
+    scored = (
+        coded.join(luts, F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_codes"),
+                        F.sequence(F.lit(0), F.lit(m - 1)),
+                        lambda code, s: F.element_at(
+                            F.col("_lut"), s * kc + code + 1
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -2299,6 +2299,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_ann_topk(emb, q, dim=64, k=10, num_centroids=16, nprobe=4)
 
 
+@query("sim_ann_pq")  # k-means codebooks: recall pytest-pinned vs brute force
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: corpus encoded to 8 small ints per
+    vector (vs 256 float bytes), scored by asymmetric distance against
+    broadcast per-query lookup tables — the memory-side scale lever
+    (operators/similarity.py: pq_train/pq_encode_kernel/pq_ann_topk)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.pq_ann_topk(emb, q, dim=64, k=10)
+
+
 @query("emb_near_dup_pairs")  # hash-dependent buckets: rows-only
 def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(

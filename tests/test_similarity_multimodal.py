@@ -111,6 +111,43 @@ def test_ivf_ann_recall(spark, vectors):
     assert {(r["query_id"], r["vec_id"]) for r in got} == again
 
 
+def test_pq_ann_recall_and_determinism(spark, vectors):
+    df, dim = vectors
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = S.brute_force_topk(df, queries, k=5).collect()
+    got = S.pq_ann_topk(
+        df, queries, dim=dim, k=5, num_subspaces=4, codes_per_subspace=16
+    ).collect()
+    exact_sets, got_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in got:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & got_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 16 codes over 4 subspaces on 8-cluster data: ADC ranking recovers
+    # most true neighbors despite 4-int compression of 16 floats
+    assert sum(recalls) / len(recalls) >= 0.7, recalls
+
+    again = {
+        (r["query_id"], r["vec_id"])
+        for r in S.pq_ann_topk(
+            df, queries, dim=dim, k=5, num_subspaces=4, codes_per_subspace=16
+        ).collect()
+    }
+    assert {(r["query_id"], r["vec_id"]) for r in got} == again
+
+
+def test_pq_train_shapes_and_validation(spark, vectors):
+    df, dim = vectors
+    books = S.pq_train(df, dim=dim, num_subspaces=4, codes_per_subspace=8)
+    assert books.shape == (4, 8, dim // 4)
+    with pytest.raises(ValueError):
+        S.pq_train(df, dim=dim, num_subspaces=5)
+
+
 def test_embedding_near_dup_pairs(spark, vectors):
     df, dim = vectors
     pairs = S.embedding_near_dup_pairs(df, dim=dim, threshold=0.99).collect()
