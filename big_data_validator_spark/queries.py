@@ -2546,6 +2546,55 @@ def streaming_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "streaming_dedup_events",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS dedup_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS distinct_types
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup end-to-end, oracle-checked: ``readStream`` →
+    ``dropDuplicatesWithinWatermark(user_id, event_type)`` → memory sink,
+    drained with ``availableNow``.  Which physical row survives per key is
+    arrival-order-dependent, so the checked result aggregates over the
+    KEYS — one row per distinct key is the deterministic contract.  State
+    expires at the watermark horizon instead of accumulating forever —
+    the property that makes streaming dedup viable at 100 TB/day
+    (``streaming/validate_stream.py:stream_dedup``)."""
+    import tempfile
+    import uuid
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        StreamingRuleConfig,
+        stream_dedup,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    deduped = stream_dedup(
+        stream,
+        ["user_id", "event_type"],
+        StreamingRuleConfig(event_time_col="ts", watermark="1 hour"),
+    )
+    sink_name = f"bdv_sdedup_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name).agg(
+        F.count(F.lit(1)).alias("dedup_rows"),
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count_distinct("event_type").alias("distinct_types"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

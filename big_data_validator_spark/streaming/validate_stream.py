@@ -113,6 +113,30 @@ def stream_violation_sink(
     return writer.start()
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    config: StreamingRuleConfig = StreamingRuleConfig(),
+) -> DataFrame:
+    """Streaming exact deduplication: emit the first event per key and
+    drop repeats, with state BOUNDED by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` is the streaming analogue of the
+    batch fingerprint dedup (``operators/dedup.py``): it keeps per-key
+    state only until the watermark passes the first occurrence's event
+    time, so a 100 TB/day stream holds state proportional to the
+    lateness horizon, not to history.  Plain ``dropDuplicates`` on a
+    stream never expires state — the difference between bounded and
+    unbounded memory is exactly this call.  Which physical row
+    represents its key is arrival-order-dependent; downstream
+    aggregations over the KEYS are deterministic, and that is what the
+    oracle checks.
+    """
+    return stream.withWatermark(
+        config.event_time_col, config.watermark
+    ).dropDuplicatesWithinWatermark(key_cols)
+
+
 def stream_rule_metrics(
     stream: DataFrame,
     rules: dict[str, Column],
