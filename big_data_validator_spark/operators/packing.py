@@ -32,7 +32,12 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_offset", "pack_sequences", "mixture_sampling_plan"]
+__all__ = [
+    "running_offset",
+    "pack_sequences",
+    "mixture_sampling_plan",
+    "apply_mixture_plan",
+]
 
 
 def running_offset(
@@ -204,4 +209,37 @@ def mixture_sampling_plan(
             "planned_rows",
             "keep_rate",
         )
+    )
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: Mapping[str, float],
+    key_col: str,
+) -> DataFrame:
+    """Materialize a mixture plan: EXACTLY ``planned_rows`` rows per
+    domain, selected in a deterministic pseudo-random order.
+
+    The selection order is ``md5(key)`` (tie-broken by the key) — the
+    same engine-portable digest trick as
+    :func:`~big_data_validator_spark.operators.sampling.stratified_exact_sample`,
+    so the chosen subset is reproducible across reruns, partitionings,
+    and engines (the registry ships a DuckDB oracle).  Cost: the tiny
+    plan broadcasts; the corpus takes ONE shuffle on the domain and
+    Spark plans ``WindowGroupLimit``, so each input partition forwards
+    only rows that can still make its domain's cut.  ``sample()``-based
+    keep-rate approaches are approximate and layout-dependent — exact
+    quota selection is what a mixture CONTRACT needs.
+    """
+    plan = mixture_sampling_plan(df, domain_col, target_weights)
+    order = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
+    w = Window.partitionBy(domain_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.join(
+            F.broadcast(plan.select(domain_col, "planned_rows")), domain_col
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("planned_rows"))
+        .drop("_rn", "planned_rows")
     )

@@ -2595,6 +2595,37 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_mixture_apply",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+         wts(lang, w) AS (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2), ('de', 0.2)),
+         tot AS (SELECT FLOOR(MIN(c / w)) AS t FROM counts JOIN wts USING (lang)),
+         plan AS (SELECT lang, CAST(FLOOR(w * t) AS BIGINT) AS planned FROM wts, tot),
+         ranked AS (
+           SELECT doc_id, lang,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents
+         )
+    SELECT r.doc_id, r.lang
+    FROM ranked r JOIN plan p ON r.lang = p.lang
+    WHERE r.rn <= p.planned
+    """,
+)
+def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture plan MATERIALIZED: exactly ``planned_rows`` documents per
+    domain, chosen in engine-portable md5(key) order, so the selected
+    subset itself — every (doc_id, lang) — hash-matches a relational
+    oracle.  One broadcast of the tiny plan + one domain shuffle with
+    WindowGroupLimit (operators/packing.py: apply_mixture_plan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.apply_mixture_plan(
+        docs, "lang", {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2},
+        key_col="doc_id",
+    ).select("doc_id", "lang")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from big_data_validator_spark.operators.packing import (
+    apply_mixture_plan,
     mixture_sampling_plan,
     pack_sequences,
     running_offset,
@@ -94,6 +95,30 @@ def test_mixture_rejects_zero_mass(spark):
     df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
     with pytest.raises(ValueError):
         mixture_sampling_plan(df, "lang", {"en": 0.0})
+
+
+def test_apply_mixture_plan_exact_quotas_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 60 else ("de" if i < 80 else "zz")) for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = apply_mixture_plan(df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # the plan says 20 en + 20 de (de binds); zz has weight 0 → excluded
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 20, "de": 20}
+    # deterministic: the same doc_ids on a rerun
+    again = {
+        (r["lang"], r["doc_id"])
+        for r in apply_mixture_plan(
+            df, "lang", {"en": 0.5, "de": 0.5}, key_col="doc_id"
+        ).collect()
+    }
+    assert {(r["lang"], r["doc_id"]) for r in rows} == again
+    # all selected rows are real members of their domain
+    assert by_lang["en"] <= set(range(60)) and by_lang["de"] <= set(range(60, 80))
 
 
 def test_running_offset_rejects_negative_order_col(spark):
