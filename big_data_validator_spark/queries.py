@@ -2626,6 +2626,93 @@ def corpus_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query(
+    "pipeline_curate_pack",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|with|for)\\b')) AS s_en,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_hits,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|des|est)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(el|los|las|por|una)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\b(de5|shi4|le5|zai4|you3)\\b')) AS s_zh
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, n_chars,
+             CASE WHEN s_en > 0 AND s_en >= s_fr AND s_en >= s_es
+                       AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+                  ELSE 'other' END AS lang,
+             ROUND(0.4 * LEAST(CASE WHEN n_tokens > 0
+                                    THEN CAST(s_en AS DOUBLE) / n_tokens
+                                    ELSE 0 END * 4, 1.0)
+                 + 0.3 * LEAST(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0
+                                           THEN CAST(punct_hits AS DOUBLE) / n_chars
+                                           ELSE 0 END * 5, 1.0)), 4) AS quality
+      FROM f
+    ),
+    curated AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               ORDER BY doc_id
+             ) AS rn
+      FROM scored WHERE lang = 'en' AND quality >= 0.5
+    ),
+    kept AS (SELECT doc_id, n_chars FROM curated WHERE rn = 1),
+    offs AS (
+      SELECT doc_id, n_chars,
+             CAST(COALESCE(SUM(n_chars) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS "offset"
+      FROM kept
+    )
+    SELECT doc_id, "offset",
+           CAST("offset" // 2048 AS BIGINT) AS seq_id,
+           CAST("offset" % 2048 AS BIGINT) AS seq_pos,
+           CAST(CASE WHEN n_chars <= 0 THEN 0
+                     ELSE ("offset" + n_chars - 1) // 2048
+                          - "offset" // 2048 + 1 END AS BIGINT) AS n_seqs
+    FROM offs
+    """,
+)
+def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as one declarative plan:
+    language-ID → quality threshold → exact fingerprint dedup → sequence
+    packing coordinates of the surviving stream.  Every stage is the
+    independently-oracled operator (text.py curation, packing.py two-pass
+    block scan); this query pins that the COMPOSITION stays correct —
+    the packed offsets hash-match SQL that recomputes the whole chain
+    relationally.  Plan shape at scale: one codegen'd scan for
+    langid+quality+fingerprint, one fingerprint-window shuffle
+    (WindowGroupLimit), then the block-scan's block-local windows +
+    broadcast prefix — the corpus never funnels through one task."""
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    text = F.col("text")
+    lang = T.lang_guess(text)
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.when(lang == "en", "en").otherwise("other").alias("lang"),
+        T.quality_score(text).alias("quality"),
+        T.fingerprint(text).alias("fp"),
+    ).filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+    packed = P.pack_sequences(
+        kept, "n_chars", "doc_id", seq_len=2048, block_rows=128
+    )
+    return packed.select("doc_id", "offset", "seq_id", "seq_pos", "n_seqs")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
