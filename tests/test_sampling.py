@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_validator_spark.operators import sampling as S
@@ -40,6 +41,44 @@ def test_hash_split_disjoint_and_covering(spark):
     # disjointness is structural (one column), determinism mirrors sample
     again = S.hash_split(df, "doc_id", [0.8, 0.1, 0.1])
     assert split.exceptAll(again).count() == 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        weights=st.lists(
+            st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_hash_split_property_disjoint_covering(spark_session_holder, weights):
+        """For ANY positive weight vector: every row lands in exactly one
+        split, split ids cover 0..n-1 only, and the assignment is a pure
+        function of the key (rerun-identical)."""
+        spark = spark_session_holder
+        from big_data_validator_spark.operators import sampling as SS
+
+        df = spark.range(500).select(F.col("id").alias("doc_id"))
+        out = SS.hash_split(df, "doc_id", weights).collect()
+        assert len(out) == 500  # one verdict per row — covering, no dups
+        assert {r["split"] for r in out} <= set(range(len(weights)))
+        again = SS.hash_split(df, "doc_id", weights).collect()
+        assert {(r["doc_id"], r["split"]) for r in out} == {
+            (r["doc_id"], r["split"]) for r in again
+        }
+
+    @pytest.fixture(scope="module")
+    def spark_session_holder(spark):
+        # hypothesis re-invokes the test many times; pin the session
+        # fixture once per module so examples share it
+        return spark
+
+except ImportError:  # pragma: no cover - hypothesis is baked into the env
+    pass
 
 
 def test_stratified_exact_sample_counts_and_determinism(spark):
