@@ -112,9 +112,20 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     """
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
-        # ns-epoch longs: integer division — float division would lose
-        # precision at ns-epoch magnitude (~2^60).
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Epoch longs: infer the unit from magnitude (uniform per file, so
+        # a per-row CASE costs nothing and needs no probe job).  Epochs
+        # for 1970-2200 stay under 7.3e9 s / 7.3e12 ms / 7.3e15 µs /
+        # 7.3e18 ns — the decade-wide gaps make the boundaries safe.
+        # Integer division only: float division would lose precision at
+        # ns-epoch magnitude (~2^60).
+        a = F.abs(F.col("ts"))
+        us = (
+            F.when(a >= F.lit(10**17), F.expr("ts div 1000"))       # ns
+            .when(a >= F.lit(10**14), F.col("ts"))                  # µs
+            .when(a >= F.lit(10**11), F.col("ts") * F.lit(1000))    # ms
+            .otherwise(F.col("ts") * F.lit(1_000_000))              # s
+        )
+        return df.withColumn("ts", F.timestamp_micros(us))
     if dtype is not None and dtype.startswith("timestamp"):
         # NTZ → TIMESTAMP is a legal cast (wall-clock reinterpreted in the
         # session zone); collecting converts back with the same zone, so

@@ -34,19 +34,34 @@ _EVENTS = [
     (6, 150, 2, "signup", 40.0),
 ]
 
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _epoch_ints(ts, scale):
+    return pa.array(
+        [int((t - _EPOCH).total_seconds() * scale) for t in ts], pa.int64()
+    )
+
+
+#: every layout the loader contract covers: parquet timestamp types AND
+#: bare epoch-integer columns at each unit (magnitude-inferred)
 LAYOUTS = {
-    "ns_long": pa.timestamp("ns"),
-    "us_ntz": pa.timestamp("us"),
-    "us_ltz": pa.timestamp("us", tz="UTC"),
+    "ns_long": lambda ts: pa.array(ts, pa.timestamp("ns")),
+    "us_ntz": lambda ts: pa.array(ts, pa.timestamp("us")),
+    "us_ltz": lambda ts: pa.array(ts, pa.timestamp("us", tz="UTC")),
+    "int_s": lambda ts: _epoch_ints(ts, 1),
+    "int_ms": lambda ts: _epoch_ints(ts, 1_000),
+    "int_us": lambda ts: _epoch_ints(ts, 1_000_000),
+    "int_ns": lambda ts: _epoch_ints(ts, 1_000_000_000),
 }
 
 
-def _write_events(dir_path: str, ts_type: pa.DataType) -> None:
+def _write_events(dir_path: str, make_ts) -> None:
     ts = [BASE + dt.timedelta(seconds=s) for _, s, *_ in _EVENTS]
     table = pa.table(
         {
             "event_id": pa.array([e[0] for e in _EVENTS], pa.int64()),
-            "ts": pa.array(ts, ts_type),
+            "ts": make_ts(ts),
             "user_id": pa.array([e[2] for e in _EVENTS], pa.int64()),
             "event_type": pa.array([e[3] for e in _EVENTS], pa.string()),
             "value": pa.array([e[4] for e in _EVENTS], pa.float64()),
@@ -59,9 +74,9 @@ def _write_events(dir_path: str, ts_type: pa.DataType) -> None:
 @pytest.fixture(scope="module")
 def layout_dirs(tmp_path_factory):
     dirs = {}
-    for name, ts_type in LAYOUTS.items():
+    for name, make_ts in LAYOUTS.items():
         d = tmp_path_factory.mktemp(f"events_{name}")
-        _write_events(str(d), ts_type)
+        _write_events(str(d), make_ts)
         dirs[name] = str(d)
     return dirs
 
