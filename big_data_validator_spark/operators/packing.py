@@ -235,10 +235,14 @@ def apply_mixture_plan(
     plan = mixture_sampling_plan(df, domain_col, target_weights)
     order = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
     w = Window.partitionBy(domain_col).orderBy(order.asc(), F.col(key_col).asc())
+    # zero-quota domains (weight 0 or floor()-ed to nothing) are dropped
+    # by the JOIN, before their rows pay the window shuffle — the filter
+    # belongs on the broadcast side, not after ranking
+    quota = plan.filter(F.col("planned_rows") > 0).select(
+        domain_col, "planned_rows"
+    )
     return (
-        df.join(
-            F.broadcast(plan.select(domain_col, "planned_rows")), domain_col
-        )
+        df.join(F.broadcast(quota), domain_col)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= F.col("planned_rows"))
         .drop("_rn", "planned_rows")
