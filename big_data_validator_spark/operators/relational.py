@@ -450,6 +450,69 @@ def range_bucket_join(
     return fact.join(F.broadcast(buckets), cond, "left")
 
 
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_width: Optional[float] = None,
+) -> DataFrame:
+    """Point-in-interval join for LARGE interval tables: bin both sides
+    to a common grid so the join becomes an EQUI-join on the bin id.
+
+    :func:`range_bucket_join`'s broadcast nested-loop is right when the
+    intervals fit in a broadcast; fact-fact range joins (events × session
+    windows, reading × calibration ranges) need this instead:
+
+    1. every interval explodes to the grid bins it overlaps
+       (``sequence(floor(lo/w), floor(hi/w))`` — contiguous, so the blowup
+       is ``len/width``, chosen ≈ median interval length to keep it ~2×);
+    2. every point maps to exactly ONE bin — ``floor(value/w)``;
+    3. hash equi-join on the bin id (shuffle both sides by bin — standard
+       partitioned join, AQE-skew-splittable), then the exact
+       ``lo <= v < hi`` predicate filters the bin's false pairs.
+
+    Identical output to the nested-loop formulation (pinned by tests);
+    shuffle volume O(points + intervals·overlap) instead of
+    O(points × intervals) comparisons.
+
+    ``bin_width`` defaults to the median interval length, measured with
+    one tiny aggregate over the interval side (``approx_percentile``) —
+    pass it explicitly in repeated production runs.
+    """
+    if bin_width is None:
+        bin_width = float(
+            intervals.select(
+                F.percentile_approx(
+                    F.col(hi_col) - F.col(lo_col), 0.5
+                ).alias("m")
+            ).first()["m"]
+            or 1.0
+        )
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    w = F.lit(float(bin_width))
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    pb = points.withColumn("_bin", F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        pb.join(ib, "_bin")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col))
+        )
+        .drop("_bin")
+    )
+
+
 def top_k_by(
     df: DataFrame,
     order_col: str,

@@ -2724,6 +2724,38 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "offset", "seq_id", "seq_pos", "n_seqs")
 
 
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS parts_hit,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS orders_hit
+    FROM lineitem l JOIN part p
+      ON l.l_extendedprice >= p.p_retailprice * 10
+     AND l.l_extendedprice < p.p_retailprice * 10 + 2000
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact RANGE join at scale: both sides bin to a common grid so
+    the non-equi predicate becomes a hash EQUI-join on the bin id plus an
+    exact residual filter — shuffle O(rows), never a nested loop
+    (operators/relational.py: binned_range_join; the broadcast-BNL twin
+    `join_range_value_buckets` stays the right shape for tiny dims).
+    Count-based result so the float join bounds stay hash-exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 10).alias("lo"),
+        (F.col("p_retailprice") * 10 + 2000).alias("hi"),
+    )
+    joined = R.binned_range_join(li, part, "l_extendedprice", bin_width=2000.0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.count_distinct("p_partkey").alias("parts_hit"),
+        F.count_distinct("l_orderkey").alias("orders_hit"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

@@ -195,6 +195,60 @@ def test_range_bucket_join_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_binned_range_join_matches_nested_loop(spark):
+    """The equi-join-on-bins formulation must return EXACTLY the pairs of
+    the nested-loop predicate — overlapping intervals, boundary points
+    (inclusive lo, exclusive hi), intervals spanning many bins, and
+    points matching nothing."""
+    import random
+
+    rng = random.Random(11)
+    points = spark.createDataFrame(
+        [(i, round(rng.uniform(-50, 250), 3)) for i in range(400)]
+        + [(1000, 0.0), (1001, 10.0), (1002, 249.999)],  # exact boundaries
+        ["pid", "v"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, lo, lo + rng.uniform(0.5, 80))
+            for j in range(60)
+            for lo in [rng.uniform(-60, 240)]
+        ]
+        + [(500, 0.0, 10.0), (501, 10.0, 10.0)],  # empty interval 501
+        ["iid", "lo", "hi"],
+    )
+    binned = {
+        (r["pid"], r["iid"])
+        for r in R.binned_range_join(
+            points, intervals, "v", bin_width=7.0
+        ).collect()
+    }
+    nested = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")),
+        ).collect()
+    }
+    assert binned == nested and len(binned) > 100
+    # the join is a hash/merge EQUI-join on the bin — not a nested loop
+    plan = R.binned_range_join(
+        points, intervals, "v", bin_width=7.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+
+
+def test_binned_range_join_default_width_and_validation(spark):
+    points = spark.createDataFrame([(1, 5.0)], ["pid", "v"])
+    intervals = spark.createDataFrame([(1, 0.0, 10.0)], ["iid", "lo", "hi"])
+    got = R.binned_range_join(points, intervals, "v").collect()  # median width
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        R.binned_range_join(points, intervals, "v", bin_width=0.0)
+
+
 def test_top_k_deterministic_and_take_ordered(spark):
     df = spark.createDataFrame([(i, i % 3) for i in range(100)], ["id", "v"])
     top = R.top_k_by(df, "v", 5, tiebreak_cols=["id"])
