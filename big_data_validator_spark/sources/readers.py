@@ -1,10 +1,11 @@
-"""Parquet / JSON scans.
+"""Parquet / JSON / ORC scans.
 
 The reference's reader has an enum-comment placeholder for "CSV, Parquet or
 JSON" (``big_data_validator.py:134``) but only implements CSV; these
-complete the intent.  Both readers keep Catalyst's pushdown surface intact:
+complete the intent (plus ORC, the other columnar format Spark ships
+natively).  All readers keep Catalyst's pushdown surface intact:
 callers should ``.select`` the columns they need and ``.filter`` early so
-the scan prunes columns and row groups (verify with
+the scan prunes columns and row groups / stripes (verify with
 ``df.explain('formatted')`` → ``PushedFilters`` / ``ReadSchema``).
 """
 
@@ -22,6 +23,12 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan.  Schema comes from the footer; filters and projections
     push down to row-group / page level for free."""
     return spark.read.parquet(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — native Spark format, same pushdown properties as
+    parquet (predicate → stripe/row-index skipping, column pruning)."""
+    return spark.read.orc(path)
 
 
 def scan_json(
