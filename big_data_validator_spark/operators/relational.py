@@ -513,6 +513,53 @@ def binned_range_join(
     )
 
 
+def binned_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-overlap join (``l_lo < r_hi AND r_lo < l_hi``) for two
+    LARGE interval tables — sessions × incident windows, readings ×
+    calibration ranges — as a binned equi-join.
+
+    Both sides explode to the grid bins they cover; overlapping pairs
+    necessarily share the bin containing their intersection's start, so
+    the equi-join on the bin finds every pair.  A pair sharing SEVERAL
+    bins would duplicate — instead of a dedup shuffle, each pair is
+    accepted only at its canonical bin (``floor(greatest(l_lo, r_lo) /
+    w)``), turning dedup into a free scalar filter.  Output is exactly
+    the nested-loop pair set (pinned by tests); shuffle volume
+    O(rows · interval_len/bin_width) instead of |left|×|right|.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    w = F.lit(float(bin_width))
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / w).cast("long"),
+                    F.floor(F.col(hi) / w).cast("long"),
+                )
+            ),
+        )
+
+    lb, rb = binned(left, left_lo, left_hi), binned(right, right_lo, right_hi)
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (
+        F.col(right_lo) < F.col(left_hi)
+    )
+    canonical = F.col("_bin") == F.floor(
+        F.greatest(F.col(left_lo), F.col(right_lo)) / w
+    ).cast("long")
+    return lb.join(rb, "_bin").filter(overlap & canonical).drop("_bin")
+
+
 def top_k_by(
     df: DataFrame,
     order_col: str,

@@ -238,6 +238,42 @@ def test_binned_range_join_matches_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_binned_interval_overlap_matches_nested_loop(spark):
+    """Overlap join on random intervals must equal the nested-loop pair
+    set, with NO duplicate pairs (a pair can share many bins; the
+    canonical-bin filter must count it once)."""
+    import random
+
+    rng = random.Random(23)
+    mk = lambda n, base: [
+        (base + j, lo, lo + rng.uniform(0.1, 60))
+        for j in range(n)
+        for lo in [rng.uniform(-40, 200)]
+    ]
+    left = spark.createDataFrame(
+        mk(80, 0) + [(900, 0.0, 0.0)], ["lid", "l_lo", "l_hi"]
+    )
+    right = spark.createDataFrame(
+        mk(80, 1000) + [(1900, -100.0, 300.0)],  # one giant interval
+        ["rid", "r_lo", "r_hi"],
+    )
+    got = [
+        (r["lid"], r["rid"])
+        for r in R.binned_interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=9.0
+        ).collect()
+    ]
+    nested = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (F.col("l_lo") < F.col("r_hi")) & (F.col("r_lo") < F.col("l_hi")),
+        ).collect()
+    }
+    assert len(got) == len(set(got)), "duplicate pairs emitted"
+    assert set(got) == nested and len(nested) > 100
+
+
 def test_binned_range_join_default_width_and_validation(spark):
     points = spark.createDataFrame([(1, 5.0)], ["pid", "v"])
     intervals = spark.createDataFrame([(1, 0.0, 10.0)], ["iid", "lo", "hi"])
