@@ -2756,6 +2756,45 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH l AS (SELECT p_partkey AS lid, p_retailprice AS l_lo,
+                      p_retailprice + 50 AS l_hi FROM part),
+         r AS (SELECT s_suppkey AS rid, s_acctbal * 0.5 AS r_lo,
+                      s_acctbal * 0.5 + 80 AS r_hi FROM supplier)
+    SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+           CAST(COUNT(DISTINCT lid) AS BIGINT) AS parts_hit,
+           CAST(COUNT(DISTINCT rid) AS BIGINT) AS supps_hit
+    FROM l JOIN r ON l_lo < r_hi AND r_lo < l_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join as a binned equi-join with
+    canonical-bin dedup (operators/relational.py:
+    binned_interval_overlap_join) — supplier balance ranges include
+    negative coordinates, exercising floor-division binning below zero.
+    Count-based result so float bounds stay hash-exact."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("lid"),
+        F.col("p_retailprice").alias("l_lo"),
+        (F.col("p_retailprice") + 50).alias("l_hi"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rid"),
+        (F.col("s_acctbal") * 0.5).alias("r_lo"),
+        (F.col("s_acctbal") * 0.5 + 80).alias("r_hi"),
+    )
+    joined = R.binned_interval_overlap_join(
+        part, supp, "l_lo", "l_hi", "r_lo", "r_hi", bin_width=100.0
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.count_distinct("lid").alias("parts_hit"),
+        F.count_distinct("rid").alias("supps_hit"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
