@@ -2795,6 +2795,50 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_trimmed_mean_udaf",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           ROUND(AVG(o_totalprice), 4) AS trimmed_avg_price,
+           CAST(COUNT(*) AS BIGINT) AS kept_rows
+    FROM ranked
+    WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A true vectorized Python UDAF (GROUPED_AGG pandas_udf): positional
+    10%-trimmed mean of order value per priority — positional trimming
+    is not expressible with built-in aggregates (value-based percentile
+    filters double-drop ties).  The oracle recomputes the positional
+    semantics with a rank window.  Spark refuses to mix GROUPED_AGG with
+    JVM aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so
+    kept_rows comes from a second aggregate joined on the 5-row key —
+    both aggs reuse the same shuffle partitioning (functions/udafs.py:
+    trimmed_mean — note its no-partial-agg shuffle contract in the
+    module docstring)."""
+    from big_data_validator_spark.functions.udafs import trimmed_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    trimmed = orders.groupBy("o_orderpriority").agg(
+        F.round(trimmed_mean("o_totalprice", 0.1), 4).alias(
+            "trimmed_avg_price"
+        )
+    )
+    n = F.count(F.lit(1))
+    kept = (n - 2 * F.floor(n * 0.1)).cast("long").alias("kept_rows")
+    counts = orders.groupBy("o_orderpriority").agg(kept)
+    return trimmed.join(counts, "o_orderpriority")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
