@@ -91,6 +91,78 @@ def test_windowed_counts_match_batch(spark, event_data, tmp_path):
         assert g["bad_type_violations"] == r["bt"]
 
 
+def test_watermark_bounds_state_across_batches(spark, tmp_path):
+    """The 100 TB property single-batch drains never exercise: as the
+    watermark advances across micro-batches, windowed-aggregation state
+    is EVICTED (bounded memory on an unbounded stream) and append mode
+    emits each finalized window exactly once.
+
+    (Note what is deliberately NOT asserted: dropping of late rows that
+    arrive before cleanup — the Spark guide specifies the micro-batch
+    engine "may or may not" process those; verified empirically that it
+    does merge them while the window state is still live.)
+
+    ``maxFilesPerTrigger=1`` forces one file per micro-batch; file
+    modification times order the batches."""
+    import os
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_one(name, rows):
+        df = spark.createDataFrame(rows, ["event_id", "ts_str", "value"]).select(
+            "event_id",
+            F.col("ts_str").cast("timestamp").alias("ts"),
+            "value",
+        )
+        df.coalesce(1).write.parquet(f"{src}/{name}")
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    write_one("f1", [(1, "2024-01-01 10:00:00", 1.0),
+                     (2, "2024-01-01 12:00:00", 1.0)])
+    write_one("f2", [(3, "2024-01-01 12:05:00", 1.0)])
+    # 14:00 advances the watermark to 13:50 → both earlier 1-hour windows
+    # (ending 11:00 and 13:00) finalize, emit, and leave state
+    write_one("f3", [(4, "2024-01-01 14:00:00", 1.0)])
+
+    schema = spark.read.parquet(f"{src}/f1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*")
+    )
+    counts = windowed_violation_counts(
+        stream,
+        {"neg": F.col("value") < 0},
+        StreamingRuleConfig(watermark="10 minutes", window="1 hour"),
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_win")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    _wait(q)
+    import datetime as dt
+
+    rows = spark.sql("select window_start, total_rows from late_win").collect()
+    got = {r["window_start"]: r["total_rows"] for r in rows}
+    # append emitted each finalized window EXACTLY once
+    assert len(rows) == len(got) == 2
+    assert got[dt.datetime(2024, 1, 1, 10, 0)] == 1
+    assert got[dt.datetime(2024, 1, 1, 12, 0)] == 2
+    # state is bounded: after finalization only the live 14:00 window
+    # remains in the store
+    final_state = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert final_state[-1] <= 1, final_state
+
+
 def test_stream_violation_sink_partitioned(spark, event_data, tmp_path):
     src, batch_df = event_data
     schema = spark.read.parquet(src).schema
