@@ -513,6 +513,47 @@ def binned_range_join(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support: float = 0.01,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """Frequent values of ``col`` in one pass: every value occurring in
+    more than ``support`` fraction of rows (plus possible false
+    positives — the one-sided guarantee of the Karp/Misra-Gries sketch
+    behind ``DataFrame.stat.freqItems``).
+
+    ``verify_exact=True`` (default) joins the candidate set back for
+    exact counts — candidates are ≤ 1/support values, so the verify pass
+    is one aggregation over a BROADCAST semi-join filter, and false
+    positives are removed; the result is then exact, with the sketch
+    serving as the scan-reducing candidate generator.  At 100 TB this is
+    the standard two-phase heavy-hitters shape: sketch pass O(1/support)
+    memory, verify pass touches only candidate rows.  Returns
+    ``(value, exact_count, share)`` ordered by count desc.
+    """
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1), got {support}")
+    cands = df.stat.freqItems([col], support).first()[0]
+    if not cands:
+        return df.sparkSession.createDataFrame(
+            [], f"value string, exact_count long, share double"
+        )
+    total = df.count()
+    out = (
+        df.filter(F.col(col).isin(list(cands)))
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .withColumn(
+            "share", F.round(F.col("exact_count") / F.lit(total), 6)
+        )
+    )
+    if verify_exact:
+        out = out.filter(F.col("share") > support)
+    return out.orderBy(F.col("exact_count").desc(), F.col("value"))
+
+
 def binned_interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

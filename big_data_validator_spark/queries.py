@@ -2839,6 +2839,29 @@ def agg_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed.join(counts, "o_orderpriority")
 
 
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
+    SELECT l_quantity AS value,
+           CAST(COUNT(*) AS BIGINT) AS exact_count,
+           ROUND(COUNT(*) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM lineitem, t
+    GROUP BY l_quantity, t.total
+    HAVING COUNT(*) > 0.019 * t.total
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy hitters: a Misra-Gries-family sketch pass
+    (``stat.freqItems``, O(1/support) memory, guaranteed superset of the
+    true frequent values) generates candidates, one exact aggregation
+    over only candidate rows removes the sketch's false positives — so
+    the result is EXACT and hash-checkable despite the approximate
+    first pass (operators/relational.py: heavy_hitters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return R.heavy_hitters(li, "l_quantity", support=0.019)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

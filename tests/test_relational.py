@@ -238,6 +238,25 @@ def test_binned_range_join_matches_nested_loop(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_heavy_hitters_exact_after_verify(spark):
+    # 3 hot values (30%, 20%, 10%) + 400 singletons; support 5% must
+    # return exactly the hot three with exact counts
+    rows = (
+        [(1,)] * 300 + [(2,)] * 200 + [(3,)] * 100
+        + [(1000 + i,) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+    got = [
+        (r["value"], r["exact_count"], r["share"])
+        for r in R.heavy_hitters(df, "v", support=0.05).collect()
+    ]
+    assert got == [(1, 300, 0.3), (2, 200, 0.2), (3, 100, 0.1)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        R.heavy_hitters(df, "v", support=0.0)
+
+
 def test_binned_interval_overlap_matches_nested_loop(spark):
     """Overlap join on random intervals must equal the nested-loop pair
     set, with NO duplicate pairs (a pair can share many bins; the
