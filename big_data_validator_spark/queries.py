@@ -2862,6 +2862,61 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.heavy_hitters(li, "l_quantity", support=0.019)
 
 
+@query(
+    "profile_orders_columns",
+    oracle="""
+    WITH m AS (
+      SELECT 'o_orderkey' AS "column", 'row_count' AS metric,
+             CAST(COUNT(*) AS DOUBLE) AS value FROM orders
+      UNION ALL SELECT 'o_orderkey', 'null_count',
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderkey', 'distinct_count',
+             CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderkey', 'min', CAST(MIN(o_orderkey) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderkey', 'max', CAST(MAX(o_orderkey) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderkey', 'mean', AVG(CAST(o_orderkey AS DOUBLE)) FROM orders
+      UNION ALL SELECT 'o_orderkey', 'stddev', STDDEV_SAMP(CAST(o_orderkey AS DOUBLE)) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'row_count', CAST(COUNT(*) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'null_count',
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'distinct_count',
+             CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'min', MIN(o_totalprice) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'max', MAX(o_totalprice) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'mean', AVG(o_totalprice) FROM orders
+      UNION ALL SELECT 'o_totalprice', 'stddev', STDDEV_SAMP(o_totalprice) FROM orders
+      UNION ALL SELECT 'o_orderpriority', 'row_count', CAST(COUNT(*) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderpriority', 'null_count',
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderpriority', 'distinct_count',
+             CAST(COUNT(DISTINCT o_orderpriority) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderpriority', 'min_length',
+             CAST(MIN(LEN(o_orderpriority)) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderpriority', 'max_length',
+             CAST(MAX(LEN(o_orderpriority)) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderpriority', 'avg_length',
+             AVG(CAST(LEN(o_orderpriority) AS DOUBLE)) FROM orders
+    )
+    SELECT "column", metric, ROUND(value, 3) AS value FROM m
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-pass column profiler: null/distinct counts,
+    numeric moments, and string length stats for three orders columns as
+    expression columns of ONE aggregation — the table is scanned once no
+    matter how many columns are profiled; the wide→long pivot explodes
+    the single aggregate row (operators/profile.py: profile_table).
+    Values re-rounded to 3 so cross-engine float-reduction noise cannot
+    flip the hash."""
+    from big_data_validator_spark.operators.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_table(
+        orders, ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    return prof.select("column", "metric", F.round("value", 3).alias("value"))
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
