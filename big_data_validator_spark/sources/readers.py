@@ -25,6 +25,21 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def scan_parquet_evolving(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet scan across files written under an EVOLVING schema
+    (columns added over time): ``mergeSchema`` unions the footers'
+    schemas, older files surface the new columns as nulls.
+
+    Ingests that append daily drops hit this constantly; the default
+    reader picks one footer and silently DROPS later columns.  Merging
+    costs a footer read per file at planning — at 100 TB prefer a table
+    format or explicit schema, but for raw directory ingest this is the
+    correct behavior, and validation rules (completeness etc.) then see
+    the union schema.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def scan_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — native Spark format, same pushdown properties as
     parquet (predicate → stripe/row-index skipping, column pruning)."""
