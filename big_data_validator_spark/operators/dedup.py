@@ -33,6 +33,46 @@ from pyspark.sql import functions as F
 from big_data_validator_spark.operators.text import char_ngrams, fingerprint
 
 
+# ------------------------------------------------------------ cache hygiene
+
+def pinned_caches(df: DataFrame) -> list:
+    """Caches a plan pinned for its own lifetime, attached by the
+    operators below as ``df._bdv_pinned`` (a list; a bare frame is
+    accepted for back-compat)."""
+    p = getattr(df, "_bdv_pinned", None)
+    if p is None:
+        return []
+    return list(p) if isinstance(p, (list, tuple)) else [p]
+
+
+def release_pinned(*dfs: DataFrame) -> None:
+    """Unpersist every cache pinned by the given frames' plans."""
+    for df in dfs:
+        for c in pinned_caches(df):
+            c.unpersist()
+
+
+def materialize_release(df: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Eagerly materialize a SMALL result (pair lists, cluster
+    summaries — outputs already reduced to O(duplicates) rows), then
+    unpersist every cache its plan — and any extra ``sources`` feeding
+    it — pinned.
+
+    Long-lived driver sessions (the 50-query correctness driver, a
+    notebook) would otherwise accumulate one pinned cache per dedup
+    call (ADVICE r4); the oracle-checked registry entry points route
+    their returns through this so the caches live exactly as long as
+    the computation that needs them.  Collect-and-recreate rather than
+    ``localCheckpoint``: a checkpoint is itself a persistent RDD that
+    lives until GC, i.e. exactly the lingering state this helper
+    removes.  Only for results that fit the driver comfortably — the
+    full-corpus serving path manages cache lifetime itself.
+    """
+    rows = df.collect()
+    release_pinned(df, *sources)
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
 # -------------------------------------------------------------- exact dedup
 
 def exact_duplicate_groups(
@@ -202,6 +242,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out._bdv_pinned = [sets_df]
     return out
 
 
@@ -338,11 +379,11 @@ def capped_bucket_pairs(
     shuffle.  Pass ``max_bucket_size=None`` to disable the guard.
 
     The capped path pins a narrow ``(id, keys, payload)`` cache for the
-    lifetime of the returned plan (rationale in the inline comment); a
-    long-lived driver session that is done with the pairs can release it
-    via the ``_bdv_pinned`` attribute on the returned frame
-    (``pairs._bdv_pinned.unpersist()``) once downstream results are
-    materialized (ADVICE r3).
+    lifetime of the returned plan (rationale in the inline comment),
+    recorded on the returned frame as ``_bdv_pinned``; callers release it
+    once downstream results are materialized via
+    :func:`release_pinned` / :func:`materialize_release` — the
+    oracle-checked registry entry points all do (ADVICE r3/r4).
     """
     keys = list(key_cols)
     if max_bucket_size is None:
@@ -394,7 +435,7 @@ def capped_bucket_pairs(
         )
     )
     out = small_pairs.unionByName(big_pairs)
-    out._bdv_pinned = bucketed
+    out._bdv_pinned = [bucketed]
     return out
 
 
@@ -441,7 +482,7 @@ def minhash_lsh_candidates(
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     pairs = capped_bucket_pairs(banded, ["band", "bucket"], max_bucket_size)
     out = pairs.dropDuplicates()
-    out._bdv_pinned = getattr(pairs, "_bdv_pinned", None)
+    out._bdv_pinned = pinned_caches(pairs)
     return out
 
 
@@ -476,7 +517,7 @@ def minhash_dedup_pairs(
     )
     sa = sets_df.withColumnRenamed("id", "id_a").withColumnRenamed("shingles", "sh_a")
     sb = sets_df.withColumnRenamed("id", "id_b").withColumnRenamed("shingles", "sh_b")
-    return (
+    out = (
         cands.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -487,6 +528,8 @@ def minhash_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    out._bdv_pinned = [sets_df] + pinned_caches(cands)
+    return out
 
 
 # --------------------------------------------------------------- winnowing
@@ -653,7 +696,7 @@ def winnowing_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
         .filter(F.col("common") >= min_common)
     )
-    return (
+    out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
@@ -663,6 +706,8 @@ def winnowing_near_dup_pairs(
         .filter(F.col("overlap") >= min_overlap)
         .select("id_a", "id_b", "common", "overlap")
     )
+    out._bdv_pinned = [fps]
+    return out
 
 
 # ----------------------------------------------------------- dedup clusters
@@ -965,5 +1010,5 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
-    out._bdv_pinned = getattr(pairs, "_bdv_pinned", None)
+    out._bdv_pinned = pinned_caches(pairs)
     return out

@@ -450,6 +450,40 @@ def range_bucket_join(
     return fact.join(F.broadcast(buckets), cond, "left")
 
 
+def _guarded_bin_sequence(
+    lo: Column, hi: Column, w: Column, max_bins: int
+) -> Column:
+    """``sequence(floor(lo/w), floor(hi/w))`` with a fail-fast cap: a
+    single outlier interval far longer than the median (or a tiny
+    auto-derived bin width) would otherwise explode to millions of bins
+    for one row — quadratic work in disguise, or an executor OOM /
+    ``sequence`` element-limit crash with no diagnostic.  The guard is a
+    per-row scalar check inside codegen (zero-cost when healthy) that
+    raises a USER_RAISED_EXCEPTION naming the offending bin count, so
+    degenerate inputs fail immediately with an actionable message
+    instead of melting the stage (ADVICE r4)."""
+    lo_b = F.floor(lo / w).cast("long")
+    hi_b = F.floor(hi / w).cast("long")
+    n = hi_b - lo_b + F.lit(1)
+    guarded_hi = (
+        F.when(n <= F.lit(max_bins), hi_b)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("binned join: interval explodes to "),
+                    n.cast("string"),
+                    F.lit(
+                        f" bins > max_bins_per_interval={max_bins}; "
+                        "raise the cap or pass a larger bin_width"
+                    ),
+                )
+            )
+        )
+        .cast("long")
+    )
+    return F.sequence(lo_b, guarded_hi)
+
+
 def binned_range_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -457,6 +491,7 @@ def binned_range_join(
     lo_col: str = "lo",
     hi_col: str = "hi",
     bin_width: Optional[float] = None,
+    max_bins_per_interval: int = 4096,
 ) -> DataFrame:
     """Point-in-interval join for LARGE interval tables: bin both sides
     to a common grid so the join becomes an EQUI-join on the bin id.
@@ -496,9 +531,8 @@ def binned_range_join(
     ib = intervals.withColumn(
         "_bin",
         F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w).cast("long"),
-                F.floor(F.col(hi_col) / w).cast("long"),
+            _guarded_bin_sequence(
+                F.col(lo_col), F.col(hi_col), w, max_bins_per_interval
             )
         ),
     )
@@ -524,34 +558,55 @@ def heavy_hitters(
     positives — the one-sided guarantee of the Karp/Misra-Gries sketch
     behind ``DataFrame.stat.freqItems``).
 
-    ``verify_exact=True`` (default) joins the candidate set back for
-    exact counts — candidates are ≤ 1/support values, so the verify pass
-    is one aggregation over a BROADCAST semi-join filter, and false
-    positives are removed; the result is then exact, with the sketch
-    serving as the scan-reducing candidate generator.  At 100 TB this is
-    the standard two-phase heavy-hitters shape: sketch pass O(1/support)
-    memory, verify pass touches only candidate rows.  Returns
-    ``(value, exact_count, share)`` ordered by count desc.
+    ``verify_exact=True`` (default) re-counts the candidates exactly and
+    removes the sketch's false positives, so the result is EXACT with the
+    sketch serving only as the scan-reducing candidate generator.  The
+    whole operator is exactly TWO passes over the data — the sketch and
+    one verify aggregation that computes candidate counts AND the grand
+    total together (rows outside the candidate set collapse into a single
+    null bucket, so the total needs no separate ``count()`` job).  The
+    verify filter compares EXACT counts (``exact_count > support *
+    total``), never the display-rounded share — at ~2M+ rows a true
+    heavy hitter within 5e-7 of the threshold would otherwise round down
+    and be dropped (ADVICE r4).  At 100 TB this is the standard two-phase
+    heavy-hitters shape: sketch pass O(1/support) memory, verify pass one
+    map-side-combined aggregation of ≤ 1/support + 1 groups.  Returns
+    ``(value, exact_count, share)`` ordered by count desc; ``value``
+    keeps the input column's native type on every path, including the
+    empty-candidate early return.
     """
-    if not 0.0 < support < 1.0:
-        raise ValueError(f"support must be in (0, 1), got {support}")
-    cands = df.stat.freqItems([col], support).first()[0]
+    # Spark's freqItems requires support ≥ 1e-4 (sketch size 1/support);
+    # looser validation here surfaced as a confusing downstream error.
+    if not 1e-4 <= support < 1.0:
+        raise ValueError(f"support must be in [1e-4, 1), got {support}")
+    cands = [
+        c for c in df.stat.freqItems([col], support).first()[0]
+        if c is not None
+    ]
+    vtype = df.schema[col].dataType.simpleString()
     if not cands:
         return df.sparkSession.createDataFrame(
-            [], f"value string, exact_count long, share double"
+            [], f"value {vtype}, exact_count long, share double"
         )
-    total = df.count()
-    out = (
-        df.filter(F.col(col).isin(list(cands)))
-        .groupBy(F.col(col).alias("value"))
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-        .withColumn(
-            "share", F.round(F.col("exact_count") / F.lit(total), 6)
-        )
-    )
+    counts = df.groupBy(
+        F.when(F.col(col).isin(cands), F.col(col)).alias("value")
+    ).agg(F.count(F.lit(1)).alias("exact_count"))
+    # counts has ≤ len(cands)+1 rows; an unpartitioned window over that
+    # tiny aggregate is a single-partition no-op, not a scale hazard.
+    out = counts.withColumn(
+        "_total", F.sum("exact_count").over(Window.partitionBy())
+    ).filter(F.col("value").isNotNull())
     if verify_exact:
-        out = out.filter(F.col("share") > support)
-    return out.orderBy(F.col("exact_count").desc(), F.col("value"))
+        out = out.filter(
+            F.col("exact_count") > F.col("_total") * F.lit(float(support))
+        )
+    return (
+        out.withColumn(
+            "share", F.round(F.col("exact_count") / F.col("_total"), 6)
+        )
+        .drop("_total")
+        .orderBy(F.col("exact_count").desc(), F.col("value"))
+    )
 
 
 def binned_interval_overlap_join(
@@ -562,6 +617,7 @@ def binned_interval_overlap_join(
     right_lo: str,
     right_hi: str,
     bin_width: float,
+    max_bins_per_interval: int = 4096,
 ) -> DataFrame:
     """Interval-overlap join (``l_lo < r_hi AND r_lo < l_hi``) for two
     LARGE interval tables — sessions × incident windows, readings ×
@@ -584,9 +640,8 @@ def binned_interval_overlap_join(
         return df.withColumn(
             "_bin",
             F.explode(
-                F.sequence(
-                    F.floor(F.col(lo) / w).cast("long"),
-                    F.floor(F.col(hi) / w).cast("long"),
+                _guarded_bin_sequence(
+                    F.col(lo), F.col(hi), w, max_bins_per_interval
                 )
             ),
         )

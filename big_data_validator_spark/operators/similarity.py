@@ -604,5 +604,7 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    out._bdv_pinned = getattr(pairs, "_bdv_pinned", None)
+    from big_data_validator_spark.operators.dedup import pinned_caches
+
+    out._bdv_pinned = pinned_caches(pairs)
     return out

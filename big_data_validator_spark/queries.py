@@ -113,9 +113,15 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
         # Epoch longs: infer the unit from magnitude (uniform per file, so
-        # a per-row CASE costs nothing and needs no probe job).  Epochs
-        # for 1970-2200 stay under 7.3e9 s / 7.3e12 ms / 7.3e15 µs /
-        # 7.3e18 ns — the decade-wide gaps make the boundaries safe.
+        # a per-row CASE costs nothing and needs no probe job).
+        # SUPPORTED EPOCH RANGE: ~1973-03..2200 (positive epochs only).
+        # The magnitude bands are unambiguous only there — a ns epoch
+        # before 1973-03 falls under 1e17 and would be misread as µs, and
+        # abs() maps pre-1970 negative epochs into the same bands
+        # symmetrically, so early-epoch data would silently shift 1000×
+        # (ADVICE r4).  The testdata generator emits 1992+ events, well
+        # inside the safe band; ingest of historical/pre-1970 archives
+        # must carry an explicit unit instead of relying on inference.
         # Integer division only: float division would lose precision at
         # ns-epoch magnitude (~2^60).
         a = F.abs(F.col("ts"))
@@ -1891,7 +1897,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs (inverted shingle index) on a bounded
     sub-corpus; the unbounded-scale variant is `dedup_minhash_lsh`."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return D.ngram_jaccard_pairs(docs, n=5, threshold=0.5)
+    return D.materialize_release(D.ngram_jaccard_pairs(docs, n=5, threshold=0.5))
 
 
 # =====================================================================
@@ -2258,7 +2264,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_minhash_lsh")  # hash-dependent: rows-only check; pytest pins recall
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return D.minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=8, threshold=0.8)
+    return D.materialize_release(
+        D.minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=8, threshold=0.8)
+    )
 
 
 @query("dedup_winnowing")  # rolling-hash sketch: rows-only; pytest pins parity
@@ -2267,13 +2275,13 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding-window min sketch); ~4× smaller inverted index than raw
     shingles with a guaranteed-match window."""
     docs = _t(spark, sf_dir, "documents")
-    return D.winnowing_near_dup_pairs(docs)
+    return D.materialize_release(D.winnowing_near_dup_pairs(docs))
 
 
 @query("dedup_simhash")  # hash-dependent: rows-only check; pytest pins behavior
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return D.simhash_near_dup_pairs(docs, max_hamming=3)
+    return D.materialize_release(D.simhash_near_dup_pairs(docs, max_hamming=3))
 
 
 @query("dedup_minhash_clusters")  # clusters of hash-dependent pairs: rows-only
@@ -2285,11 +2293,14 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(docs, n=5, num_hashes=64, bands=8, threshold=0.8)
     clusters = D.duplicate_clusters(pairs)
-    return (
+    summary = (
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("member_count"))
         .orderBy("cluster_id")
     )
+    # release the shingle-set + bucket caches pairs' plan pinned once the
+    # small cluster summary is materialized (ADVICE r4 cache hygiene)
+    return D.materialize_release(summary, pairs)
 
 
 @query("sim_ann_lsh")  # hash-dependent buckets: recall oracled via sim_ann_recall
@@ -2328,7 +2339,9 @@ def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return S.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+    return D.materialize_release(
+        S.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+    )
 
 
 @query(

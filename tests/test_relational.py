@@ -246,15 +246,46 @@ def test_heavy_hitters_exact_after_verify(spark):
         + [(1000 + i,) for i in range(400)]
     )
     df = spark.createDataFrame(rows, ["v"])
-    got = [
-        (r["value"], r["exact_count"], r["share"])
-        for r in R.heavy_hitters(df, "v", support=0.05).collect()
-    ]
+    sc = spark.sparkContext
+    sc.setJobGroup("hh-internal", "heavy_hitters internal actions")
+    out = R.heavy_hitters(df, "v", support=0.05)
+    # building the plan runs ONLY the sketch pass (2 jobs: the freqItems
+    # aggregate + its first()) — the grand total is fused into the verify
+    # aggregation, so the pre-fuse third job (count()) must NOT appear
+    internal = sc.statusTracker().getJobIdsForGroup("hh-internal")
+    sc.setJobGroup("hh-collect", "")
+    assert len(internal) <= 2, f"expected sketch-only jobs, got {internal}"
+    got = [(r["value"], r["exact_count"], r["share"]) for r in out.collect()]
     assert got == [(1, 300, 0.3), (2, 200, 0.2), (3, 100, 0.1)]
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
         R.heavy_hitters(df, "v", support=0.0)
+    with _pytest.raises(ValueError):
+        R.heavy_hitters(df, "v", support=5e-5)  # below freqItems' 1e-4 floor
+
+
+def test_heavy_hitters_exact_threshold_not_rounded(spark):
+    """The verify filter must compare exact counts, not the 6-decimal
+    display share: value 7 here has share 500001/1000000 > 0.5 support,
+    a margin of 1e-6-ish that display rounding would erase."""
+    n_hot, n_rest = 500_001, 499_999
+    df = (
+        spark.range(n_hot + n_rest)
+        .selectExpr("CASE WHEN id < 500001 THEN 7 ELSE id END AS v")
+    )
+    got = R.heavy_hitters(df, "v", support=0.5).collect()
+    assert [(r["value"], r["exact_count"]) for r in got] == [(7, n_hot)]
+
+
+def test_heavy_hitters_empty_candidates_native_type(spark):
+    # all-null column: null is not a reportable heavy hitter, so the
+    # candidate set is empty — the early-return frame must still carry
+    # the column's NATIVE type, not a hardcoded string
+    df = spark.createDataFrame([(None,), (None,)], "v double")
+    out = R.heavy_hitters(df, "v", support=0.5)
+    assert out.count() == 0
+    assert dict(out.dtypes)["value"] == "double"
 
 
 def test_binned_interval_overlap_matches_nested_loop(spark):
@@ -302,6 +333,42 @@ def test_binned_range_join_default_width_and_validation(spark):
 
     with _pytest.raises(ValueError):
         R.binned_range_join(points, intervals, "v", bin_width=0.0)
+
+
+def test_binned_join_degenerate_interval_fails_fast(spark):
+    """A single outlier interval 10^6× the bin width must raise a
+    diagnostic USER_RAISED_EXCEPTION, not explode to a million bins."""
+    import pytest as _pytest
+
+    points = spark.createDataFrame([(1, 5.0)], ["pid", "v"])
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 0.0, 9_999_999.0)], ["iid", "lo", "hi"]
+    )
+    with _pytest.raises(Exception, match="max_bins_per_interval"):
+        R.binned_range_join(
+            points, intervals, "v", bin_width=1.0
+        ).collect()
+    # the cap is configurable: a big-enough cap lets the same input run
+    ok = R.binned_range_join(
+        points,
+        intervals,
+        "v",
+        bin_width=1.0,
+        max_bins_per_interval=20_000_000,
+    ).collect()
+    assert sorted((r["pid"], r["iid"]) for r in ok) == [(1, 1), (1, 2)]
+    with _pytest.raises(Exception, match="max_bins_per_interval"):
+        R.binned_interval_overlap_join(
+            intervals,
+            intervals.selectExpr(
+                "iid AS rid", "lo AS rlo", "hi AS rhi"
+            ),
+            "lo",
+            "hi",
+            "rlo",
+            "rhi",
+            bin_width=1.0,
+        ).collect()
 
 
 def test_top_k_deterministic_and_take_ordered(spark):

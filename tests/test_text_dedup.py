@@ -211,12 +211,37 @@ def test_pinned_cache_handle_propagates_and_releases(spark):
         ["doc_id", "text"],
     )
     pairs = D.minhash_lsh_candidates(docs)
-    pinned = getattr(pairs, "_bdv_pinned", None)
-    assert pinned is not None
+    pinned = D.pinned_caches(pairs)
+    assert pinned
     pairs.count()
-    assert pinned.storageLevel.useMemory  # cached while the plan lives
-    pinned.unpersist()
-    assert not pinned.storageLevel.useMemory
+    for c in pinned:
+        assert c.storageLevel.useMemory  # cached while the plan lives
+    D.release_pinned(pairs)
+    for c in pinned:
+        assert not c.storageLevel.useMemory
+
+
+def test_registry_dedup_entries_leave_no_pinned_caches(spark):
+    """The oracle-checked entry points must not leak pinned caches into a
+    long driver session (ADVICE r4): after each returns, the JVM's
+    persistent-RDD registry is back to its starting size."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    queries = E.queries()
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_winnowing",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_clusters",
+        "emb_near_dup_pairs",
+    ):
+        out = queries[name](spark, sf)
+        out.count()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after <= before, f"{name} leaked {after - before} pinned cache(s)"
 
 
 def test_duplicate_clusters_regimes_agree(spark):
