@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+Prints per-query detail (one JSON line + BENCH_DETAIL.json, both with the
+full {name: sec} median and min maps), then the FINAL line is the compact
+driver contract — small enough to always survive the driver's ~2 KB tail
+capture (VERDICT r4 §1):
+    {"metric": "headline_queries_total_wall", "value": <total_sec>,
+     "unit": "sec", "value_min": ..., "sf": ..., "stat": "median",
+     "passes": N, "n_queries": N, "queries_detail": "BENCH_DETAIL.json"}
 
 Each query executes fully (noop sink — no driver-side row transfer, so the
 measurement is the distributed plan, not collect serialization).
@@ -77,6 +81,20 @@ HEADLINE = [
     "sample_stratified_orders",
     "pack_sequences_docs",
     "corpus_mixture_plan",
+    # round-5 additions (VERDICT r4 §3): the shapes that most need perf
+    # evidence — a GROUPED_AGG UDAF (no partial aggregation), PQ
+    # encode+ADC scoring, stateful streaming, binned interval joins,
+    # the sketch+verify heavy hitter, and the fused curate→pack pipeline
+    "agg_heavy_hitters",
+    "profile_orders_columns",
+    "agg_trimmed_mean_udaf",
+    "join_interval_overlap",
+    "join_range_binned",
+    "streaming_sessionize_stateful",
+    "streaming_dedup_events",
+    "corpus_mixture_apply",
+    "pipeline_curate_pack",
+    "sim_ann_pq",
 ]
 
 
@@ -142,18 +160,37 @@ def main() -> None:
     }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf else None
+    # The driver records only the TAIL (~2 KB) of stdout: a single line
+    # carrying both per-query maps grew past that in r3/r4 and was
+    # truncated mid-map — two rounds with no machine-readable perf
+    # record (VERDICT r4 §1).  So: per-query detail goes to a file AND a
+    # separate preceding line (truncation there is harmless), and the
+    # FINAL line is a compact primary contract guaranteed to fit.
+    detail = {
+        "metric": "headline_queries_detail",
+        "queries": timings,
+        "queries_min": timings_min,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
-                "queries_min": timings_min,
                 "value_min": round(sum(timings_min.values()), 3),
-                "sf": float(sf) if sf else None,
+                "sf": sf_val,
                 "stat": "median",
                 "passes": passes,
+                "n_queries": len(timings),
+                "queries_detail": "BENCH_DETAIL.json",
             }
         )
     )

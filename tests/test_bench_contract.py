@@ -39,9 +39,24 @@ def test_bench_emits_contract_json_line(tmp_path):
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
-    line = proc.stdout.strip().splitlines()[-1]
+    import bench
+
+    lines = proc.stdout.strip().splitlines()
+    # FINAL line: the compact primary contract.  The driver keeps only
+    # the last ~2 KB of stdout — r3/r4 lost their perf record to a 4 KB
+    # line — so the primary must stay far under that bound.
+    line = lines[-1]
+    assert len(line.encode()) < 1500, f"primary contract line too long: {len(line)}"
     d = json.loads(line)
     assert d["unit"] == "sec" and d["value"] > 0
-    assert set(d["queries"]) == set(d["queries_min"])
-    assert len(d["queries"]) == 47
+    assert d["value_min"] <= d["value"]
+    assert d["n_queries"] == len(bench.HEADLINE)
     assert d["sf"] == 0.001
+    assert "queries" not in d  # per-query maps live in the detail line/file
+    # preceding detail line + file carry the full per-query maps
+    detail = json.loads(lines[-2])
+    assert set(detail["queries"]) == set(bench.HEADLINE)
+    assert set(detail["queries_min"]) == set(bench.HEADLINE)
+    with open("/root/repo/BENCH_DETAIL.json") as fh:
+        fdetail = json.load(fh)
+    assert fdetail["queries"] == detail["queries"]
