@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+_TEMPORAL = {"date", "timestamp", "timestamp_ntz"}
 
 
 def profile_table(
@@ -39,6 +40,11 @@ def profile_table(
     - every column: ``row_count``, ``null_count``, ``distinct_count``
     - numeric: ``min``, ``max``, ``mean``, ``stddev`` (sample)
     - string: ``min_length``, ``max_length``, ``avg_length``
+    - date / timestamp (incl. NTZ): ``min_epoch_s``, ``max_epoch_s`` —
+      the bounds as epoch seconds, so freshness/staleness checks read
+      straight off the profile (the session timezone is pinned UTC by
+      every entry point, making NTZ wall-clock and epoch agree
+      cross-engine)
 
     All values are DOUBLE (metrics are quantitative; string min/max
     VALUES are a top-k question, not a profile metric).  Rounded to 6
@@ -49,6 +55,7 @@ def profile_table(
         columns = [
             c for c, t in df.dtypes
             if t in _NUMERIC or t == "string" or t.startswith("decimal")
+            or t in _TEMPORAL
         ]
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     metrics: list[tuple[str, str]] = []  # (column, metric) in agg order
@@ -75,6 +82,10 @@ def profile_table(
             add(c, "min_length", F.min(F.length(c)).cast("double"))
             add(c, "max_length", F.max(F.length(c)).cast("double"))
             add(c, "avg_length", F.avg(F.length(c)).cast("double"))
+        elif t in _TEMPORAL:
+            ep = F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+            add(c, "min_epoch_s", F.min(ep))
+            add(c, "max_epoch_s", F.max(ep))
     wide = df.agg(*aggs)
 
     # one-row wide → long: explode an array of literal structs (operates

@@ -387,6 +387,91 @@ def scan_permissive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_parquet_evolving",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS priority_nulls,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           ROUND(SUM(o_totalprice), 2) AS price_sum
+    FROM orders
+    """,
+)
+def scan_parquet_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mergeSchema union-schema scan, oracle-checked end to end: orders
+    is re-written as an EVOLVING ingest directory — an "old" drop
+    without ``o_orderpriority`` (even keys) and a "new" drop with it
+    (odd keys) — then read back through
+    :func:`sources.readers.scan_parquet_evolving`.  The aggregate pins
+    the union-schema semantics: the default reader would either drop
+    the late column or fail; under mergeSchema the old files surface it
+    as NULL, so ``priority_nulls`` must equal the even-key count and the
+    numeric checksums must survive the round trip."""
+    import tempfile
+
+    from big_data_validator_spark.sources.readers import (
+        scan_parquet_evolving as _scan_evolving,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="bdv_evolving_")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(f"{base}/drop1")
+    new.write.mode("overwrite").parquet(f"{base}/drop2")
+    merged = _scan_evolving(spark, f"{base}/drop1", f"{base}/drop2")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias(
+            "priority_nulls"
+        ),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+    )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip (§2a enum intent: the reference's reader comment
+    names CSV/parquet/JSON; ORC is the other Spark-native columnar
+    format — ``big_data_validator.py:134``): orders written to ORC,
+    read back through :func:`sources.readers.scan_orc` with a selective
+    filter + projection so predicate pushdown and column pruning reach
+    the stripe level (plan pinned in tests/test_sources.py), then
+    aggregated for the oracle hash."""
+    import tempfile
+
+    from big_data_validator_spark.sources.readers import scan_orc as _scan_orc
+
+    orders = _t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="bdv_orc_")
+    orders.write.mode("overwrite").orc(f"{base}/orders")
+    o = _scan_orc(spark, f"{base}/orders")
+    return (
+        o.filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
@@ -2909,13 +2994,23 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(MAX(LEN(o_orderpriority)) AS DOUBLE) FROM orders
       UNION ALL SELECT 'o_orderpriority', 'avg_length',
              AVG(CAST(LEN(o_orderpriority) AS DOUBLE)) FROM orders
+      UNION ALL SELECT 'o_orderdate', 'row_count', CAST(COUNT(*) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderdate', 'null_count',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderdate', 'distinct_count',
+             CAST(COUNT(DISTINCT o_orderdate) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderdate', 'min_epoch_s',
+             CAST(epoch(MIN(o_orderdate)) AS DOUBLE) FROM orders
+      UNION ALL SELECT 'o_orderdate', 'max_epoch_s',
+             CAST(epoch(MAX(o_orderdate)) AS DOUBLE) FROM orders
     )
     SELECT "column", metric, ROUND(value, 3) AS value FROM m
     """,
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style one-pass column profiler: null/distinct counts,
-    numeric moments, and string length stats for three orders columns as
+    numeric moments, string length stats, and temporal epoch bounds for
+    four orders columns (bigint, double, string, timestamp) as
     expression columns of ONE aggregation — the table is scanned once no
     matter how many columns are profiled; the wide→long pivot explodes
     the single aggregate row (operators/profile.py: profile_table).
@@ -2925,7 +3020,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     prof = profile_table(
-        orders, ["o_orderkey", "o_totalprice", "o_orderpriority"]
+        orders,
+        ["o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"],
     )
     return prof.select("column", "metric", F.round("value", 3).alias("value"))
 
@@ -2939,6 +3035,13 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Entries after the window are redundant variants or rows-only kernels;
 #: all of them (oracled or not) are still verified locally by
 #: tests/test_entry_oracle.py.
+#:
+#: The window ROTATES (VERDICT r4 §2): an oracled entry must not live its
+#: whole life outside the driver's hard signal, so each round swaps
+#: never-driver-checked entries in for long-stable twins whose plan shape
+#: stays covered.  tests/test_entry_oracle.py pins the rotation contract:
+#: every oracled entry has either a green row in a checked-in
+#: CORRECTNESS_r*.json or a seat in the current window.
 _DRIVER_WINDOW_SIZE = 50
 _DEMOTED_TO_TAIL = [
     # Row-level detail listing; the summary twin rule_uniqueness_metrics
@@ -2956,9 +3059,42 @@ _DEMOTED_TO_TAIL = [
     # Broadcast fact-dim enrichment join; the same plan shape stays
     # in-window via join_region_revenue (broadcast dims, pushed filters).
     "join_part_enrichment",
-    # Resize byte-math variant; multimodal keeps payload_stats and
-    # frame_sample in-window, covering scan and one-to-many fan-out.
-    "multimodal_resize_stats",
+    # ---- round-5 rotation: twelve r1-r4-green entries rest this round so
+    # ---- the twelve entries added since r2 (plus the two new scan
+    # ---- queries) each get a driver-green row.  Per-entry twin rationale:
+    # Moments/distribution stats now pinned in-window by the one-pass
+    # profiler (mean/stddev/min/max over numeric columns).
+    "agg_distribution_stats",
+    # z-score = the same moment aggregation + a filter; moments via the
+    # profiler, window-function shape via window_dedup_rank.
+    "rule_outlier_zscore",
+    # Grouping-sets family: agg_rollup_region_nation stays in-window.
+    "agg_cube_segment_status",
+    # Running-window family: events_sessionize (lag + running session
+    # window) and window_dedup_rank keep window coverage in-window.
+    "window_running_total",
+    # Range-join semantics now driver-checked via join_range_binned (the
+    # scale path); the broadcast nested-loop variant rests.
+    "join_range_value_buckets",
+    # Tumbling-window event aggregation stays via
+    # streaming_windowed_violations (same window, streaming drain).
+    "events_hourly_windows",
+    # N-gram token aggregation stays via text_tfidf_top_terms.
+    "text_top_bigrams",
+    # Embedding array math stays via sim_bruteforce_topk + sim_ann_recall.
+    "emb_norm_stats",
+    # Binary payload byte-math stays via multimodal_resize_stats (newly
+    # in-window) + multimodal_frame_sample.
+    "multimodal_payload_stats",
+    # Mixture planning is recomputed inside corpus_mixture_apply (newly
+    # in-window); the plan-only view rests.
+    "corpus_mixture_plan",
+    # Packing stays via pipeline_curate_pack (newly in-window, ends in
+    # the same two-pass packer).
+    "pack_sequences_docs",
+    # Star-join + agg + top-k shape stays via join_region_revenue and
+    # topk_order_values.
+    "join_shipping_priority",
 ]
 
 

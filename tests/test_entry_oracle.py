@@ -120,12 +120,50 @@ def test_driver_window_is_all_oracled():
     assert all(REGISTRY[n].oracle for n in window), [
         n for n in window if not REGISTRY[n].oracle
     ]
-    # Every LLM-pipeline family the judge grades must sit in-window.
+    # Every LLM-pipeline family the judge grades must sit in-window
+    # (membership rotates — see _DEMOTED_TO_TAIL — but each family keeps
+    # at least one seat).
     for required in [
-        "dedup_exact_keep_first", "dedup_ngram_jaccard", "emb_norm_stats",
-        "sim_bruteforce_topk", "sim_ann_recall", "multimodal_payload_stats",
-        "multimodal_frame_sample",
+        "dedup_exact_keep_first", "dedup_ngram_jaccard",
+        "sim_bruteforce_topk", "sim_ann_recall",
+        "multimodal_resize_stats", "multimodal_frame_sample",
         "text_tfidf_top_terms", "sample_stratified_orders",
-        "pack_sequences_docs", "corpus_mixture_plan",
+        "pipeline_curate_pack", "corpus_mixture_apply",
     ]:
         assert required in window, required
+
+
+def test_every_oracled_entry_reaches_the_driver_window():
+    """Rotation contract (VERDICT r4 §7): no oracled entry may live its
+    whole life outside the driver's 50-slot correctness window.  Every
+    oracled registry entry must either already have a row in a
+    checked-in CORRECTNESS_r*.json or hold a seat in the CURRENT window
+    (so it gets its row this round).  Red if a rotation is reverted
+    without first having shipped a driver-green round."""
+    import glob
+    import json
+
+    from big_data_validator_spark.queries import (
+        REGISTRY,
+        _DRIVER_WINDOW_SIZE,
+        all_oracles,
+    )
+
+    seen: set[str] = set()
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(path) as fh:
+            recorded = json.load(fh)
+        # only driver-GREEN rows count as coverage; a recorded failure
+        # doesn't retire an entry's need for a green round
+        seen |= {
+            n
+            for n, row in recorded.items()
+            if isinstance(row, dict)
+            and row.get("rows_match")
+            and row.get("schema_match")
+        }
+    window = set(list(REGISTRY)[:_DRIVER_WINDOW_SIZE])
+    orphans = [n for n in all_oracles() if n not in seen and n not in window]
+    assert not orphans, (
+        f"oracled entries never driver-checked and not scheduled: {orphans}"
+    )

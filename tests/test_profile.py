@@ -34,6 +34,33 @@ def test_profile_values(spark, toy):
     assert got[("s", "avg_length")] == pytest.approx(7.0 / 3, abs=1e-6)
 
 
+def test_profile_temporal_columns(spark):
+    """DATE and TIMESTAMP columns profile to epoch-second bounds (plus
+    the universal null/distinct/row metrics), with the session pinned
+    UTC so wall-clock and epoch agree."""
+    df = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (DATE '1995-01-01', TIMESTAMP '2001-08-01 12:30:00'),
+          (DATE '2000-06-15', NULL),
+          (NULL,              TIMESTAMP '1995-01-01 00:00:00')
+        AS t(d, ts)
+        """
+    )
+    got = {
+        (r["column"], r["metric"]): r["value"]
+        for r in profile_table(df).collect()
+    }
+    assert got[("d", "row_count")] == 3.0
+    assert got[("d", "null_count")] == 1.0
+    assert got[("d", "distinct_count")] == 2.0
+    assert got[("d", "min_epoch_s")] == 788918400.0   # 1995-01-01 UTC
+    assert got[("d", "max_epoch_s")] == 961027200.0   # 2000-06-15 UTC
+    assert got[("ts", "null_count")] == 1.0
+    assert got[("ts", "min_epoch_s")] == 788918400.0
+    assert got[("ts", "max_epoch_s")] == 996669000.0  # 2001-08-01 12:30 UTC
+
+
 def test_profile_schema_is_stable_and_single_pass(spark, toy):
     a = profile_table(toy, ["k"])
     b = profile_table(toy, ["k", "x", "s"])
