@@ -95,6 +95,17 @@ HEADLINE = [
     "corpus_mixture_apply",
     "pipeline_curate_pack",
     "sim_ann_pq",
+    # round-5 session additions: event analytics (funnel / cohort /
+    # anomaly monitor), fuzzy catalog dedup, weighted corpus sampling,
+    # FD + Benford validation rules, stream-static dim enrichment
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_anomaly_zscore",
+    "dedup_fuzzy_levenshtein",
+    "sample_weighted_orders",
+    "rule_functional_dependency",
+    "rule_benford_totalprice",
+    "streaming_static_enrich",
 ]
 
 

@@ -1012,3 +1012,58 @@ def simhash_near_dup_pairs(
     )
     out._bdv_pinned = pinned_caches(pairs)
     return out
+
+
+def levenshtein_pairs_banded(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """All DISTINCT value pairs of ``text_col`` within edit distance
+    ``max_dist`` — fuzzy catalog dedup (near-identical product names,
+    entity labels, header variants), the string-metric sibling of the
+    shingle/MinHash document pipeline.
+
+    LOSSLESS length blocking instead of an all-pairs cross join: an edit
+    distance ≤ k forces ``|len(a) − len(b)| ≤ k``, so the left side keys
+    each value by its exact length while the right side explodes each
+    value to the ``2k+1`` length-band keys it could pair with; a plain
+    hash equi-join on the band key then yields every candidate pair
+    EXACTLY ONCE (the key must equal ``length(a)``, and the ``a < b``
+    ordering dedups the direction).  ``levenshtein`` — JVM built-in,
+    identical unit-cost semantics in DuckDB — verifies candidates.
+
+    Scale: values are ``distinct()``-ed first (catalog vocabulary ≪
+    corpus rows), the join is a standard shuffled equi-join on the band
+    key — AQE-splittable, no broadcast assumption.  For vocabularies
+    where single length bands are still huge, compose the band key with
+    a positional q-gram (PassJoin segment filtering) — same join shape,
+    finer keys; the band-only key is exact at any size, just coarser.
+
+    Returns ``(name_a, name_b, dist)``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    vals = df.select(F.col(text_col).alias("_v")).filter(
+        F.col("_v").isNotNull()
+    ).distinct()
+    left = vals.select(
+        F.col("_v").alias("name_a"), F.length("_v").alias("_band")
+    )
+    right = vals.select(
+        F.col("_v").alias("name_b"),
+        F.explode(
+            F.sequence(
+                F.length("_v") - max_dist, F.length("_v") + max_dist
+            )
+        ).alias("_band"),
+    )
+    return (
+        left.join(right, "_band")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .drop("_band")
+    )

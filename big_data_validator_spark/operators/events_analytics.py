@@ -1,0 +1,182 @@
+"""Event-stream analytics: funnels, cohort retention, and time-series
+anomaly detection over an append-only events table.
+
+These are the monitoring queries a data-validation deployment runs ON its
+own event log (validation outcomes, pipeline telemetry) as well as on the
+product events it validates — the reference's summary counters
+(`/root/reference/bigDataValidator/.../big_data_validator.py` keeps only
+global violation tallies) generalize here to ordered multi-step funnels,
+cohort matrices, and rolling-window anomaly flags.
+
+Scale notes (100 TB events):
+
+- Funnel stages join/aggregate ONLY on the user key — every Exchange in
+  the chain hashes the same column, so co-partitioning is reused across
+  stages and AQE coalesces the tiny later-stage sides.
+- Cohort retention shuffles (user, period) pairs once, then joins the
+  per-user cohort (a fraction of distinct users — broadcastable at most
+  scales) back to the activity set.
+- The anomaly detector's unpartitioned ORDER BY window runs over the
+  per-period AGGREGATE (one row per day/hour) — thousands of rows at
+  a decade of retention, a deliberate single-partition no-op, never over
+  raw events.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_conversion(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strictly-ordered funnel: per user, the earliest completion time of
+    each step given the previous step happened STRICTLY BEFORE it
+    (classic view → click → purchase attribution).
+
+    Returns one row per user who completed step 1, with nullable
+    ``t_<step>`` timestamps for each later step and ``stages_completed``.
+    Semantics are the standard iterated minimum:
+
+        t1 = min ts(step1);  t_{i+1} = min ts(step_{i+1}) with ts > t_i
+
+    Each stage is one aggregation + one join, ALL keyed on ``user_col``:
+    the plan re-uses the same hash partitioning end-to-end and later
+    stages shrink monotonically (only users still in the funnel
+    survive), so the dominant cost is the single scan + first shuffle.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    stage = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"t_{steps[0]}"))
+    )
+    out = stage
+    prev_t = f"t_{steps[0]}"
+    for s in steps[1:]:
+        nxt = (
+            events.filter(F.col(type_col) == s)
+            .join(out.select(user_col, prev_t), user_col)
+            .filter(F.col(ts_col) > F.col(prev_t))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{s}"))
+        )
+        out = out.join(nxt, user_col, "left")
+        prev_t = f"t_{s}"
+    completed = sum(
+        F.when(F.col(f"t_{s}").isNotNull(), 1).otherwise(0) for s in steps
+    )
+    return out.withColumn("stages_completed", completed.cast("int"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their FIRST
+    event; for each (cohort, offset) cell, how many of them were active.
+
+    Returns ``(cohort_period, period_offset, active_users, cohort_size,
+    retention_rate)`` — ``cohort_period`` formatted ``yyyy-MM-dd`` so the
+    result is engine-portable, ``period_offset`` in whole periods.
+
+    Two aggregations: per-user first-activity (shuffle on user), then
+    distinct (user, period) activity joined to the cohort assignment and
+    rolled up to cells.  The cohort frame has one row per user — at
+    extreme scale swap the equi-join for a broadcast of the per-cohort
+    SIZES only and recompute the assignment expression on the activity
+    side (same one-scan shape).
+    """
+    days = {"week": 7, "day": 1}
+    if period not in days:
+        raise ValueError(f"period must be one of {sorted(days)}")
+    per_days = days[period]
+    cohort = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).cast("date").alias("_cohort")
+    )
+    active = events.select(
+        user_col,
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("_period"),
+    ).distinct()
+    sizes = cohort.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        active.join(cohort, user_col)
+        .groupBy(
+            "_cohort",
+            (F.datediff(F.col("_period"), F.col("_cohort")) / per_days)
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return (
+        cells.join(sizes, "_cohort")
+        .select(
+            F.date_format("_cohort", "yyyy-MM-dd").alias("cohort_period"),
+            "period_offset",
+            "active_users",
+            "cohort_size",
+            F.round(
+                F.col("active_users") / F.col("cohort_size"), 6
+            ).alias("retention_rate"),
+        )
+    )
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    trailing: int = 7,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Volume anomaly detection: daily event counts flagged against a
+    trailing-window z-score (the standard freshness/volume monitor a
+    validation deployment runs on every feed).
+
+    For each day: the count, the mean/stddev of the PRECEDING ``trailing``
+    days (current day excluded — the monitored value must not contaminate
+    its own baseline), the z-score, and ``is_anomaly``.  Days with fewer
+    than 2 preceding observations (or zero variance) have a null z and
+    are never flagged.
+
+    One aggregation shuffles (day, partial count); the ordered window
+    then runs over ONE ROW PER DAY — a bounded single-partition frame by
+    construction (10 years ≈ 3.7k rows), which is why the global
+    ``ORDER BY`` window is not the scale hazard it would be on raw rows.
+    """
+    daily = events.groupBy(
+        F.col(ts_col).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("day").rowsBetween(-trailing, -1)
+    base = daily.select(
+        "day",
+        "n",
+        F.avg("n").over(w).alias("_mean"),
+        F.stddev_samp("n").over(w).alias("_std"),
+    )
+    z = F.when(
+        F.col("_std").isNotNull() & (F.col("_std") > 0),
+        (F.col("n") - F.col("_mean")) / F.col("_std"),
+    )
+    return base.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("_mean", 6).alias("trailing_mean"),
+        F.round("_std", 6).alias("trailing_std"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -111,3 +111,122 @@ def profile_table(
             )
         ).alias("p")
     ).select("p.column", "p.metric", "p.value")
+
+
+def functional_dependency_profile(
+    df: DataFrame,
+    lhs_col: str,
+    rhs_col: str,
+) -> DataFrame:
+    """Check the candidate functional dependency ``lhs → rhs`` and, where
+    it fails, quantify HOW it fails — the Deequ-style FD validator
+    (``hasUniqueness``/``satisfies`` generalized to discovered rules).
+
+    Per distinct LHS value: row count, distinct RHS count, the MODAL rhs
+    (most frequent, ties broken by value so the result is deterministic),
+    how many rows carry it, and ``violation_rows`` = rows that would need
+    to change for the FD to hold.  ``fd_holds`` is the per-key verdict.
+
+    Null LHS rows have no key to check and null RHS rows have no value
+    to agree on — both are excluded (completeness is its own rule;
+    folding it into FD counts double-reports one defect as two).
+
+    Two aggregations, both partial-aggregated map-side: (lhs, rhs) pair
+    counts, then a per-lhs rollup where the mode falls out of a
+    ``max_by``-style struct comparison instead of a window sort — one
+    shuffle on the pair, one on lhs, no row-level window.  At 100 TB the
+    pair-count frame is the (small) co-domain, not the data.
+    """
+    pairs = (
+        df.filter(
+            F.col(lhs_col).isNotNull() & F.col(rhs_col).isNotNull()
+        )
+        .groupBy(
+            F.col(lhs_col).alias("lhs_value"),
+            F.col(rhs_col).alias("_rhs"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # mode with deterministic tie-break: max of (count, reversed-rhs) —
+    # expressed as max_by over a struct ordered (count asc, rhs desc)
+    # would tie-break toward the LARGER rhs; to break ties toward the
+    # SMALLER rhs portably, take min_by over (-count, rhs).
+    out = pairs.groupBy("lhs_value").agg(
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_rhs"),
+        F.min(F.struct((-F.col("_n")).alias("neg"), F.col("_rhs").alias("v"))).alias("_top"),
+    )
+    return out.select(
+        "lhs_value",
+        "n_rows",
+        "n_distinct_rhs",
+        F.col("_top.v").alias("top_rhs"),
+        (-F.col("_top.neg")).cast("bigint").alias("top_rhs_rows"),
+        (F.col("n_rows") + F.col("_top.neg")).cast("bigint").alias(
+            "violation_rows"
+        ),
+        (F.col("n_distinct_rhs") == 1).alias("fd_holds"),
+    )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    col: str,
+    decimals: int = 2,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    against Benford's law — the classic fabricated-data / unit-mixup
+    screen for financial-style amounts.
+
+    The digit is extracted in INTEGER space: the value is scaled by
+    ``10^decimals``, rounded to a bigint, and the first character of its
+    decimal rendering is the digit.  Floating ``log10``/``pow`` digit
+    extraction misfires at exact powers of ten (``log10(1000.) →
+    2.999…`` in some libms) and is NOT engine-stable; integer-string
+    extraction is exact and portable.
+
+    Returns one row per digit 1-9: observed count, observed share,
+    Benford's expected share ``log10(1+1/d)``, and the absolute
+    deviation.  One aggregation over a projection; digits absent from
+    the data still appear (zero count) via a 9-row literal frame join so
+    the output schema/rowcount is input-independent.
+    """
+    import math
+
+    spark = df.sparkSession
+    scale = 10 ** decimals
+    digit = F.substring(
+        F.round(F.col(col) * F.lit(scale)).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    observed = (
+        df.filter(F.col(col) > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = spark.createDataFrame(
+        [(d, round(math.log10(1.0 + 1.0 / d), 6)) for d in range(1, 10)],
+        "digit int, expected_share double",
+    )
+    total = observed.agg(F.sum("n").alias("_t"))
+    return (
+        expected.join(observed, "digit", "left")
+        .join(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("_t"), 6
+            ).alias("share"),
+            "expected_share",
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)) / F.col("_t")
+                    - F.col("expected_share")
+                ),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

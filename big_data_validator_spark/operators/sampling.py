@@ -102,3 +102,52 @@ def stratified_exact_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample_exact(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+) -> DataFrame:
+    """EXACTLY ``k`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` — the Efraimidis–Spirakis A-Res scheme
+    (each row scores ``u^(1/w)`` for uniform ``u``; the top-k scores ARE
+    a weighted sample), with ``u`` derived deterministically from an
+    engine-portable digest instead of RNG state.
+
+    ``u = (int(md5(key)[:8hex]) + 0.5) / 2^32`` — the same md5 device as
+    :func:`stratified_exact_sample`, so the EXACT row selection is
+    reproducible across reruns, partitionings, and engines (the registry
+    ships a DuckDB oracle).  The +0.5 keeps ``u`` strictly inside (0,1),
+    so ``pow`` never sees 0 and scores never tie at the boundary values.
+
+    Plans as ``TakeOrderedAndProject`` (per-partition top-k, k rows to
+    the driver-side reduce) — no global sort, no full shuffle; the score
+    is one codegen'd projection.  This is the sampler for
+    quality-weighted corpus selection (sample documents ∝ quality score)
+    at 100 TB: one scan, k × partitions rows moved.
+
+    Rows with non-positive weight are excluded (zero weight means "never
+    sample"; negative weight is meaningless here).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_score", score)
+        .orderBy(F.col("_es_score").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_es_score")
+    )

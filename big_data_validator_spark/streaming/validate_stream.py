@@ -155,3 +155,39 @@ def stream_rule_metrics(
         .outputMode("complete")
         .start()
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    join_expr: Column,
+    config: StreamingRuleConfig,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch against a static
+    dimension, then aggregate the enriched rows into event-time windows —
+    the canonical "tag the firehose with reference data" pipeline
+    (events × customer registry, readings × device catalog).
+
+    The static side is explicitly ``broadcast()``: Spark re-plans the
+    dim per micro-batch, so a broadcast hash join keeps the stream side
+    shuffle-free until the windowed aggregation — the only Exchange is
+    (window, group) partial counts.  State is the windowed agg's only;
+    the join itself is stateless (unlike stream-stream joins), which is
+    what makes dim enrichment safe at any stream volume.
+
+    Returns windowed ``(window, <group_col>, n, avg_value)`` — finalize
+    semantics (watermark, lateness) follow ``config`` exactly as the
+    violation-count queries do.
+    """
+    enriched = stream.withWatermark(
+        config.event_time_col, config.watermark
+    ).join(F.broadcast(dim), join_expr)
+    return enriched.groupBy(
+        F.window(F.col(config.event_time_col), config.window).alias("window"),
+        F.col(group_col),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col(value_col)), 4).alias("avg_value"),
+    )

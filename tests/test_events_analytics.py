@@ -1,0 +1,143 @@
+"""Unit tests for operators/events_analytics.py — funnel ordering
+semantics, cohort offsets, and anomaly-baseline edge cases, pinned on
+synthetic frames where the expected answer is computable by hand."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators.events_analytics import (
+    cohort_retention,
+    funnel_conversion,
+    rolling_zscore_anomalies,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (u, dt.datetime(2024, 1, d, h, m), t, 1.0)
+            for (u, d, h, m, t) in rows
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        ev = _ev(
+            spark,
+            [
+                # u1 completes in order
+                (1, 1, 9, 0, "view"),
+                (1, 1, 10, 0, "click"),
+                (1, 1, 11, 0, "purchase"),
+                # u2: click BEFORE view → click stage not reached
+                (2, 1, 8, 0, "click"),
+                (2, 1, 9, 0, "view"),
+                (2, 1, 10, 0, "purchase"),
+                # u3: no view at all → absent from output
+                (3, 1, 9, 0, "click"),
+            ],
+        )
+        out = {
+            r["user_id"]: r
+            for r in funnel_conversion(ev, ["view", "click", "purchase"]).collect()
+        }
+        assert set(out) == {1, 2}
+        assert out[1]["stages_completed"] == 3
+        assert out[2]["stages_completed"] == 1
+        assert out[2]["t_click"] is None and out[2]["t_purchase"] is None
+
+    def test_equal_timestamp_not_after(self, spark):
+        # strictly-after contract: a click at the exact view instant
+        # does NOT advance the funnel
+        ev = _ev(spark, [(1, 1, 9, 0, "view"), (1, 1, 9, 0, "click")])
+        [r] = funnel_conversion(ev, ["view", "click"]).collect()
+        assert r["stages_completed"] == 1 and r["t_click"] is None
+
+    def test_later_step_instance_chosen(self, spark):
+        # an early purchase (before the click) must be skipped in favor
+        # of the first purchase AFTER the click
+        ev = _ev(
+            spark,
+            [
+                (1, 1, 9, 0, "view"),
+                (1, 1, 9, 30, "purchase"),
+                (1, 1, 10, 0, "click"),
+                (1, 1, 12, 0, "purchase"),
+            ],
+        )
+        [r] = funnel_conversion(ev, ["view", "click", "purchase"]).collect()
+        assert r["t_purchase"] == dt.datetime(2024, 1, 1, 12, 0)
+
+    def test_needs_two_steps(self, spark):
+        ev = _ev(spark, [(1, 1, 9, 0, "view")])
+        with pytest.raises(ValueError):
+            funnel_conversion(ev, ["view"])
+
+
+class TestRetention:
+    def test_offsets_and_sizes(self, spark):
+        # 2024-01-01 is a Monday: week cohorts align to it exactly
+        ev = _ev(
+            spark,
+            [
+                (1, 1, 9, 0, "view"),   # cohort wk0
+                (1, 10, 9, 0, "view"),  # active wk1
+                (2, 2, 9, 0, "view"),   # cohort wk0, only wk0
+                (3, 9, 9, 0, "view"),   # cohort wk1
+            ],
+        )
+        cells = {
+            (r["cohort_period"], r["period_offset"]): r
+            for r in cohort_retention(ev).collect()
+        }
+        assert cells[("2024-01-01", 0)]["active_users"] == 2
+        assert cells[("2024-01-01", 0)]["cohort_size"] == 2
+        assert cells[("2024-01-01", 1)]["active_users"] == 1
+        assert cells[("2024-01-01", 1)]["retention_rate"] == 0.5
+        assert cells[("2024-01-08", 0)]["active_users"] == 1
+        assert ("2024-01-08", 1) not in cells
+
+    def test_rejects_unknown_period(self, spark):
+        ev = _ev(spark, [(1, 1, 9, 0, "view")])
+        with pytest.raises(ValueError):
+            cohort_retention(ev, period="month")
+
+
+class TestRollingZscore:
+    def _daily(self, spark, counts):
+        rows = []
+        for day, n in enumerate(counts, start=1):
+            rows += [(1, day, 0, m % 60, "view") for m in range(n)]
+        return _ev(spark, rows)
+
+    def test_spike_flagged_short_baseline_not(self, spark):
+        # 8 flat days then a big spike: the spike must be flagged; the
+        # first day (no baseline) and second (single-obs stddev null)
+        # must have null z and no flag
+        ev = self._daily(spark, [10, 10, 11, 10, 11, 10, 11, 10, 50])
+        rows = {
+            r["day"]: r
+            for r in rolling_zscore_anomalies(ev, trailing=7).collect()
+        }
+        assert rows["2024-01-01"]["z_score"] is None
+        assert rows["2024-01-01"]["is_anomaly"] is False
+        assert rows["2024-01-02"]["z_score"] is None
+        assert rows["2024-01-09"]["is_anomaly"] is True
+        assert rows["2024-01-09"]["z_score"] > 2
+
+    def test_zero_variance_never_divides(self, spark):
+        # identical preceding counts → stddev 0 → z must be null, not inf
+        ev = self._daily(spark, [5, 5, 5, 9])
+        rows = {
+            r["day"]: r
+            for r in rolling_zscore_anomalies(ev, trailing=7).collect()
+        }
+        assert rows["2024-01-04"]["z_score"] is None
+        assert rows["2024-01-04"]["is_anomaly"] is False
+        assert rows["2024-01-04"]["trailing_std"] == 0.0

@@ -77,3 +77,50 @@ def test_profile_approx_distinct_path(spark, toy):
     }
     # HLL at this cardinality is exact
     assert got[("k", "distinct_count")] == 3.0
+
+
+def test_functional_dependency_mode_and_violations(spark):
+    from big_data_validator_spark.operators.profile import (
+        functional_dependency_profile,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "x"), ("a", "y"),          # mode x, 1 violation
+            ("b", "z"), ("b", "z"),                       # FD holds
+            ("c", "p"), ("c", "q"),                       # TIE → smaller rhs
+            (None, "x"), ("d", None),                     # nulls excluded
+        ],
+        "lhs string, rhs string",
+    )
+    out = {
+        r["lhs_value"]: r
+        for r in functional_dependency_profile(df, "lhs", "rhs").collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    a = out["a"]
+    assert (a["n_rows"], a["n_distinct_rhs"], a["top_rhs"]) == (3, 2, "x")
+    assert (a["top_rhs_rows"], a["violation_rows"], a["fd_holds"]) == (2, 1, False)
+    assert out["b"]["fd_holds"] is True and out["b"]["violation_rows"] == 0
+    assert out["c"]["top_rhs"] == "p"  # deterministic tie-break: smaller rhs
+
+
+def test_benford_digits_complete_and_integer_extracted(spark):
+    from big_data_validator_spark.operators.profile import (
+        benford_first_digit,
+    )
+
+    # 1000.00 is the float-log10 trap (log10 → 2.999…): integer-space
+    # extraction must yield digit 1; zero/negative rows excluded
+    df = spark.createDataFrame(
+        [(1000.00,), (23.45,), (2.50,), (999.99,), (0.0,), (-5.0,)],
+        "v double",
+    )
+    rows = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+    assert sorted(rows) == list(range(1, 10))  # all digits always present
+    assert rows[1]["n"] == 1          # 1000.00
+    assert rows[2]["n"] == 2          # 23.45, 2.50
+    assert rows[9]["n"] == 1          # 999.99
+    assert rows[5]["n"] == 0          # absent digit still a row
+    assert rows[5]["share"] == 0.0
+    assert abs(rows[1]["expected_share"] - 0.30103) < 1e-6

@@ -100,3 +100,51 @@ def test_stratified_sample_plans_window_group_limit(spark):
     out = S.stratified_exact_sample(df, ["stratum"], k=10, key_col="doc_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_weighted_sample_dominant_weight_always_selected(spark):
+    from big_data_validator_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i else 1e9) for i in range(500)], "k long, w double"
+    )
+    got = weighted_sample_exact(df, "w", 10, "k").collect()
+    assert len(got) == 10
+    # w=1e9 → score u^(1/w) ≈ u^0 ≈ 1: must dominate every unit weight
+    assert any(r["k"] == 0 for r in got)
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_deterministic(spark):
+    from big_data_validator_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)], "k long, w double"
+    )
+    got = sorted(r["k"] for r in weighted_sample_exact(df, "w", 10, "k").collect())
+    assert got == [1, 4]  # zero/negative weights never sampled; k caps soft
+    again = sorted(
+        r["k"]
+        for r in weighted_sample_exact(
+            df.repartition(7), "w", 10, "k"
+        ).collect()
+    )
+    assert again == got  # partitioning-independent selection
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        weighted_sample_exact(df, "w", 0, "k")
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    from big_data_validator_spark.operators.sampling import (
+        weighted_sample_exact,
+    )
+
+    df = spark.range(10_000).withColumn("w", (F.col("id") % 7 + 1).cast("double"))
+    plan = weighted_sample_exact(df, "w", 50, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort

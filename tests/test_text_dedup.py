@@ -311,3 +311,52 @@ def test_bpe_pretoken_count(spark):
     ).collect()
     for r in got:
         assert r["n"] == r["expected"], (r["text"], r["n"], r["expected"])
+
+
+def test_levenshtein_banded_equals_bruteforce(spark):
+    """Length banding must be LOSSLESS for the given max_dist: the banded
+    join's pair set equals a pure-Python all-pairs scan."""
+    from big_data_validator_spark.operators.dedup import (
+        levenshtein_pairs_banded,
+    )
+
+    vals = [
+        "kitten", "sitting", "kitchen", "mitten", "mittens",
+        "bolt", "bolts", "boat", "coat", "a", "ab", "abcd",
+        "abcdef", None, "kitten",  # dup + null exercised
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "name string")
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    uniq = sorted({v for v in vals if v is not None})
+    for k in (0, 1, 2, 3):
+        want = sorted(
+            (a, b, lev(a, b))
+            for i, a in enumerate(uniq)
+            for b in uniq[i + 1:]
+            if lev(a, b) <= k
+        )
+        got = sorted(
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in levenshtein_pairs_banded(df, "name", k).collect()
+        )
+        assert got == want, f"max_dist={k}"
+
+
+def test_levenshtein_banded_rejects_negative(spark):
+    from big_data_validator_spark.operators.dedup import (
+        levenshtein_pairs_banded,
+    )
+
+    df = spark.createDataFrame([("x",)], "name string")
+    with pytest.raises(ValueError):
+        levenshtein_pairs_banded(df, "name", -1)
