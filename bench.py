@@ -106,6 +106,8 @@ HEADLINE = [
     "rule_functional_dependency",
     "rule_benford_totalprice",
     "streaming_static_enrich",
+    "drift_ks_totalprice",
+    "streaming_attribution_join",
 ]
 
 

@@ -673,3 +673,116 @@ def top_k_by(
     for t in tiebreak_cols or []:
         order.append(F.col(t).asc())
     return df.orderBy(*order).limit(k)
+
+
+def ks_two_sample(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of ``a`` and ``b`` — the
+    distribution-drift test that, unlike PSI
+    (:func:`distribution_drift_psi`), needs no binning CHOICE to be
+    correct: ``D = max over observed v of |F_a(v) − F_b(v)|`` with the
+    empirical CDFs evaluated at every observed value.
+
+    The textbook formulation is a cumulative sum over the globally
+    sorted pooled sample — a single-task window at scale.  Here the
+    prefix sum is the two-pass block scan (the
+    ``packing.running_offset`` pattern, generalized to float keys):
+
+    1. pool both samples tagged, aggregate to per-distinct-value counts
+       (one shuffle, map-side combined — the frame shrinks to the value
+       domain);
+    2. derive an ORDER-PRESERVING block key ``floor(value /
+       bin_width)``; cumulative counts within each block via a window
+       partitioned BY BLOCK (parallel), plus a per-block totals frame —
+       one row per block — prefix-summed and broadcast back.
+
+    ``bin_width`` only controls block granularity, NEVER the result —
+    any positive value yields the identical exact statistic (pinned in
+    tests).  Returns one row: ``(ks_stat, n_a, n_b)``, ``ks_stat``
+    rounded to 6 for cross-engine hash stability.  Nulls are excluded
+    (a null carries no position in either CDF).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    v = F.col(value_col)
+    pooled = a.filter(v.isNotNull()).select(
+        v.alias("_v"), F.lit(1).alias("_ca"), F.lit(0).alias("_cb")
+    ).unionAll(
+        b.filter(v.isNotNull()).select(
+            v.alias("_v"), F.lit(0).alias("_ca"), F.lit(1).alias("_cb")
+        )
+    )
+    cnts = pooled.groupBy("_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    blk = F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
+    keyed = cnts.withColumn("_blk", blk)
+    local = keyed.select(
+        "_v",
+        "_blk",
+        F.sum("_na")
+        .over(
+            Window.partitionBy("_blk")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_la"),
+        F.sum("_nb")
+        .over(
+            Window.partitionBy("_blk")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("_lb"),
+    )
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_ta").over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_pa"),
+            F.coalesce(
+                F.sum("_tb").over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_pb"),
+        )
+    )
+    cum = local.join(F.broadcast(totals), "_blk").select(
+        (F.col("_la") + F.col("_pa")).alias("_cuma"),
+        (F.col("_lb") + F.col("_pb")).alias("_cumb"),
+    )
+    grand = keyed.agg(
+        F.sum("_na").alias("_n_a"), F.sum("_nb").alias("_n_b")
+    )
+    return (
+        cum.join(F.broadcast(grand))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("_cuma") / F.col("_n_a")
+                        - F.col("_cumb") / F.col("_n_b")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.first("_n_a").alias("n_a"),
+            F.first("_n_b").alias("n_b"),
+        )
+    )

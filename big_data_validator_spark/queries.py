@@ -3327,6 +3327,113 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "drift_ks_totalprice",
+    oracle="""
+    WITH pooled AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS ca,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 0 ELSE 1 END AS cb
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    cnts AS (SELECT v, SUM(ca) AS na, SUM(cb) AS nb
+             FROM pooled GROUP BY v),
+    cum AS (SELECT SUM(na) OVER (ORDER BY v) AS cuma,
+                   SUM(nb) OVER (ORDER BY v) AS cumb FROM cnts),
+    tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM cnts)
+    SELECT ROUND(MAX(ABS(cuma / CAST(n_a AS DOUBLE)
+                         - cumb / CAST(n_b AS DOUBLE))), 6) AS ks_stat,
+           CAST(ANY_VALUE(n_a) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b
+    FROM cum, tot
+    """,
+)
+def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov drift statistic between
+    urgent-priority and normal-priority order amounts
+    (operators/relational.py: ks_two_sample).  The pooled-CDF prefix sum
+    runs as the two-pass block scan over per-distinct-value counts — a
+    window partitioned by value-derived blocks plus a tiny broadcast
+    per-block prefix — NEVER the textbook single-task global window;
+    the block width only sets granularity, the statistic is exact for
+    any choice (pytest-pinned)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return R.ks_two_sample(
+        o.filter(urgent),
+        o.filter(~urgent),
+        "o_totalprice",
+        bin_width=10000.0,
+    )
+
+
+@query(
+    "streaming_attribution_join",
+    oracle="""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT p.ts) AS BIGINT) AS n_attributed_purchases,
+           strftime(MIN(c.ts), '%Y-%m-%d %H:%M:%S') AS first_click
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY 1
+    """,
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join end-to-end, oracle-checked: clicks and
+    purchases read as TWO independent ``readStream`` sources, joined on
+    user with a 30-minute event-time attribution window
+    (streaming/validate_stream.py: stream_stream_attribution), drained
+    via ``availableNow`` to a memory sink, then rolled up per user.
+    Inner matches emit on arrival, so the bounded drain equals the
+    batch interval join exactly.  The watermark here exceeds the data
+    span (drain determinism under any batching); production uses a real
+    lateness horizon and Spark evicts per-side state beyond watermark +
+    attribution window — the property that bounds stream-stream state."""
+    import tempfile
+    import uuid
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        stream_stream_attribution,
+    )
+
+    clicks = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = stream_stream_attribution(
+        clicks, purchases, "user_id", "ts", 1800, watermark="36500 days"
+    )
+    sink_name = f"bdv_attrib_q_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink_name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("purchase_ts").alias("n_attributed_purchases"),
+            F.date_format(F.min("click_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_click"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -3422,6 +3529,12 @@ _DEMOTED_TO_TAIL = [
     # TakeOrderedAndProject stays in-window via sample_weighted_orders
     # (the same physical top-k shape, newly seated).
     "topk_order_values",
+    # Range-domain rule twinned by rule_type_enforcement + the profiler's
+    # min/max bounds; green r1-r4.
+    "rule_domain_range",
+    # JSON extraction stays in-window via scan_permissive_roundtrip's
+    # JSON leg; green r1-r4.
+    "events_json_extract",
 ]
 
 

@@ -191,3 +191,47 @@ def stream_static_enrich(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(F.col(value_col)), 4).alias("avg_value"),
     )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    user_col: str,
+    ts_col: str,
+    attribution_seconds: int,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time range condition: each
+    purchase attributed to every click by the same user within the
+    preceding ``attribution_seconds`` — the canonical two-firehose
+    correlation (impression×conversion, request×error) that neither a
+    windowed aggregation nor a stream-static join can express.
+
+    Both sides carry a watermark and the join predicate bounds the
+    event-time distance, so Spark derives a state-eviction horizon for
+    EACH side: click state older than watermark + attribution window is
+    dropped — bounded state at any stream volume, the property that
+    makes stream-stream joins viable at 100 TB/day.  Inner-join matches
+    emit as they arrive (no watermark wait), so a bounded drain yields
+    exactly the batch interval-join answer.
+
+    Returns ``(user, click_ts, purchase_ts)`` pairs.
+    """
+    c = clicks.select(
+        F.col(user_col).alias("c_user"),
+        F.col(ts_col).alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts")
+            + F.expr(f"INTERVAL {int(attribution_seconds)} SECONDS")
+        ),
+    ).select(F.col("c_user").alias(user_col), "click_ts", "purchase_ts")

@@ -405,3 +405,40 @@ def test_outlier_zscore_violations(spark):
     # constant group (sd == 0) produces no violations, not a div-by-zero
     const = spark.createDataFrame([("c", 5.0)] * 4, ["grp", "v"])
     assert R.outlier_zscore_violations(const, "v", ["grp"]).count() == 0
+
+
+class TestKsTwoSample:
+    def test_hand_computed_and_block_invariance(self, spark):
+        from big_data_validator_spark.operators.relational import (
+            ks_two_sample,
+        )
+
+        a = spark.createDataFrame([(v,) for v in [1.0, 2.0, 3.0, 4.0]], "v double")
+        b = spark.createDataFrame([(v,) for v in [3.0, 4.0, 5.0, 6.0]], "v double")
+        # F_a - F_b maximal at v=2: |2/4 - 0/4| = 0.5
+        for w in (0.5, 1.0, 2.5, 1000.0):
+            [r] = ks_two_sample(a, b, "v", bin_width=w).collect()
+            assert (r["ks_stat"], r["n_a"], r["n_b"]) == (0.5, 4, 4), w
+
+    def test_identical_distributions_zero(self, spark):
+        from big_data_validator_spark.operators.relational import (
+            ks_two_sample,
+        )
+
+        a = spark.range(100).select((F.col("id") % 10).cast("double").alias("v"))
+        [r] = ks_two_sample(a, a, "v", bin_width=3.0).collect()
+        assert r["ks_stat"] == 0.0
+
+    def test_nulls_excluded_and_validation(self, spark):
+        import pytest
+
+        from big_data_validator_spark.operators.relational import (
+            ks_two_sample,
+        )
+
+        a = spark.createDataFrame([(1.0,), (None,)], "v double")
+        b = spark.createDataFrame([(2.0,), (None,)], "v double")
+        [r] = ks_two_sample(a, b, "v", bin_width=1.0).collect()
+        assert (r["n_a"], r["n_b"]) == (1, 1) and r["ks_stat"] == 1.0
+        with pytest.raises(ValueError):
+            ks_two_sample(a, b, "v", bin_width=0)

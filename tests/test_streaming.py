@@ -190,3 +190,50 @@ def test_stream_violation_sink_partitioned(spark, event_data, tmp_path):
         RULES["negative_value"] & RULES["bad_type"]
     ).count()
     assert both.count() == want_both
+
+
+def test_stream_stream_attribution_window_bounds(spark, tmp_path):
+    """A purchase 30 min or less after a click attributes; strictly after
+    the window (or before the click) it must not."""
+    import datetime as dt
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        stream_stream_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "click"),
+        (1, t0 + dt.timedelta(minutes=30), "purchase"),   # boundary: in
+        (1, t0 + dt.timedelta(minutes=31), "purchase"),   # out
+        (2, t0, "purchase"),                              # before any click
+        (2, t0 + dt.timedelta(minutes=1), "click"),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    pairs = stream_stream_attribution(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        "ts",
+        1800,
+        watermark="36500 days",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("attrib_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        (r["user_id"], r["click_ts"], r["purchase_ts"])
+        for r in spark.table("attrib_test").collect()
+    ]
+    assert got == [(1, t0, t0 + dt.timedelta(minutes=30))]
