@@ -786,3 +786,69 @@ def ks_two_sample(
             F.first("_n_b").alias("n_b"),
         )
     )
+
+
+def key_gaps(
+    df: DataFrame, key_col: str, block_size: int = 1 << 20
+) -> DataFrame:
+    """Missing-key ranges inside an integer key domain — the
+    completeness rule "sequence ids must be contiguous" reported as
+    actual ``(gap_start, gap_end, gap_len)`` ranges, not just a count.
+
+    The textbook ``lag() OVER (ORDER BY k)`` is a single-task global
+    sort.  The scalable formulation is the same block decomposition as
+    :func:`ks_two_sample`:
+
+    1. distinct keys get an order-preserving block id ``k div
+       block_size``; intra-block gaps come from a lag window partitioned
+       BY BLOCK — fully parallel;
+    2. cross-block gaps (including runs of entirely-empty blocks) come
+       from the per-block ``(min, max)`` summary — ONE row per non-empty
+       block — with a global lag over that small frame.  The global
+       window's input is bounded by ``distinct_keys / block_size`` (for
+       dense domains); size ``block_size`` so that count stays in the
+       millions (e.g. 2^20 blocks cover a 10^12-key dense domain with
+       ~10^6 summary rows).
+
+    Only INTERNAL gaps are reported (between the observed min and max);
+    the domain's intended endpoints are a contract question, not an
+    observation.  Nulls are ignored.
+    """
+    if block_size <= 1:
+        raise ValueError(f"block_size must be > 1, got {block_size}")
+    k = F.col(key_col).cast("long")
+    keys = (
+        df.filter(k.isNotNull()).select(k.alias("_k")).distinct()
+    )
+    keyed = keys.withColumn("_blk", (F.col("_k") / block_size).cast("long"))
+
+    w_blk = Window.partitionBy("_blk").orderBy("_k")
+    intra = (
+        keyed.withColumn("_pk", F.lag("_k").over(w_blk))
+        .filter(F.col("_pk").isNotNull() & (F.col("_k") - F.col("_pk") > 1))
+        .select(
+            (F.col("_pk") + 1).alias("gap_start"),
+            (F.col("_k") - 1).alias("gap_end"),
+        )
+    )
+
+    summary = keyed.groupBy("_blk").agg(
+        F.min("_k").alias("_mn"), F.max("_k").alias("_mx")
+    )
+    w_all = Window.orderBy("_blk")
+    inter = (
+        summary.withColumn("_pmx", F.lag("_mx").over(w_all))
+        .filter(
+            F.col("_pmx").isNotNull() & (F.col("_mn") - F.col("_pmx") > 1)
+        )
+        .select(
+            (F.col("_pmx") + 1).alias("gap_start"),
+            (F.col("_mn") - 1).alias("gap_end"),
+        )
+    )
+
+    return intra.unionAll(inter).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+    )

@@ -151,3 +151,59 @@ def weighted_sample_exact(
         .limit(k)
         .drop("_es_score")
     )
+
+
+def shuffle_shards(
+    df: DataFrame, key_col: str, n_shards: int, seed: int = 42
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort: every row gets an engine-portable pseudo-random rank (md5 of
+    ``key:seed`` — the same digest device as
+    :func:`stratified_exact_sample`) plus a shard id derived from that
+    rank's top 32 bits.
+
+    Writing shuffled training shards then costs ONE hash-partition
+    shuffle (``repartition(n_shards, shard_id)``) and a sort WITHIN each
+    shard by ``_shuffle_rank`` — never an ``orderBy`` over the full
+    corpus.  Readers that consume shards in id order and rows in rank
+    order within each shard stream the exact md5-rank global order
+    restricted per shard — each shard is an unbiased, deterministic
+    1/n_shards sample of the corpus, which is the property epoch
+    shuffling actually needs (no rank correlation with source order).
+
+    Adds ``shard_id`` (int) and ``_shuffle_rank`` (32-hex string;
+    lexicographic order IS the shuffle order).  Deterministic across
+    reruns, partitionings, and engines; reshuffle by changing ``seed``.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    rank = F.md5(
+        F.encode(
+            F.concat_ws(
+                ":", F.col(key_col).cast("string"), F.lit(str(seed))
+            ),
+            "UTF-8",
+        )
+    )
+    shard = F.pmod(
+        F.conv(F.substring(rank, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    return df.withColumn("_shuffle_rank", rank).withColumn(
+        "shard_id", shard
+    )
+
+
+def shuffle_shard_stats(
+    sharded: DataFrame, key_col: str, size_col: str
+) -> DataFrame:
+    """Per-shard manifest for a :func:`shuffle_shards` frame: row count,
+    total payload size, and the first/last key in shuffle order (what a
+    shard reader would see) — the audit view that makes the shuffle's
+    balance and determinism checkable without materializing shards."""
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(size_col)).cast("long").alias("sum_size"),
+        F.min_by(F.col(key_col), F.col("_shuffle_rank")).alias("first_key"),
+        F.max_by(F.col(key_col), F.col("_shuffle_rank")).alias("last_key"),
+    )

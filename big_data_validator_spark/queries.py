@@ -3434,6 +3434,138 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_changeset_orders",
+    oracle="""
+    WITH incoming AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderkey, change_type FROM (
+      SELECT COALESCE(c.o_orderkey, i.o_orderkey) AS o_orderkey,
+             CASE WHEN i.o_orderkey IS NULL THEN 'delete'
+                  WHEN c.o_orderkey IS NULL THEN 'insert'
+                  WHEN c.o_orderstatus IS DISTINCT FROM i.o_orderstatus
+                    OR c.o_totalprice IS DISTINCT FROM i.o_totalprice
+                    OR c.o_orderpriority IS DISTINCT FROM i.o_orderpriority
+                  THEN 'update' ELSE 'unchanged' END AS change_type
+      FROM orders c FULL OUTER JOIN incoming i
+        ON c.o_orderkey = i.o_orderkey
+    ) WHERE change_type <> 'unchanged'
+    """,
+)
+def cdc_changeset_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff / CDC changeset (operators/cdc.py:
+    snapshot_changeset): yesterday's orders vs a simulated incoming
+    snapshot (10%% of keys deleted, every 7th price bumped, every 13th
+    key re-inserted under a new id); every key classified
+    insert / update / delete.  Both sides reduce to (key, md5
+    fingerprint) BEFORE the full-outer join, so the shuffle carries
+    ~50 B/row however wide the fact table is; bucketed snapshots make
+    the join zero-Exchange.  The incremental-revalidation primitive the
+    reference lacks (reference/big_data_validator.py re-reads whole
+    files every run)."""
+    from big_data_validator_spark.operators.cdc import snapshot_changeset
+
+    o = _t(spark, sf_dir, "orders")
+    current = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    base = current.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    inserts = current.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    incoming = base.unionAll(inserts)
+    return snapshot_changeset(
+        current,
+        incoming,
+        key_cols=["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+
+
+@query(
+    "train_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || ':42') AS rk
+      FROM documents
+    )
+    SELECT CAST(CAST('0x' || substr(rk, 1, 8) AS UBIGINT) % 16 AS INT)
+             AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_size,
+           arg_min(doc_id, rk) AS first_key,
+           arg_max(doc_id, rk) AS last_key
+    FROM h GROUP BY 1
+    """,
+)
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle into 16 shards
+    (operators/sampling.py: shuffle_shards): every document gets an
+    engine-portable md5 rank and a shard id from the rank's top 32
+    bits; the per-shard manifest (count, bytes, first/last doc in
+    shuffle order) is the audit view.  Writing the shards costs one
+    hash-partition shuffle + sortWithinPartitions — never a global
+    orderBy over the corpus — which is what an epoch shuffle over
+    100 TB has to look like."""
+    from big_data_validator_spark.operators.sampling import (
+        shuffle_shard_stats,
+        shuffle_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sharded = shuffle_shards(d, "doc_id", n_shards=16, seed=42)
+    return shuffle_shard_stats(sharded, key_col="doc_id", size_col="n_chars")
+
+
+@query(
+    "rule_key_gaps",
+    oracle="""
+    WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+               WHERE o_orderkey % 101 >= 3),
+         g AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM k)
+    SELECT CAST(pk + 1 AS BIGINT) AS gap_start,
+           CAST(k - 1 AS BIGINT) AS gap_end,
+           CAST(k - pk - 1 AS BIGINT) AS gap_len
+    FROM g WHERE pk IS NOT NULL AND k - pk > 1
+    """,
+)
+def rule_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness rule: report every missing-key RANGE in an
+    integer id domain (operators/relational.py: key_gaps).  The oracle
+    is the textbook single-sort lag query; the Spark plan is the
+    block-decomposed scan (lag windows partitioned by ``k div 2^20``
+    + a tiny per-block summary pass), so no stage ever sorts the full
+    key domain in one task.  Gaps are synthesized by dropping
+    ``o_orderkey % 101 in (0,1,2)`` — the keys in the test tables are
+    otherwise dense."""
+    from big_data_validator_spark.operators.relational import key_gaps
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 >= 3)
+    return key_gaps(o, "o_orderkey")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

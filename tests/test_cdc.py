@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators.cdc import (
+    changeset_summary,
+    row_fingerprint,
+    snapshot_changeset,
+)
+
+
+@pytest.fixture()
+def snapshots(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, None, 30.0),
+            (4, "d", None),
+            (5, "e", 50.0),
+        ],
+        "k int, s string, v double",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "a", 10.0),  # unchanged
+            (2, "B", 20.0),  # update (string)
+            (3, None, 31.0),  # update (double, null elsewhere)
+            (4, "d", None),  # unchanged (null == null for diffing)
+            (6, "f", 60.0),  # insert
+        ],  # 5 -> delete
+        "k int, s string, v double",
+    )
+    return current, incoming
+
+
+def test_classification(spark, snapshots):
+    current, incoming = snapshots
+    out = snapshot_changeset(current, incoming, ["k"])
+    got = {r["k"]: r["change_type"] for r in out.collect()}
+    assert got == {2: "update", 3: "update", 5: "delete", 6: "insert"}
+
+
+def test_include_unchanged_and_summary(spark, snapshots):
+    current, incoming = snapshots
+    out = snapshot_changeset(
+        current, incoming, ["k"], include_unchanged=True
+    )
+    got = {r["k"]: r["change_type"] for r in out.collect()}
+    assert got[1] == "unchanged" and got[4] == "unchanged"
+    assert len(got) == 6
+    summary = {
+        r["change_type"]: r["n_keys"]
+        for r in changeset_summary(out).collect()
+    }
+    assert summary == {
+        "unchanged": 2,
+        "update": 2,
+        "delete": 1,
+        "insert": 1,
+    }
+
+
+def test_default_compare_cols_are_shared_non_key(spark):
+    current = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k int, s string, only_cur string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, "a", 9), (2, "zz", 8)], "k int, s string, only_inc int"
+    )
+    # only `s` is shared and non-key; only_cur/only_inc must be ignored
+    out = snapshot_changeset(current, incoming, ["k"])
+    got = {r["k"]: r["change_type"] for r in out.collect()}
+    assert got == {2: "update"}
+
+
+def test_fingerprint_matches_direct_comparison(spark):
+    """Hash-compare path == column-wise comparison on a value grid that
+    includes nulls, empty strings, and near-miss renderings."""
+    rows = [
+        (i, s, v)
+        for i, (s, v) in enumerate(
+            [
+                ("", 0.0),
+                ("", None),
+                (None, 0.0),
+                (None, None),
+                ("0.0", 0.0),
+                ("x", 1.5),
+                ("x ", 1.5),
+                ("x", -1.5),
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, "k int, s string, v double")
+    # every pair (a, b): fingerprint equality must equal struct equality
+    a = df.select(
+        F.col("k").alias("ka"),
+        F.col("s").alias("sa"),
+        F.col("v").alias("va"),
+        row_fingerprint([F.col("s"), F.col("v")]).alias("fpa"),
+    )
+    b = df.select(
+        F.col("k").alias("kb"),
+        F.col("s").alias("sb"),
+        F.col("v").alias("vb"),
+        row_fingerprint([F.col("s"), F.col("v")]).alias("fpb"),
+    )
+    pairs = a.crossJoin(b).select(
+        (F.col("fpa") == F.col("fpb")).alias("fp_eq"),
+        (
+            F.col("sa").eqNullSafe(F.col("sb"))
+            & F.col("va").eqNullSafe(F.col("vb"))
+        ).alias("val_eq"),
+    )
+    assert pairs.filter(F.col("fp_eq") != F.col("val_eq")).count() == 0
+
+
+def test_empty_key_and_no_compare_cols_raise(spark, snapshots):
+    current, incoming = snapshots
+    with pytest.raises(ValueError):
+        snapshot_changeset(current, incoming, [])
+    with pytest.raises(ValueError):
+        snapshot_changeset(
+            current.select("k"), incoming.select("k"), ["k"]
+        )
+
+
+def test_registry_entry_matches_duckdb(spark):
+    import duckdb
+
+    from big_data_validator_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    spec = REGISTRY["cdc_changeset_orders"]
+    got = sorted(
+        tuple(r) for r in spec.fn(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want
+    assert len(got) > 0
