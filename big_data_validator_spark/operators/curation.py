@@ -1,0 +1,212 @@
+"""Corpus-curation operators: repetition/quality filters (Gopher-style),
+PII scanning/redaction, and benchmark-contamination probes.
+
+These are pre-training data-quality gates, the document-level siblings of
+the row-level rules in operators/rules.py.  Every per-document metric here
+is ROW-LOCAL — array higher-order functions and regexes inside whole-stage
+codegen, zero shuffle, no Python in the hot path — so the cost at 100 TB
+is exactly one scan of the text column.  Only the contamination probe
+joins anything, and its probe side is a broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------- quality
+
+#: Gopher-style repetition/length gates (Rae et al. 2021, "Scaling
+#: Language Models: ...Gopher", §A1.1 data pipeline) re-parameterized:
+#: the paper's thresholds assume web prose; callers tune per corpus.
+DEFAULT_QUALITY_THRESHOLDS = {
+    "min_words": 20,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_dup_word_frac": 0.55,
+    "max_top_word_frac": 0.20,
+}
+
+
+def _words(text_col: str) -> Column:
+    # explicit empty-string filter: split behavior around leading /
+    # trailing / doubled separators differs across engines; after the
+    # filter both agree.
+    return F.expr(f"filter(split({text_col}, ' '), x -> x != '')")
+
+
+def word_quality_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Per-document repetition/length metrics, all computed inside one
+    projection over the word array (no explode, no shuffle):
+
+    - ``n_words``; ``mean_word_len``;
+    - ``dup_word_frac`` — ``1 − distinct/total``, the word-level analog
+      of Gopher's duplicate-line fraction;
+    - ``top_word_frac`` — most frequent word's share, the word-level
+      analog of the top-n-gram fraction.
+
+    The top-word count is ``O(distinct × n)`` per row via nested array
+    lambdas — fine for documents (n ≤ 10^4 words); it stays row-local
+    precisely so a 100 TB corpus never shuffles (doc, word) pairs just
+    to compute a per-doc ratio.  Fractions are exact rationals computed
+    in double — deterministic across engines — rounded to 6.
+    """
+    w = _words(text_col)
+    out = df.select(
+        *id_cols,
+        w.alias("_w"),
+    ).select(
+        *id_cols,
+        F.size("_w").cast("long").alias("n_words"),
+        F.round(
+            F.expr(
+                "aggregate(_w, 0L, (acc, x) -> acc + length(x))"
+            ).cast("double")
+            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("_w")).cast("double")
+            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(
+                F.expr(
+                    "array_max(transform(array_distinct(_w),"
+                    " w -> size(filter(_w, x -> x = w))))"
+                ),
+                F.lit(0),
+            ).cast("double")
+            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
+            6,
+        ).alias("top_word_frac"),
+    )
+    return out
+
+
+def gopher_quality_flags(
+    metrics: DataFrame,
+    thresholds: Optional[Mapping[str, float]] = None,
+) -> DataFrame:
+    """Per-rule boolean gates + the conjunctive ``quality_pass`` over a
+    :func:`word_quality_metrics` frame.  One more codegen projection."""
+    t = dict(DEFAULT_QUALITY_THRESHOLDS)
+    if thresholds:
+        t.update(thresholds)
+    flags = {
+        "pass_n_words": (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"]),
+        "pass_word_len": (F.col("mean_word_len") >= t["min_mean_word_len"])
+        & (F.col("mean_word_len") <= t["max_mean_word_len"]),
+        "pass_dup_words": F.col("dup_word_frac") <= t["max_dup_word_frac"],
+        "pass_top_word": F.col("top_word_frac") <= t["max_top_word_frac"],
+    }
+    out = metrics
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    conj = flags["pass_n_words"]
+    for name in ("pass_word_len", "pass_dup_words", "pass_top_word"):
+        conj = conj & F.col(name)
+    return out.withColumn("quality_pass", conj)
+
+
+# ------------------------------------------------------------------- PII
+
+#: Engine-portable patterns: every construct here (classes, {m,},
+#: alternation) means the same thing in Java regex (Spark) and RE2
+#: (DuckDB oracle) — no lookaround, no backreferences.
+DEFAULT_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 -]{7,}[0-9]",
+}
+
+
+def pii_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: Optional[Mapping[str, str]] = None,
+    redact: bool = True,
+) -> DataFrame:
+    """Append ``n_<name>`` match counts per pattern and (optionally) a
+    ``redacted`` text column where each match is replaced by
+    ``<NAME>``.  Patterns apply in dict order — order matters when
+    patterns overlap (an email's digits could partially match a phone
+    pattern), so redaction feeds each pattern the previous pattern's
+    output.  Pure ``regexp_count`` / ``regexp_replace`` projections:
+    row-local, codegen'd, one scan at any corpus size.
+    """
+    pats = dict(patterns if patterns is not None else DEFAULT_PII_PATTERNS)
+    if not pats:
+        raise ValueError("patterns must be non-empty")
+    out = df
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        if redact:
+            red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    if redact:
+        out = out.withColumn("redacted", red)
+    return out
+
+
+# --------------------------------------------------------- contamination
+
+
+def contamination_probe_counts(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    probe_col: str = "probe",
+    probe_id_col: str = "probe_id",
+    corpus_id_col: Optional[str] = None,
+) -> DataFrame:
+    """For each probe string (e.g. a benchmark question / answer
+    snippet), count corpus documents containing it as an EXACT
+    substring — the standard train/test contamination screen.
+
+    Shape: ``broadcast(probes)`` × one corpus scan with
+    ``instr(text, probe) > 0`` — a broadcast nested-loop join, which is
+    the right plan when probes are a benchmark suite (10^2–10^4
+    strings) and the corpus is 100 TB: no shuffle of the corpus, cost
+    is scan × |probes| substring searches, all JVM-side.  Beyond ~10^4
+    probes, move the probe set into an Aho-Corasick automaton inside
+    ``mapInPandas`` (one pass, all probes simultaneously); the
+    broadcast-join formulation stays the oracle.
+
+    When ``corpus_id_col`` is given, a document whose id equals the
+    probe's ``probe_id_col`` is excluded (a probe drawn from the corpus
+    should not count itself).  Returns one row per probe:
+    ``(probe_id_col, n_contaminated)`` — probes with zero hits
+    included, so the output size is always ``|probes|``.
+    """
+    p = F.broadcast(probes.select(probe_id_col, probe_col))
+    cond = F.instr(F.col(text_col), F.col(probe_col)) > 0
+    if corpus_id_col is not None:
+        cond = cond & (F.col(corpus_id_col) != F.col(probe_id_col))
+    hits = (
+        corpus.crossJoin(p)
+        .filter(cond)
+        .groupBy(probe_id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    return (
+        probes.select(probe_id_col)
+        .join(hits, probe_id_col, "left")
+        .select(
+            probe_id_col,
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+    )

@@ -3566,6 +3566,158 @@ def rule_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_gaps(o, "o_orderkey")
 
 
+@query(
+    "quality_gopher_flags",
+    oracle="""
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '')
+                        AS words
+               FROM documents),
+    m AS (SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            ROUND(CAST(COALESCE(list_sum(
+                    list_transform(words, x -> len(x))), 0) AS DOUBLE)
+                  / GREATEST(len(words), 1), 6) AS mean_word_len,
+            ROUND(CAST(1.0 AS DOUBLE)
+                  - CAST(len(list_distinct(words)) AS DOUBLE)
+                    / GREATEST(len(words), 1), 6) AS dup_word_frac,
+            ROUND(CAST(COALESCE(list_max(list_transform(
+                      list_distinct(words),
+                      w2 -> len(list_filter(words, x -> x = w2)))), 0)
+                    AS DOUBLE)
+                  / GREATEST(len(words), 1), 6) AS top_word_frac
+          FROM w)
+    SELECT doc_id, n_words, mean_word_len, dup_word_frac, top_word_frac,
+           n_words >= 20 AND n_words <= 100000 AS pass_n_words,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AS pass_word_len,
+           dup_word_frac <= 0.55 AS pass_dup_words,
+           top_word_frac <= 0.20 AS pass_top_word,
+           (n_words >= 20 AND n_words <= 100000)
+             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AND dup_word_frac <= 0.55 AND top_word_frac <= 0.20
+             AS quality_pass
+    FROM m
+    """,
+)
+def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/length quality gates per document
+    (operators/curation.py: word_quality_metrics +
+    gopher_quality_flags): word count, mean word length, duplicate-word
+    fraction, top-word fraction, each gated, plus the conjunctive
+    ``quality_pass``.  Everything is array higher-order functions in
+    one codegen projection — zero shuffle, no Python — so the 100 TB
+    cost is exactly one text-column scan."""
+    from big_data_validator_spark.operators.curation import (
+        gopher_quality_flags,
+        word_quality_metrics,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(word_quality_metrics(d))
+
+
+@query(
+    "pii_redaction_scan",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 50 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-000-1234'
+                  ELSE text END AS text
+      FROM documents),
+    scanned AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+               AS INT) AS n_email,
+             CAST(len(regexp_extract_all(text,
+               '\\+?[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phone,
+             CAST(len(text) - len(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'))
+               AS BIGINT) AS chars_removed
+      FROM aug)
+    SELECT * FROM scanned WHERE n_email + n_phone > 0
+    """,
+)
+def pii_redaction_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (operators/curation.py: pii_scan): per-doc
+    email/phone match counts and the redaction character delta,
+    reported for affected documents only.  The corpus is synthetic
+    word-soup, so deterministic PII is injected into every 50th doc
+    in-query (both engines apply the identical augmentation).  Pure
+    regexp projections — row-local, one scan at any scale; the regex
+    patterns are deliberately lookaround-free so Java regex and RE2
+    agree."""
+    from big_data_validator_spark.operators.curation import pii_scan
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 555-000-1234"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scanned = pii_scan(aug, "text")
+    return scanned.filter(
+        F.col("n_email") + F.col("n_phone") > 0
+    ).select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        (F.length("text") - F.length("redacted"))
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+@query(
+    "contamination_probes",
+    oracle="""
+    WITH p AS (SELECT doc_id AS probe_id, substr(text, 1, 16) AS probe
+               FROM documents WHERE doc_id % 97 = 0)
+    SELECT probe_id,
+           CAST(COALESCE(SUM(CASE WHEN d.doc_id <> p.probe_id
+                                   AND position(probe IN d.text) > 0
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_contaminated
+    FROM p, documents d GROUP BY 1
+    """,
+)
+def contamination_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (operators/curation.py:
+    contamination_probe_counts): every 97th document's 16-char prefix
+    plays the role of a benchmark probe; count OTHER documents
+    containing it as an exact substring.  The probe side broadcasts and
+    the corpus is scanned once with JVM-side ``instr`` — the right plan
+    for a benchmark suite (10^2-10^4 probes) against 100 TB; beyond
+    that, the documented upgrade is an Aho-Corasick automaton in
+    mapInPandas with this plan as the oracle."""
+    from big_data_validator_spark.operators.curation import (
+        contamination_probe_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("probe_id"),
+        F.substring("text", 1, 16).alias("probe"),
+    )
+    return contamination_probe_counts(
+        d, probes, text_col="text", corpus_id_col="doc_id"
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

@@ -1,0 +1,154 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators.curation import (
+    contamination_probe_counts,
+    gopher_quality_flags,
+    pii_scan,
+    word_quality_metrics,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- quality
+
+
+def test_word_metrics_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc"),  # 4 words, 3 distinct, top 'aa' x2
+            (2, "x"),  # single word
+            (3, ""),  # empty
+            (4, "  aa   bb "),  # separator noise filtered
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in word_quality_metrics(df).collect()}
+    assert got[1]["n_words"] == 4
+    assert got[1]["mean_word_len"] == 2.0
+    assert got[1]["dup_word_frac"] == 0.25
+    assert got[1]["top_word_frac"] == 0.5
+    assert got[2]["n_words"] == 1 and got[2]["dup_word_frac"] == 0.0
+    assert got[3]["n_words"] == 0 and got[3]["mean_word_len"] == 0.0
+    assert got[4]["n_words"] == 2 and got[4]["mean_word_len"] == 2.0
+
+
+def test_gopher_flags_thresholds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"word{i}" for i in range(30))),  # passes all
+            (2, "aa bb"),  # too short
+            (3, " ".join(["dup"] * 40)),  # repetition fails
+        ],
+        "doc_id long, text string",
+    )
+    out = gopher_quality_flags(word_quality_metrics(df))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["quality_pass"] is True
+    assert got[2]["quality_pass"] is False and not got[2]["pass_n_words"]
+    assert got[3]["quality_pass"] is False
+    assert not got[3]["pass_dup_words"] and not got[3]["pass_top_word"]
+
+
+# -------------------------------------------------------------------- PII
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.io and c.d+x@e-f.org here"),
+            (2, "call +1 555-000-1234 now"),
+            (3, "clean text only"),
+            (4, "both z@q.net and 555 123 4567 x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_phone"] == 0
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert "a@b.io" not in got[1]["redacted"]
+    assert got[2]["n_phone"] == 1 and "<PHONE>" in got[2]["redacted"]
+    assert got[3]["n_email"] == 0 and got[3]["n_phone"] == 0
+    assert got[3]["redacted"] == "clean text only"
+    assert got[4]["n_email"] == 1 and got[4]["n_phone"] == 1
+
+
+def test_pii_scan_empty_patterns_raise(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pii_scan(df, patterns={})
+
+
+# ---------------------------------------------------------- contamination
+
+
+def test_contamination_counts_and_self_exclusion(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown stuff"),
+            (3, "nothing here"),
+            (4, "very quick brown fox indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "quick brown"), (3, "zebra")],
+        "probe_id long, probe string",
+    )
+    got = {
+        r["probe_id"]: r["n_contaminated"]
+        for r in contamination_probe_counts(
+            corpus, probes, corpus_id_col="doc_id"
+        ).collect()
+    }
+    # probe 1 matches docs 2 and 4 (doc 1 = self, excluded); probe 3: none
+    assert got == {1: 2, 3: 0}
+    # without self-exclusion doc 1 counts too
+    got2 = {
+        r["probe_id"]: r["n_contaminated"]
+        for r in contamination_probe_counts(corpus, probes).collect()
+    }
+    assert got2 == {1: 3, 3: 0}
+
+
+def test_contamination_probe_plan_broadcasts(spark):
+    corpus = spark.createDataFrame(
+        [(1, "abc")], "doc_id long, text string"
+    )
+    probes = spark.createDataFrame(
+        [(9, "b")], "probe_id long, probe string"
+    )
+    plan = contamination_probe_counts(
+        corpus, probes, corpus_id_col="doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------- oracle
+
+
+def test_registry_entries_match_duckdb(spark):
+    from big_data_validator_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    )
+    for name in (
+        "quality_gopher_flags",
+        "pii_redaction_scan",
+        "contamination_probes",
+    ):
+        spec = REGISTRY[name]
+        got = sorted(tuple(r) for r in spec.fn(spark, SF_DIR).collect())
+        want = sorted(
+            tuple(r) for r in con.execute(spec.oracle).fetchall()
+        )
+        assert got == want, name
+        assert len(got) > 0, name
