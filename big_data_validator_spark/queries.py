@@ -3718,6 +3718,140 @@ def contamination_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+                ELSE o_orderpriority END AS priority,
+           CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+                ELSE o_orderstatus END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form rollup/cube are sugar
+    for): per (priority, status), per priority, and the grand total in
+    ONE aggregation — Catalyst plans a single Expand + partial agg, not
+    three jobs; ``GROUPING()`` labels subtotal rows unambiguously
+    (a NULL-coalesce label would collide with genuine NULL keys)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping("o_orderpriority").alias("_gp"),
+            F.grouping("o_orderstatus").alias("_gs"),
+        )
+        .select(
+            F.when(F.col("_gp") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.when(F.col("_gs") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                        AS month,
+                      ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2)
+                        AS revenue
+               FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 2)
+             AS delta,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) * 100, 4)
+             AS pct_change
+    FROM m
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue deltas: aggregate to monthly totals
+    (map-side combined — the frame shrinks to #months before any
+    window), then lag/lead over the SMALL aggregate.  The global
+    window's input cardinality is the number of months, not the number
+    of orders — the safe way to use an unpartitioned window at 100 TB.
+    Deltas are computed from the ROUNDED monthly totals so the
+    cross-engine hash never sees raw float jitter."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias(
+            "pct_change"
+        ),
+    )
+
+
+def _zorder_oracle() -> str:
+    from big_data_validator_spark.operators.layout import morton_sql
+
+    return f"""
+    WITH b AS (SELECT MIN(o_custkey) AS mnx, MAX(o_custkey) AS mxx,
+                      MIN(o_orderkey) AS mny, MAX(o_orderkey) AS mxy
+               FROM orders),
+    q AS (SELECT o_custkey AS x, o_orderkey AS y, mnx, mxx, mny, mxy,
+                 ((o_custkey - mnx) * 255) // GREATEST(mxx - mnx, 1)
+                   AS _qx,
+                 ((o_orderkey - mny) * 255) // GREATEST(mxy - mny, 1)
+                   AS _qy
+          FROM orders, b),
+    z AS (SELECT x, y, mnx, mxx, mny, mxy,
+                 ({morton_sql("_qx", "_qy", 8)}) // 1024 AS file_id
+          FROM q)
+    SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y,
+           ROUND(CAST(MAX(x) - MIN(x) + 1 AS DOUBLE)
+                 / (MAX(mxx) - MAX(mnx) + 1), 6) AS x_span_frac,
+           ROUND(CAST(MAX(y) - MIN(y) + 1 AS DOUBLE)
+                 / (MAX(mxy) - MAX(mny) + 1), 6) AS y_span_frac
+    FROM z GROUP BY 1
+    """
+
+
+@query("layout_zorder_stats", oracle=_zorder_oracle())
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering manifest (operators/layout.py:
+    zorder_file_stats): orders bucketed into 64 Z-order files over
+    (o_custkey, o_orderkey); per file, row count + min-max of both
+    dimensions + fractional span of each column's global range — the
+    direct measure of min-max file-skipping power that
+    Delta/Iceberg-style ``OPTIMIZE ZORDER BY`` buys a 100 TB table.
+    The Morton code is a pure shift/mask codegen projection; integer
+    quantization makes bucket assignment engine-exact."""
+    from big_data_validator_spark.operators.layout import zorder_file_stats
+
+    o = _t(spark, sf_dir, "orders")
+    return zorder_file_stats(
+        o, "o_custkey", "o_orderkey", bits=8, n_files=64
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
