@@ -108,6 +108,19 @@ HEADLINE = [
     "streaming_static_enrich",
     "drift_ks_totalprice",
     "streaming_attribution_join",
+    # round-5 session additions, second batch: CDC snapshot diff,
+    # global-sort-free epoch shuffle, block-scan key gaps, row-local
+    # quality/PII/contamination curation gates, GROUPING SETS expand,
+    # small-aggregate lag windows, Z-order layout manifest
+    "cdc_changeset_orders",
+    "train_shuffle_shards",
+    "rule_key_gaps",
+    "quality_gopher_flags",
+    "pii_redaction_scan",
+    "contamination_probes",
+    "agg_grouping_sets",
+    "window_lag_delta",
+    "layout_zorder_stats",
 ]
 
 

@@ -3953,6 +3953,38 @@ _DEMOTED_TO_TAIL = [
     # JSON extraction stays in-window via scan_permissive_roundtrip's
     # JSON leg; green r1-r4.
     "events_json_extract",
+    # ---- round-5 third rotation: nine r1-r4-green entries rest so the
+    # ---- nine operators added this session (CDC changeset, shuffle
+    # ---- shards, key gaps, Gopher gates, PII scan, contamination,
+    # ---- grouping sets, lag deltas, Z-order stats) each get a
+    # ---- driver-green row.  Per-entry twin rationale:
+    # Exact-percentile single-buffer agg twinned by the profiler's
+    # numeric summary + agg_distribution_stats' r1-r4 history.
+    "agg_percentiles",
+    # INTERSECT is left-semi sugar; rule_referential_integrity's
+    # anti-join keeps existence-join semantics in-window.
+    "set_intersect_priority_profiles",
+    # Drift family stays in-window via drift_ks_totalprice (newly
+    # seated, the stronger exact test); PSI rests after 4 green rounds.
+    "drift_psi_totalprice",
+    # As-of is the backward range join; join_range_binned +
+    # join_interval_overlap keep range-join semantics in-window.
+    "join_asof_orders_events",
+    # Chunk/window segmentation stays via pipeline_curate_pack (ends in
+    # the same segmentation + packer) and pack_sequences history.
+    "text_chunk_windows",
+    # Pairwise-similarity dedup stays via dedup_fuzzy_levenshtein; the
+    # n-gram Jaccard demo (deliberately bounded) rests.
+    "dedup_ngram_jaccard",
+    # Brute-force cosine top-k is recomputed INSIDE sim_ann_recall as
+    # the ground truth every round; the standalone view rests.
+    "sim_bruteforce_topk",
+    # Batch sessionization twinned by streaming_sessionize_stateful
+    # (same gap semantics, stateful path) — both were driver-green r4.
+    "events_sessionize",
+    # Column-name contract rule twinned by rule_type_enforcement (same
+    # contract object, stricter check); green r1-r4.
+    "rule_column_names",
 ]
 
 

@@ -124,11 +124,14 @@ def test_driver_window_is_all_oracled():
     # (membership rotates — see _DEMOTED_TO_TAIL — but each family keeps
     # at least one seat).
     for required in [
-        "dedup_exact_keep_first", "dedup_ngram_jaccard",
-        "sim_bruteforce_topk", "sim_ann_recall",
+        "dedup_exact_keep_first", "dedup_fuzzy_levenshtein",
+        "sim_ann_recall",  # recomputes brute-force cosine as ground truth
         "multimodal_resize_stats", "multimodal_frame_sample",
         "text_tfidf_top_terms", "sample_stratified_orders",
-        "pipeline_curate_pack", "corpus_mixture_apply",
+        "sample_weighted_orders", "pipeline_curate_pack",
+        "corpus_mixture_apply", "quality_gopher_flags",
+        "pii_redaction_scan", "contamination_probes",
+        "train_shuffle_shards", "cdc_changeset_orders",
     ]:
         assert required in window, required
 
