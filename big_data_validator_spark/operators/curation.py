@@ -200,9 +200,11 @@ def contamination_probe_counts(
         .groupBy(probe_id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
     )
+    # hits has at most |probes| rows — broadcast it so the zero-hit
+    # fill-in never shuffles the probe table either
     return (
         probes.select(probe_id_col)
-        .join(hits, probe_id_col, "left")
+        .join(F.broadcast(hits), probe_id_col, "left")
         .select(
             probe_id_col,
             F.coalesce(F.col("n_contaminated"), F.lit(0))
