@@ -121,6 +121,8 @@ HEADLINE = [
     "agg_grouping_sets",
     "window_lag_delta",
     "layout_zorder_stats",
+    "agg_hll_mergeable",
+    "events_top_sequences",
 ]
 
 

@@ -3852,6 +3852,121 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'ALL' AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM orders
+    """,
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the architecture that makes
+    incremental/rollup distinct counts possible at 100 TB: per-group
+    Datasketches HLL sketches (``hll_sketch_agg``), with the global
+    count obtained by UNIONING THE SKETCHES (``hll_union_agg``), never
+    rescanning the data.  Persist per-day sketch bytes and a rolling
+    30-day distinct count becomes a 30-row merge.
+
+    Hash discipline: the sketch estimate itself is
+    algorithm-specific, so the hashed output is the EXACT per-group
+    distinct count (computed alongside) plus ``est_ok`` = "estimate
+    within 5% of exact" — the oracle asserts TRUE, so a sketch
+    regression flips the hash.  lgConfigK=14 ⇒ ~0.7% expected error."""
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("_sk"),
+        F.count_distinct("o_custkey").cast("long").alias("n_exact"),
+    )
+    per_out = per.select(
+        "priority",
+        "n_exact",
+        (
+            F.abs(
+                F.hll_sketch_estimate("_sk").cast("double")
+                - F.col("n_exact").cast("double")
+            )
+            / F.col("n_exact").cast("double")
+            < 0.05
+        ).alias("est_ok"),
+    )
+    merged = (
+        per.agg(
+            F.hll_union_agg("_sk").alias("_sk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count_distinct("o_custkey")
+                    .cast("long")
+                    .alias("n_exact")
+                )
+            )
+        )
+        .select(
+            F.lit("ALL").alias("priority"),
+            "n_exact",
+            (
+                F.abs(
+                    F.hll_sketch_estimate("_sk").cast("double")
+                    - F.col("n_exact").cast("double")
+                )
+                / F.col("n_exact").cast("double")
+                < 0.05
+            ).alias("est_ok"),
+        )
+    )
+    return per_out.unionAll(merged)
+
+
+@query(
+    "events_top_sequences",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+      FROM events)
+    SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 10
+    """,
+)
+def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the 10 most common 3-event sequences
+    across user journeys.  One window pass per user (lead ×2 over the
+    same sort — Spark evaluates both leads in a single Window node),
+    then a count aggregation whose shuffle carries distinct trigrams
+    only; top-10 plans as TakeOrderedAndProject with a deterministic
+    tie-break.  Event order is pinned by (ts, event_id) so concurrent
+    events hash identically across engines."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("trigram").asc())
+        .limit(10)
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -3985,6 +4100,13 @@ _DEMOTED_TO_TAIL = [
     # Column-name contract rule twinned by rule_type_enforcement (same
     # contract object, stricter check); green r1-r4.
     "rule_column_names",
+    # ROLLUP is GROUPING SETS sugar; agg_grouping_sets (newly seated)
+    # pins the same Expand-node plan with explicit sets; green r1-r4.
+    "agg_rollup_region_nation",
+    # Text quality ratios twinned by quality_gopher_flags (newly
+    # seated); token/fingerprint legs by text_tfidf_top_terms +
+    # dedup_exact_keep_first; green r1-r4.
+    "text_profile",
 ]
 
 
