@@ -123,6 +123,8 @@ HEADLINE = [
     "layout_zorder_stats",
     "agg_hll_mergeable",
     "events_top_sequences",
+    "agg_equidepth_histogram",
+    "rule_candidate_keys",
 ]
 
 

@@ -852,3 +852,90 @@ def key_gaps(
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    block_width: float,
+) -> DataFrame:
+    """EXACT equi-depth (equal-frequency) histogram: ``n_bins`` buckets
+    whose boundaries are observed values, each holding ~``rows/n_bins``
+    rows — the optimizer/profiling statistic equi-WIDTH histograms
+    can't substitute for on skewed columns.
+
+    The textbook formulation is ``ntile(n) OVER (ORDER BY v)`` — a
+    single-task global sort at scale.  Here it is the
+    :func:`ks_two_sample` block scan instead: per-distinct-value counts
+    (one shuffle, frame shrinks to the value domain), block-local
+    cumulative windows + a tiny prefix-summed per-block totals frame,
+    then every distinct value's bin is ``floor(cum_before · n_bins /
+    total)`` in EXACT integer arithmetic.  All duplicates of one value
+    land in one bin (bins differ from ntile's row-split exactly there,
+    which is what makes the result deterministic and engine-portable).
+
+    ``block_width`` only sets block granularity — any positive value
+    yields the identical histogram (pinned in tests).  Returns one row
+    per non-empty bin: ``(bin_id, n_rows, min_v, max_v)``.
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    if block_width <= 0:
+        raise ValueError(f"block_width must be positive, got {block_width}")
+    v = F.col(value_col)
+    cnts = (
+        df.filter(v.isNotNull())
+        .groupBy(v.alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    blk = F.floor(F.col("_v") / F.lit(float(block_width))).cast("long")
+    keyed = cnts.withColumn("_blk", blk)
+    local = keyed.select(
+        "_v",
+        "_n",
+        "_blk",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.partitionBy("_blk")
+                .orderBy("_v")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_lcum"),
+    )
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_n").alias("_t"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_t").over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_pre"),
+        )
+    )
+    grand = keyed.agg(F.sum("_n").alias("_total"))
+    binned = (
+        local.join(F.broadcast(totals), "_blk")
+        .join(F.broadcast(grand))
+        .select(
+            "_v",
+            "_n",
+            F.least(
+                F.expr(
+                    f"((_lcum + _pre) * {int(n_bins)}) div _total"
+                ),
+                F.lit(n_bins - 1),
+            ).alias("bin_id"),
+        )
+    )
+    return binned.groupBy("bin_id").agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.min("_v").alias("min_v"),
+        F.max("_v").alias("max_v"),
+    )

@@ -2829,8 +2829,8 @@ def pipeline_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS parts_hit,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS orders_hit
     FROM lineitem l JOIN part p
-      ON l.l_extendedprice >= p.p_retailprice * 10
-     AND l.l_extendedprice < p.p_retailprice * 10 + 2000
+      ON l.l_extendedprice >= p.p_partkey * 5.0
+     AND l.l_extendedprice < p.p_partkey * 5.0 + 10.0
     """,
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2839,14 +2839,20 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact residual filter — shuffle O(rows), never a nested loop
     (operators/relational.py: binned_range_join; the broadcast-BNL twin
     `join_range_value_buckets` stays the right shape for tiny dims).
-    Count-based result so the float join bounds stay hash-exact."""
+    Interval windows are keyed off p_partkey so they SPREAD across the
+    price domain (~2 matches per point) — the earlier p_retailprice*10
+    construction bunched all 20k windows into one narrow band, which made
+    the benchmark enumerate 2.3e8 legitimately-matching pairs at sf0.1
+    (any exact algorithm pays that); selectivity, not the plan, was the
+    cost.  Count-based result so the float join bounds stay hash-exact
+    (partkey*5.0 and +10.0 are exact in double)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     part = _t(spark, sf_dir, "part").select(
         "p_partkey",
-        (F.col("p_retailprice") * 10).alias("lo"),
-        (F.col("p_retailprice") * 10 + 2000).alias("hi"),
+        (F.col("p_partkey") * 5.0).alias("lo"),
+        (F.col("p_partkey") * 5.0 + 10.0).alias("hi"),
     )
-    joined = R.binned_range_join(li, part, "l_extendedprice", bin_width=2000.0)
+    joined = R.binned_range_join(li, part, "l_extendedprice", bin_width=10.0)
     return joined.agg(
         F.count(F.lit(1)).alias("pairs"),
         F.count_distinct("p_partkey").alias("parts_hit"),
@@ -3967,6 +3973,113 @@ def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_equidepth_histogram",
+    oracle="""
+    WITH c AS (SELECT o_totalprice AS v, COUNT(*) AS n FROM orders
+               WHERE o_totalprice IS NOT NULL GROUP BY 1),
+    cum AS (SELECT v, n,
+             COALESCE(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS ce,
+             SUM(n) OVER () AS total FROM c)
+    SELECT CAST(LEAST((ce * 10) // total, 9) AS BIGINT) AS bin_id,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM cum GROUP BY 1
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth histogram of order values, 10 bins
+    (operators/relational.py: equidepth_histogram).  The oracle is the
+    textbook global cumulative window; the Spark plan is the
+    ks_two_sample block scan — per-distinct-value counts, block-local
+    cumulative windows, tiny broadcast per-block prefix — so no task
+    ever sorts the full value domain.  Bin assignment is exact integer
+    arithmetic; any block width yields the identical histogram
+    (pinned in tests)."""
+    from big_data_validator_spark.operators.relational import (
+        equidepth_histogram,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        o, "o_totalprice", n_bins=10, block_width=10000.0
+    )
+
+
+@query(
+    "rule_candidate_keys",
+    oracle="""
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) = COUNT(*)
+             AND SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+             AS is_candidate_key
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           COUNT(DISTINCT o_custkey) = COUNT(*)
+             AND SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           COUNT(DISTINCT o_orderstatus) = COUNT(*)
+             AND SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+               = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           COUNT(DISTINCT o_totalprice) = COUNT(*)
+             AND SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+               = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           COUNT(DISTINCT o_orderdate) = COUNT(*)
+             AND SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+               = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           COUNT(DISTINCT o_orderpriority) = COUNT(*)
+             AND SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0
+               END) = 0
+    FROM orders
+    """,
+)
+def rule_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery over every orders column
+    (operators/profile.py: candidate_key_rule): exact row / distinct /
+    null counts + the unique-and-never-null verdict, ONE aggregation
+    pass (multi-count-distinct compiles to a single Expand plan — one
+    scan for all six columns, vs six jobs naively).  The
+    uniqueness-contract suggestion a validator emits before any key is
+    declared; approx_count_distinct is the documented 100 TB screen."""
+    from big_data_validator_spark.operators.profile import (
+        candidate_key_rule,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    return candidate_key_rule(o).withColumnRenamed("column", "col_name")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -4107,6 +4220,14 @@ _DEMOTED_TO_TAIL = [
     # seated); token/fingerprint legs by text_tfidf_top_terms +
     # dedup_exact_keep_first; green r1-r4.
     "text_profile",
+    # Uniqueness metrics twinned by rule_candidate_keys (newly seated:
+    # exact distinct counts + the unique-and-never-null verdict per
+    # column in one pass); green r1-r4.
+    "rule_uniqueness_metrics",
+    # Null-count completeness twinned by profile_orders_columns
+    # (per-column null_count, newly in-window) and rule_candidate_keys'
+    # n_nulls leg; green r1-r4.
+    "rule_completeness",
 ]
 
 
