@@ -125,6 +125,7 @@ HEADLINE = [
     "events_top_sequences",
     "agg_equidepth_histogram",
     "rule_candidate_keys",
+    "drift_chi2_priority",
 ]
 
 

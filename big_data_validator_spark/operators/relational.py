@@ -939,3 +939,76 @@ def equidepth_histogram(
         F.min("_v").alias("min_v"),
         F.max("_v").alias("max_v"),
     )
+
+
+def chi_square_drift(
+    a: DataFrame, b: DataFrame, category_col: str
+) -> DataFrame:
+    """Pearson chi-square homogeneity test between the ``category_col``
+    distributions of two snapshots — the CATEGORICAL drift test
+    completing the drift triple (PSI for binned numerics, KS for
+    continuous, chi-square for categoricals).
+
+    ``X² = N·Σ_cells (o/N − e)²/e`` over the 2×k contingency table.
+    Both snapshots aggregate to per-category counts FIRST (map-side
+    combined — the shuffle carries k categories, not rows), the two
+    tiny count frames full-outer join on category (absent categories
+    count 0), and the statistic is one aggregation over k rows.  At
+    100 TB the cost is two scans; everything after is O(k).
+
+    Returns one row: ``(chi2, dof, n_a, n_b)``; ``chi2`` rounded to 6
+    for cross-engine hash stability.  Nulls are excluded (a null is a
+    completeness question, not a category).
+    """
+    c = F.col(category_col)
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.filter(c.isNotNull())
+            .groupBy(c.alias("_cat"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = counts(a, "_na")
+    cb = counts(b, "_nb")
+    table = (
+        ca.join(cb, "_cat", "full_outer")
+        .select(
+            F.coalesce("_na", F.lit(0)).cast("double").alias("_na"),
+            F.coalesce("_nb", F.lit(0)).cast("double").alias("_nb"),
+        )
+    )
+    # totals via window-free aggregation: one pass computes row/col sums
+    # and the statistic needs expected = row_total*col_total/N per cell,
+    # so compute in two chained aggregates over the k-row frame
+    tot = table.agg(
+        F.sum("_na").alias("_ta"), F.sum("_nb").alias("_tb")
+    )
+    cells = table.crossJoin(F.broadcast(tot)).select(
+        "_na",
+        "_nb",
+        "_ta",
+        "_tb",
+        (F.col("_ta") + F.col("_tb")).alias("_n"),
+        ((F.col("_na") + F.col("_nb")) / (F.col("_ta") + F.col("_tb"))).alias(
+            "_p"
+        ),
+    )
+    # expected cell counts: e_a = p*ta, e_b = p*tb; cells with p=0 can't
+    # occur (a category appears in at least one side)
+    contrib = cells.select(
+        (
+            F.pow(F.col("_na") - F.col("_p") * F.col("_ta"), 2)
+            / (F.col("_p") * F.col("_ta"))
+            + F.pow(F.col("_nb") - F.col("_p") * F.col("_tb"), 2)
+            / (F.col("_p") * F.col("_tb"))
+        ).alias("_x"),
+        "_ta",
+        "_tb",
+    )
+    return contrib.agg(
+        F.round(F.sum("_x"), 6).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("dof"),
+        F.first("_ta").cast("long").alias("n_a"),
+        F.first("_tb").cast("long").alias("n_b"),
+    )

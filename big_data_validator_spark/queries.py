@@ -4080,6 +4080,47 @@ def rule_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_key_rule(o).withColumnRenamed("column", "col_name")
 
 
+@query(
+    "drift_chi2_priority",
+    oracle="""
+    WITH ca AS (SELECT o_orderpriority AS cat,
+                       CAST(COUNT(*) AS DOUBLE) AS na
+                FROM orders WHERE o_orderkey % 2 = 0
+                  AND o_orderpriority IS NOT NULL GROUP BY 1),
+    cb AS (SELECT o_orderpriority AS cat,
+                  CAST(COUNT(*) AS DOUBLE) AS nb
+           FROM orders WHERE o_orderkey % 2 = 1
+             AND o_orderpriority IS NOT NULL GROUP BY 1),
+    t AS (SELECT COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb USING (cat)),
+    s AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM t),
+    cells AS (SELECT na, nb, ta, tb, (na + nb) / (ta + tb) AS p
+              FROM t, s)
+    SELECT ROUND(SUM(POW(na - p * ta, 2) / (p * ta)
+                     + POW(nb - p * tb, 2) / (p * tb)), 6) AS chi2,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dof,
+           CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b
+    FROM cells GROUP BY ta, tb
+    """,
+)
+def drift_chi2_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity drift between two order snapshots
+    over the CATEGORICAL priority column (operators/relational.py:
+    chi_square_drift) — completes the drift triple: PSI (binned
+    numeric), KS (continuous, exact), chi-square (categorical).  Each
+    snapshot aggregates to per-category counts first, so the shuffle
+    carries k categories, not rows; the statistic is O(k) after two
+    scans."""
+    from big_data_validator_spark.operators.relational import (
+        chi_square_drift,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1)
+    return chi_square_drift(old, new, "o_orderpriority")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -4228,6 +4269,10 @@ _DEMOTED_TO_TAIL = [
     # (per-column null_count, newly in-window) and rule_candidate_keys'
     # n_nulls leg; green r1-r4.
     "rule_completeness",
+    # Pushdown/pruning are pinned plan-side by tests/test_plans and
+    # exercised driver-side by scan_orc (pushdown roundtrip, newly
+    # seated) + scan_parquet_evolving; green r1-r4.
+    "scan_pushdown_projection",
 ]
 
 

@@ -99,3 +99,76 @@ def test_registry_entries_match_duckdb(spark):
         )
         assert got == want, name
         assert len(got) > 0, name
+
+
+# ---------------------------------------------------------- chi-square
+
+
+def test_chi_square_matches_scipy_reference(spark):
+    """Hand-checkable 2xk table; expected chi2 from the standard
+    contingency formula."""
+    from big_data_validator_spark.operators.relational import (
+        chi_square_drift,
+    )
+
+    a = spark.createDataFrame(
+        [("x",)] * 30 + [("y",)] * 10 + [("z",)] * 10, "c string"
+    )
+    b = spark.createDataFrame(
+        [("x",)] * 20 + [("y",)] * 20 + [("w",)] * 10, "c string"
+    )
+    row = chi_square_drift(a, b, "c").collect()[0]
+    # brute-force reference
+    from collections import Counter
+
+    ca = Counter(["x"] * 30 + ["y"] * 10 + ["z"] * 10)
+    cb = Counter(["x"] * 20 + ["y"] * 20 + ["w"] * 10)
+    cats = sorted(set(ca) | set(cb))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    n = ta + tb
+    chi2 = 0.0
+    for c in cats:
+        p = (ca[c] + cb[c]) / n
+        chi2 += (ca[c] - p * ta) ** 2 / (p * ta)
+        chi2 += (cb[c] - p * tb) ** 2 / (p * tb)
+    assert row["dof"] == len(cats) - 1
+    assert row["n_a"] == ta and row["n_b"] == tb
+    assert abs(row["chi2"] - chi2) < 1e-6
+
+
+def test_chi_square_identical_distributions_is_zero(spark):
+    from big_data_validator_spark.operators.relational import (
+        chi_square_drift,
+    )
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 5, "c string")
+    row = chi_square_drift(a, a, "c").collect()[0]
+    assert row["chi2"] == 0.0
+
+
+def test_chi_square_nulls_excluded(spark):
+    from big_data_validator_spark.operators.relational import (
+        chi_square_drift,
+    )
+
+    a = spark.createDataFrame([("x",), (None,), ("y",)], "c string")
+    b = spark.createDataFrame([("x",), ("y",), (None,)], "c string")
+    row = chi_square_drift(a, b, "c").collect()[0]
+    assert row["n_a"] == 2 and row["n_b"] == 2
+
+
+def test_chi_square_registry_matches_duckdb(spark):
+    import duckdb
+
+    from big_data_validator_spark.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'"
+    )
+    spec = REGISTRY["drift_chi2_priority"]
+    got = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+    want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert got == want
+    assert len(got) == 1
