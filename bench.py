@@ -126,6 +126,9 @@ HEADLINE = [
     "agg_equidepth_histogram",
     "rule_candidate_keys",
     "drift_chi2_priority",
+    "agg_correlation_matrix",
+    "scan_unpivot_metrics",
+    "scan_partition_pruned",
 ]
 
 
