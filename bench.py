@@ -129,6 +129,8 @@ HEADLINE = [
     "agg_correlation_matrix",
     "scan_unpivot_metrics",
     "scan_partition_pruned",
+    "emb_centroid_by_label",
+    "streaming_exactly_once_sink",
 ]
 
 

@@ -4252,6 +4252,87 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_centroid_by_label",
+    oracle="""
+    SELECT label, CAST(dim - 1 AS INT) AS dim,
+           ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY 1, 2
+    """,
+)
+def emb_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids — the class-prototype / cluster-
+    center primitive (guardrail centroids, IVF seeding, embedding-drift
+    baselines).  ``posexplode`` then groupBy(label, dim) mean: the
+    standard distributed column-mean — the shuffle carries
+    (labels × dims) partial sums thanks to map-side combine, NOT
+    (rows × dims) elements, so a billion-vector corpus reduces to a
+    labels×64 frame in one pass.  Values rounded to 6 (map-side
+    partial-sum order is nondeterministic; rounding absorbs the
+    ~1e-13 float jitter)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "v"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        )
+    )
+
+
+@query(
+    "streaming_exactly_once_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+    FROM events WHERE value > 50 GROUP BY 1
+    """,
+)
+def streaming_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE foreachBatch sink end-to-end
+    (streaming/validate_stream.py: idempotent_batch_sink): events
+    streamed, filtered, written to batch_id-committed parquet dirs
+    (replayed batches no-op on the _SUCCESS marker), drained via
+    ``availableNow``, read back recursively and aggregated — the
+    hash-match against the batch SQL proves no row was dropped or
+    double-written across micro-batches.  The replay-idempotence
+    property itself is pinned in tests/test_streaming_exactly_once.py
+    by re-invoking a committed batch id."""
+    import tempfile
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        idempotent_batch_sink,
+    )
+
+    stream = _events_stream(spark, sf_dir).filter(F.col("value") > 50)
+    out_dir = tempfile.mkdtemp(prefix="bdv_eo_sink_")
+    q = idempotent_batch_sink(
+        stream,
+        out_dir,
+        tempfile.mkdtemp(prefix="bdv_eo_ckpt_"),
+        available_now=True,
+    )
+    q.awaitTermination()
+    back = spark.read.option("recursiveFileLookup", "false").parquet(
+        out_dir
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -4417,6 +4498,15 @@ _DEMOTED_TO_TAIL = [
     # broadcasts stay exercised under contamination_probes and
     # agg_hll_mergeable's broadcast legs; green r1-r4.
     "join_region_revenue",
+    # Tumbling-window streaming agg twinned by streaming_static_enrich's
+    # windowed-aggregation leg; the streaming family keeps five other
+    # in-window seats (exactly-once sink, stateful sessionize, dedup,
+    # static enrich, stream-stream attribution); green r1-r4.
+    "streaming_windowed_violations",
+    # Fused curate pipeline twinned by pipeline_curate_pack (in-window,
+    # required-family pinned — the strictly longer chain ending in the
+    # packer); green r1-r4.
+    "pipeline_curate_corpus",
 ]
 
 
