@@ -131,6 +131,8 @@ HEADLINE = [
     "scan_partition_pruned",
     "emb_centroid_by_label",
     "streaming_exactly_once_sink",
+    "text_unigram_lm_score",
+    "text_langid_confusion",
 ]
 
 

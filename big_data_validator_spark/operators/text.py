@@ -220,3 +220,55 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols.append(fingerprint(F.col(text_col)).alias("fingerprint"))
     cols.append(lang_guess(F.col(text_col)).alias("lang_guess"))
     return df.select(*cols)
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 10000,
+) -> DataFrame:
+    """CCNet-style unigram language-model quality score: per document,
+    the mean negative log2 probability of its words under the CORPUS
+    unigram distribution — low = typical text, high = gibberish /
+    off-distribution (the standard cheap LM filter before a real LM).
+
+    Fully distributed, no driver-side vocabulary:
+
+    1. ``(doc, word)`` pairs via explode — the wordcount shuffle shape;
+    2. vocabulary = top ``vocab_size`` words by count, deterministic
+       tie-break, planned as TakeOrderedAndProject (bounded);
+    3. pairs LEFT-join the BROADCAST vocabulary; out-of-vocabulary
+       words get count 0.5 (simple smoothing), so the score is defined
+       for every word;
+    4. one aggregation back to per-document mean.
+
+    Returns ``(id_col, n_words, lm_score)``, score rounded to 4
+    (float-sum order jitter).  Empty documents are excluded (no words
+    → no distribution to score).
+    """
+    if vocab_size <= 0:
+        raise ValueError(f"vocab_size must be positive, got {vocab_size}")
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')")
+        ).alias("_w"),
+    )
+    vocab = (
+        words.groupBy("_w")
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+        .orderBy(F.col("_cnt").desc(), F.col("_w").asc())
+        .limit(vocab_size)
+    )
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("_total"))
+    p = F.coalesce(F.col("_cnt"), F.lit(0.5)) / F.col("_total")
+    return (
+        words.join(F.broadcast(vocab), "_w", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(F.avg(-F.log2(p)), 4).alias("lm_score"),
+        )
+    )

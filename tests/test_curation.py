@@ -152,3 +152,49 @@ def test_registry_entries_match_duckdb(spark):
         )
         assert got == want, name
         assert len(got) > 0, name
+
+
+# ------------------------------------------------------------- unigram LM
+
+
+def test_unigram_lm_known_distribution(spark):
+    from big_data_validator_spark.operators.text import unigram_lm_scores
+    import math
+
+    # corpus: 'a' x3, 'b' x1 -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_lm_scores(df).collect()}
+    exp1 = -(2 * math.log2(3 / 4) + math.log2(1 / 4)) / 3
+    exp2 = -math.log2(3 / 4)
+    assert got[1]["n_words"] == 3
+    assert abs(got[1]["lm_score"] - exp1) < 1e-3
+    assert abs(got[2]["lm_score"] - exp2) < 1e-3
+
+
+def test_unigram_lm_oov_smoothing(spark):
+    from big_data_validator_spark.operators.text import unigram_lm_scores
+    import math
+
+    # vocab_size=1 keeps only the top word ('a', count 3, tie-break n/a);
+    # 'b' falls out of vocab and scores with count 0.5
+    df = spark.createDataFrame(
+        [(1, "a a a b")], "doc_id long, text string"
+    )
+    got = unigram_lm_scores(df, vocab_size=1).collect()[0]
+    exp = -(3 * math.log2(3 / 4) + math.log2(0.5 / 4)) / 4
+    assert abs(got["lm_score"] - exp) < 1e-3
+
+
+def test_unigram_lm_empty_doc_excluded_and_validation(spark):
+    from big_data_validator_spark.operators.text import unigram_lm_scores
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    ids = {r["doc_id"] for r in unigram_lm_scores(df).collect()}
+    assert ids == {1}
+    with pytest.raises(ValueError):
+        unigram_lm_scores(df, vocab_size=0)
