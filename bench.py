@@ -133,6 +133,8 @@ HEADLINE = [
     "streaming_exactly_once_sink",
     "text_unigram_lm_score",
     "text_langid_confusion",
+    "window_moving_avg_7d",
+    "dim_scd2_user_state",
 ]
 
 

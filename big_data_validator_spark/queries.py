@@ -4412,6 +4412,134 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "window_moving_avg_7d",
+    oracle="""
+    WITH d AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE)
+                        AS day,
+                      CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                        AS BIGINT) AS cents
+               FROM orders GROUP BY 1),
+    k AS (SELECT day, cents,
+                 CAST(day - DATE '1970-01-01' AS BIGINT) AS day_idx
+          FROM d),
+    w AS (SELECT day, cents,
+                 SUM(cents) OVER (ORDER BY day_idx RANGE BETWEEN
+                   6 PRECEDING AND CURRENT ROW) AS wsum,
+                 COUNT(*) OVER (ORDER BY day_idx RANGE BETWEEN
+                   6 PRECEDING AND CURRENT ROW) AS wdays
+          FROM k)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           cents / 100.0 AS revenue,
+           ((2 * wsum + wdays) // (2 * wdays)) / 100.0 AS avg_7d,
+           CAST(wdays AS BIGINT) AS days_in_window
+    FROM w
+    """,
+)
+def window_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue with a RANGE window frame —
+    unlike a ROWS frame, RANGE BETWEEN 6 PRECEDING spans CALENDAR days,
+    so gaps in the date sequence shrink the window instead of silently
+    reaching further back (``days_in_window`` exposes exactly that).
+    Aggregate-to-days first: the unpartitioned window runs over #days
+    rows, never orders.  The average is computed in EXACT integer
+    cents with explicit half-up division — a float ``round(avg, 2)``
+    lands on exact half-cents whenever a window holds two days, where
+    Spark's HALF_UP and DuckDB's half-even disagree (found the hard
+    way; rounding only absorbs float JITTER, not exact ties)."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.round(F.sum("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    k = d.withColumn("day_idx", F.datediff("day", F.lit("1970-01-01")))
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    win = k.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wdays"),
+    )
+    return win.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents") / 100.0).alias("revenue"),
+        (
+            F.expr("(2 * wsum + wdays) div (2 * wdays)") / 100.0
+        ).alias("avg_7d"),
+        F.col("wdays").cast("long").alias("days_in_window"),
+    )
+
+
+@query(
+    "dim_scd2_user_state",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    starts AS (
+      SELECT user_id, ts, event_id, event_type FROM changes
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    versions AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             LEAD(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM starts)
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current')
+             AS valid_to,
+           CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+    FROM versions
+    """,
+)
+def dim_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: each user's event_type
+    history compressed to validity intervals ``[valid_from, valid_to)``
+    with the open 'current' version flagged — the warehouse pattern for
+    tracking attribute history without overwriting.  Two window passes
+    over the SAME (user, ts) sort (change detection via lag, interval
+    close via lead on the shrunken change rows) — one shuffle on
+    user_id, reused by both windows; the second window runs over change
+    rows only, which is the frame after run-length compression."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_from"
+        ),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"),
+            F.lit("current"),
+        ).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -4595,6 +4723,14 @@ _DEMOTED_TO_TAIL = [
     # Python split in test_field_count + fixture replay in test_runner;
     # the quote-stripped oracled variant has a green r2 row; green r1-r4.
     "rule_field_count_naive",
+    # Anti-join plan pinned in tests/test_plans; orphan-detection
+    # semantics recur in cdc_changeset_orders' delete leg (keys present
+    # in current, absent from incoming); green r1-r4.
+    "rule_referential_integrity",
+    # Token-aggregation family stays via text_unigram_lm_score (newly
+    # seated: the same wordcount shuffle + bounded top-k vocabulary) and
+    # text_top_bigrams' r1-r2 history; green r1-r4.
+    "text_tfidf_top_terms",
 ]
 
 

@@ -127,7 +127,7 @@ def test_driver_window_is_all_oracled():
         "dedup_exact_keep_first", "dedup_fuzzy_levenshtein",
         "sim_ann_recall",  # recomputes brute-force cosine as ground truth
         "multimodal_resize_stats", "multimodal_frame_sample",
-        "text_tfidf_top_terms", "sample_stratified_orders",
+        "text_unigram_lm_score", "sample_stratified_orders",
         "sample_weighted_orders", "pipeline_curate_pack",
         "corpus_mixture_apply", "quality_gopher_flags",
         "pii_redaction_scan", "contamination_probes",
