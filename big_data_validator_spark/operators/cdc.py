@@ -36,19 +36,27 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Unit separator / NUL sentinels: a column value can never collide with
-#: the (separator, null-marker) encoding unless it contains \x1f itself.
+#: Encoding: each cell is tagged (\x01 + value for non-null, bare \x00
+#: for NULL) and cells join on \x1f.  The tag byte keeps NULL distinct
+#: from every literal string INCLUDING "\x00" itself; the only remaining
+#: collision class is a value containing the \x1f separator, which can
+#: shift content across cell boundaries.
 _SEP = "\x1f"
 _NULL = "\x00"
+_TAG = "\x01"
 
 
 def row_fingerprint(cols: Sequence[Union[str, Column]]) -> Column:
     """md5 fingerprint of the given columns, null-safe and
-    order-sensitive: ``md5(concat_ws(US, coalesce(cast(c as string),
-    NUL)…))``.  One 32-hex string per row regardless of row width."""
+    order-sensitive.  One 32-hex string per row regardless of row
+    width.  NULL and the literal string ``"\\x00"`` hash differently
+    (tagged encoding — see module constants)."""
     parts = [
         F.coalesce(
-            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.concat(
+                F.lit(_TAG),
+                (F.col(c) if isinstance(c, str) else c).cast("string"),
+            ),
             F.lit(_NULL),
         )
         for c in cols

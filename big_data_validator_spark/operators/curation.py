@@ -55,9 +55,16 @@ def word_quality_metrics(
     The top-word count is ``O(distinct × n)`` per row via nested array
     lambdas — fine for documents (n ≤ 10^4 words); it stays row-local
     precisely so a 100 TB corpus never shuffles (doc, word) pairs just
-    to compute a per-doc ratio.  Fractions are exact rationals computed
-    in double — deterministic across engines — rounded to 6.
+    to compute a per-doc ratio.
+
+    Fractions are EXACT integer rationals quantized to 6 decimals with
+    explicit half-up division (``(2·10^6·num + den) div (2·den)``) —
+    never ``round(double, 6)``, which ties on rationals whose decimal
+    expansion terminates at exactly 7 digits ending in 5 (e.g. any
+    k/128), where Spark's HALF_UP and an oracle engine's half-even
+    disagree.
     """
+
     w = _words(text_col)
     out = df.select(
         *id_cols,
@@ -65,32 +72,29 @@ def word_quality_metrics(
     ).select(
         *id_cols,
         F.size("_w").cast("long").alias("n_words"),
-        F.round(
-            F.expr(
-                "aggregate(_w, 0L, (acc, x) -> acc + length(x))"
-            ).cast("double")
-            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
-            6,
+        F.col("_w"),
+        F.greatest(F.size("_w"), F.lit(1)).cast("long").alias("_den"),
+    )
+    return out.select(
+        *id_cols,
+        "n_words",
+        F.expr(
+            "cast((2000000 * aggregate(_w, 0L, (acc, x) -> acc +"
+            " length(x)) + _den) div (2 * _den) as double) / 1000000.0"
         ).alias("mean_word_len"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct("_w")).cast("double")
-            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
-            6,
+        (
+            F.expr(
+                "cast((2000000 * (greatest(size(_w), 1) -"
+                " size(array_distinct(_w))) + _den) div (2 * _den)"
+                " as double) / 1000000.0"
+            )
         ).alias("dup_word_frac"),
-        F.round(
-            F.coalesce(
-                F.expr(
-                    "array_max(transform(array_distinct(_w),"
-                    " w -> size(filter(_w, x -> x = w))))"
-                ),
-                F.lit(0),
-            ).cast("double")
-            / F.greatest(F.size("_w"), F.lit(1)).cast("double"),
-            6,
+        F.expr(
+            "cast((2000000 * coalesce(array_max(transform("
+            "array_distinct(_w), w -> size(filter(_w, x -> x = w)))),"
+            " 0) + _den) div (2 * _den) as double) / 1000000.0"
         ).alias("top_word_frac"),
     )
-    return out
 
 
 def gopher_quality_flags(
@@ -139,10 +143,13 @@ def pii_scan(
     """Append ``n_<name>`` match counts per pattern and (optionally) a
     ``redacted`` text column where each match is replaced by
     ``<NAME>``.  Patterns apply in dict order — order matters when
-    patterns overlap (an email's digits could partially match a phone
-    pattern), so redaction feeds each pattern the previous pattern's
-    output.  Pure ``regexp_count`` / ``regexp_replace`` projections:
-    row-local, codegen'd, one scan at any corpus size.
+    patterns overlap (an email's digit run could also match a phone
+    pattern), so BOTH the counts and the redaction run against the
+    PREVIOUS pattern's redacted output: ``n_phone`` counts phones that
+    survive email redaction, never an email's digits twice, and every
+    count equals the number of ``<NAME>`` tokens in ``redacted``.
+    Pure ``regexp_count`` / ``regexp_replace`` projections: row-local,
+    codegen'd, one scan at any corpus size.
     """
     pats = dict(patterns if patterns is not None else DEFAULT_PII_PATTERNS)
     if not pats:
@@ -150,11 +157,8 @@ def pii_scan(
     out = df
     red = F.col(text_col)
     for name, pat in pats.items():
-        out = out.withColumn(
-            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
-        )
-        if redact:
-            red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+        out = out.withColumn(f"n_{name}", F.regexp_count(red, F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     if redact:
         out = out.withColumn("redacted", red)
     return out
@@ -300,6 +304,12 @@ def contamination_probe_counts_automaton(
     id_out = corpus_id_col is not None
     cols = [text_col] + ([corpus_id_col] if id_out else [])
     src = corpus.select(*cols)
+    if id_out:
+        # match the JVM path, where a null corpus id fails the
+        # `corpus_id != probe_id` predicate and the doc never counts —
+        # AND keep the pandas id column int64 (a null would coerce it
+        # to float64, crashing on NaN and losing precision above 2^53)
+        src = src.filter(F.col(corpus_id_col).isNotNull())
 
     def scan(batches):
         auto = _build_aho_corasick(bc.value)

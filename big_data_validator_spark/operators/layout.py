@@ -127,21 +127,37 @@ def zorder_file_stats(
             .cast("long"),
         )
     )
-    return keyed.groupBy("file_id").agg(
+    # span fractions quantized with exact integer half-up division —
+    # round(double, 6) ties when the rational terminates at exactly 7
+    # decimals ending in 5 (e.g. a 2^k-sized domain), where engines'
+    # rounding modes disagree
+    agged = keyed.groupBy("file_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.min("_x").alias("min_x"),
         F.max("_x").alias("max_x"),
         F.min("_y").alias("min_y"),
         F.max("_y").alias("max_y"),
-        F.round(
-            (F.max("_x") - F.min("_x") + 1).cast("double")
-            / (F.first("_mxx") - F.first("_mnx") + 1).cast("double"),
-            6,
+        (F.first("_mxx") - F.first("_mnx") + 1).alias("_dx"),
+        (F.first("_mxy") - F.first("_mny") + 1).alias("_dy"),
+    )
+    return agged.select(
+        "file_id",
+        "n_rows",
+        "min_x",
+        "max_x",
+        "min_y",
+        "max_y",
+        (
+            F.expr(
+                "(2000000 * (max_x - min_x + 1) + _dx) div (2 * _dx)"
+            ).cast("double")
+            / 1000000.0
         ).alias("x_span_frac"),
-        F.round(
-            (F.max("_y") - F.min("_y") + 1).cast("double")
-            / (F.first("_mxy") - F.first("_mny") + 1).cast("double"),
-            6,
+        (
+            F.expr(
+                "(2000000 * (max_y - min_y + 1) + _dy) div (2 * _dy)"
+            ).cast("double")
+            / 1000000.0
         ).alias("y_span_frac"),
     )
 

@@ -3579,20 +3579,23 @@ def rule_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                       list_filter(string_split(text, ' '), x -> x <> '')
                         AS words
                FROM documents),
+    p AS (SELECT doc_id, words,
+                 CAST(GREATEST(len(words), 1) AS BIGINT) AS den
+          FROM w),
     m AS (SELECT doc_id,
             CAST(len(words) AS BIGINT) AS n_words,
-            ROUND(CAST(COALESCE(list_sum(
-                    list_transform(words, x -> len(x))), 0) AS DOUBLE)
-                  / GREATEST(len(words), 1), 6) AS mean_word_len,
-            ROUND(CAST(1.0 AS DOUBLE)
-                  - CAST(len(list_distinct(words)) AS DOUBLE)
-                    / GREATEST(len(words), 1), 6) AS dup_word_frac,
-            ROUND(CAST(COALESCE(list_max(list_transform(
-                      list_distinct(words),
-                      w2 -> len(list_filter(words, x -> x = w2)))), 0)
-                    AS DOUBLE)
-                  / GREATEST(len(words), 1), 6) AS top_word_frac
-          FROM w)
+            ((2000000 * CAST(COALESCE(list_sum(
+                 list_transform(words, x -> len(x))), 0) AS BIGINT)
+              + den) // (2 * den)) / 1000000.0 AS mean_word_len,
+            ((2000000 * (CAST(GREATEST(len(words), 1) AS BIGINT)
+                         - len(list_distinct(words)))
+              + den) // (2 * den)) / 1000000.0 AS dup_word_frac,
+            ((2000000 * CAST(COALESCE(list_max(list_transform(
+                 list_distinct(words),
+                 w2 -> len(list_filter(words, x -> x = w2)))), 0)
+                 AS BIGINT)
+              + den) // (2 * den)) / 1000000.0 AS top_word_frac
+          FROM p)
     SELECT doc_id, n_words, mean_word_len, dup_word_frac, top_word_frac,
            n_words >= 20 AND n_words <= 100000 AS pass_n_words,
            mean_word_len >= 3.0 AND mean_word_len <= 10.0
@@ -3638,7 +3641,9 @@ def quality_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(len(regexp_extract_all(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                AS INT) AS n_email,
-             CAST(len(regexp_extract_all(text,
+             CAST(len(regexp_extract_all(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
                '\\+?[0-9][0-9 -]{7,}[0-9]')) AS INT) AS n_phone,
              CAST(len(text) - len(regexp_replace(regexp_replace(text,
                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
@@ -3832,10 +3837,14 @@ def _zorder_oracle() -> str:
     SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
            MIN(x) AS min_x, MAX(x) AS max_x,
            MIN(y) AS min_y, MAX(y) AS max_y,
-           ROUND(CAST(MAX(x) - MIN(x) + 1 AS DOUBLE)
-                 / (MAX(mxx) - MAX(mnx) + 1), 6) AS x_span_frac,
-           ROUND(CAST(MAX(y) - MIN(y) + 1 AS DOUBLE)
-                 / (MAX(mxy) - MAX(mny) + 1), 6) AS y_span_frac
+           ((2000000 * (MAX(x) - MIN(x) + 1)
+             + (MAX(mxx) - MAX(mnx) + 1))
+            // (2 * (MAX(mxx) - MAX(mnx) + 1))) / 1000000.0
+             AS x_span_frac,
+           ((2000000 * (MAX(y) - MIN(y) + 1)
+             + (MAX(mxy) - MAX(mny) + 1))
+            // (2 * (MAX(mxy) - MAX(mny) + 1))) / 1000000.0
+             AS y_span_frac
     FROM z GROUP BY 1
     """
 
@@ -3943,7 +3952,8 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM seq WHERE e3 IS NOT NULL
+    FROM seq
+    WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1 ORDER BY n DESC, trigram ASC LIMIT 10
     """,
 )
@@ -3957,11 +3967,18 @@ def events_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     events hash identically across engines."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # all three legs null-filtered: concat_ws would silently SKIP a null
+    # middle element (emitting a 2-gram as a trigram) where the oracle's
+    # || propagates NULL — filtering keeps both engines on defined input
     seq = e.select(
         F.col("event_type").alias("e1"),
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
-    ).filter(F.col("e3").isNotNull())
+    ).filter(
+        F.col("e1").isNotNull()
+        & F.col("e2").isNotNull()
+        & F.col("e3").isNotNull()
+    )
     return (
         seq.select(
             F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
@@ -4180,7 +4197,9 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(COUNT(*) AS DOUBLE) AS n_orders,
                       ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2)
                         AS revenue,
-                      ROUND(CAST(AVG(o_totalprice) AS DOUBLE), 2)
+                      ((2 * CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE)
+                                       * 100) AS BIGINT)
+                        + COUNT(*)) // (2 * COUNT(*))) / 100.0
                         AS avg_price
                FROM orders GROUP BY 1)
     SELECT month, 'n_orders' AS metric, n_orders AS value FROM m
@@ -4196,7 +4215,10 @@ def scan_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     node over the ALREADY-AGGREGATED frame (#months rows), so the
     reshape itself is free at any scale.  The wide→long leg every
     metrics store ingest needs; the profiler emits long format for the
-    same reason."""
+    same reason.  avg_price uses exact integer-cent half-up division —
+    a float ``round(avg, 2)`` ties on exact half-cents where Spark
+    HALF_UP and DuckDB half-even disagree (the window_moving_avg_7d
+    failure class; caught by review before the driver caught it)."""
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
@@ -4205,7 +4227,13 @@ def scan_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        (
+            F.expr(
+                "(2 * cast(round(sum(o_totalprice) * 100) as bigint)"
+                " + count(1)) div (2 * count(1))"
+            )
+            / 100.0
+        ).alias("avg_price"),
     )
     return m.unpivot(
         ids=["month"],
@@ -4519,12 +4547,11 @@ def dim_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_type").isNull()
         | (F.col("event_type") != F.col("prev_type"))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     versions = changes.select(
         "user_id",
         "event_type",
         F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w).alias("valid_to"),
     )
     return versions.select(
         "user_id",

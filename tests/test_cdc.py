@@ -90,6 +90,8 @@ def test_fingerprint_matches_direct_comparison(spark):
                 ("x", 1.5),
                 ("x ", 1.5),
                 ("x", -1.5),
+                ("\x00", 2.0),  # literal NUL string vs NULL cell
+                (None, 2.0),
             ]
         )
     ]

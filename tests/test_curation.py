@@ -77,6 +77,21 @@ def test_pii_scan_counts_and_redaction(spark):
     assert got[4]["n_email"] == 1 and got[4]["n_phone"] == 1
 
 
+def test_pii_scan_overlapping_patterns_count_sequentially(spark):
+    """An email whose local part is a long digit run must not ALSO count
+    as a phone: counts run against the previous pattern's redacted
+    output, so every n_<name> equals the <NAME> tokens in `redacted`."""
+    df = spark.createDataFrame(
+        [(1, "reach me: foo12345678901@bar.com")],
+        "doc_id long, text string",
+    )
+    got = pii_scan(df).collect()[0]
+    assert got["n_email"] == 1
+    assert got["n_phone"] == 0
+    assert got["redacted"].count("<EMAIL>") == got["n_email"]
+    assert got["redacted"].count("<PHONE>") == got["n_phone"]
+
+
 def test_pii_scan_empty_patterns_raise(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):

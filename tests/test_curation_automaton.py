@@ -42,6 +42,7 @@ def test_automaton_path_equals_jvm_broadcast_path(spark):
             (3, "nothing here"),
             (4, "very quick brown fox indeed"),
             (5, None),
+            (None, "quick brown null id"),  # null id: excluded like JVM
         ],
         "doc_id long, text string",
     )
