@@ -135,6 +135,9 @@ HEADLINE = [
     "text_langid_confusion",
     "window_moving_avg_7d",
     "dim_scd2_user_state",
+    "drift_text_kl",
+    "mining_frequent_pairs",
+    "gen_synthetic_validated",
 ]
 
 

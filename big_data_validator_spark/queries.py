@@ -4567,6 +4567,188 @@ def dim_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "drift_text_kl",
+    oracle="""
+    WITH wa AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS w
+                FROM documents WHERE doc_id % 2 = 0),
+    wb AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                         x -> x <> '')) AS w
+           FROM documents WHERE doc_id % 2 = 1),
+    ca AS (SELECT w, COUNT(*) AS na FROM wa GROUP BY 1),
+    cb AS (SELECT w, COUNT(*) AS nb FROM wb GROUP BY 1),
+    j AS (SELECT COALESCE(ca.w, cb.w) AS w,
+                 COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb ON ca.w = cb.w),
+    t AS (SELECT CAST(SUM(na) AS DOUBLE) AS ta,
+                 CAST(SUM(nb) AS DOUBLE) AS tb,
+                 CAST(COUNT(*) AS DOUBLE) AS v
+          FROM j)
+    SELECT ROUND(SUM(((na + 1) / (ta + v))
+                     * log2(((na + 1) / (ta + v))
+                            / ((nb + 1) / (tb + v)))), 6) AS kl_bits,
+           CAST(MAX(v) AS BIGINT) AS vocab_size,
+           CAST(MAX(ta) AS BIGINT) AS n_words_a,
+           CAST(MAX(tb) AS BIGINT) AS n_words_b
+    FROM j, t
+    """,
+)
+def drift_text_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TEXT drift: KL divergence (bits) between the
+    add-one-smoothed unigram distributions of two document snapshots —
+    the text sibling of PSI/KS/chi-square, catching vocabulary and
+    topic shift that schema-level monitors can't see.  Two wordcount
+    aggregations (map-side combined — shuffles carry distinct words),
+    one full-outer join on the vocab, one O(vocab) statistic; at 100 TB
+    the cost is two text scans.  Laplace smoothing keeps every term
+    finite on one-sided words; log ratios are transcendental, so
+    round-6 has no exact tie class."""
+    d = _t(spark, sf_dir, "documents")
+
+    def wordcounts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.expr(
+                        "filter(split(lower(text), ' '), x -> x != '')"
+                    )
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    ca = wordcounts(d.filter(F.col("doc_id") % 2 == 0), "na")
+    cb = wordcounts(d.filter(F.col("doc_id") % 2 == 1), "nb")
+    j = ca.join(cb, "w", "full_outer").select(
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+    t = j.agg(
+        F.sum("na").cast("double").alias("ta"),
+        F.sum("nb").cast("double").alias("tb"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    cells = j.crossJoin(F.broadcast(t)).select(
+        ((F.col("na") + 1) / (F.col("ta") + F.col("v"))).alias("pa"),
+        ((F.col("nb") + 1) / (F.col("tb") + F.col("v"))).alias("pb"),
+        "ta",
+        "tb",
+        "v",
+    )
+    return cells.agg(
+        F.round(
+            F.sum(F.col("pa") * F.log2(F.col("pa") / F.col("pb"))), 6
+        ).alias("kl_bits"),
+        F.max("v").cast("long").alias("vocab_size"),
+        F.max("ta").cast("long").alias("n_words_a"),
+        F.max("tb").cast("long").alias("n_words_b"),
+    )
+
+
+@query(
+    "mining_frequent_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY support DESC, item_a ASC, item_b ASC LIMIT 20
+    """,
+)
+def mining_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the 20 part pairs most often
+    bought in the same order (support ≥ 2).  Distinct (order, item)
+    first, then a self-equi-join on the order key with ``item_a <
+    item_b`` canonicalization — pair blowup is Σ k²/2 over per-order
+    basket sizes (baskets are small), NEVER an all-pairs product across
+    orders; the join shuffles on the order key like any fact-fact join
+    and AQE splits skewed mega-baskets.  Top-k plans as
+    TakeOrderedAndProject with full tie-breaks."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("item_a"),
+        F.col("b.l_partkey").alias("item_b"),
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(
+            F.col("support").desc(),
+            F.col("item_a").asc(),
+            F.col("item_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+@query(
+    "gen_synthetic_validated",
+    oracle="""
+    WITH g AS (
+      SELECT i,
+             CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':gen'),
+                                      1, 8) AS UBIGINT) % 1000 AS BIGINT)
+               AS amount_cents,
+             CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':gen'),
+                                      9, 8) AS UBIGINT) % 5 AS BIGINT)
+               AS segment
+      FROM generate_series(0, 9999) AS t(i))
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount_cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(amount_cents) AS BIGINT) AS min_cents,
+           CAST(MAX(amount_cents) AS BIGINT) AS max_cents
+    FROM g GROUP BY 1
+    """,
+)
+def gen_synthetic_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic-data factory: 10k rows generated from
+    ``spark.range`` + md5-derived fields (NO RNG state — the same
+    engine-portable digest device as the samplers, so DuckDB generates
+    the IDENTICAL table), then summarized per segment.  This is how a
+    100 TB test corpus is minted on-cluster: ``range`` parallelizes
+    perfectly, every field is a pure function of the row id, and any
+    slice can be regenerated independently for verification —
+    generation IS the oracle."""
+    _ensure_worker_imports(spark)
+    g = spark.range(0, 10000).select(
+        F.col("id").alias("i"),
+        F.md5(
+            F.encode(
+                F.concat(F.col("id").cast("string"), F.lit(":gen")),
+                "UTF-8",
+            )
+        ).alias("h"),
+    )
+    fields = g.select(
+        "i",
+        F.pmod(
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long"), F.lit(1000)
+        ).alias("amount_cents"),
+        F.pmod(
+            F.conv(F.substring("h", 9, 8), 16, 10).cast("long"), F.lit(5)
+        ).alias("segment"),
+    )
+    return fields.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("amount_cents").cast("long").alias("sum_cents"),
+        F.min("amount_cents").cast("long").alias("min_cents"),
+        F.max("amount_cents").cast("long").alias("max_cents"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -4758,6 +4940,17 @@ _DEMOTED_TO_TAIL = [
     # seated: the same wordcount shuffle + bounded top-k vocabulary) and
     # text_top_bigrams' r1-r2 history; green r1-r4.
     "text_tfidf_top_terms",
+    # Multimodal family keeps multimodal_resize_stats in-window (same
+    # mapInPandas kernel family, byte-exact stub decode); green r1-r4.
+    "multimodal_frame_sample",
+    # Sampling family keeps sample_weighted_orders in-window (the same
+    # md5-order device and WindowGroupLimit/TakeOrdered plan shape);
+    # green r1-r4.
+    "sample_stratified_orders",
+    # Exact-dedup semantics pinned by test_text_dedup planted-duplicate
+    # fixtures; dedup family keeps dedup_fuzzy_levenshtein in-window;
+    # green r1-r4.
+    "dedup_exact_keep_first",
 ]
 
 

@@ -124,14 +124,16 @@ def test_driver_window_is_all_oracled():
     # (membership rotates — see _DEMOTED_TO_TAIL — but each family keeps
     # at least one seat).
     for required in [
-        "dedup_exact_keep_first", "dedup_fuzzy_levenshtein",
+        "dedup_fuzzy_levenshtein",
         "sim_ann_recall",  # recomputes brute-force cosine as ground truth
-        "multimodal_resize_stats", "multimodal_frame_sample",
-        "text_unigram_lm_score", "sample_stratified_orders",
+        "multimodal_resize_stats",
+        "text_unigram_lm_score",
         "sample_weighted_orders", "pipeline_curate_pack",
         "corpus_mixture_apply", "quality_gopher_flags",
         "pii_redaction_scan", "contamination_probes",
         "train_shuffle_shards", "cdc_changeset_orders",
+        "drift_text_kl", "mining_frequent_pairs",
+        "gen_synthetic_validated",
     ]:
         assert required in window, required
 
