@@ -5,6 +5,8 @@
     python -m big_data_validator_spark <TABLE_NAME> [--base-dir DIR]
     python -m big_data_validator_spark stage <TABLE_NAME> \
         --input data.csv --metadata meta.csv [--base-dir DIR]
+    python -m big_data_validator_spark query <NAME> [--sf-dir DIR] \
+        [--output out.parquet]   # run any analytics-registry operator
 
 Uses the reference's naming conventions (``base_data_validation.py:41``,
 ``big_data_validator.py:261``):
@@ -17,7 +19,8 @@ Uses the reference's naming conventions (``base_data_validation.py:41``,
 (``validator/views.py:4-24``, ``forms.py:4-7``) without the web layer: the
 view only ever SAVED the two uploaded files into that layout — it never
 invoked the validator (a human ran the CLI afterwards).  ``stage`` does the
-same file placement; ``TABLE`` is reserved as a subcommand name.
+same file placement; ``TABLE`` names ``stage``/``query`` are reserved
+as subcommand names.
 
 Exit code 0 on validation success, 1 on failure (the reference raised
 ``ValidationErr``); the report prints as JSON either way.
@@ -59,10 +62,79 @@ def stage(argv: list[str]) -> int:
     return 0
 
 
+def query_cmd(argv: list[str]) -> int:
+    """Run (or list) analytics-registry queries from the CLI:
+
+        python -m big_data_validator_spark query --list
+        python -m big_data_validator_spark query <name> \
+            [--sf-dir DIR] [--output out.parquet] [--limit N]
+
+    Results print as JSON lines (or write to parquet with ``--output``),
+    so every operator in the registry is reachable without writing a
+    driver script.
+    """
+    parser = argparse.ArgumentParser(prog="big_data_validator_spark query")
+    parser.add_argument("name", nargs="?", help="registry query name")
+    parser.add_argument(
+        "--list", action="store_true", help="list available queries"
+    )
+    parser.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.001",
+        help="directory with the parquet tables",
+    )
+    parser.add_argument(
+        "--master", default="local[*]", help="Spark master"
+    )
+    parser.add_argument(
+        "--output", default=None, help="write result parquet here"
+    )
+    parser.add_argument(
+        "--limit",
+        type=int,
+        default=100,
+        help="max rows printed as JSON (ignored with --output)",
+    )
+    args = parser.parse_args(argv)
+
+    from big_data_validator_spark.queries import REGISTRY
+
+    if args.list or not args.name:
+        for name, spec in REGISTRY.items():
+            kind = "oracled" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName(f"bdv-query-{args.name}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        df = REGISTRY[args.name].fn(spark, args.sf_dir)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"written": args.output}))
+        else:
+            for row in df.limit(args.limit).toJSON().collect():
+                print(row)
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "stage":
         return stage(argv[1:])
+    if argv and argv[0] == "query":
+        return query_cmd(argv[1:])
     parser = argparse.ArgumentParser(prog="big_data_validator_spark")
     parser.add_argument("table", help="table name (reference CLI argument)")
     parser.add_argument(

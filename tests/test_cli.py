@@ -148,3 +148,60 @@ def test_cli_stage_missing_file(tmp_path):
     )
     assert proc.returncode == 2
     assert "not found" in proc.stderr
+
+
+def test_cli_query_list():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_validator_spark", "query", "--list"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    lines = dict(
+        l.split("\t") for l in proc.stdout.strip().splitlines() if "\t" in l
+    )
+    assert lines["validation_summary_lineitem"] == "oracled"
+    assert lines["dedup_minhash_lsh"] == "rows-only"
+    assert len(lines) >= 100
+
+
+def test_cli_query_run_and_unknown(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "big_data_validator_spark",
+            "query",
+            "gen_synthetic_validated",
+            "--master",
+            "local[2]",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [
+        _json.loads(l)
+        for l in proc.stdout.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert len(rows) == 5
+    assert sum(r["n_rows"] for r in rows) == 10000
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "big_data_validator_spark", "query", "nope"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert bad.returncode == 2
+    assert "unknown query" in bad.stderr
