@@ -83,8 +83,12 @@ def word_quality_metrics(
             " length(x)) + _den) div (2 * _den) as double) / 1000000.0"
         ).alias("mean_word_len"),
         (
+            # numerator is the TRUE duplicate count size - distinct (an
+            # empty doc has 0 duplicate words, not 1); only the
+            # denominator is floored at 1 to keep the division defined
+            # (ADVICE r5)
             F.expr(
-                "cast((2000000 * (greatest(size(_w), 1) -"
+                "cast((2000000 * (size(_w) -"
                 " size(array_distinct(_w))) + _den) div (2 * _den)"
                 " as double) / 1000000.0"
             )
@@ -192,9 +196,17 @@ def contamination_probe_counts(
     probe's ``probe_id_col`` is excluded (a probe drawn from the corpus
     should not count itself).  Returns one row per probe:
     ``(probe_id_col, n_contaminated)`` — probes with zero hits
-    included, so the output size is always ``|probes|``.
+    included, so the output size is always ``|distinct probes|``.
+
+    Probe rows are deduplicated on ``(probe_id, probe)`` first: a
+    repeated probe row must not double-count its hits, and the automaton
+    path inherently dedups — both paths agree by construction
+    (ADVICE r5).
     """
-    p = F.broadcast(probes.select(probe_id_col, probe_col))
+    probes = probes.select(probe_id_col, probe_col).dropDuplicates(
+        [probe_id_col, probe_col]
+    )
+    p = F.broadcast(probes)
     cond = F.instr(F.col(text_col), F.col(probe_col)) > 0
     if corpus_id_col is not None:
         cond = cond & (F.col(corpus_id_col) != F.col(probe_id_col))
@@ -207,7 +219,7 @@ def contamination_probe_counts(
     # hits has at most |probes| rows — broadcast it so the zero-hit
     # fill-in never shuffles the probe table either
     return (
-        probes.select(probe_id_col)
+        probes.select(probe_id_col).distinct()
         .join(F.broadcast(hits), probe_id_col, "left")
         .select(
             probe_id_col,
@@ -290,18 +302,45 @@ def contamination_probe_counts_automaton(
 
     Empty probe strings are rejected: an empty pattern would match
     every document vacuously and, in the automaton, alias the root.
+
+    Probe rows are deduplicated on ``(probe_id, probe)`` (matching the
+    JVM path), and a ``probe_id`` mapped to MULTIPLE distinct strings is
+    rejected — the two paths would legitimately disagree on it (the
+    automaton counts a doc once per id, the broadcast join once per
+    string).  When ``corpus_id_col`` is used it must be an integral
+    column: the Arrow batch schema is pinned ``long`` (ADVICE r5 — a
+    string/UUID id would crash the pandas worker mid-job; fail at plan
+    time with a clear message instead).
     """
     import pandas as pd  # noqa: F401 (worker-side)
 
     spark = corpus.sparkSession
-    probe_rows = [
-        (r[0], r[1])
-        for r in probes.select(probe_id_col, probe_col).collect()
-    ]
+    probe_rows = sorted(
+        {
+            (r[0], r[1])
+            for r in probes.select(probe_id_col, probe_col).collect()
+        }
+    )
     if any(not p for _, p in probe_rows):
         raise ValueError("empty probe strings are not allowed")
+    ids = [pid for pid, _ in probe_rows]
+    if len(set(ids)) != len(ids):
+        raise ValueError(
+            "probe_id mapped to multiple distinct probe strings; "
+            "use one id per probe string (the JVM and automaton paths "
+            "would disagree on such ids)"
+        )
     bc = spark.sparkContext.broadcast(probe_rows)
     id_out = corpus_id_col is not None
+    if id_out:
+        id_type = dict(corpus.dtypes).get(corpus_id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"corpus_id_col {corpus_id_col!r} must be an integral "
+                f"column (got {id_type or 'missing'}): the automaton's "
+                "Arrow schema carries ids as long; hash string/UUID ids "
+                "to a long first, or use contamination_probe_counts"
+            )
     cols = [text_col] + ([corpus_id_col] if id_out else [])
     src = corpus.select(*cols)
     if id_out:

@@ -995,13 +995,24 @@ def chi_square_drift(
         ),
     )
     # expected cell counts: e_a = p*ta, e_b = p*tb; cells with p=0 can't
-    # occur (a category appears in at least one side)
+    # occur (a category appears in at least one side).  try_divide: when
+    # one snapshot is EMPTY (ta or tb is 0 — a normal drift-monitor
+    # input, e.g. a brand-new feed) its expected counts are 0 for every
+    # cell and the Pearson term is undefined; Spark 4's ANSI mode would
+    # throw DIVIDE_BY_ZERO.  try_divide yields NULL instead, the NULL
+    # propagates through _x, and SUM over all-NULL returns NULL — so the
+    # statistic comes back as a defined row (chi2 NULL, n_a/n_b
+    # populated) rather than a crash (ADVICE r5).
     contrib = cells.select(
         (
-            F.pow(F.col("_na") - F.col("_p") * F.col("_ta"), 2)
-            / (F.col("_p") * F.col("_ta"))
-            + F.pow(F.col("_nb") - F.col("_p") * F.col("_tb"), 2)
-            / (F.col("_p") * F.col("_tb"))
+            F.try_divide(
+                F.pow(F.col("_na") - F.col("_p") * F.col("_ta"), 2),
+                F.col("_p") * F.col("_ta"),
+            )
+            + F.try_divide(
+                F.pow(F.col("_nb") - F.col("_p") * F.col("_tb"), 2),
+                F.col("_p") * F.col("_tb"),
+            )
         ).alias("_x"),
         "_ta",
         "_tb",

@@ -174,16 +174,27 @@ def shuffle_shards(
     Adds ``shard_id`` (int) and ``_shuffle_rank`` (32-hex string;
     lexicographic order IS the shuffle order).  Deterministic across
     reruns, partitionings, and engines; reshuffle by changing ``seed``.
+
+    NULL keys are REJECTED (``raise_error`` inside the rank expression —
+    a codegen branch, zero extra passes): ``concat_ws`` would silently
+    drop the NULL and every such row would share the identical rank
+    ``md5(seed)``/shard, breaking the documented per-key deterministic
+    order (ADVICE r5).  A shuffle key must identify the row; supply a
+    surrogate (e.g. a row fingerprint) for keyless data.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    key = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"shuffle_shards: NULL in key column {key_col!r}; "
+                "NULL keys would all collide on one rank/shard"
+            )
+        ).cast("string"),
+    ).otherwise(F.col(key_col).cast("string"))
     rank = F.md5(
-        F.encode(
-            F.concat_ws(
-                ":", F.col(key_col).cast("string"), F.lit(str(seed))
-            ),
-            "UTF-8",
-        )
+        F.encode(F.concat_ws(":", key, F.lit(str(seed))), "UTF-8")
     )
     shard = F.pmod(
         F.conv(F.substring(rank, 1, 8), 16, 10).cast("long"),

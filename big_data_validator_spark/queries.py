@@ -3587,7 +3587,7 @@ def rule_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((2000000 * CAST(COALESCE(list_sum(
                  list_transform(words, x -> len(x))), 0) AS BIGINT)
               + den) // (2 * den)) / 1000000.0 AS mean_word_len,
-            ((2000000 * (CAST(GREATEST(len(words), 1) AS BIGINT)
+            ((2000000 * (CAST(len(words) AS BIGINT)
                          - len(list_distinct(words)))
               + den) // (2 * den)) / 1000000.0 AS dup_word_frac,
             ((2000000 * CAST(COALESCE(list_max(list_transform(

@@ -34,6 +34,9 @@ def test_word_metrics_known_values(spark):
     assert got[1]["top_word_frac"] == 0.5
     assert got[2]["n_words"] == 1 and got[2]["dup_word_frac"] == 0.0
     assert got[3]["n_words"] == 0 and got[3]["mean_word_len"] == 0.0
+    # empty doc has ZERO duplicate words (ADVICE r5: the floored
+    # denominator must not leak into the numerator)
+    assert got[3]["dup_word_frac"] == 0.0 and got[3]["top_word_frac"] == 0.0
     assert got[4]["n_words"] == 2 and got[4]["mean_word_len"] == 2.0
 
 

@@ -101,3 +101,51 @@ def test_automaton_path_on_registry_shape(spark):
         ).collect()
     )
     assert ac == jvm
+
+
+def test_automaton_rejects_non_integral_corpus_ids(spark):
+    """ADVICE r5: the Arrow batch schema pins ids as long; a string id
+    used to crash the pandas worker mid-job — now fails at plan time."""
+    corpus = spark.createDataFrame(
+        [("u-1", "some text")], "doc_id string, text string"
+    )
+    probes = spark.createDataFrame(
+        [(1, "text")], "probe_id long, probe string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        contamination_probe_counts_automaton(
+            corpus, probes, corpus_id_col="doc_id"
+        )
+
+
+def test_automaton_rejects_one_id_many_strings(spark):
+    corpus = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    probes = spark.createDataFrame(
+        [(7, "ab"), (7, "bc")], "probe_id long, probe string"
+    )
+    with pytest.raises(ValueError, match="multiple distinct probe"):
+        contamination_probe_counts_automaton(
+            corpus, probes, corpus_id_col="doc_id"
+        )
+
+
+def test_duplicate_probe_rows_dedup_in_both_paths(spark):
+    """ADVICE r5: an exactly-duplicated probe row must not double-count
+    its hits in the JVM path (the automaton path inherently dedups)."""
+    corpus = spark.createDataFrame(
+        [(1, "needle in a haystack"), (2, "no match here")],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(10, "needle"), (10, "needle"), (11, "haystack")],
+        "probe_id long, probe string",
+    )
+    for fn in (
+        contamination_probe_counts,
+        contamination_probe_counts_automaton,
+    ):
+        got = {
+            r["probe_id"]: r["n_contaminated"]
+            for r in fn(corpus, probes, corpus_id_col="doc_id").collect()
+        }
+        assert got == {10: 1, 11: 1}, fn.__name__

@@ -172,3 +172,21 @@ def test_chi_square_registry_matches_duckdb(spark):
     want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert got == want
     assert len(got) == 1
+
+
+def test_chi_square_empty_snapshot_returns_null_chi2(spark):
+    """ADVICE r5: an empty/new snapshot is a normal drift-monitor input;
+    under Spark 4 ANSI the zero expected counts used to raise
+    DIVIDE_BY_ZERO.  Now: defined row, NULL chi2, totals populated."""
+    from big_data_validator_spark.operators.relational import (
+        chi_square_drift,
+    )
+
+    a = spark.createDataFrame([("x",)] * 3 + [("y",)] * 2, "c string")
+    empty = spark.createDataFrame([], "c string")
+    row = chi_square_drift(a, empty, "c").collect()[0]
+    assert row["chi2"] is None
+    assert row["n_a"] == 5 and row["n_b"] == 0
+    assert row["dof"] == 1  # two categories present overall
+    row2 = chi_square_drift(empty, a, "c").collect()[0]
+    assert row2["chi2"] is None and row2["n_a"] == 0 and row2["n_b"] == 5

@@ -138,3 +138,12 @@ def test_registry_entries_match_duckdb(spark):
         )
         assert got == want, name
         assert len(got) > 0, name
+
+
+def test_shuffle_shards_rejects_null_keys(spark):
+    """ADVICE r5: concat_ws would silently drop a NULL key and every
+    such row would collide on the identical rank md5(seed); the rank
+    expression now raises instead."""
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    with pytest.raises(Exception, match="NULL in key column"):
+        shuffle_shards(df, "k", n_shards=2).collect()
