@@ -70,6 +70,7 @@ def snapshot_changeset(
     key_cols: Sequence[str],
     compare_cols: Optional[Sequence[str]] = None,
     include_unchanged: bool = False,
+    include_payload: bool = False,
 ) -> DataFrame:
     """Classify every key present in either snapshot.
 
@@ -80,6 +81,14 @@ def snapshot_changeset(
 
     ``compare_cols`` defaults to every shared non-key column (in
     ``current``'s column order, so the fingerprint is deterministic).
+
+    With ``include_payload`` the output also carries ``incoming``'s
+    ``compare_cols`` values (NULL on deletes) — the row material
+    :func:`apply_changeset` needs to MERGE the delta into the next
+    snapshot.  Payload widens the full-outer shuffle from ~50 B/row to
+    the compare-column width, so ask for it only on the apply path;
+    the monitoring path (classify + count) keeps the fingerprint-only
+    shuffle.
     """
     keys = list(key_cols)
     if not keys:
@@ -99,10 +108,12 @@ def snapshot_changeset(
         row_fingerprint(compare_cols).alias("_cur_fp"),
         F.lit(1).alias("_cur_present"),
     )
+    payload = list(compare_cols) if include_payload else []
     inc = incoming.select(
         *keys,
         row_fingerprint(compare_cols).alias("_inc_fp"),
         F.lit(1).alias("_inc_present"),
+        *payload,
     )
     joined = cur.join(inc, on=keys, how="full_outer")
     change = (
@@ -111,10 +122,67 @@ def snapshot_changeset(
         .when(F.col("_cur_fp") != F.col("_inc_fp"), F.lit("update"))
         .otherwise(F.lit("unchanged"))
     )
-    out = joined.select(*keys, change.alias("change_type"))
+    out = joined.select(*keys, change.alias("change_type"), *payload)
     if not include_unchanged:
         out = out.filter(F.col("change_type") != "unchanged")
     return out
+
+
+def apply_changeset(
+    current: DataFrame,
+    changeset: DataFrame,
+    key_cols: Sequence[str],
+    change_col: str = "change_type",
+) -> DataFrame:
+    """MERGE a changeset into ``current``, producing the next snapshot —
+    the apply half of the CDC loop :func:`snapshot_changeset` opens
+    (``MERGE INTO current USING changeset``: delete removes the key,
+    update replaces the row, insert adds it).
+
+    ``changeset`` must carry ``key_cols``, ``change_col``, and every
+    non-key column of ``current`` (insert/update rows supply the new
+    values; delete rows may hold NULLs) — i.e. the
+    ``include_payload=True`` output of :func:`snapshot_changeset`, or
+    any upstream CDC feed (Debezium-style) projected to that shape.
+
+    Plan shape at 100 TB: ONE left-anti join of the base against the
+    touched keys (delete ∪ update — shuffles the base on its key once;
+    zero-Exchange when base and changeset are bucketed on the key,
+    operators/bucketing.py) plus a union with the insert/update rows.
+    The base is never rewritten row-by-row and unchanged rows are never
+    shuffled wider than their key.  Applying ``snapshot_changeset(current,
+    incoming)`` to ``current`` reproduces ``incoming`` exactly — the
+    round-trip invariant the tests and the driver oracle pin.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_cols must be non-empty")
+    missing = [
+        c for c in current.columns
+        if c not in keys and c not in changeset.columns
+    ]
+    if missing:
+        raise ValueError(
+            "changeset lacks payload for current's columns "
+            f"{missing}; build it with snapshot_changeset("
+            "include_payload=True) or project the CDC feed to the "
+            "snapshot schema"
+        )
+    types = {n: t for n, t in changeset.dtypes}
+    if types.get(change_col) != "string":
+        raise ValueError(
+            f"changeset column {change_col!r} must be a string column "
+            f"of insert/update/delete (got "
+            f"{types.get(change_col) or 'missing'})"
+        )
+    touched = changeset.filter(
+        F.col(change_col).isin("delete", "update")
+    ).select(*keys)
+    survivors = current.join(touched, on=keys, how="left_anti")
+    upserts = changeset.filter(
+        F.col(change_col).isin("insert", "update")
+    ).select(*current.columns)
+    return survivors.unionByName(upserts)
 
 
 def changeset_summary(changeset: DataFrame) -> DataFrame:

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double"}
@@ -274,4 +274,95 @@ def candidate_key_rule(
     ]
     return wide.select(F.explode(F.array(*structs)).alias("_s")).select(
         "_s.*"
+    )
+
+
+def metrics_history(
+    runs: Sequence[tuple],
+    columns: Optional[Sequence[str]] = None,
+    run_col: str = "run_id",
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Deequ-style metrics repository builder: profile each ``(run_id,
+    DataFrame)`` snapshot with :func:`profile_table` and stack the long
+    rows into one ``(run_id, column, metric, value)`` history frame.
+
+    Each run costs its own single-pass aggregation (in production runs
+    arrive over time and their profile rows APPEND to a persisted
+    metrics table — this builder exists so a backfill / test can mint N
+    runs in one plan); the union is metadata-only.  The history frame
+    is what :func:`profile_trend_anomalies` monitors.
+    """
+    if not runs:
+        raise ValueError("runs must be non-empty")
+    parts = []
+    for run_id, df in runs:
+        parts.append(
+            profile_table(
+                df, columns=columns, exact_distinct=exact_distinct
+            ).select(F.lit(run_id).alias(run_col), "column", "metric", "value")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def profile_trend_anomalies(
+    history: DataFrame,
+    run_col: str = "run_id",
+    trailing: int = 3,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Trend-based validation over a metrics repository: flag any
+    ``(column, metric)`` whose CURRENT value deviates from its own
+    trailing-``trailing``-run history — the "compare this run against
+    the last N runs" rule that catches slow drifts and sudden breaks a
+    two-snapshot diff can't see (the most common production
+    data-quality shape; Deequ's AnomalyDetection-on-repository
+    pattern).
+
+    Per (column, metric): the value, the mean/stddev of the PRECEDING
+    ``trailing`` runs (current excluded — the monitored value must not
+    contaminate its own baseline, same discipline as
+    events_analytics.rolling_zscore_anomalies), the z-score, and
+    ``is_anomaly``.  Fewer than 2 preceding observations or zero
+    variance → NULL z, never flagged.
+
+    Scale: the window partitions by (column, metric) and each partition
+    holds ONE ROW PER RUN — thousands of rows after years of daily
+    runs — so the ordered window is bounded by construction; the raw
+    tables are never re-read (the repository IS the input).
+    """
+    w = (
+        Window.partitionBy("column", "metric")
+        .orderBy(run_col)
+        .rowsBetween(-trailing, -1)
+    )
+    base = history.select(
+        run_col,
+        "column",
+        "metric",
+        "value",
+        F.count("value").over(w).alias("_n_prev"),
+        F.avg("value").over(w).alias("_mean"),
+        F.stddev_samp("value").over(w).alias("_std"),
+    )
+    z = F.when(
+        (F.col("_n_prev") >= 2)
+        & F.col("_std").isNotNull()
+        & (F.col("_std") > 0),
+        (F.col("value") - F.col("_mean")) / F.col("_std"),
+    )
+    return base.select(
+        run_col,
+        "column",
+        "metric",
+        "value",
+        F.round("_mean", 6).alias("trailing_mean"),
+        F.round("_std", 6).alias("trailing_std"),
+        F.round(z, 4).alias("z_score"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
     )

@@ -272,3 +272,89 @@ def unigram_lm_scores(
             F.round(F.avg(-F.log2(p)), 4).alias("lm_score"),
         )
     )
+
+
+#: Demo BPE merge table, in RANK ORDER (rank = list index): the classic
+#: high-frequency English merges.  Real deployments broadcast a learned
+#: vocabulary (e.g. the GPT-2 merges.txt, ~50k ranks) through the same
+#: code path — the encoder below is rank-table-driven, not hard-coded.
+BPE_DEMO_MERGES: "list[tuple[str, str]]" = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("e", "s"), ("o", "f"),
+    ("o", "u"), ("i", "s"), ("a", "l"), ("s", "t"), ("e", "d"),
+]
+
+#: Base alphabet for :func:`bpe_vocab` — the [a-z0-9] charset
+#: ``word_tokens`` emits, so every post-merge symbol is in-vocab.
+_BPE_BASE_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+#: Symbol boundary inside the encoder's working string.  Any character
+#: outside the token alphabet works; '|' keeps the oracle SQL readable.
+_BPE_SEP = "|"
+
+
+def bpe_vocab(
+    merges: "Optional[list[tuple[str, str]]]" = None,
+) -> "dict[str, int]":
+    """Token→id table implied by a merge list: base chars first (rank
+    order a-z0-9), then one merged symbol per rank.  Deterministic —
+    both engines and every run assign identical ids."""
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    vocab = {ch: i for i, ch in enumerate(_BPE_BASE_CHARS)}
+    for a, b in merges:
+        if a + b not in vocab:
+            vocab[a + b] = len(vocab)
+    return vocab
+
+
+def bpe_encode_tokens(
+    col: Column, merges: "Optional[list[tuple[str, str]]]" = None
+) -> Column:
+    """REAL byte-pair encoding of one lowercase word token into its BPE
+    symbol array, as a pure Catalyst expression chain (codegen, no
+    Python, no UDF).
+
+    Algorithm (Sennrich 2016 encode): apply each merge rule in RANK
+    ORDER, replacing every adjacent occurrence of the pair
+    left-to-right.  The working representation wraps each symbol in
+    separators — ``the`` → ``|t||h||e|`` — so a pair replace is a plain
+    substring replace of ``|A||B|`` with ``|AB|``:
+
+    - the double separator ``||`` occurs exactly at symbol boundaries
+      and symbols never contain the separator, so a match can only bind
+      WHOLE adjacent symbols (no mid-symbol or prefix aliasing);
+    - ``replace`` scans left-to-right without rescanning its own
+      output, which is precisely BPE's left-to-right merge of
+      non-overlapping occurrences (``aaa`` + merge (a,a) → ``[aa, a]``).
+
+    ``replace``/``regexp_replace`` have identical semantics in DuckDB,
+    so the oracle replays the exact algorithm (see
+    :func:`bpe_oracle_sql_expr`).  Input must be non-empty ``[a-z0-9]+``
+    (what :func:`word_tokens` yields).  Returns the symbol array.
+    """
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    out = F.regexp_replace(
+        col, "(.)", f"{_BPE_SEP}$1{_BPE_SEP}"
+    )
+    for a, b in merges:
+        out = F.replace(
+            out,
+            F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{_BPE_SEP}{b}{_BPE_SEP}"),
+            F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+        )
+    return F.split(F.btrim(out, F.lit(_BPE_SEP)), r"\|\|")
+
+
+def bpe_oracle_sql_expr(
+    word_expr: str, merges: "Optional[list[tuple[str, str]]]" = None
+) -> str:
+    """The DuckDB expression computing EXACTLY
+    :func:`bpe_encode_tokens` for ``word_expr`` (a SQL string
+    expression), generated from the same merge table so the two
+    engines cannot drift.  Returns a VARCHAR[] expression."""
+    merges = BPE_DEMO_MERGES if merges is None else merges
+    expr = f"regexp_replace({word_expr}, '(.)', '|\\1|', 'g')"
+    for a, b in merges:
+        expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"string_split(trim({expr}, '|'), '||')"

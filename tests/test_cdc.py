@@ -146,3 +146,64 @@ def test_registry_entry_matches_duckdb(spark):
     want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert got == want
     assert len(got) > 0
+
+
+# ------------------------------------------------------------- apply/MERGE
+
+
+def test_apply_changeset_roundtrip(spark, snapshots):
+    """MERGE invariant: applying snapshot_changeset(current, incoming)
+    to current reproduces incoming exactly."""
+    from big_data_validator_spark.operators.cdc import apply_changeset
+
+    current, incoming = snapshots
+    cs = snapshot_changeset(
+        current, incoming, key_cols=["k"], include_payload=True
+    )
+    nxt = apply_changeset(current, cs, key_cols=["k"])
+    assert sorted(map(tuple, nxt.collect())) == sorted(
+        map(tuple, incoming.collect())
+    )
+    assert nxt.columns == current.columns
+
+
+def test_apply_changeset_empty_changeset_is_identity(spark, snapshots):
+    from big_data_validator_spark.operators.cdc import apply_changeset
+
+    current, _ = snapshots
+    cs = snapshot_changeset(
+        current, current, key_cols=["k"], include_payload=True
+    )
+    assert cs.count() == 0
+    nxt = apply_changeset(current, cs, key_cols=["k"])
+    assert sorted(map(tuple, nxt.collect())) == sorted(
+        map(tuple, current.collect())
+    )
+
+
+def test_apply_changeset_validates_payload_and_change_col(spark, snapshots):
+    from big_data_validator_spark.operators.cdc import apply_changeset
+
+    current, incoming = snapshots
+    no_payload = snapshot_changeset(current, incoming, key_cols=["k"])
+    with pytest.raises(ValueError, match="lacks payload"):
+        apply_changeset(current, no_payload, key_cols=["k"])
+    bad = current.withColumn("change_type", F.lit(1))
+    with pytest.raises(ValueError, match="must be a string"):
+        apply_changeset(current, bad, key_cols=["k"])
+
+
+def test_apply_changeset_single_antijoin_plan(spark, snapshots):
+    """The base is touched by exactly one anti join (delete ∪ update
+    keys) plus a union — never a per-change-type re-scan."""
+    from big_data_validator_spark.operators.cdc import apply_changeset
+
+    current, incoming = snapshots
+    cs = snapshot_changeset(
+        current, incoming, key_cols=["k"], include_payload=True
+    )
+    plan = (
+        apply_changeset(current, cs, key_cols=["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("LeftAnti") == 1, plan

@@ -124,3 +124,58 @@ def test_benford_digits_complete_and_integer_extracted(spark):
     assert rows[5]["n"] == 0          # absent digit still a row
     assert rows[5]["share"] == 0.0
     assert abs(rows[1]["expected_share"] - 0.30103) < 1e-6
+
+
+# ------------------------------------------------- metrics repo / trends
+
+
+def test_metrics_history_and_trend_anomaly(spark):
+    """Four synthetic runs; the last one halves in volume and must be
+    the only flagged (column, metric) row."""
+    from big_data_validator_spark.operators.profile import (
+        metrics_history,
+        profile_trend_anomalies,
+    )
+
+    def run(n, base=0):
+        return spark.createDataFrame(
+            [(base + i, float(i % 7)) for i in range(n)],
+            "k long, v double",
+        )
+
+    runs = [(0, run(1000)), (1, run(1010)), (2, run(990)), (3, run(200))]
+    hist = metrics_history(runs, columns=["k"])
+    assert hist.columns == ["run_id", "column", "metric", "value"]
+    out = profile_trend_anomalies(hist, trailing=3, z_threshold=3.0)
+    rows = {(r["run_id"], r["metric"]): r for r in out.collect()}
+    # run 3 row_count: mean(1000,1010,990)=1000, std=10 → z=-80
+    r3 = rows[(3, "row_count")]
+    assert r3["is_anomaly"] is True
+    assert r3["trailing_mean"] == 1000.0 and r3["trailing_std"] == 10.0
+    assert r3["z_score"] == -80.0
+    # runs 0/1 have <2 preceding observations → NULL z, never flagged
+    assert rows[(0, "row_count")]["z_score"] is None
+    assert rows[(1, "row_count")]["z_score"] is None
+    assert rows[(0, "row_count")]["is_anomaly"] is False
+    # zero-variance history (null_count constant 0) → NULL z, unflagged
+    n3 = rows[(3, "null_count")]
+    assert n3["z_score"] is None and n3["is_anomaly"] is False
+
+
+def test_trend_anomaly_window_is_bounded_per_metric(spark):
+    """The ordered window partitions by (column, metric): no global
+    single-partition sort over the history."""
+    from big_data_validator_spark.operators.profile import (
+        profile_trend_anomalies,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, "c", "m", float(i)) for i in range(10)],
+        "run_id long, column string, metric string, value double",
+    )
+    plan = (
+        profile_trend_anomalies(hist)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(column" in plan.replace("#", "").lower() or \
+        "hashpartitioning" in plan, plan

@@ -237,3 +237,85 @@ def test_stream_stream_attribution_window_bounds(spark, tmp_path):
         for r in spark.table("attrib_test").collect()
     ]
     assert got == [(1, t0, t0 + dt.timedelta(minutes=30))]
+
+
+def test_stream_stream_left_outer_null_extension(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER join: matches emit inner-
+    style; UNMATCHED purchases emit with NULL click only after the
+    watermark closes their join window (advanced here by sentinel
+    events in later micro-batches — production streams just keep
+    flowing).  Result equals the batch left join on the real rows."""
+    import os
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        stream_stream_attribution_left,
+    )
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    os.makedirs(cdir), os.makedirs(pdir)
+
+    def write_one(root, name, rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+            "user_id", F.col("ts_str").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.parquet(f"{root}/{name}")
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    write_one(cdir, "f1", [(1, "2024-01-01 10:00:00"),
+                           (2, "2024-01-01 10:05:00")])
+    write_one(pdir, "f1", [(1, "2024-01-01 10:10:00"),   # attributed
+                           (3, "2024-01-01 10:15:00"),   # no click at all
+                           (2, "2024-01-01 12:00:00")])  # click too old
+    # sentinels: two more batches advance the min-watermark far past
+    # every real purchase's join window
+    for i, ts in enumerate(["2024-01-01 16:00:00", "2024-01-01 20:00:00",
+                            "2024-01-02 08:00:00"]):
+        write_one(cdir, f"s{i}", [(999, ts)])
+        write_one(pdir, f"s{i}", [(999, ts)])
+
+    def src(root):
+        schema = spark.read.parquet(f"{root}/f1").schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{root}/*")
+        )
+
+    joined = stream_stream_attribution_left(
+        src(pdir), src(cdir), "user_id", "ts",
+        attribution_seconds=1800, watermark="10 minutes",
+    )
+    # NOTE: no pre-sink filter — a predicate on user_id would push below
+    # the watermark node and strip the sentinel rows before they can
+    # advance event time; late filtering happens at read-back
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("left_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lo"))
+        .start()
+    )
+    _wait(q)
+    import datetime as dt
+
+    rows = sorted(
+        (r["user_id"], r["purchase_ts"], r["click_ts"])
+        for r in spark.sql(
+            "select * from left_attrib where user_id != 999"
+        ).collect()
+    )
+    assert rows == [
+        (1, dt.datetime(2024, 1, 1, 10, 10), dt.datetime(2024, 1, 1, 10, 0)),
+        (2, dt.datetime(2024, 1, 1, 12, 0), None),
+        (3, dt.datetime(2024, 1, 1, 10, 15), None),
+    ]
+    # bounded state: the join evicted everything older than
+    # watermark + attribution window by the last progress event
+    final_state = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    assert final_state and final_state[-1] <= 4, final_state

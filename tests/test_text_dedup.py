@@ -360,3 +360,106 @@ def test_levenshtein_banded_rejects_negative(spark):
     df = spark.createDataFrame([("x",)], "name string")
     with pytest.raises(ValueError):
         levenshtein_pairs_banded(df, "name", -1)
+
+
+# --------------------------------------------------------------- BPE
+
+
+def _bpe_reference(word, merges):
+    """Textbook BPE encode (Sennrich apply_bpe): repeatedly merge the
+    LOWEST-RANK adjacent pair present, all occurrences left-to-right."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        best = min(
+            (ranks.get(p, len(merges)), p) for p in pairs
+        )
+        if best[0] == len(merges):
+            break
+        a, b = best[1]
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_bpe(spark):
+    """The rank-ordered replace chain IS Sennrich BPE for any valid
+    merge table (each rule's operands exist before the rule applies)."""
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.text import (
+        BPE_DEMO_MERGES,
+        bpe_encode_tokens,
+    )
+
+    words = [
+        "the", "there", "another", "ingesting", "attention", "aaa",
+        "x", "and", "standard", "estates", "toto", "onion", "0451",
+        "thethethe", "renderer", "inning",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["toks"]
+        for r in df.select(
+            "w", bpe_encode_tokens(F.col("w")).alias("toks")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _bpe_reference(w, BPE_DEMO_MERGES), w
+        assert "".join(got[w]) == w  # lossless segmentation
+
+
+def test_bpe_encode_matches_duckdb_oracle_expr(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_oracle_sql_expr,
+    )
+
+    words = ["the", "another", "ingesting", "attention", "0451", "z"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {
+        r["w"]: r["toks"]
+        for r in df.select(
+            "w", bpe_encode_tokens(F.col("w")).alias("toks")
+        ).collect()
+    }
+    vals = ",".join(f"('{w}')" for w in words)
+    sql = (
+        f"SELECT w, {bpe_oracle_sql_expr('w')} AS toks "
+        f"FROM (VALUES {vals}) t(w)"
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_bpe_vocab_covers_every_emitted_symbol(spark):
+    """Every post-merge symbol is either a base char or a merged rank —
+    no OOV possible for [a-z0-9]+ input."""
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_vocab,
+        word_tokens,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = (
+        docs.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .select(F.explode(bpe_encode_tokens(F.col("w"))).alias("t"))
+        .distinct()
+    )
+    vocab = bpe_vocab()
+    missing = [r["t"] for r in toks.collect() if r["t"] not in vocab]
+    assert missing == []
