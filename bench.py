@@ -138,6 +138,18 @@ HEADLINE = [
     "drift_text_kl",
     "mining_frequent_pairs",
     "gen_synthetic_validated",
+    # round-6: the in-window queries that had no perf row (VERDICT r5
+    # #5) plus this round's four new operators
+    "multimodal_resize_stats",
+    "scan_orc",
+    "scan_parquet_evolving",
+    "sim_ann_ivf",
+    "agg_approx_distinct",
+    "cdc_apply_changeset",
+    "rule_profile_trend_anomaly",
+    "text_bpe_encode",
+    "streaming_attribution_left",
+    "ts_resample_ffill",
 ]
 
 

@@ -134,6 +134,9 @@ def test_driver_window_is_all_oracled():
         "train_shuffle_shards", "cdc_changeset_orders",
         "drift_text_kl", "mining_frequent_pairs",
         "gen_synthetic_validated",
+        # round-6 additions: each must get its driver-green row
+        "cdc_apply_changeset", "rule_profile_trend_anomaly",
+        "text_bpe_encode", "streaming_attribution_left",
     ]:
         assert required in window, required
 
