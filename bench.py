@@ -150,6 +150,7 @@ HEADLINE = [
     "text_bpe_encode",
     "streaming_attribution_left",
     "ts_resample_ffill",
+    "pipeline_bpe_pack",
 ]
 
 
