@@ -151,6 +151,7 @@ HEADLINE = [
     "streaming_attribution_left",
     "ts_resample_ffill",
     "pipeline_bpe_pack",
+    "profile_mutual_information",
 ]
 
 

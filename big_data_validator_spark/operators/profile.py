@@ -366,3 +366,68 @@ def profile_trend_anomalies(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def mutual_information_profile(
+    df: DataFrame, col_a: str, col_b: str
+) -> DataFrame:
+    """Information-theoretic dependency between two categorical columns:
+    entropies H(A), H(B), H(A,B), mutual information, and the
+    uncertainty coefficients U(A|B), U(B|A) — the GRADED complement of
+    :func:`functional_dependency_profile` (an FD is the U == 1 extreme;
+    this measures how close a soft dependency gets, catching
+    "priority almost determines status" relationships a hard FD rule
+    calls simply broken).
+
+    ONE aggregation builds the joint (a, b) contingency cells (map-side
+    combined — the shuffle carries distinct pairs, not rows); marginals
+    and the total derive from the CELLS via window sums, so the corpus
+    is scanned exactly once however it scales.  The windows run over
+    the k-cell frame only — k is the category-pair cardinality, which
+    must be aggregate-scale (the same contract as chi-square/PSI); this
+    is not an operator for high-cardinality keys.
+
+    Entropies in bits, rounded to 6 (−p·log2 p is transcendental — no
+    exact tie class).  NULLs are excluded (a null is a completeness
+    question, not a category).  Returns one row.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    joint = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("_a"), b.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    )
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wt = Window.partitionBy()
+    cells = joint.select(
+        "_n",
+        F.sum("_n").over(wa).alias("_na"),
+        F.sum("_n").over(wb).alias("_nb"),
+        F.sum("_n").over(wt).alias("_t"),
+    )
+    p = F.col("_n") / F.col("_t")
+    agg = cells.agg(
+        F.sum(-p * F.log2(F.col("_na") / F.col("_t"))).alias("_ha"),
+        F.sum(-p * F.log2(F.col("_nb") / F.col("_t"))).alias("_hb"),
+        F.sum(-p * F.log2(p)).alias("_hab"),
+        F.max("_t").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    mi = F.col("_ha") + F.col("_hb") - F.col("_hab")
+    return agg.select(
+        F.lit(col_a).alias("col_a"),
+        F.lit(col_b).alias("col_b"),
+        "n_rows",
+        "n_cells",
+        F.round("_ha", 6).alias("h_a_bits"),
+        F.round("_hb", 6).alias("h_b_bits"),
+        F.round("_hab", 6).alias("h_joint_bits"),
+        F.round(mi, 6).alias("mi_bits"),
+        F.round(
+            F.when(F.col("_ha") > 0, mi / F.col("_ha")), 6
+        ).alias("u_a_given_b"),
+        F.round(
+            F.when(F.col("_hb") > 0, mi / F.col("_hb")), 6
+        ).alias("u_b_given_a"),
+    )

@@ -5089,6 +5089,64 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
     return cdir, pdir
 
 
+@query(
+    "profile_mutual_information",
+    oracle="""
+    WITH joint AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+      GROUP BY 1, 2),
+    cells AS (SELECT n,
+                     SUM(n) OVER (PARTITION BY a) AS na,
+                     SUM(n) OVER (PARTITION BY b) AS nb,
+                     SUM(n) OVER () AS t
+              FROM joint),
+    agg AS (SELECT SUM(-(n/t) * log2(na/t)) AS ha,
+                   SUM(-(n/t) * log2(nb/t)) AS hb,
+                   SUM(-(n/t) * log2(n/t)) AS hab,
+                   CAST(MAX(t) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_cells
+            FROM cells)
+    SELECT 'o_orderpriority' AS col_a, 'o_orderstatus' AS col_b,
+           n_rows, n_cells,
+           ROUND(ha, 6) AS h_a_bits, ROUND(hb, 6) AS h_b_bits,
+           ROUND(hab, 6) AS h_joint_bits,
+           ROUND(ha + hb - hab, 6) + 0.0 AS mi_bits,
+           ROUND(CASE WHEN ha > 0 THEN (ha + hb - hab) / ha END, 6)
+             + 0.0 AS u_a_given_b,
+           ROUND(CASE WHEN hb > 0 THEN (ha + hb - hab) / hb END, 6)
+             + 0.0 AS u_b_given_a
+    FROM agg
+    """,
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic dependency profile (operators/profile.py:
+    mutual_information_profile): entropies, mutual information, and
+    uncertainty coefficients between order priority and status — the
+    GRADED complement of the hard FD rule (U == 1 is a functional
+    dependency; anything between quantifies "almost determines").  One
+    joint-count aggregation scans the corpus once; marginals derive
+    from the k contingency cells via window sums, so cost after the
+    scan is O(cells).  ``+ 0.0`` on the near-zero terms folds -0.0 to
+    0.0 on both engines (independent columns give MI ≈ ±1e-16 before
+    rounding — the sign of a zero must not flip the hash)."""
+    from big_data_validator_spark.operators.profile import (
+        mutual_information_profile,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    out = mutual_information_profile(o, "o_orderpriority", "o_orderstatus")
+    return out.select(
+        "col_a", "col_b", "n_rows", "n_cells",
+        "h_a_bits", "h_b_bits", "h_joint_bits",
+        (F.col("mi_bits") + 0.0).alias("mi_bits"),
+        (F.col("u_a_given_b") + 0.0).alias("u_a_given_b"),
+        (F.col("u_b_given_a") + 0.0).alias("u_b_given_a"),
+    )
+
+
 def _bpe_pack_oracle_sql() -> str:
     from big_data_validator_spark.operators.text import bpe_oracle_sql_expr
 
@@ -5561,6 +5619,12 @@ _DEMOTED_TO_TAIL = [
     # agg_grouping_sets (in-window) and the long-format profile shape
     # by profile_orders_columns; frees the seat for pipeline_bpe_pack.
     "scan_unpivot_metrics",
+    # Pearson pair matrix green r5; column-relationship profiling
+    # coverage stays via profile_mutual_information (the categorical
+    # sibling, newly seated) and rule_functional_dependency; the local
+    # DuckDB mirror in tests/test_partition_pruning.py re-checks the
+    # matrix every run.
+    "agg_correlation_matrix",
 ]
 
 

@@ -137,6 +137,7 @@ def test_driver_window_is_all_oracled():
         # round-6 additions: each must get its driver-green row
         "cdc_apply_changeset", "rule_profile_trend_anomaly",
         "text_bpe_encode", "streaming_attribution_left",
+        "ts_resample_ffill", "pipeline_bpe_pack",
     ]:
         assert required in window, required
 

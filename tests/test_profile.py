@@ -179,3 +179,35 @@ def test_trend_anomaly_window_is_bounded_per_metric(spark):
     )
     assert "hashpartitioning(column" in plan.replace("#", "").lower() or \
         "hashpartitioning" in plan, plan
+
+
+def test_mutual_information_extremes(spark):
+    """Perfect dependency: U(B|A)=1 and MI=H(B); independence: MI=0."""
+    from big_data_validator_spark.operators.profile import (
+        mutual_information_profile,
+    )
+
+    # b = f(a): perfect FD, and a uniform over 4 values → H(A)=2 bits,
+    # b uniform over 2 values → H(B)=1 bit, MI = H(B) = 1
+    rows = [(str(i % 4), str(i % 2)) for i in range(400)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = mutual_information_profile(df, "a", "b").collect()[0]
+    assert r["h_a_bits"] == 2.0 and r["h_b_bits"] == 1.0
+    assert r["mi_bits"] == 1.0
+    assert r["u_b_given_a"] == 1.0 and r["u_a_given_b"] == 0.5
+    assert r["n_rows"] == 400 and r["n_cells"] == 4
+
+    # independent uniform columns: MI = 0 exactly on balanced counts
+    rows2 = [(str(i % 2), str((i // 2) % 2)) for i in range(400)]
+    df2 = spark.createDataFrame(rows2, "a string, b string")
+    r2 = mutual_information_profile(df2, "a", "b").collect()[0]
+    assert r2["mi_bits"] == 0.0 and r2["n_cells"] == 4
+
+    # nulls excluded
+    df3 = spark.createDataFrame(
+        [("x", "1"), (None, "1"), ("y", None)], "a string, b string"
+    )
+    r3 = mutual_information_profile(df3, "a", "b").collect()[0]
+    assert r3["n_rows"] == 1
+    # single cell: zero entropy both sides → NULL uncertainty coeffs
+    assert r3["u_a_given_b"] is None and r3["u_b_given_a"] is None
