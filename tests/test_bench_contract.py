@@ -29,6 +29,10 @@ def test_bench_emits_contract_json_line(tmp_path):
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="8",
         SPARK_GRAFT_BENCH_PASSES="1",
+        # keep the committed sf0.1 BENCH_DETAIL.json out of reach —
+        # r5's checked-in detail was silently this test's sf0.001
+        # artifact, poisoning round-over-round comparison
+        SPARK_GRAFT_DETAIL_PATH=str(tmp_path / "BENCH_DETAIL.json"),
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -57,6 +61,6 @@ def test_bench_emits_contract_json_line(tmp_path):
     detail = json.loads(lines[-2])
     assert set(detail["queries"]) == set(bench.HEADLINE)
     assert set(detail["queries_min"]) == set(bench.HEADLINE)
-    with open("/root/repo/BENCH_DETAIL.json") as fh:
+    with open(tmp_path / "BENCH_DETAIL.json") as fh:
         fdetail = json.load(fh)
     assert fdetail["queries"] == detail["queries"]
