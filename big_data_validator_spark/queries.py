@@ -172,6 +172,30 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_ts(spark.readStream.schema(raw_schema).parquet(src_dir))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _drain_partitions(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` (and hence streaming state
+    partitions — fixed at query start) for the duration of a BOUNDED
+    streaming drain, restoring the session value after.
+
+    Measured at sf0.1 on local[32]: a finite availableNow drain spends
+    more on 32-way state-store checkpointing than on data (attribution
+    join 3.3 s → 1.6 s, dedup 1.6 s → 1.0 s at 8 partitions); a real
+    deployment sizes state partitions to throughput instead.  NOT used
+    for the applyInPandasWithState sessionizer — its Arrow workers
+    parallelize with partitions and 8 is measurably slower there.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 # =====================================================================
 # Flagship: single-pass multi-rule validation metrics (the engine's core
 # trick — N rules, ONE scan; reference ran one job per rule)
@@ -1593,15 +1617,18 @@ def streaming_windowed_violations(spark: SparkSession, sf_dir: str) -> DataFrame
         StreamingRuleConfig(event_time_col="ts", watermark="0 seconds", window="1 hour"),
     )
     sink_name = f"bdv_stream_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "total_rows",
@@ -2688,15 +2715,18 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         StreamingRuleConfig(event_time_col="ts", watermark="1 hour"),
     )
     sink_name = f"bdv_sdedup_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).agg(
         F.count(F.lit(1)).alias("dedup_rows"),
         F.count_distinct("user_id").alias("distinct_users"),
@@ -3314,15 +3344,18 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # complete mode: the memory sink re-materializes every window each
     # trigger, so the final (not-yet-watermark-finalized) day is included
     # — the same drain contract streaming_windowed_violations pins.
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink_name).select(
         F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
@@ -3418,15 +3451,18 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purchases, "user_id", "ts", 1800, watermark="36500 days"
     )
     sink_name = f"bdv_attrib_q_{uuid.uuid4().hex[:8]}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_partitions(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="bdv_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink_name)
         .groupBy("user_id")
@@ -5345,9 +5381,7 @@ def streaming_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(f"{path}/*")
         )
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _drain_partitions(spark):
         pairs = stream_stream_attribution_left(
             src(pdir), src(cdir), "user_id", "ts", 1800,
             watermark="1 second",
@@ -5365,8 +5399,6 @@ def streaming_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(sink_name)
         .filter(F.col("user_id") >= 0)
