@@ -170,6 +170,7 @@ HEADLINE = [
     "scan_permissive_roundtrip",
     "rule_field_count_naive",
     "multimodal_frame_sample",
+    "corpus_mixture_quality",
 ]
 
 

@@ -27,7 +27,7 @@ per-domain keep rates — one tiny aggregate, broadcastable everywhere.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -217,24 +217,32 @@ def apply_mixture_plan(
     domain_col: str,
     target_weights: Mapping[str, float],
     key_col: str,
+    quality_col: Optional[str] = None,
 ) -> DataFrame:
     """Materialize a mixture plan: EXACTLY ``planned_rows`` rows per
-    domain, selected in a deterministic pseudo-random order.
+    domain, selected in a deterministic order.
 
-    The selection order is ``md5(key)`` (tie-broken by the key) — the
-    same engine-portable digest trick as
+    Default selection order is ``md5(key)`` (tie-broken by the key) —
+    the same engine-portable digest trick as
     :func:`~big_data_validator_spark.operators.sampling.stratified_exact_sample`,
     so the chosen subset is reproducible across reruns, partitionings,
-    and engines (the registry ships a DuckDB oracle).  Cost: the tiny
-    plan broadcasts; the corpus takes ONE shuffle on the domain and
-    Spark plans ``WindowGroupLimit``, so each input partition forwards
-    only rows that can still make its domain's cut.  ``sample()``-based
+    and engines (the registry ships a DuckDB oracle).  With
+    ``quality_col``, each domain's quota is filled by that column
+    DESCENDING instead (md5 order stays as the tie-break) — "the best
+    N documents per domain", the curation shape when a quality score
+    exists; same plan, same determinism.  Cost: the tiny plan
+    broadcasts; the corpus takes ONE shuffle on the domain and Spark
+    plans ``WindowGroupLimit``, so each input partition forwards only
+    rows that can still make its domain's cut.  ``sample()``-based
     keep-rate approaches are approximate and layout-dependent — exact
     quota selection is what a mixture CONTRACT needs.
     """
     plan = mixture_sampling_plan(df, domain_col, target_weights)
     order = F.md5(F.encode(F.col(key_col).cast("string"), "UTF-8"))
-    w = Window.partitionBy(domain_col).orderBy(order.asc(), F.col(key_col).asc())
+    ordering = [order.asc(), F.col(key_col).asc()]
+    if quality_col is not None:
+        ordering = [F.col(quality_col).desc()] + ordering
+    w = Window.partitionBy(domain_col).orderBy(*ordering)
     # zero-quota domains (weight 0 or floor()-ed to nothing) are dropped
     # by the JOIN, before their rows pay the window shuffle — the filter
     # belongs on the broadcast side, not after ranking

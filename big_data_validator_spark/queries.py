@@ -5126,6 +5126,47 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "corpus_mixture_quality",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+         wts(lang, w) AS (VALUES ('en', 0.4), ('zh', 0.2), ('es', 0.2), ('de', 0.2)),
+         tot AS (SELECT FLOOR(MIN(c / w)) AS t FROM counts JOIN wts USING (lang)),
+         plan AS (SELECT lang, CAST(FLOOR(w * t) AS BIGINT) AS planned FROM wts, tot),
+         ranked AS (
+           SELECT doc_id, lang, n_chars,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC,
+                                              md5(CAST(doc_id AS VARCHAR)),
+                                              doc_id) AS rn
+           FROM documents
+         )
+    SELECT r.doc_id, r.lang, r.n_chars
+    FROM ranked r JOIN plan p ON r.lang = p.lang
+    WHERE r.rn <= p.planned
+    """,
+)
+def corpus_mixture_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked mixture materialization (operators/packing.py:
+    apply_mixture_plan with ``quality_col``): each domain's quota
+    filled by the BEST documents (here: longest, the classic length
+    prior; any score column plugs in) instead of a random draw — the
+    shape a curation pipeline actually ships when a quality signal
+    exists.  md5 order stays as the deterministic tie-break so equal
+    scores never make the subset layout-dependent.  Same plan as the
+    random variant: broadcast quota + ONE domain shuffle with
+    WindowGroupLimit."""
+    docs = _t(spark, sf_dir, "documents")
+    out = P.apply_mixture_plan(
+        docs,
+        "lang",
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.2},
+        key_col="doc_id",
+        quality_col="n_chars",
+    )
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@query(
     "profile_mutual_information",
     oracle="""
     WITH joint AS (
@@ -5657,6 +5698,12 @@ _DEMOTED_TO_TAIL = [
     # DuckDB mirror in tests/test_partition_pruning.py re-checks the
     # matrix every run.
     "agg_correlation_matrix",
+    # Equi-depth histogram green r5; the two-pass block-scan shape it
+    # exists to pin stays in-window via rule_key_gaps and
+    # drift_ks_totalprice (same prefix-sum device), and block-width
+    # invariance is pytest-pinned; frees the seat for
+    # corpus_mixture_quality.
+    "agg_equidepth_histogram",
 ]
 
 
