@@ -171,6 +171,7 @@ HEADLINE = [
     "rule_field_count_naive",
     "multimodal_frame_sample",
     "corpus_mixture_quality",
+    "events_anomaly_weekday",
 ]
 
 

@@ -175,8 +175,25 @@ def apply_changeset(
             f"of insert/update/delete (got "
             f"{types.get(change_col) or 'missing'})"
         )
+    # Unknown change types must FAIL, not silently no-op (a typo'd
+    # 'upsert' feed would otherwise drop every such row).  The guard
+    # lives inside the filter PREDICATE: a lazy guard column would be
+    # pruned by the optimizer on the anti-join leg (only keys survive
+    # projection pruning) and never fire.
+    known = F.col(change_col).isin("insert", "update", "delete")
+    bad = F.when(
+        ~known,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"apply_changeset: unknown {change_col} value "
+                ),
+                F.col(change_col).cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(False))
     touched = changeset.filter(
-        F.col(change_col).isin("delete", "update")
+        F.col(change_col).isin("delete", "update") | bad
     ).select(*keys)
     survivors = current.join(touched, on=keys, how="left_anti")
     upserts = changeset.filter(

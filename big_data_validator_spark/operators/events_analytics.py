@@ -180,3 +180,62 @@ def rolling_zscore_anomalies(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def weekday_seasonal_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    trailing: int = 4,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Seasonality-aware volume anomaly detection: each day's event
+    count z-scored against the trailing ``trailing`` occurrences of the
+    SAME WEEKDAY — the monitor for feeds with weekly rhythm, where the
+    plain rolling z-score (:func:`rolling_zscore_anomalies`) either
+    fires every weekend or misses a broken Sunday batch because Sundays
+    are "always low".
+
+    Baseline excludes the monitored day (same discipline as the rolling
+    monitor and the metrics-repository trend rule).  Fewer than 2 prior
+    same-weekday observations or zero variance → NULL z, never flagged.
+
+    Scale: one aggregation reduces the feed to a row per day; the
+    ordered window partitions by weekday over that per-day aggregate
+    (7 partitions × #weeks — bounded by construction, never row data).
+    ``dow`` is 1=Sunday…7=Saturday (Spark ``dayofweek``; oracles add 1
+    to DuckDB's 0-based ``dayofweek``).
+    """
+    daily = events.groupBy(
+        F.col(ts_col).cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dowed = daily.withColumn("dow", F.dayofweek("day"))
+    w = (
+        Window.partitionBy("dow")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    base = dowed.select(
+        "day",
+        "dow",
+        "n",
+        F.count("n").over(w).alias("_k"),
+        F.avg("n").over(w).alias("_mean"),
+        F.stddev_samp("n").over(w).alias("_std"),
+    )
+    z = F.when(
+        (F.col("_k") >= 2)
+        & F.col("_std").isNotNull()
+        & (F.col("_std") > 0),
+        (F.col("n") - F.col("_mean")) / F.col("_std"),
+    )
+    return base.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "n",
+        F.round("_mean", 6).alias("baseline_mean"),
+        F.round("_std", 6).alias("baseline_std"),
+        F.round(z, 4).alias("z_score"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -5126,6 +5126,48 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "events_anomaly_weekday",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    dowed AS (SELECT day, CAST(dayofweek(day) + 1 AS INT) AS dow, n
+              FROM daily),
+    w AS (SELECT day, dow, n,
+                 COUNT(n) OVER win AS k,
+                 AVG(n) OVER win AS mean,
+                 STDDEV_SAMP(n) OVER win AS std
+          FROM dowed
+          WINDOW win AS (PARTITION BY dow ORDER BY day
+                         ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING))
+    SELECT strftime(day, '%Y-%m-%d') AS day, dow, n,
+           ROUND(mean, 6) AS baseline_mean,
+           ROUND(std, 6) AS baseline_std,
+           ROUND(CASE WHEN k >= 2 AND std > 0
+                      THEN (n - mean) / std END, 4) AS z_score,
+           COALESCE(ABS(CASE WHEN k >= 2 AND std > 0
+                             THEN (n - mean) / std END) > 2.0,
+                    FALSE) AS is_anomaly
+    FROM w
+    """,
+)
+def events_anomaly_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume monitor (operators/events_analytics.py:
+    weekday_seasonal_anomalies): each day's event count z-scored
+    against the trailing 4 SAME-WEEKDAY days — weekly-rhythm feeds
+    where the plain rolling z-score fires every weekend or misses a
+    broken Sunday batch.  One aggregation to per-day counts; the
+    ordered window partitions by weekday over the per-day aggregate
+    only (7 × #weeks rows).  Baseline excludes the monitored day."""
+    from big_data_validator_spark.operators.events_analytics import (
+        weekday_seasonal_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return weekday_seasonal_anomalies(ev, "ts", trailing=4, z_threshold=2.0)
+
+
+@query(
     "corpus_mixture_quality",
     oracle="""
     WITH counts AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
@@ -5704,6 +5746,11 @@ _DEMOTED_TO_TAIL = [
     # invariance is pytest-pinned; frees the seat for
     # corpus_mixture_quality.
     "agg_equidepth_histogram",
+    # Z-order manifest green r5; storage-layout coverage stays in-window
+    # via scan_partition_pruned (write-at-query-time + pruned read), and
+    # Morton-code exactness is pytest-pinned vs the portable SQL twin;
+    # frees the seat for events_anomaly_weekday.
+    "layout_zorder_stats",
 ]
 
 

@@ -207,3 +207,15 @@ def test_apply_changeset_single_antijoin_plan(spark, snapshots):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("LeftAnti") == 1, plan
+
+
+def test_apply_changeset_rejects_unknown_change_type(spark, snapshots):
+    """A typo'd change_type ('upsert') must fail loudly, not silently
+    drop the row — the guard lives in the filter predicate so column
+    pruning can't optimize it away."""
+    from big_data_validator_spark.operators.cdc import apply_changeset
+
+    current, _ = snapshots
+    cs = current.limit(1).withColumn("change_type", F.lit("upsert"))
+    with pytest.raises(Exception, match="unknown change_type"):
+        apply_changeset(current, cs, key_cols=["k"]).collect()

@@ -141,3 +141,43 @@ class TestRollingZscore:
         assert rows["2024-01-04"]["z_score"] is None
         assert rows["2024-01-04"]["is_anomaly"] is False
         assert rows["2024-01-04"]["trailing_std"] == 0.0
+
+
+def test_weekday_anomaly_flags_broken_sunday_only(spark):
+    """A feed with strong weekly rhythm: low Sundays are NORMAL for the
+    weekday-seasonal monitor; only the collapsed final Sunday flags."""
+    import datetime as dt
+
+    from big_data_validator_spark.operators.events_analytics import (
+        weekday_seasonal_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    eid = 0
+    # per-week jitter wide enough that ordinary variation stays inside
+    # 2 sigma of any trailing window, but a collapse does not
+    jitter = [3, 11, 0, 8, 14, 5]
+    for d in range(7 * 6):  # six weeks
+        day = base + dt.timedelta(days=d)
+        is_sunday = day.weekday() == 6
+        n = (10 if is_sunday else 100) + jitter[d // 7]
+        # final Sunday collapses to 1 event
+        if is_sunday and d >= 7 * 5:
+            n = 1
+        for _ in range(n):
+            rows.append((eid, day + dt.timedelta(seconds=eid % 3600)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = weekday_seasonal_anomalies(df, "ts", trailing=4, z_threshold=2.0)
+    got = {r["day"]: r for r in out.collect()}
+    flagged = [d for d, r in got.items() if r["is_anomaly"]]
+    assert flagged == ["2024-02-11"], flagged  # the collapsed Sunday
+    # ordinary low Sundays are unflagged and their z is vs SUNDAY peers
+    ok_sunday = got["2024-02-04"]
+    assert ok_sunday["dow"] == 1 and ok_sunday["is_anomaly"] is False
+    assert ok_sunday["baseline_mean"] is not None
+    assert ok_sunday["baseline_mean"] < 20  # sunday-only baseline
+    # first two occurrences of each weekday have <2 history → NULL z
+    assert got["2024-01-01"]["z_score"] is None
+    assert got["2024-01-08"]["z_score"] is None
