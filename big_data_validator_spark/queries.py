@@ -2592,8 +2592,27 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # mapInPandas kernel: rows-only check
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           CAST(16 AS INT) AS feature_dim
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow ``mapInPandas`` feature-extraction plumbing, now
+    HASH-CHECKED (was rows-only through r5): the deterministic stub
+    kernel makes byte counts and feature dimensionality pure functions
+    of the source text, so DuckDB recomputes what the Python worker
+    must produce — a schema/batch-shape regression in the Arrow path
+    flips the hash even though the "features" themselves are fakes.
+    Real decode runs through the same kernel (multimodal.decode_image,
+    pytest-pinned on real PNG bytes)."""
     docs = _t(spark, sf_dir, "documents")
     assets = M.assets_from_documents(docs)
     feats = M.extract_features(assets, dim=16)
@@ -5751,6 +5770,12 @@ _DEMOTED_TO_TAIL = [
     # Morton-code exactness is pytest-pinned vs the portable SQL twin;
     # frees the seat for events_anomaly_weekday.
     "layout_zorder_stats",
+    # Candidate-key discovery green r5; per-column distinct/null
+    # coverage stays in-window via profile_orders_columns and the
+    # trend rule's distinct_count metrics; frees the seat for the
+    # newly-oracled multimodal_features (rows-only through r5 — its
+    # first hash-checked round outranks a fifth green for this twin).
+    "rule_candidate_keys",
 ]
 
 
