@@ -172,6 +172,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "corpus_mixture_quality",
     "events_anomaly_weekday",
+    "profile_key_skew",
 ]
 
 

@@ -431,3 +431,62 @@ def mutual_information_profile(
             F.when(F.col("_hb") > 0, mi / F.col("_hb")), 6
         ).alias("u_b_given_a"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-shuffle skew advisor: the distribution of per-key row counts
+    for a prospective join/aggregation key — the measurement that
+    decides between a plain shuffle, AQE skew splitting, and explicit
+    salting BEFORE the cluster bill arrives (operators/relational.py's
+    salted aggregation is the remedy; this is the diagnosis).
+
+    One row: total rows/keys, the heaviest key (deterministic max-count
+    tie-break toward the larger key) and its count, ``max_share`` (top
+    key's fraction of all rows), ``skew_ratio`` (max/mean per-key count
+    — 1.0 is perfectly uniform), coefficient of variation, and exact
+    p50/p90/p99 of the per-key counts.
+
+    Cost: one map-side-combined count per key (the shuffle carries
+    distinct keys), then O(keys) statistics — the same two-level shape
+    as the drift tests.  Shares/ratios are quantized with exact integer
+    half-up division (never ``round(double)`` on terminating rationals);
+    interpolated count percentiles carry ≤2 decimals so round-4 is
+    tie-free.  NULL keys are excluded (a null key is a completeness
+    defect, not a skew question).
+    """
+    k = F.col(key_col)
+    counts = (
+        df.filter(k.isNotNull())
+        .groupBy(k.alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    pcts = F.percentile("_n", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.max("_n").cast("long").alias("max_count"),
+        F.max(F.struct(F.col("_n"), F.col("_k"))).alias("_top"),
+        F.round(
+            F.stddev_samp("_n") / F.avg("_n"), 6
+        ).alias("cv"),
+        pcts.alias("_p"),
+    )
+    return agg.select(
+        F.lit(key_col).alias("key_column"),
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.col("_top._k").alias("top_key"),
+        F.expr(
+            "cast((2000000 * max_count + n_rows) div (2 * n_rows)"
+            " as double) / 1000000.0"
+        ).alias("max_share"),
+        F.expr(
+            "cast((2000000 * max_count * n_keys + n_rows)"
+            " div (2 * n_rows) as double) / 1000000.0"
+        ).alias("skew_ratio"),
+        "cv",
+        F.round(F.col("_p")[0], 4).alias("p50_count"),
+        F.round(F.col("_p")[1], 4).alias("p90_count"),
+        F.round(F.col("_p")[2], 4).alias("p99_count"),
+    )

@@ -5145,6 +5145,48 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "profile_key_skew",
+    oracle="""
+    WITH counts AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM lineitem WHERE l_partkey IS NOT NULL
+                    GROUP BY 1),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(n) AS BIGINT) AS n_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_count,
+                   ROUND(STDDEV_SAMP(n) / AVG(n), 6) AS cv,
+                   ROUND(quantile_cont(n, 0.5), 4) AS p50_count,
+                   ROUND(quantile_cont(n, 0.9), 4) AS p90_count,
+                   ROUND(quantile_cont(n, 0.99), 4) AS p99_count
+            FROM counts),
+    top AS (SELECT k AS top_key FROM counts
+            ORDER BY n DESC, k DESC LIMIT 1)
+    SELECT 'l_partkey' AS key_column, n_rows, n_keys, max_count, top_key,
+           ((2000000 * max_count + n_rows) // (2 * n_rows)) / 1000000.0
+             AS max_share,
+           ((2000000 * max_count * n_keys + n_rows) // (2 * n_rows))
+             / 1000000.0 AS skew_ratio,
+           cv, p50_count, p90_count, p99_count
+    FROM agg, top
+    """,
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew advisor (operators/profile.py:
+    key_skew_profile): the per-key count distribution for a
+    prospective join/agg key — heaviest key, max share, skew ratio
+    (max/mean), CV, and exact count percentiles.  The measurement that
+    decides plain shuffle vs AQE skew split vs explicit salting
+    (agg_salted_skew_counts is the remedy; this is the diagnosis).
+    One distinct-key shuffle + O(keys) statistics; shares/ratios use
+    exact integer half-up division, so the verdict is hash-stable."""
+    from big_data_validator_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_partkey")
+
+
+@query(
     "events_anomaly_weekday",
     oracle="""
     WITH daily AS (
@@ -5776,6 +5818,11 @@ _DEMOTED_TO_TAIL = [
     # newly-oracled multimodal_features (rows-only through r5 — its
     # first hash-checked round outranks a fifth green for this twin).
     "rule_candidate_keys",
+    # Language-ID confusion matrix green r5; the langid heuristic stays
+    # exercised via the lang-grouped mixture queries (corpus_mixture_
+    # apply/quality, in-window) and text_profile's r1-r4 history; frees
+    # the seat for profile_key_skew.
+    "text_langid_confusion",
 ]
 
 

@@ -211,3 +211,28 @@ def test_mutual_information_extremes(spark):
     assert r3["n_rows"] == 1
     # single cell: zero entropy both sides → NULL uncertainty coeffs
     assert r3["u_a_given_b"] is None and r3["u_b_given_a"] is None
+
+
+def test_key_skew_profile_known_distribution(spark):
+    """Hand-checkable skew: keys with counts 1, 1, 2, 4 → max_share
+    0.5, skew_ratio 2.0, deterministic top key."""
+    from big_data_validator_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    rows = (
+        [(10,)] * 4 + [(20,)] * 2 + [(30,)] + [(40,)] + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r["n_rows"] == 8 and r["n_keys"] == 4  # null excluded
+    assert r["max_count"] == 4 and r["top_key"] == 10
+    assert r["max_share"] == 0.5
+    assert r["skew_ratio"] == 2.0  # max 4 / mean 2
+    assert r["p50_count"] == 1.5
+
+    # tie on max count breaks toward the LARGER key deterministically
+    df2 = spark.createDataFrame([(1,), (1,), (2,), (2,)], "k long")
+    r2 = key_skew_profile(df2, "k").collect()[0]
+    assert r2["top_key"] == 2 and r2["skew_ratio"] == 1.0
+    assert r2["cv"] == 0.0  # perfectly uniform
