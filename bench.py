@@ -173,6 +173,7 @@ HEADLINE = [
     "corpus_mixture_quality",
     "events_anomaly_weekday",
     "profile_key_skew",
+    "profile_join_cardinality",
 ]
 
 

@@ -490,3 +490,83 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.round(F.col("_p")[1], 4).alias("p90_count"),
         F.round(F.col("_p")[2], 4).alias("p99_count"),
     )
+
+
+def join_cardinality_profile(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    key_col_b: Optional[str] = None,
+) -> DataFrame:
+    """Pre-join cardinality advisor: the EXACT output size of
+    ``a JOIN b`` on the key, computed from per-key counts WITHOUT
+    running the join — Σ over shared keys of cntA·cntB.  Together with
+    :func:`key_skew_profile` this is the pre-shuffle checklist: skew
+    says whether the join needs salting/AQE, this says whether its
+    OUTPUT will explode (the fact-fact fanout bill) before a cluster
+    pays for it.
+
+    One row: per-side row/key counts, shared-key count, the exact
+    joined row count, the heaviest key pair (max cntA·cntB,
+    deterministic tie-break toward the larger key) with its fanout,
+    and ``amplification`` = joined rows / larger input (quantized with
+    exact integer half-up division — hash-stable).
+
+    Cost: each side reduces to (key, count) map-side — the shuffles
+    carry distinct keys — and the tiny count relations join;
+    everything after is O(shared keys).  NULL keys are excluded (they
+    never match in an equi-join).
+    """
+    kb = key_col_b or key_col
+    ca = (
+        a.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_na"))
+    )
+    cb = (
+        b.filter(F.col(kb).isNotNull())
+        .groupBy(F.col(kb).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    j = ca.join(cb, "_k", "full_outer").select(
+        "_k",
+        F.coalesce("_na", F.lit(0)).alias("_na"),
+        F.coalesce("_nb", F.lit(0)).alias("_nb"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("_na") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_a"),
+        F.sum(F.when(F.col("_nb") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_b"),
+        F.sum(
+            F.when((F.col("_na") > 0) & (F.col("_nb") > 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared_keys"),
+        F.sum("_na").cast("long").alias("rows_a"),
+        F.sum("_nb").cast("long").alias("rows_b"),
+        F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("join_rows"),
+        F.max(
+            F.struct(
+                (F.col("_na") * F.col("_nb")).alias("fanout"),
+                F.col("_k").alias("k"),
+            )
+        ).alias("_top"),
+    )
+    return agg.select(
+        F.lit(key_col).alias("key_column"),
+        "rows_a",
+        "rows_b",
+        "n_keys_a",
+        "n_keys_b",
+        "n_shared_keys",
+        "join_rows",
+        F.col("_top.k").alias("top_key"),
+        F.col("_top.fanout").cast("long").alias("top_key_fanout"),
+        F.expr(
+            "cast((2000000 * join_rows + greatest(rows_a, rows_b))"
+            " div (2 * greatest(rows_a, rows_b)) as double) / 1000000.0"
+        ).alias("amplification"),
+    )

@@ -5145,6 +5145,56 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "profile_join_cardinality",
+    oracle="""
+    WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+                FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+           FROM customer WHERE c_custkey IS NOT NULL GROUP BY 1),
+    j AS (SELECT COALESCE(ca.k, cb.k) AS k,
+                 COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+          FROM ca FULL OUTER JOIN cb ON ca.k = cb.k),
+    agg AS (SELECT
+              CAST(SUM(CASE WHEN na > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_keys_a,
+              CAST(SUM(CASE WHEN nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_keys_b,
+              CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared_keys,
+              CAST(SUM(na) AS BIGINT) AS rows_a,
+              CAST(SUM(nb) AS BIGINT) AS rows_b,
+              CAST(SUM(na * nb) AS BIGINT) AS join_rows
+            FROM j),
+    top AS (SELECT k AS top_key,
+                   CAST(na * nb AS BIGINT) AS top_key_fanout
+            FROM j ORDER BY na * nb DESC, k DESC LIMIT 1)
+    SELECT 'o_custkey' AS key_column, rows_a, rows_b, n_keys_a,
+           n_keys_b, n_shared_keys, join_rows, top_key, top_key_fanout,
+           ((2000000 * join_rows + GREATEST(rows_a, rows_b))
+            // (2 * GREATEST(rows_a, rows_b))) / 1000000.0
+             AS amplification
+    FROM agg, top
+    """,
+)
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality advisor (operators/profile.py:
+    join_cardinality_profile): the EXACT orders⋈customer output size
+    from per-key counts — Σ cntA·cntB over shared keys — plus the
+    heaviest key pair and the output/input amplification, WITHOUT
+    running the join.  With profile_key_skew this is the pre-shuffle
+    checklist: skew decides salting, this decides whether the fanout
+    bill is payable at all.  Two distinct-key shuffles + one tiny
+    count-relation join; ratios use exact integer half-up division."""
+    from big_data_validator_spark.operators.profile import (
+        join_cardinality_profile,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return join_cardinality_profile(o, c, "o_custkey", "c_custkey")
+
+
+@query(
     "profile_key_skew",
     oracle="""
     WITH counts AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
@@ -5823,6 +5873,11 @@ _DEMOTED_TO_TAIL = [
     # apply/quality, in-window) and text_profile's r1-r4 history; frees
     # the seat for profile_key_skew.
     "text_langid_confusion",
+    # SCD2 dimension build green r5; the lead/lag interval device stays
+    # in-window via window_lag_delta, and interval semantics via
+    # join_interval_overlap; frees the seat for
+    # profile_join_cardinality.
+    "dim_scd2_user_state",
 ]
 
 

@@ -236,3 +236,26 @@ def test_key_skew_profile_known_distribution(spark):
     r2 = key_skew_profile(df2, "k").collect()[0]
     assert r2["top_key"] == 2 and r2["skew_ratio"] == 1.0
     assert r2["cv"] == 0.0  # perfectly uniform
+
+
+def test_join_cardinality_exact_prediction(spark):
+    """The advisor's join_rows must equal the ACTUAL join output, and
+    disjoint/null keys must not contribute."""
+    from big_data_validator_spark.operators.profile import (
+        join_cardinality_profile,
+    )
+
+    a = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k long"
+    )
+    b = spark.createDataFrame(
+        [(1,), (1,), (2,), (4,), (None,)], "j long"
+    )
+    r = join_cardinality_profile(a, b, "k", "j").collect()[0]
+    actual = a.join(b, a["k"] == b["j"]).count()
+    assert r["join_rows"] == actual == 7  # 3*2 + 1*1
+    assert r["rows_a"] == 5 and r["rows_b"] == 4  # nulls excluded
+    assert r["n_keys_a"] == 3 and r["n_keys_b"] == 3
+    assert r["n_shared_keys"] == 2
+    assert r["top_key"] == 1 and r["top_key_fanout"] == 6
+    assert r["amplification"] == 1.4  # 7 / max(5, 4)
