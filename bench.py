@@ -174,6 +174,7 @@ HEADLINE = [
     "events_anomaly_weekday",
     "profile_key_skew",
     "profile_join_cardinality",
+    "sample_hash_split",
 ]
 
 

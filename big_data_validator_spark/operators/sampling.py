@@ -56,15 +56,47 @@ def hash_split(
     weights: Sequence[float],
     seed: int = 42,
     split_col: str = "split",
+    portable: bool = False,
 ) -> DataFrame:
     """Tag every row with a split index (0..len(weights)-1) from contiguous
     hash ranges: splits are DISJOINT and COVER the input exactly — the
     train/val/test contract.  A single projection; filter on ``split_col``
-    downstream and the predicate pushes into the scan."""
+    downstream and the predicate pushes into the scan.
+
+    Bucket device: default ``xxhash64`` (JVM codegen, fastest — the
+    100 TB path).  ``portable=True`` switches to the md5-digit device
+    the other samplers use, so ANY engine can recompute which split a
+    key landed in — the property an external auditor (or the DuckDB
+    oracle) needs to certify that no eval row leaked into train.
+    Splits from the two devices differ; pick one per dataset and
+    persist the choice with the split manifest."""
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    bucket = _hash_bucket(F.col(key_col), seed)
+    if portable:
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat_ws(
+                                ":",
+                                F.col(key_col).cast("string"),
+                                F.lit(str(seed)),
+                            ),
+                            "UTF-8",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_BUCKETS),
+        )
+    else:
+        bucket = _hash_bucket(F.col(key_col), seed)
     expr = F.lit(len(weights) - 1)
     acc = 0.0
     # build right-to-left so each WHEN tests the cumulative upper bound

@@ -5145,6 +5145,52 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "sample_hash_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':42'), 1, 8) AS UBIGINT)
+                  % 1000000 AS BIGINT) AS bucket
+      FROM documents),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 800000 THEN 0
+                  WHEN bucket < 900000 THEN 1
+                  ELSE 2 END AS split
+      FROM tagged)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM split GROUP BY 1
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split
+    (operators/sampling.py: hash_split, portable md5 device): splits
+    are DISJOINT and COVER the corpus exactly, and because the bucket
+    is an engine-portable digest the ORACLE recomputes the exact
+    membership — the auditability a leakage claim needs ("prove eval
+    doc X is not in train" without trusting the engine that made the
+    split).  Zero shuffles: one projection + the summary aggregation;
+    the id checksum per split pins membership, not just sizes."""
+    from big_data_validator_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tagged = hash_split(
+        docs, "doc_id", [0.8, 0.1, 0.1], seed=42, portable=True
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+@query(
     "profile_join_cardinality",
     oracle="""
     WITH ca AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS na
@@ -5878,6 +5924,12 @@ _DEMOTED_TO_TAIL = [
     # join_interval_overlap; frees the seat for
     # profile_join_cardinality.
     "dim_scd2_user_state",
+    # Chi-square categorical drift green r5; the drift family keeps
+    # drift_ks_totalprice (continuous, same count-first shape) and
+    # drift_text_kl in-window, and chi2 is pytest-pinned against the
+    # textbook contingency formula incl. the empty-snapshot branch;
+    # frees the seat for sample_hash_split.
+    "drift_chi2_priority",
 ]
 
 

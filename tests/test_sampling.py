@@ -148,3 +148,41 @@ def test_weighted_sample_plans_take_ordered(spark):
     df = spark.range(10_000).withColumn("w", (F.col("id") % 7 + 1).cast("double"))
     plan = weighted_sample_exact(df, "w", 50, "id")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_hash_split_portable_device_matches_duckdb(spark):
+    """portable=True splits are recomputable by ANY engine: DuckDB
+    derives identical membership from the md5 digits; splits stay
+    disjoint-and-covering under both devices."""
+    import duckdb
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    for portable in (False, True):
+        from big_data_validator_spark.operators.sampling import hash_split
+
+        tagged = hash_split(
+            df, "k", [0.8, 0.1, 0.1], seed=7, portable=portable
+        )
+        rows = tagged.collect()
+        assert len(rows) == 500  # covering
+        assert {r["split"] for r in rows} <= {0, 1, 2}
+    got = {
+        r["k"]: r["split"]
+        for r in hash_split(
+            df, "k", [0.8, 0.1, 0.1], seed=7, portable=True
+        ).collect()
+    }
+    want = dict(
+        duckdb.connect().execute(
+            """
+            SELECT k, CASE WHEN b < 800000 THEN 0
+                           WHEN b < 900000 THEN 1 ELSE 2 END
+            FROM (SELECT range AS k,
+                         CAST('0x' || substr(md5(CAST(range AS VARCHAR)
+                                                 || ':7'), 1, 8)
+                              AS UBIGINT) % 1000000 AS b
+                  FROM range(0, 500))
+            """
+        ).fetchall()
+    )
+    assert got == want
