@@ -175,6 +175,7 @@ HEADLINE = [
     "profile_key_skew",
     "profile_join_cardinality",
     "sample_hash_split",
+    "join_asof_nearest",
 ]
 
 

@@ -429,6 +429,112 @@ def asof_join(
     return filled.filter(F.col("_is_r") == 0).drop("_is_r")
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: Optional[float] = None,
+) -> DataFrame:
+    """NEAREST as-of join: each left row picks up ``value_cols`` from
+    the right row closest in EVENT TIME for the same key — before or
+    after — with ties broken toward the earlier (backward) row.  The
+    sensor-fusion / nearest-touch-attribution sibling of
+    :func:`asof_join` (which is backward-only); ``tolerance_seconds``
+    nulls out matches farther than the horizon, completing the
+    pandas-``merge_asof(direction='nearest', tolerance=...)`` surface.
+
+    Same scalable shape as the backward join — union-and-fill, ONE
+    shuffle on the key — but TWO window passes over the SAME
+    partition/sort (backward carry via ``last(ignorenulls)`` over the
+    preceding frame, forward via ``first(ignorenulls)`` over the
+    following frame; Catalyst reuses the exchange and sort, so the
+    second pass adds no shuffle).  A right row at the exact left
+    timestamp counts as backward (inclusive), never both.
+
+    Adds ``value_cols`` plus ``asof_gap_us`` (signed integer
+    microseconds to the chosen right row: <= 0 backward, > 0 forward;
+    NULL when unmatched or beyond tolerance — exact integer arithmetic,
+    hash-stable across engines).  ``value_cols`` must not collide with
+    left's columns; right rows should be unique per (key, ts).
+    """
+    lpay = list(left.columns)
+    rtypes = dict(right.dtypes)
+    l2 = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_is_r"),
+        *[F.col(c) for c in lpay],
+        F.lit(None).cast("timestamp").alias("_rt"),
+        *[F.lit(None).cast(rtypes[c]).alias(c) for c in value_cols],
+    )
+    ltypes = dict(left.dtypes)
+    r2 = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_is_r"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
+        F.col(right_ts).cast("timestamp").alias("_rt"),
+        *[F.col(c) for c in value_cols],
+    )
+    # right rows sort before left at equal timestamps → an exact-time
+    # right row lands in the backward frame only
+    order = [F.col("_t").asc(), F.col("_is_r").desc()]
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    payload = ["_rt", *value_cols]
+    packed = F.struct(*[F.col(c) for c in payload])
+    both = l2.unionByName(r2).select(
+        "_is_r",
+        "_t",
+        *[F.col(c) for c in lpay],
+        F.last(F.when(F.col("_is_r") == 1, packed), ignorenulls=True)
+        .over(wb)
+        .alias("_back"),
+        F.first(F.when(F.col("_is_r") == 1, packed), ignorenulls=True)
+        .over(wf)
+        .alias("_fwd"),
+    ).filter(F.col("_is_r") == 0)
+    # gap arithmetic in exact integer MICROSECONDS: double-cast epochs
+    # at ~1.7e9 s carry only ~1e-7 s of precision, enough to flip the
+    # 6th decimal against an engine computing the difference exactly
+    dback = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_back._rt"))
+    dfwd = F.unix_micros(F.col("_fwd._rt")) - F.unix_micros(F.col("_t"))
+    chosen = (
+        F.when(F.col("_back").isNull(), F.col("_fwd"))
+        .when(F.col("_fwd").isNull(), F.col("_back"))
+        .when(dback <= dfwd, F.col("_back"))
+        .otherwise(F.col("_fwd"))
+    )
+    gap = F.unix_micros(F.col("_chosen._rt")) - F.unix_micros(F.col("_t"))
+    out = both.withColumn("_chosen", chosen)
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "_chosen",
+            F.when(
+                F.abs(gap)
+                <= F.lit(int(round(tolerance_seconds * 1_000_000))),
+                F.col("_chosen"),
+            ),
+        )
+    return out.select(
+        *[F.col(c) for c in lpay],
+        *[F.col(f"_chosen.{c}").alias(c) for c in value_cols],
+        gap.cast("long").alias("asof_gap_us"),
+    )
+
+
 def range_bucket_join(
     fact: DataFrame,
     buckets: DataFrame,

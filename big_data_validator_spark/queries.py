@@ -5145,6 +5145,90 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id, ts AS t, 0 AS is_r, ts AS p_ts,
+             CAST(NULL AS TIMESTAMP) AS rt
+      FROM p
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, ts FROM c),
+    w AS (
+      SELECT *,
+        LAST_VALUE(rt IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_r DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_rt,
+        FIRST_VALUE(rt IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_r DESC
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_rt
+      FROM u),
+    sel AS (
+      SELECT user_id, p_ts,
+        CASE WHEN back_rt IS NULL THEN fwd_rt
+             WHEN fwd_rt IS NULL THEN back_rt
+             WHEN epoch_us(p_ts) - epoch_us(back_rt)
+                  <= epoch_us(fwd_rt) - epoch_us(p_ts)
+             THEN back_rt ELSE fwd_rt END AS chosen
+      FROM w WHERE is_r = 0),
+    tol AS (
+      SELECT user_id, p_ts,
+        CASE WHEN chosen IS NOT NULL
+                  AND ABS(epoch_us(chosen) - epoch_us(p_ts))
+                      <= 7200000000
+             THEN chosen END AS chosen
+      FROM sel)
+    SELECT user_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(chosen, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(epoch_us(chosen) - epoch_us(p_ts) AS BIGINT)
+             AS asof_gap_us
+    FROM tol
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators/relational.py: asof_join_nearest):
+    every purchase matched to the CLOSEST click by the same user —
+    before or after, ties toward backward, 2-hour tolerance — the
+    pandas merge_asof(direction='nearest') surface the backward-only
+    as-of can't express (sensor fusion, nearest-touch attribution).
+    Union-and-fill with TWO window passes over ONE key shuffle
+    (backward last + forward first reuse the same exchange and sort);
+    the gap is exact integer microseconds, so the verdict is
+    hash-stable where double-epoch arithmetic would flip trailing
+    digits."""
+    from big_data_validator_spark.operators.relational import (
+        asof_join_nearest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        "user_id",
+        "user_id",
+        "ts",
+        "c_ts",
+        ["click_ts"],
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "asof_gap_us",
+    )
+
+
+@query(
     "sample_hash_split",
     oracle="""
     WITH tagged AS (
@@ -5930,6 +6014,11 @@ _DEMOTED_TO_TAIL = [
     # textbook contingency formula incl. the empty-snapshot branch;
     # frees the seat for sample_hash_split.
     "drift_chi2_priority",
+    # Key-gap completeness green r5; its two-pass block-scan device
+    # stays in-window via drift_ks_totalprice and is pytest-pinned for
+    # block-width invariance vs brute force; frees the seat for
+    # join_asof_nearest.
+    "rule_key_gaps",
 ]
 
 

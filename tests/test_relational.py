@@ -442,3 +442,49 @@ class TestKsTwoSample:
         assert (r["n_a"], r["n_b"]) == (1, 1) and r["ks_stat"] == 1.0
         with pytest.raises(ValueError):
             ks_two_sample(a, b, "v", bin_width=0)
+
+
+def test_asof_nearest_directions_ties_and_tolerance(spark):
+    """Nearest as-of: picks the closer side, ties go backward, exact-ts
+    counts as backward, tolerance nulls distant matches, single-side
+    keys fall back to whichever exists."""
+    import datetime as dt
+
+    from big_data_validator_spark.operators.relational import (
+        asof_join_nearest,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    left = spark.createDataFrame(
+        [
+            (1, T(30)),   # clicks at 10 and 40 → forward (10 vs 20... )
+            (2, T(30)),   # clicks at 20 and 40 → TIE → backward
+            (3, T(30)),   # click exactly at 30 → backward, gap 0
+            (4, T(30)),   # only click far away → beyond tolerance
+            (5, T(30)),   # no clicks at all → NULL
+            (6, T(5)),    # only later click → forward
+        ],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(10)), (1, T(40)),
+            (2, T(20)), (2, T(40)),
+            (3, T(30)),
+            (4, T(0)),
+            (6, T(25)),
+        ],
+        "k long, r_ts timestamp",
+    ).withColumn("click_ts", F.col("r_ts"))
+    out = asof_join_nearest(
+        left, right, "k", "k", "ts", "r_ts", ["click_ts"],
+        tolerance_seconds=25,
+    )
+    got = {r["k"]: r for r in out.collect()}
+    assert got[1]["click_ts"] == T(40) and got[1]["asof_gap_us"] == 10_000_000
+    assert got[2]["click_ts"] == T(20) and got[2]["asof_gap_us"] == -10_000_000
+    assert got[3]["click_ts"] == T(30) and got[3]["asof_gap_us"] == 0
+    assert got[4]["click_ts"] is None and got[4]["asof_gap_us"] is None
+    assert got[5]["click_ts"] is None
+    assert got[6]["click_ts"] == T(25) and got[6]["asof_gap_us"] == 20_000_000
+    assert len(got) == 6  # one output row per left row
