@@ -21,13 +21,18 @@ pass per table (not one job per rule like the reference), broadcast-hinted
 dimension joins, approximate sketches for cardinality, partitioned sinks.
 """
 
-from big_data_validator_spark.contract import ColumnSpec, TableContract
+from big_data_validator_spark.contract import (
+    ColumnSpec,
+    TableContract,
+    suggest_contract,
+)
 from big_data_validator_spark.report import RuleResult, ValidationReport
 from big_data_validator_spark.runner import ValidationRunner
 
 __all__ = [
     "ColumnSpec",
     "TableContract",
+    "suggest_contract",
     "RuleResult",
     "ValidationReport",
     "ValidationRunner",

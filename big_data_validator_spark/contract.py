@@ -294,3 +294,107 @@ def schema_drift(old: StructType, new: StructType) -> list[dict]:
                 }
             )
     return sorted(report, key=lambda r: (r["change"], r["column"]))
+
+
+def suggest_contract(
+    df,
+    field_separator: str = ",",
+    max_domain_values: int = 20,
+) -> "tuple[TableContract, dict]":
+    """Draft a :class:`TableContract` FROM THE DATA plus a suggestions
+    report — the profiler→contract loop (Great-Expectations' "suite
+    from profile" / Deequ's ConstraintSuggestion shape) the reference's
+    hand-written metadata CSVs never close: run once against a trusted
+    snapshot, review, commit the contract, and every later snapshot is
+    validated against what the data actually looked like.
+
+    ONE aggregation pass over the table (the profiler trick) collects,
+    per column: null and distinct counts, numeric min/max, and — for
+    low-cardinality columns — the full sorted value domain (capped at
+    ``max_domain_values + 1`` so the cap is detectable; the cap bounds
+    both the aggregation buffer and the driver transfer).  From that:
+
+    - ``nullable=False`` suggested only where the data shows ZERO nulls;
+    - candidate keys: unique-and-never-null columns;
+    - domain rules: string columns whose distinct count fits the cap;
+    - range rules: observed [min, max] per numeric column.
+
+    Returns ``(contract, suggestions)`` where suggestions carries
+    ``candidate_keys`` / ``domains`` / ``ranges`` / ``row_count`` for
+    human review — a suggested contract is a STARTING POINT, not a
+    verdict (observed ranges over-fit small snapshots by construction).
+    """
+    from pyspark.sql import functions as F
+
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    dtypes = dict(df.dtypes)
+    cols = [
+        c for c, t in df.dtypes
+        if t in numeric or t == "string" or t.startswith("decimal")
+        or t in ("date", "timestamp", "timestamp_ntz")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__n")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__d"))
+        if dtypes[c] in numeric or dtypes[c].startswith("decimal"):
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+        if dtypes[c] == "string":
+            aggs.append(
+                F.slice(
+                    F.sort_array(F.collect_set(F.col(c))),
+                    1,
+                    max_domain_values + 1,
+                ).alias(f"{c}__vals")
+            )
+    row = df.agg(*aggs).collect()[0]
+
+    type_map = {
+        "string": ("VARCHAR2", ""),
+        "date": ("DATE", "yyyy-MM-dd"),
+        "timestamp": ("DATE", "yyyy-MM-dd HH:mm:ss"),
+        "timestamp_ntz": ("DATE", "yyyy-MM-dd HH:mm:ss"),
+    }
+    specs, keys, domains, ranges = [], [], {}, {}
+    n_rows = row["__rows"]
+    for c in cols:
+        src, fmt = type_map.get(dtypes[c], ("NUMBER", ""))
+        nulls = row[f"{c}__n"] or 0
+        distinct = row[f"{c}__d"]
+        specs.append(
+            ColumnSpec(
+                c,
+                source_type=src,
+                source_format=fmt,
+                nullable=nulls > 0,
+            )
+        )
+        # approximate types never make key suggestions: a float that
+        # happens to be unique in one snapshot is not a key, and
+        # equality on it is representation-dependent
+        if (
+            nulls == 0
+            and distinct == n_rows
+            and n_rows > 0
+            and dtypes[c] not in ("float", "double")
+        ):
+            keys.append(c)
+        if dtypes[c] == "string":
+            vals = row[f"{c}__vals"]
+            if len(vals) <= max_domain_values and distinct <= max_domain_values:
+                domains[c] = list(vals)
+        if dtypes[c] in numeric or dtypes[c].startswith("decimal"):
+            ranges[c] = (row[f"{c}__min"], row[f"{c}__max"])
+    contract = TableContract(
+        columns=specs, field_separator=field_separator
+    )
+    suggestions = {
+        "row_count": n_rows,
+        "candidate_keys": keys,
+        "domains": domains,
+        "ranges": ranges,
+    }
+    return contract, suggestions

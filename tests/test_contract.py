@@ -104,3 +104,46 @@ def test_schema_drift_on_real_snapshots(spark, tmp_path):
     assert ("late_col", "added") in changes
     assert ("o_orderstatus", "removed") in changes
     assert len(got) == 2
+
+
+def test_suggest_contract_from_data(spark):
+    """Profiler→contract loop: nullability from observed nulls,
+    candidate keys, capped string domains, numeric ranges — one pass."""
+    from big_data_validator_spark.contract import suggest_contract
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.5, "x"),
+            (2, "B", -3.0, None),
+            (3, "A", 99.0, "y"),
+            (4, "C", 7.25, "z"),
+        ],
+        "id long, status string, amount double, note string",
+    )
+    contract, sug = suggest_contract(df, max_domain_values=3)
+    by_name = {c.name: c for c in contract.columns}
+    assert by_name["id"].source_type == "NUMBER"
+    assert by_name["id"].nullable is False       # zero observed nulls
+    assert by_name["note"].nullable is True      # has a null
+    assert by_name["status"].source_type == "VARCHAR2"
+    assert sug["row_count"] == 4
+    assert sug["candidate_keys"] == ["id"]       # unique + never null
+    assert sug["domains"]["status"] == ["A", "B", "C"]
+    assert "note" in sug["domains"]              # 3 distinct fits cap
+    assert sug["ranges"]["amount"] == (-3.0, 99.0)
+    assert sug["ranges"]["id"] == (1, 4)
+    # the drafted contract round-trips through the reference JSON shape
+    tm = [c.to_type_mapping() for c in contract.columns]
+    assert all("ColumnName" in m for m in tm)
+
+
+def test_suggest_contract_domain_cap_is_detectable(spark):
+    from big_data_validator_spark.contract import suggest_contract
+
+    df = spark.createDataFrame(
+        [(i, f"v{i:03d}") for i in range(50)], "id long, v string"
+    )
+    _, sug = suggest_contract(df, max_domain_values=10)
+    # 50 distinct values exceed the cap → no domain suggested (a
+    # truncated domain would silently reject legitimate values)
+    assert "v" not in sug["domains"]
