@@ -7,6 +7,8 @@
         --input data.csv --metadata meta.csv [--base-dir DIR]
     python -m big_data_validator_spark query <NAME> [--sf-dir DIR] \
         [--output out.parquet]   # run any analytics-registry operator
+    python -m big_data_validator_spark suggest --input data.parquet \
+        [--metadata-out meta.csv]  # draft a contract from a snapshot
 
 Uses the reference's naming conventions (``base_data_validation.py:41``,
 ``big_data_validator.py:261``):
@@ -15,12 +17,17 @@ Uses the reference's naming conventions (``base_data_validation.py:41``,
 - contract at      ``<base>/metadata/csv/<TABLE>_metadata.csv``
 - failure sink at  ``<base>/inputs/VALIDATION/<TABLE>_TMP/``
 
+``suggest`` closes the profiler→contract loop: point it at a trusted
+parquet/CSV snapshot and it drafts the metadata contract plus a
+suggestions report (candidate keys, domains, ranges) for review —
+the reference required hand-written metadata CSVs.
+
 ``stage`` is the reference's Django upload surface
 (``validator/views.py:4-24``, ``forms.py:4-7``) without the web layer: the
 view only ever SAVED the two uploaded files into that layout — it never
 invoked the validator (a human ran the CLI afterwards).  ``stage`` does the
-same file placement; ``TABLE`` names ``stage``/``query`` are reserved
-as subcommand names.
+same file placement; ``TABLE`` names ``stage``/``query``/``suggest`` are
+reserved as subcommand names.
 
 Exit code 0 on validation success, 1 on failure (the reference raised
 ``ValidationErr``); the report prints as JSON either way.
@@ -129,12 +136,108 @@ def query_cmd(argv: list[str]) -> int:
         spark.stop()
 
 
+def suggest_cmd(argv: list[str]) -> int:
+    """Draft a contract from a trusted snapshot:
+
+        python -m big_data_validator_spark suggest --input data.parquet
+        python -m big_data_validator_spark suggest --input data.csv \
+            --csv --field-sep '|' --metadata-out TABLE_metadata.csv
+
+    Prints the suggestions report as JSON; ``--metadata-out`` writes
+    the drafted contract in the reference's metadata-CSV format so the
+    normal validation CLI consumes it directly.
+    """
+    parser = argparse.ArgumentParser(
+        prog="big_data_validator_spark suggest"
+    )
+    parser.add_argument("--input", required=True, help="snapshot to profile")
+    parser.add_argument(
+        "--csv", action="store_true",
+        help="input is CSV (header row; default parquet)",
+    )
+    parser.add_argument(
+        "--field-sep", default="|",
+        help="data-CSV separator recorded in the contract (default '|' "
+        "— the reference's own metadata parser splits lines on ';' "
+        "after csv comma-handling, so ',' and ';' cannot round-trip "
+        "through a metadata file; inherited limitation)",
+    )
+    parser.add_argument(
+        "--max-domain-values", type=int, default=20,
+        help="suggest a value domain only up to this cardinality",
+    )
+    parser.add_argument(
+        "--metadata-out", default=None,
+        help="write the drafted contract as a reference-format metadata CSV",
+    )
+    parser.add_argument("--master", default="local[*]", help="Spark master")
+    args = parser.parse_args(argv)
+    if not os.path.exists(args.input):
+        print(f"file not found: {args.input}", file=sys.stderr)
+        return 2
+    if args.metadata_out and args.field_sep in (",", ";"):
+        print(
+            "--metadata-out cannot record ',' or ';' as FIELD_SEPARATOR: "
+            "the reference metadata format splits on ';' after csv "
+            "comma-handling (use e.g. '|')",
+            file=sys.stderr,
+        )
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    from big_data_validator_spark.contract import suggest_contract
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("bdv-suggest")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    try:
+        if args.csv:
+            df = (
+                spark.read.option("header", "true")
+                .option("sep", args.field_sep)
+                .csv(args.input)
+            )
+        else:
+            df = spark.read.parquet(args.input)
+        contract, sug = suggest_contract(
+            df,
+            field_separator=args.field_sep,
+            max_domain_values=args.max_domain_values,
+        )
+        if args.metadata_out:
+            with open(args.metadata_out, "w") as fh:
+                fh.write(
+                    "COLUMN_NAME;DATA_TYPE;STRING_SEPARATOR;"
+                    "FIELD_SEPARATOR;DECIMAL_SEPARATOR;NULLABLE;"
+                    "DATA_FORMAT\n"
+                )
+                for c in contract.columns:
+                    nullable = "TRUE" if c.nullable else "FALSE"
+                    quad = '"' * 4  # the reference's quirky quote cell
+                    fh.write(
+                        f"{c.name};{c.source_type};{quad};"
+                        f"{contract.field_separator};.;{nullable};"
+                        f"{c.source_format}\n"
+                    )
+            sug["metadata_out"] = args.metadata_out
+        print(json.dumps(sug, default=str))
+        return 0
+    finally:
+        spark.stop()
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "stage":
         return stage(argv[1:])
     if argv and argv[0] == "query":
         return query_cmd(argv[1:])
+    if argv and argv[0] == "suggest":
+        return suggest_cmd(argv[1:])
     parser = argparse.ArgumentParser(prog="big_data_validator_spark")
     parser.add_argument("table", help="table name (reference CLI argument)")
     parser.add_argument(

@@ -205,3 +205,46 @@ def test_cli_query_run_and_unknown(tmp_path):
     )
     assert bad.returncode == 2
     assert "unknown query" in bad.stderr
+
+
+def test_suggest_subcommand_drafts_usable_contract(spark, tmp_path):
+    """CLI suggest (subprocess — the CLI stops its own session): profile
+    a parquet snapshot, print the suggestions JSON, and write a
+    metadata CSV the normal loader parses back."""
+    import json
+    import subprocess
+    import sys
+
+    from big_data_validator_spark.contract import TableContract
+
+    src_path = str(tmp_path / "snap.parquet")
+    spark.createDataFrame(
+        [(1, "A", None), (2, "B", "x"), (3, "A", "y")],
+        "id long, status string, note string",
+    ).write.parquet(src_path)
+    meta_out = str(tmp_path / "SNAP_metadata.csv")
+    proc = subprocess.run(
+        [sys.executable, "-m", "big_data_validator_spark", "suggest",
+         "--input", src_path, "--metadata-out", meta_out,
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-1500:]
+    sug = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert sug["candidate_keys"] == ["id"]
+    assert set(sug["domains"]["status"]) == {"A", "B"}
+    assert sug["metadata_out"] == meta_out
+    # the drafted file parses back through the reference-format loader
+    contract = TableContract.from_metadata_csv(meta_out)
+    by = {c.name: c for c in contract.columns}
+    assert by["id"].source_type == "NUMBER" and by["id"].nullable is False
+    assert by["note"].nullable is True
+    assert contract.field_separator == "|"
+    # loader-breaking separators are rejected up front
+    bad = subprocess.run(
+        [sys.executable, "-m", "big_data_validator_spark", "suggest",
+         "--input", src_path, "--metadata-out", meta_out,
+         "--field-sep", ","],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert bad.returncode == 2 and "FIELD_SEPARATOR" in bad.stderr
