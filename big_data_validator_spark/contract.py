@@ -384,7 +384,12 @@ def suggest_contract(
             keys.append(c)
         if dtypes[c] == "string":
             vals = row[f"{c}__vals"]
-            if len(vals) <= max_domain_values and distinct <= max_domain_values:
+            # never suggest an EMPTY domain (an empty table or all-null
+            # column would otherwise draft a rule rejecting every value)
+            if (
+                0 < len(vals) <= max_domain_values
+                and distinct <= max_domain_values
+            ):
                 domains[c] = list(vals)
         if dtypes[c] in numeric or dtypes[c].startswith("decimal"):
             ranges[c] = (row[f"{c}__min"], row[f"{c}__max"])

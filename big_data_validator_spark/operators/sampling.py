@@ -69,10 +69,25 @@ def hash_split(
     key landed in — the property an external auditor (or the DuckDB
     oracle) needs to certify that no eval row leaked into train.
     Splits from the two devices differ; pick one per dataset and
-    persist the choice with the split manifest."""
+    persist the choice with the split manifest.
+
+    NULL keys are REJECTED (raise inside the split expression — the
+    same contract as ``shuffle_shards``): every NULL row would hash to
+    the one constant bucket and silently pile into a single split,
+    which is exactly the correlated-assignment defect a split key must
+    not have."""
     total = float(sum(weights))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
+    null_guard = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"hash_split: NULL in key column {key_col!r}; NULL "
+                "keys would all collapse into one split"
+            )
+        ).cast("long"),
+    )
     if portable:
         bucket = F.pmod(
             F.conv(
@@ -106,6 +121,10 @@ def hash_split(
         bounds.append(int(round(acc * _BUCKETS)))
     for i in range(len(bounds) - 1, -1, -1):
         expr = F.when(bucket < bounds[i], F.lit(i)).otherwise(expr)
+    # the NULL guard leads the CASE chain: it is part of the split
+    # expression itself, so it cannot be pruned away while the split
+    # column is consumed
+    expr = null_guard.otherwise(expr)
     return df.withColumn(split_col, expr)
 
 

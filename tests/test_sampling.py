@@ -186,3 +186,16 @@ def test_hash_split_portable_device_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hash_split_rejects_null_keys(spark):
+    """NULL keys would all collapse into one split — the same
+    correlated-assignment defect shuffle_shards rejects."""
+    from big_data_validator_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    for portable in (False, True):
+        with pytest.raises(Exception, match="NULL in key column"):
+            hash_split(
+                df, "k", [0.5, 0.5], portable=portable
+            ).collect()
