@@ -5145,6 +5145,77 @@ def _lo_attrib_sources(spark: SparkSession, sf_dir: str) -> tuple:
 
 
 @query(
+    "rule_order_totals_reconcile",
+    oracle="""
+    WITH lc AS (
+      SELECT l_orderkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                 * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS charge
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,6)) AS total,
+             lc.charge
+      FROM orders o LEFT JOIN lc ON o.o_orderkey = lc.l_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN charge IS NOT NULL
+                          AND ABS(total - charge) <= 0.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+           CAST(SUM(CASE WHEN charge IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_lines,
+           CAST(MAX(CASE WHEN charge IS NOT NULL
+                         THEN ROUND(ABS(total - charge) * 100, 0) END)
+                AS BIGINT) AS max_abs_gap_cents
+    FROM j
+    """,
+)
+def rule_order_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE financial reconciliation rule: every order's header
+    total against the sum of its line charges
+    (Σ extendedprice·(1−discount)·(1+tax)) within a 1-cent tolerance —
+    the invoice-vs-lines invariant every financial pipeline audits and
+    no single-table rule can express.  All arithmetic runs in EXACT
+    DECIMAL (columns cast from double first): float sums differ
+    ~1e-9 across engines, enough to flip a cent-quantized verdict on a
+    boundary row, while decimal products/sums of cent-exact inputs are
+    bit-identical everywhere.  One map-side-combined aggregation per
+    order + a key join; orders with no lines report separately (a
+    missing-lines order is a different defect than a wrong total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(18,6)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(8,6)"))
+        * (F.lit(1) + F.col("l_tax").cast("decimal(8,6)"))
+    )
+    lc = li.groupBy("l_orderkey").agg(F.sum(charge).alias("charge"))
+    j = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("total"),
+    ).join(lc, o["o_orderkey"] == lc["l_orderkey"], "left")
+    gap = F.abs(F.col("total") - F.col("charge"))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            (F.col("charge").isNotNull() & (gap <= 0.01)).cast("long")
+        )
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.col("charge").isNull().cast("long"))
+        .cast("long")
+        .alias("n_no_lines"),
+        F.max(
+            F.when(
+                F.col("charge").isNotNull(), F.round(gap * 100, 0)
+            )
+        )
+        .cast("long")
+        .alias("max_abs_gap_cents"),
+    )
+
+
+@query(
     "join_asof_nearest",
     oracle="""
     WITH p AS (SELECT user_id, ts FROM events
@@ -6019,6 +6090,12 @@ _DEMOTED_TO_TAIL = [
     # block-width invariance vs brute force; frees the seat for
     # join_asof_nearest.
     "rule_key_gaps",
+    # Grid-binned point-in-interval join green r5; the binning device
+    # stays in-window via join_interval_overlap (interval×interval —
+    # the same _guarded_bin_sequence machinery, strictly more general)
+    # and the pair-set is pytest-pinned equal to the nested loop; frees
+    # the seat for rule_order_totals_reconcile.
+    "join_range_binned",
 ]
 
 
