@@ -458,11 +458,23 @@ def asof_join_nearest(
     Adds ``value_cols`` plus ``asof_gap_us`` (signed integer
     microseconds to the chosen right row: <= 0 backward, > 0 forward;
     NULL when unmatched or beyond tolerance — exact integer arithmetic,
-    hash-stable across engines).  ``value_cols`` must not collide with
+    hash-stable across engines).  Rows with a NULL key or NULL
+    timestamp are EXCLUDED on both sides (a timeless row has no
+    distance to anything).  ``value_cols`` must not collide with
     left's columns; right rows should be unique per (key, ts).
     """
     lpay = list(left.columns)
     rtypes = dict(right.dtypes)
+    # keyless or timeless rows cannot participate: a NULL left
+    # timestamp has no distance to anything (it would otherwise fall
+    # through the distance CASE and arbitrarily bind forward), and a
+    # NULL-key/ts right row can never be anyone's neighbor
+    left = left.filter(
+        F.col(left_key).isNotNull() & F.col(left_ts).isNotNull()
+    )
+    right = right.filter(
+        F.col(right_key).isNotNull() & F.col(right_ts).isNotNull()
+    )
     l2 = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).cast("timestamp").alias("_t"),

@@ -488,3 +488,27 @@ def test_asof_nearest_directions_ties_and_tolerance(spark):
     assert got[5]["click_ts"] is None
     assert got[6]["click_ts"] == T(25) and got[6]["asof_gap_us"] == 20_000_000
     assert len(got) == 6  # one output row per left row
+
+
+def test_asof_nearest_excludes_null_keys_and_timestamps(spark):
+    import datetime as dt
+
+    from big_data_validator_spark.operators.relational import (
+        asof_join_nearest,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t), (1, None), (None, t)], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t), (1, None), (None, t)], "k long, r_ts timestamp"
+    ).withColumn("v", F.col("r_ts"))
+    out = asof_join_nearest(
+        left, right, "k", "k", "ts", "r_ts", ["v"]
+    ).collect()
+    # only the one fully-keyed left row survives, matched to the one
+    # fully-keyed right row
+    assert len(out) == 1
+    assert out[0]["k"] == 1 and out[0]["v"] == t
+    assert out[0]["asof_gap_us"] == 0
