@@ -308,11 +308,18 @@ def suggest_contract(
     snapshot, review, commit the contract, and every later snapshot is
     validated against what the data actually looked like.
 
-    ONE aggregation pass over the table (the profiler trick) collects,
-    per column: null and distinct counts, numeric min/max, and — for
-    low-cardinality columns — the full sorted value domain (capped at
-    ``max_domain_values + 1`` so the cap is detectable; the cap bounds
-    both the aggregation buffer and the driver transfer).  From that:
+    TWO aggregation passes over the table (the profiler trick, made
+    scale-safe): pass 1 collects per column null/distinct counts and
+    numeric min/max — fixed-size aggregation buffers only.  Pass 2 then
+    runs ``collect_set`` ONLY for string columns whose exact distinct
+    count is already proven ``<= max_domain_values``, so the aggregation
+    buffer is genuinely bounded at ``n_cols × max_domain_values``
+    values.  (A single-pass ``slice(collect_set(...))`` would still
+    accumulate EVERY distinct value of every string column in executor
+    memory before slicing — a UUID or free-text column would OOM the
+    buffer at scale; the slice only bounded the driver transfer.)
+    Pass 2 reads only the qualifying columns (column pruning) and is
+    skipped entirely when no column qualifies.  From that:
 
     - ``nullable=False`` suggested only where the data shows ZERO nulls;
     - candidate keys: unique-and-never-null columns;
@@ -342,15 +349,25 @@ def suggest_contract(
         if dtypes[c] in numeric or dtypes[c].startswith("decimal"):
             aggs.append(F.min(c).alias(f"{c}__min"))
             aggs.append(F.max(c).alias(f"{c}__max"))
-        if dtypes[c] == "string":
-            aggs.append(
-                F.slice(
-                    F.sort_array(F.collect_set(F.col(c))),
-                    1,
-                    max_domain_values + 1,
-                ).alias(f"{c}__vals")
-            )
     row = df.agg(*aggs).collect()[0]
+
+    # Pass 2: value domains, only for columns PROVEN low-cardinality by
+    # pass 1 — collect_set's buffer is bounded by construction.
+    domain_cols = [
+        c
+        for c in cols
+        if dtypes[c] == "string" and 0 < row[f"{c}__d"] <= max_domain_values
+    ]
+    domain_row = (
+        df.agg(
+            *[
+                F.sort_array(F.collect_set(F.col(c))).alias(f"{c}__vals")
+                for c in domain_cols
+            ]
+        ).collect()[0]
+        if domain_cols
+        else {}
+    )
 
     type_map = {
         "string": ("VARCHAR2", ""),
@@ -382,14 +399,12 @@ def suggest_contract(
             and dtypes[c] not in ("float", "double")
         ):
             keys.append(c)
-        if dtypes[c] == "string":
-            vals = row[f"{c}__vals"]
-            # never suggest an EMPTY domain (an empty table or all-null
-            # column would otherwise draft a rule rejecting every value)
-            if (
-                0 < len(vals) <= max_domain_values
-                and distinct <= max_domain_values
-            ):
+        if c in domain_cols:
+            vals = domain_row[f"{c}__vals"]
+            # pass-1 gating already excludes empty domains (an empty
+            # table or all-null column has distinct == 0 and never
+            # reaches pass 2, so no rule rejecting every value)
+            if vals:
                 domains[c] = list(vals)
         if dtypes[c] in numeric or dtypes[c].startswith("decimal"):
             ranges[c] = (row[f"{c}__min"], row[f"{c}__max"])

@@ -179,16 +179,23 @@ def apply_changeset(
     # 'upsert' feed would otherwise drop every such row).  The guard
     # lives inside the filter PREDICATE: a lazy guard column would be
     # pruned by the optimizer on the anti-join leg (only keys survive
-    # projection pruning) and never fire.
+    # projection pruning) and never fire.  NULL must be in the bad
+    # predicate explicitly: ``isin`` returns NULL for NULL input, so
+    # ``~known`` is NULL and ``F.when(NULL, ...)`` would fall through to
+    # ``otherwise`` — silently dropping NULL-typed rows from both the
+    # anti-join and upsert legs (reachable via external CDC feeds;
+    # snapshot_changeset never emits NULL change types).
     known = F.col(change_col).isin("insert", "update", "delete")
     bad = F.when(
-        ~known,
+        F.col(change_col).isNull() | ~known,
         F.raise_error(
             F.concat(
                 F.lit(
                     f"apply_changeset: unknown {change_col} value "
                 ),
-                F.col(change_col).cast("string"),
+                F.coalesce(
+                    F.col(change_col).cast("string"), F.lit("NULL")
+                ),
             )
         ).cast("boolean"),
     ).otherwise(F.lit(False))

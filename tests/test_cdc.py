@@ -219,3 +219,18 @@ def test_apply_changeset_rejects_unknown_change_type(spark, snapshots):
     cs = current.limit(1).withColumn("change_type", F.lit("upsert"))
     with pytest.raises(Exception, match="unknown change_type"):
         apply_changeset(current, cs, key_cols=["k"]).collect()
+
+
+def test_apply_changeset_rejects_null_change_type(spark, snapshots):
+    """NULL change_type must also fail loudly: isin() returns NULL for
+    NULL input, so a guard written as when(~known, raise) silently falls
+    through to otherwise() and the row vanishes from BOTH the anti-join
+    and upsert legs (ADVICE r6).  Reachable via external CDC feeds."""
+    from big_data_validator_spark.operators.cdc import apply_changeset
+
+    current, _ = snapshots
+    cs = current.limit(1).withColumn(
+        "change_type", F.lit(None).cast("string")
+    )
+    with pytest.raises(Exception, match="unknown change_type"):
+        apply_changeset(current, cs, key_cols=["k"]).collect()

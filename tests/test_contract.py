@@ -147,3 +147,39 @@ def test_suggest_contract_domain_cap_is_detectable(spark):
     # 50 distinct values exceed the cap → no domain suggested (a
     # truncated domain would silently reject legitimate values)
     assert "v" not in sug["domains"]
+
+
+def test_suggest_contract_bounds_collect_buffer(spark):
+    """ADVICE r6: the domain collect_set must run only over columns whose
+    pass-1 exact distinct count is under the cap — a high-cardinality
+    string column (UUIDs) must never reach a collect_set aggregation
+    buffer.  Pinned structurally: with ONLY high-card string columns,
+    no job containing collect_set runs at all (pass 2 is skipped)."""
+    from unittest import mock
+
+    from big_data_validator_spark.contract import suggest_contract
+
+    df = spark.createDataFrame(
+        [(i, f"uuid-{i:06d}") for i in range(200)], "id long, u string"
+    )
+    with mock.patch(
+        "pyspark.sql.functions.collect_set",
+        side_effect=AssertionError("collect_set on high-card column"),
+    ):
+        contract, sug = suggest_contract(df, max_domain_values=10)
+    assert "u" not in sug["domains"]
+    assert sug["row_count"] == 200
+
+
+def test_suggest_contract_all_null_string_column(spark):
+    """All-null string column: distinct == 0 keeps it out of pass 2 —
+    no empty-domain rule, and collect_set never sees it."""
+    from big_data_validator_spark.contract import suggest_contract
+
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, None, "a")],
+        "id long, dead string, v string",
+    )
+    contract, sug = suggest_contract(df, max_domain_values=5)
+    assert "dead" not in sug["domains"]
+    assert sug["domains"]["v"] == ["a", "b"]
