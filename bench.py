@@ -176,6 +176,7 @@ HEADLINE = [
     "profile_join_cardinality",
     "sample_hash_split",
     "join_asof_nearest",
+    "join_asof_forward",
     "rule_order_totals_reconcile",
 ]
 

@@ -438,22 +438,29 @@ def asof_join_nearest(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance_seconds: Optional[float] = None,
+    direction: str = "nearest",
 ) -> DataFrame:
-    """NEAREST as-of join: each left row picks up ``value_cols`` from
-    the right row closest in EVENT TIME for the same key — before or
-    after — with ties broken toward the earlier (backward) row.  The
-    sensor-fusion / nearest-touch-attribution sibling of
-    :func:`asof_join` (which is backward-only); ``tolerance_seconds``
-    nulls out matches farther than the horizon, completing the
-    pandas-``merge_asof(direction='nearest', tolerance=...)`` surface.
+    """Directional as-of join: each left row picks up ``value_cols``
+    from the right row closest in EVENT TIME for the same key under
+    ``direction`` — ``'nearest'`` (before or after, ties broken toward
+    the earlier/backward row), ``'backward'`` (latest right at-or-before,
+    inclusive) or ``'forward'`` (earliest right at-or-after, inclusive).
+    The sensor-fusion / attribution sibling of :func:`asof_join` (the
+    NULL-preserving backward fill); ``tolerance_seconds`` nulls out
+    matches farther than the horizon, completing the full
+    pandas-``merge_asof(direction=..., tolerance=...)`` surface.
 
-    Same scalable shape as the backward join — union-and-fill, ONE
-    shuffle on the key — but TWO window passes over the SAME
-    partition/sort (backward carry via ``last(ignorenulls)`` over the
-    preceding frame, forward via ``first(ignorenulls)`` over the
+    Same scalable shape for every direction — union-and-fill, ONE
+    shuffle on the key.  ``'nearest'`` runs TWO window passes over the
+    SAME partition/sort (backward carry via ``last(ignorenulls)`` over
+    the preceding frame, forward via ``first(ignorenulls)`` over the
     following frame; Catalyst reuses the exchange and sort, so the
-    second pass adds no shuffle).  A right row at the exact left
-    timestamp counts as backward (inclusive), never both.
+    second pass adds no shuffle); single-direction runs compute only
+    their one frame.  A right row at the exact left timestamp is
+    INCLUSIVE in every direction: it counts as backward for
+    ``'nearest'``/``'backward'`` (never both frames) and matches with
+    gap 0 for ``'forward'`` — the union's secondary sort key places
+    equal-timestamp right rows on the inclusive side of the frame.
 
     Adds ``value_cols`` plus ``asof_gap_us`` (signed integer
     microseconds to the chosen right row: <= 0 backward, > 0 forward;
@@ -463,6 +470,11 @@ def asof_join_nearest(
     distance to anything).  ``value_cols`` must not collide with
     left's columns; right rows should be unique per (key, ts).
     """
+    if direction not in ("nearest", "backward", "forward"):
+        raise ValueError(
+            "direction must be 'nearest', 'backward' or 'forward' "
+            f"(got {direction!r})"
+        )
     lpay = list(left.columns)
     rtypes = dict(right.dtypes)
     # keyless or timeless rows cannot participate: a NULL left
@@ -492,9 +504,15 @@ def asof_join_nearest(
         F.col(right_ts).cast("timestamp").alias("_rt"),
         *[F.col(c) for c in value_cols],
     )
-    # right rows sort before left at equal timestamps → an exact-time
-    # right row lands in the backward frame only
-    order = [F.col("_t").asc(), F.col("_is_r").desc()]
+    # secondary sort key decides which frame an exact-time right row
+    # lands in: before left rows (backward-inclusive) for
+    # nearest/backward, after left rows (forward-inclusive) for forward
+    tie = (
+        F.col("_is_r").asc()
+        if direction == "forward"
+        else F.col("_is_r").desc()
+    )
+    order = [F.col("_t").asc(), tie]
     wb = (
         Window.partitionBy("_k")
         .orderBy(*order)
@@ -507,28 +525,46 @@ def asof_join_nearest(
     )
     payload = ["_rt", *value_cols]
     packed = F.struct(*[F.col(c) for c in payload])
+    fills = []
+    if direction in ("nearest", "backward"):
+        fills.append(
+            F.last(F.when(F.col("_is_r") == 1, packed), ignorenulls=True)
+            .over(wb)
+            .alias("_back")
+        )
+    if direction in ("nearest", "forward"):
+        fills.append(
+            F.first(F.when(F.col("_is_r") == 1, packed), ignorenulls=True)
+            .over(wf)
+            .alias("_fwd")
+        )
     both = l2.unionByName(r2).select(
         "_is_r",
         "_t",
         *[F.col(c) for c in lpay],
-        F.last(F.when(F.col("_is_r") == 1, packed), ignorenulls=True)
-        .over(wb)
-        .alias("_back"),
-        F.first(F.when(F.col("_is_r") == 1, packed), ignorenulls=True)
-        .over(wf)
-        .alias("_fwd"),
+        *fills,
     ).filter(F.col("_is_r") == 0)
-    # gap arithmetic in exact integer MICROSECONDS: double-cast epochs
-    # at ~1.7e9 s carry only ~1e-7 s of precision, enough to flip the
-    # 6th decimal against an engine computing the difference exactly
-    dback = F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_back._rt"))
-    dfwd = F.unix_micros(F.col("_fwd._rt")) - F.unix_micros(F.col("_t"))
-    chosen = (
-        F.when(F.col("_back").isNull(), F.col("_fwd"))
-        .when(F.col("_fwd").isNull(), F.col("_back"))
-        .when(dback <= dfwd, F.col("_back"))
-        .otherwise(F.col("_fwd"))
-    )
+    if direction == "backward":
+        chosen = F.col("_back")
+    elif direction == "forward":
+        chosen = F.col("_fwd")
+    else:
+        # gap arithmetic in exact integer MICROSECONDS: double-cast
+        # epochs at ~1.7e9 s carry only ~1e-7 s of precision, enough to
+        # flip the 6th decimal against an engine computing the
+        # difference exactly
+        dback = F.unix_micros(F.col("_t")) - F.unix_micros(
+            F.col("_back._rt")
+        )
+        dfwd = F.unix_micros(F.col("_fwd._rt")) - F.unix_micros(
+            F.col("_t")
+        )
+        chosen = (
+            F.when(F.col("_back").isNull(), F.col("_fwd"))
+            .when(F.col("_fwd").isNull(), F.col("_back"))
+            .when(dback <= dfwd, F.col("_back"))
+            .otherwise(F.col("_fwd"))
+        )
     gap = F.unix_micros(F.col("_chosen._rt")) - F.unix_micros(F.col("_t"))
     out = both.withColumn("_chosen", chosen)
     if tolerance_seconds is not None:

@@ -5300,6 +5300,81 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    u AS (
+      SELECT user_id, ts AS t, 0 AS is_r, ts AS p_ts,
+             CAST(NULL AS TIMESTAMP) AS rt
+      FROM p
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, ts FROM c),
+    w AS (
+      SELECT *,
+        FIRST_VALUE(rt IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_r ASC
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_rt
+      FROM u),
+    tol AS (
+      SELECT user_id, p_ts,
+        CASE WHEN fwd_rt IS NOT NULL
+                  AND epoch_us(fwd_rt) - epoch_us(p_ts) <= 7200000000
+             THEN fwd_rt END AS chosen
+      FROM w WHERE is_r = 0)
+    SELECT user_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(chosen, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           CAST(epoch_us(chosen) - epoch_us(p_ts) AS BIGINT)
+             AS asof_gap_us
+    FROM tol
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/relational.py: asof_join_nearest,
+    direction='forward'): every purchase matched to the NEXT click by
+    the same user at-or-after the purchase (exact-timestamp inclusive,
+    gap 0), 2-hour tolerance — the pandas
+    merge_asof(direction='forward') surface (post-purchase follow-up
+    attribution, next-reading sensor alignment).  Same union-and-fill
+    frame as the nearest/backward directions — ONE shuffle on the key,
+    one window pass (``first(ignorenulls)`` over the following frame)
+    — with the union's secondary sort key flipped so equal-timestamp
+    right rows land on the inclusive (forward) side.  The nearest twin
+    `join_asof_nearest` rotated to the tail this round; the full
+    direction grid is pinned in tests/test_relational.py."""
+    from big_data_validator_spark.operators.relational import (
+        asof_join_nearest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join_nearest(
+        purchases,
+        clicks,
+        "user_id",
+        "user_id",
+        "ts",
+        "c_ts",
+        ["click_ts"],
+        tolerance_seconds=7200,
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        "asof_gap_us",
+    )
+
+
+@query(
     "sample_hash_split",
     oracle="""
     WITH tagged AS (
@@ -6096,6 +6171,14 @@ _DEMOTED_TO_TAIL = [
     # and the pair-set is pytest-pinned equal to the nested loop; frees
     # the seat for rule_order_totals_reconcile.
     "join_range_binned",
+    # ---- round-7 rotation: r6-green entries rest so the round-7
+    # ---- additions each get a driver-green row.  Per-entry rationale:
+    # Nearest-direction as-of green r6; the forward twin
+    # join_asof_forward takes the seat and exercises the SAME
+    # union-and-fill frame plus the flipped tie side; the full
+    # direction grid (nearest/backward/forward, ties, tolerance) is
+    # pinned in tests/test_relational.py::test_asof_direction_grid.
+    "join_asof_nearest",
 ]
 
 

@@ -138,6 +138,8 @@ def test_driver_window_is_all_oracled():
         "cdc_apply_changeset", "rule_profile_trend_anomaly",
         "text_bpe_encode", "streaming_attribution_left",
         "ts_resample_ffill", "pipeline_bpe_pack",
+        # round-7 additions: each must get its driver-green row
+        "join_asof_forward",
     ]:
         assert required in window, required
 

@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from big_data_validator_spark.operators import relational as R
@@ -512,3 +513,109 @@ def test_asof_nearest_excludes_null_keys_and_timestamps(spark):
     assert len(out) == 1
     assert out[0]["k"] == 1 and out[0]["v"] == t
     assert out[0]["asof_gap_us"] == 0
+
+
+def test_asof_direction_grid(spark):
+    """Direction grid for asof_join_nearest (VERDICT r6 item 3): the
+    same fixture evaluated under all three directions — forward picks
+    the earliest at-or-after (exact-ts INCLUSIVE, gap 0), backward the
+    latest at-or-before, nearest unchanged; tolerance applies per
+    direction; unmatched sides are NULL."""
+    import datetime as dt
+
+    from big_data_validator_spark.operators.relational import (
+        asof_join_nearest,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    left = spark.createDataFrame(
+        [
+            (1, T(30)),  # clicks at 10 and 40
+            (2, T(30)),  # click exactly at 30 plus 20 and 40
+            (3, T(30)),  # only earlier click at 20 → no forward match
+            (4, T(30)),  # only later click at 55 → fwd beyond tol=20
+            (5, T(30)),  # no clicks at all
+        ],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(10)), (1, T(40)),
+            (2, T(20)), (2, T(30)), (2, T(40)),
+            (3, T(20)),
+            (4, T(55)),
+        ],
+        "k long, r_ts timestamp",
+    ).withColumn("click_ts", F.col("r_ts"))
+
+    def run(direction, tol=None):
+        out = asof_join_nearest(
+            left, right, "k", "k", "ts", "r_ts", ["click_ts"],
+            tolerance_seconds=tol, direction=direction,
+        )
+        return {r["k"]: r for r in out.collect()}
+
+    fwd = run("forward")
+    assert fwd[1]["click_ts"] == T(40) and fwd[1]["asof_gap_us"] == 10_000_000
+    assert fwd[2]["click_ts"] == T(30) and fwd[2]["asof_gap_us"] == 0
+    assert fwd[3]["click_ts"] is None and fwd[3]["asof_gap_us"] is None
+    assert fwd[4]["click_ts"] == T(55)
+    assert fwd[5]["click_ts"] is None
+
+    fwd_tol = run("forward", tol=20)
+    assert fwd_tol[4]["click_ts"] is None  # 25 s beyond the 20 s horizon
+    assert fwd_tol[1]["click_ts"] == T(40)
+
+    back = run("backward")
+    assert back[1]["click_ts"] == T(10) and back[1]["asof_gap_us"] == -20_000_000
+    assert back[2]["click_ts"] == T(30) and back[2]["asof_gap_us"] == 0
+    assert back[3]["click_ts"] == T(20)
+    assert back[4]["click_ts"] is None
+    assert back[5]["click_ts"] is None
+
+    near = run("nearest")
+    assert near[1]["click_ts"] == T(40)  # 10 ahead beats 20 behind
+    assert near[2]["click_ts"] == T(30)
+    assert near[3]["click_ts"] == T(20)
+    assert near[4]["click_ts"] == T(55)
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join_nearest(
+            left, right, "k", "k", "ts", "r_ts", ["click_ts"],
+            direction="sideways",
+        )
+
+
+def test_asof_backward_direction_matches_asof_join(spark):
+    """asof_join_nearest(direction='backward') must agree with the
+    original asof_join fill on non-NULL keyed/timestamped rows."""
+    import datetime as dt
+
+    from big_data_validator_spark.operators.relational import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    left = spark.createDataFrame(
+        [(k, T(s)) for k in (1, 2, 3) for s in (5, 15, 25, 35)],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, T(10)), (1, T(20)), (2, T(25)), (3, T(40))],
+        "k long, r_ts timestamp",
+    ).withColumn("v", F.col("r_ts"))
+    a = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, "k", "k", "ts", "r_ts", ["v"]
+        ).collect()
+    }
+    b = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join_nearest(
+            left, right, "k", "k", "ts", "r_ts", ["v"],
+            direction="backward",
+        ).collect()
+    }
+    assert a == b and len(a) == 12
