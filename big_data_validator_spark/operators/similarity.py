@@ -608,3 +608,187 @@ def embedding_near_dup_pairs(
 
     out._bdv_pinned = pinned_caches(pairs)
     return out
+
+
+# ----------------------------------------------- exact-integer near-dup
+
+def quantized_hyperplanes(
+    dim: int,
+    num_planes: int,
+    seed: int,
+    scale: int = 10_000,
+) -> list[list[int]]:
+    """:func:`_random_hyperplanes` quantized to integer units — the
+    bucketing geometry for the EXACT-INTEGER near-dup path, where every
+    arithmetic step must be bit-reproducible by any engine (half-up
+    rounding happens once, driver-side, in Python)."""
+    return [
+        [int(round(x * scale)) for x in plane]
+        for plane in _random_hyperplanes(dim, num_planes, seed)
+    ]
+
+
+def int_lsh_buckets_kernel(tables: Sequence[Sequence[Sequence[int]]]):
+    """Integer twin of :func:`lsh_buckets_kernel`: one int64 matmul per
+    Arrow batch over PRE-QUANTIZED vectors.  int64 matrix products are
+    EXACT (no FMA, no reassociation error — integer adds commute), so
+    the resulting sign pattern is reproducible by any engine summing the
+    same integers in any order; magnitudes are bounded by construction
+    (|q| ≤ ~1e5, |plane| ≤ ~1e5, dim ≤ 4096 keeps sums < 2^63)."""
+    import numpy as np
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    num_tables = len(tables)
+    num_planes = len(tables[0])
+    P = np.array(
+        [p for planes in tables for p in planes], dtype=np.int64
+    )  # (tables*planes, dim)
+    weights = 1 << np.arange(num_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def kernel(vs):
+        import pandas as pd
+
+        null_mask = vs.isna()
+        if null_mask.all():
+            return pd.Series([None] * len(vs))
+        V = np.stack(
+            [
+                np.zeros(P.shape[1], dtype=np.int64)
+                if m
+                else np.asarray(v, dtype=np.int64)
+                for v, m in zip(vs, null_mask)
+            ]
+        )
+        signs = (V @ P.T) >= 0  # same >= 0 rule as the float path
+        buckets = (
+            signs.reshape(len(vs), num_tables, num_planes).astype(np.int64)
+            * weights
+        ).sum(axis=2)
+        out = pd.Series(list(buckets))
+        out[null_mask] = None
+        return out
+
+    return kernel
+
+
+def _int_dot(a, b):
+    """Exact integer dot product of two ``array<bigint>`` columns as
+    DECIMAL(38,0) — expression-level, codegen-friendly, reproducible."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).cast("decimal(38,0)")
+
+
+def quantize_vec(vec_col, scale: int):
+    """``floor(x * scale)`` per component as ``array<bigint>``.  floor of
+    the IEEE double product is engine-portable (the multiply is a single
+    rounding, identical everywhere), unlike half-up rounding, which
+    DuckDB applies to the binary value but Spark to the shortest decimal
+    repr — ties flip between them."""
+    return F.transform(
+        vec_col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    )
+
+
+def embedding_near_dup_pairs_exactint(
+    df: DataFrame,
+    dim: int,
+    threshold_ppm: int = 950_000,
+    num_planes: int = 10,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 100_000,
+    plane_scale: int = 10_000,
+    max_bucket_size: Optional[int] = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with EXACT integer
+    semantics end-to-end — the oracle-checkable twin of
+    :func:`embedding_near_dup_pairs` (VERDICT r6 item 1).
+
+    Every step after the one driver-side hyperplane quantization is
+    integer arithmetic, so ANY engine reproduces the output bit-exactly
+    (no FMA/reassociation hazard):
+
+    1. quantize: ``q[i] = floor(embedding[i] * quant_scale)`` (int64);
+    2. bucket:   sign pattern of ``q · plane_int`` per table — int64
+       matmul in an Arrow kernel (:func:`int_lsh_buckets_kernel`);
+    3. candidates: per-(table, bucket) self-join (same
+       ``capped_bucket_pairs`` skew guard as the float path);
+    4. verify: ``cos(a, b) >= threshold_ppm / 1e6`` decided WITHOUT
+       sqrt or division: ``dot > 0  AND  dot² · 10¹²  >=
+       threshold_ppm² · |a|² · |b|²`` in DECIMAL(38,0) — with
+       ``quant_scale = 1e5`` and 64 dims the extreme magnitudes are
+       ~3e34, inside DECIMAL(38,0) and DuckDB's HUGEINT.
+
+    Returns ``(id_a, id_b, dot_q, na2, nb2)`` with ``id_a < id_b`` —
+    all exact integers (the cosine itself is irrational; consumers
+    needing it compute ``dot_q / sqrt(na2 * nb2)``).
+
+    Scale shape is identical to the float path: one projection + one
+    shuffle on the bucket key, capped per-bucket self-join, no
+    all-pairs work.  The quantization wobble (~1e-5 per component)
+    only moves pairs whose true cosine sits within ~1e-4 of the
+    threshold — and moves them identically in every engine, which is
+    the point.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+    from big_data_validator_spark.operators.dedup import (
+        capped_bucket_pairs,
+        pinned_caches,
+    )
+
+    df = rebalance_for_compute(df)
+    tables = [
+        quantized_hyperplanes(dim, num_planes, seed + 1000 * t, plane_scale)
+        for t in range(num_tables)
+    ]
+    kernel = int_lsh_buckets_kernel(tables)
+    q = df.select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col), quant_scale).alias("qv"),
+    )
+    b = q.select(
+        "id",
+        "qv",
+        F.posexplode(kernel("qv")).alias("table", "bucket"),
+    )
+    pairs = capped_bucket_pairs(
+        b, ["table", "bucket"], max_bucket_size, payload_cols=["qv"]
+    )
+    dot = _int_dot(F.col("qv_a"), F.col("qv_b"))
+    na2 = _int_dot(F.col("qv_a"), F.col("qv_a"))
+    nb2 = _int_dot(F.col("qv_b"), F.col("qv_b"))
+    t2 = F.lit(threshold_ppm * threshold_ppm).cast("decimal(13,0)")
+    out = (
+        pairs.dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            dot.alias("dot"),
+            na2.alias("na2"),
+            nb2.alias("nb2"),
+        )
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                (F.col("dot") * F.col("dot")) * F.lit(10**12).cast("decimal(13,0)")
+                >= t2 * F.col("na2") * F.col("nb2")
+            )
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot").cast("long").alias("dot_q"),
+            F.col("na2").cast("long").alias("na2"),
+            F.col("nb2").cast("long").alias("nb2"),
+        )
+    )
+    out._bdv_pinned = pinned_caches(pairs)
+    return out

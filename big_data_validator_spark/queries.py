@@ -2446,13 +2446,106 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_ann_topk(emb, q, dim=64, k=10)
 
 
-@query("emb_near_dup_pairs")  # hash-dependent buckets: rows-only
-def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+def _emb_near_dup_oracle(
+    dim: int = 64,
+    threshold_ppm: int = 950_000,
+    num_planes: int = 10,
+    num_tables: int = 4,
+    seed: int = 42,
+    quant_scale: int = 100_000,
+    plane_scale: int = 10_000,
+) -> str:
+    """GENERATE the exact-integer near-dup oracle from the same quantized
+    hyperplanes the Spark kernel uses (the BPE-oracle pattern: the
+    shared driver-side artifact IS the spec; both engines then run pure
+    integer arithmetic, which any engine reproduces bit-exactly)."""
+    from big_data_validator_spark.operators.similarity import (
+        quantized_hyperplanes,
     )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> x[1] * x[2]))"
+        )
+
+    selects = []
+    for t in range(num_tables):
+        planes = quantized_hyperplanes(
+            dim, num_planes, seed + 1000 * t, plane_scale
+        )
+        bits = " + ".join(
+            f"(CASE WHEN {dot('qv', '[' + ','.join(map(str, p)) + ']::BIGINT[]')}"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT vec_id, qv, {t} AS tbl, ({bits}) AS bucket FROM q"
+        )
+    union = "\n      UNION ALL\n      ".join(selects)
+    t2 = threshold_ppm * threshold_ppm
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {quant_scale}.0) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    b AS (
+      {union}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c
+        ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ),
+    v AS (
+      SELECT cand.id_a, cand.id_b,
+             {dot('qa.qv', 'qb.qv')} AS dot,
+             {dot('qa.qv', 'qa.qv')} AS na2,
+             {dot('qb.qv', 'qb.qv')} AS nb2
+      FROM cand
+      JOIN q qa ON cand.id_a = qa.vec_id
+      JOIN q qb ON cand.id_b = qb.vec_id
+    )
+    SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot_q,
+           CAST(na2 AS BIGINT) AS na2, CAST(nb2 AS BIGINT) AS nb2
+    FROM v
+    WHERE dot > 0 AND dot * dot * 1000000000000 >= {t2} * na2 * nb2
+    """
+
+
+@query(
+    "emb_near_dup_pairs",
+    oracle=_emb_near_dup_oracle(threshold_ppm=350_000, num_planes=8),
+)
+def emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with an EXACT-INTEGER
+    contract (operators/similarity.py: embedding_near_dup_pairs_exactint
+    — VERDICT r6 item 1): components quantized to 1e-5 units, LSH
+    buckets from int64 sign patterns, and the cosine-threshold verdict
+    decided sqrt-free as dot²·10¹² >= t_ppm²·|a|²·|b|² in DECIMAL(38,0)
+    — every step integer arithmetic, so the DuckDB oracle (generated
+    from the same quantized hyperplanes) reproduces rows bit-exactly
+    with no FMA/reassociation hazard.  Same scale shape as the float
+    kernel path: one projection + one bucket-key shuffle, per-bucket
+    self-join.  The bucket cap is disabled HERE because the cap's
+    leader-edge fallback is deliberately not SQL-expressible; the
+    capped twin is pytest-pinned equal on this corpus
+    (tests/test_similarity_multimodal.py).  Threshold 0.35 / 8 planes
+    are calibrated to the synthetic corpus (its MAX pairwise cosine is
+    ~0.51, so the production 0.95 would gate zero rows and prove
+    nothing); production callers pass their own threshold_ppm."""
+    emb = _t(spark, sf_dir, "embeddings")
     return D.materialize_release(
-        S.embedding_near_dup_pairs(emb, dim=64, threshold=0.95)
+        S.embedding_near_dup_pairs_exactint(
+            emb,
+            dim=64,
+            threshold_ppm=350_000,
+            num_planes=8,
+            max_bucket_size=None,
+        )
     )
 
 
@@ -6179,6 +6272,12 @@ _DEMOTED_TO_TAIL = [
     # direction grid (nearest/backward/forward, ties, tolerance) is
     # pinned in tests/test_relational.py::test_asof_direction_grid.
     "join_asof_nearest",
+    # Lag/delta window green r5+r6; five other window-function entries
+    # are driver-green in earlier rounds (RANGE frame, SCD2, dedup-rank,
+    # running total, sessionize); frees the seat for the newly-oracled
+    # emb_near_dup_pairs (the last north-star entry without a driver
+    # row, VERDICT r6 item 1).
+    "window_lag_delta",
 ]
 
 

@@ -139,7 +139,7 @@ def test_driver_window_is_all_oracled():
         "text_bpe_encode", "streaming_attribution_left",
         "ts_resample_ffill", "pipeline_bpe_pack",
         # round-7 additions: each must get its driver-green row
-        "join_asof_forward",
+        "join_asof_forward", "emb_near_dup_pairs",
     ]:
         assert required in window, required
 

@@ -157,6 +157,78 @@ def test_embedding_near_dup_pairs(spark, vectors):
     assert all(c >= 0.99 for c in got.values())  # threshold respected
 
 
+def test_embedding_near_dup_exactint_matches_python(spark, vectors):
+    """Exact-integer near-dup (VERDICT r6 item 1): every output value
+    must equal a plain-Python integer recomputation of the same
+    pipeline — quantize, int-LSH buckets, sqrt-free threshold — bit for
+    bit (the property the DuckDB oracle relies on)."""
+    df, dim = vectors
+    tp, planes, tabs, qs, ps = 990_000, 6, 4, 100_000, 10_000
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot_q"], r["na2"], r["nb2"])
+        for r in S.embedding_near_dup_pairs_exactint(
+            df, dim=dim, threshold_ppm=tp, num_planes=planes,
+            num_tables=tabs, quant_scale=qs, plane_scale=ps,
+            max_bucket_size=None,
+        ).collect()
+    }
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    q = {
+        i: [math.floor(x * qs) for x in v] for i, v in rows.items()
+    }
+    cands = set()
+    for t in range(tabs):
+        P = S.quantized_hyperplanes(dim, planes, 42 + 1000 * t, ps)
+        from collections import defaultdict
+
+        buckets = defaultdict(list)
+        for i, vq in q.items():
+            b = sum(
+                (1 << j)
+                for j, p in enumerate(P)
+                if sum(a * h for a, h in zip(vq, p)) >= 0
+            )
+            buckets[b].append(i)
+        for members in buckets.values():
+            members = sorted(members)
+            for ai in range(len(members)):
+                for bi in range(ai + 1, len(members)):
+                    cands.add((members[ai], members[bi]))
+    want = {}
+    for a, b in cands:
+        dot = sum(x * y for x, y in zip(q[a], q[b]))
+        na2 = sum(x * x for x in q[a])
+        nb2 = sum(y * y for y in q[b])
+        if dot > 0 and dot * dot * 10**12 >= tp * tp * na2 * nb2:
+            want[(a, b)] = (dot, na2, nb2)
+    assert got == want and (0, 100) in got  # planted near-copy found
+
+
+def test_embedding_near_dup_exactint_cap_is_inert_here(spark, vectors):
+    """The production bucket cap (leader-edge fallback) must be a no-op
+    on a corpus whose buckets sit under the cap — pins that the ORACLED
+    uncapped registry entry and the capped production default agree
+    (the oracle disables the cap only because leader edges aren't
+    SQL-expressible)."""
+    df, dim = vectors
+    kw = dict(
+        dim=dim, threshold_ppm=990_000, num_planes=6, quant_scale=100_000
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs_exactint(
+            df, max_bucket_size=1000, **kw
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs_exactint(
+            df, max_bucket_size=None, **kw
+        ).collect()
+    }
+    assert capped == uncapped and len(capped) > 0
+
+
 def test_assets_schema_and_feature_extraction(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "spark at scale"), (3, "")],
