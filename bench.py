@@ -149,6 +149,7 @@ HEADLINE = [
     "rule_profile_trend_anomaly",
     "text_bpe_encode",
     "streaming_attribution_left",
+    "streaming_metrics_trend",
     "ts_resample_ffill",
     "pipeline_bpe_pack",
     "profile_mutual_information",

@@ -5983,6 +5983,149 @@ def streaming_attribution_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SM_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _metrics_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the 4-run streaming source for the
+    metrics-repository drain: one parquet file group per micro-batch,
+    run ``r`` holding events with ``least(user_id % 12, 3) == r`` —
+    three ~equal small runs then a ~9× volume spike the trend rule must
+    flag.  Explicit mtimes AND lexicographic names agree on the order,
+    so ``maxFilesPerTrigger=1`` maps batch_id == run_id
+    deterministically (the same device as :func:`_lo_attrib_sources`)."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SM_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="bdv_metrics_src_")
+    for r in range(4):
+        dst = f"{root}/run{r}"
+        ev.filter(
+            F.least(F.col("user_id") % 12, F.lit(3)) == r
+        ).coalesce(1).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + r, 1_000_000 + r))
+    _SM_SRC_CACHE[key] = root
+    return root
+
+
+def _stream_metrics_oracle_sql() -> str:
+    """DuckDB mirror of the STREAMING metrics repository + trend rule:
+    re-derive each micro-batch's membership relationally (run r =
+    events with least(user_id % 12, 3) == r), profile per run, then the
+    identical trailing-3 trend window as the batch twin
+    (:func:`_trend_oracle_sql`)."""
+    metric = {
+        "null_count_u": "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)",
+        "distinct_count_u": "COUNT(DISTINCT user_id)",
+        "min_u": "MIN(user_id)",
+        "max_u": "MAX(user_id)",
+        "null_count_t": "SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)",
+        "distinct_count_t": "COUNT(DISTINCT event_type)",
+        "min_length_t": "MIN(len(event_type))",
+        "max_length_t": "MAX(len(event_type))",
+    }
+    legs = []
+    for m, expr in metric.items():
+        col = "user_id" if m.endswith("_u") else "event_type"
+        name = m[:-2]
+        legs.append(
+            f"SELECT run_id, '{col}' AS \"column\", '{name}' AS metric,"
+            f" CAST({expr} AS DOUBLE) AS value FROM src GROUP BY run_id"
+        )
+    # row_count replicates per profiled column (profile_table contract)
+    for col in ("user_id", "event_type"):
+        legs.append(
+            f"SELECT run_id, '{col}' AS \"column\","
+            " 'row_count' AS metric, CAST(COUNT(*) AS DOUBLE) AS value"
+            " FROM src GROUP BY run_id"
+        )
+    union = "\n      UNION ALL\n      ".join(legs)
+    return f"""
+    WITH src AS (
+      SELECT LEAST(user_id % 12, 3) AS run_id, user_id, event_type
+      FROM events
+    ),
+    m AS ({union}),
+    w AS (SELECT run_id, "column", metric, value,
+            COUNT(value) OVER win AS n_prev,
+            AVG(value) OVER win AS mean,
+            STDDEV_SAMP(value) OVER win AS std
+          FROM m
+          WINDOW win AS (PARTITION BY "column", metric ORDER BY run_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))
+    SELECT run_id, "column", metric, value,
+           ROUND(mean, 6) AS trailing_mean,
+           ROUND(std, 6) AS trailing_std,
+           ROUND(CASE WHEN n_prev >= 2 AND std > 0
+                      THEN (value - mean) / std END, 4) AS z_score,
+           COALESCE(ABS(CASE WHEN n_prev >= 2 AND std > 0
+                             THEN (value - mean) / std END) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM w
+    """
+
+
+@query("streaming_metrics_trend", oracle=_stream_metrics_oracle_sql())
+def streaming_metrics_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING metrics repository + trend rule, oracle-checked
+    end-to-end (streaming/validate_stream.py:
+    stream_metrics_repository — VERDICT r6 item 2, the streaming Deequ
+    shape): a real ``readStream`` over 4 mtime-ordered file groups,
+    ``maxFilesPerTrigger=1`` so batch_id == run_id, each micro-batch
+    profiled in one pass inside ``foreachBatch`` and appended to a
+    parquet repository under the exactly-once batch-id commit protocol;
+    after the drain the repository feeds profile_trend_anomalies, which
+    flags run 3's ~9× volume spike against its trailing-3 baseline.
+    Only integer-valued metrics are monitored so history values are
+    engine-exact.  Scale: profiles aggregate map-side inside each
+    micro-batch; the repository and the trend window hold one row per
+    (run, column, metric) — unbounded streams stay bounded state."""
+    import tempfile
+
+    from big_data_validator_spark.operators.profile import (
+        profile_trend_anomalies,
+    )
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_metrics_repository,
+    )
+
+    src = _metrics_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    repo = tempfile.mkdtemp(prefix="bdv_metrics_repo_")
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_metrics_repository(
+            stream,
+            repo_path=repo,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+            columns=["user_id", "event_type"],
+        )
+        q.awaitTermination()
+    keep = [
+        "row_count", "null_count", "distinct_count",
+        "min", "max", "min_length", "max_length",
+    ]
+    hist = read_metrics_repository(spark, repo)
+    return profile_trend_anomalies(
+        hist.filter(F.col("metric").isin(keep)),
+        trailing=3,
+        z_threshold=3.0,
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -6278,6 +6421,12 @@ _DEMOTED_TO_TAIL = [
     # emb_near_dup_pairs (the last north-star entry without a driver
     # row, VERDICT r6 item 1).
     "window_lag_delta",
+    # Inner attribution join green r5+r6; the LEFT OUTER twin
+    # streaming_attribution_left (strictly more general: includes the
+    # unattributed rows) holds a required in-window seat; frees the
+    # seat for streaming_metrics_trend (the streaming Deequ repository,
+    # VERDICT r6 item 2).
+    "streaming_attribution_join",
 ]
 
 
