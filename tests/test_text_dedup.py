@@ -463,3 +463,31 @@ def test_bpe_vocab_covers_every_emitted_symbol(spark):
     vocab = bpe_vocab()
     missing = [r["t"] for r in toks.collect() if r["t"] not in vocab]
     assert missing == []
+
+
+def test_two_phase_cc_beats_diameter_on_adversarial_chain(spark):
+    """VERDICT r6 item 4: the distributed regime is now two-phase
+    large-star/small-star (Kiveris et al.), which converges in O(log² n)
+    rounds regardless of diameter.  A 10k-node CHAIN — the adversarial
+    case where plain min-label propagation needs ~10k rounds — must
+    label identically to the driver union-find within the default
+    max_iter=20 round budget (plain propagation capped at 20 rounds
+    would leave labels thousands of hops from the minimum)."""
+    n = 10_000
+    # shuffled ids so the chain isn't accidentally presorted
+    ids = [(i * 7919) % n for i in range(n)]  # 7919 prime, bijective mod n
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(
+            pairs, driver_edge_limit=None, max_iter=20
+        ).collect()
+    }
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs).collect()  # driver union-find
+    }
+    assert dist == want
+    assert set(dist.values()) == {0} and len(dist) == n
