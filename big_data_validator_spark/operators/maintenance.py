@@ -76,3 +76,55 @@ def compact_parquet(
             for f in spark.read.parquet(dst_path).inputFiles()
         ]
     )
+
+
+def compaction_manifest(
+    frags,
+    target_rows: int,
+    frag_col: str = "frag",
+    rows_col: str = "n_rows",
+    est_row_bytes: int = 64,
+):
+    """Greedy sequential bin-packing of a fragment inventory into
+    compaction output files: fragments are laid end-to-end in
+    ``frag_col`` order and fragment f lands in ``out_file =
+    cum_rows_before(f) div target_rows`` — the plan an OPTIMIZE /
+    compaction job executes (which inputs each output task reads).
+
+    Input is a ``(frag, n_rows)`` frame — file-count-scale METADATA
+    (a 100 TB table at 256 MB files is ~400k manifest rows), so the
+    single global cumulative-sum window here is bounded by the file
+    count, never by the data; the plan is pure arithmetic over the
+    inventory and any engine reproduces it exactly.  ``est_bytes`` is
+    a rows × ``est_row_bytes`` planning estimate (real byte sizes are
+    engine/encoding-dependent; row counts are the portable currency).
+
+    Returns ``(frag, n_rows, est_bytes, out_file)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.orderBy(frag_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(rows_col).over(w), F.lit(0).cast("long")
+    )
+    return (
+        frags.select(
+            F.col(frag_col),
+            F.col(rows_col).cast("long").alias(rows_col),
+            cum_before.alias("_cum_before"),
+        )
+        .select(
+            frag_col,
+            rows_col,
+            (F.col(rows_col) * F.lit(est_row_bytes))
+            .cast("long")
+            .alias("est_bytes"),
+            F.expr(f"_cum_before div {int(target_rows)}").alias(
+                "out_file"
+            ),
+        )
+    )

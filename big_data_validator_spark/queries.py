@@ -6072,6 +6072,105 @@ def _stream_metrics_oracle_sql() -> str:
     """
 
 
+_FRAG_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _frag_layout_source(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) a deliberately FRAGMENTED copy of
+    lineitem — one parquet file per ``l_orderkey % 16`` partition dir
+    (``repartition`` on the partition value guarantees one task, hence
+    one file, per value) — the small-file mess a streaming sink leaves
+    behind and the compaction planner's input."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _FRAG_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+    root = tempfile.mkdtemp(prefix="bdv_frag_src_")
+    dst = f"{root}/lineitem_frag"
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("frag", F.col("l_orderkey") % 16)
+        .repartition(16, "frag")
+        .write.partitionBy("frag")
+        .parquet(dst)
+    )
+    _FRAG_SRC_CACHE[key] = dst
+    return dst
+
+
+@query(
+    "layout_compaction_plan",
+    oracle="""
+    WITH fr AS (
+      SELECT l_orderkey % 16 AS frag, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    w AS (
+      SELECT frag, n_rows,
+             COALESCE(SUM(n_rows) OVER (ORDER BY frag
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM fr)
+    SELECT CAST(frag AS BIGINT) AS frag,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows * 64 AS BIGINT) AS est_bytes,
+           CAST(cum_before // 15000 AS BIGINT) AS out_file
+    FROM w
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction PLAN manifest over a real fragmented layout
+    (operators/maintenance.py: compaction_manifest — VERDICT r6 item 6,
+    the maintenance surface's first oracled entry): lineitem is staged
+    as 16 single-file fragments (the streaming-sink small-file mess),
+    the inventory is read back from the ACTUAL files (``input_file_name``
+    + per-file counts — one file per fragment is asserted, not assumed),
+    and greedy sequential bin-packing assigns each fragment to the
+    compaction output file whose task would read it (cum_rows_before
+    div 15000).  The oracle re-derives the inventory relationally —
+    row counts are the engine-portable planning currency (real byte
+    sizes are encoding-dependent; the byte-based planner
+    plan_compaction/compact_parquet stays pytest-covered in
+    tests/test_maintenance.py).  Scale: the manifest is file-count
+    metadata (~400k rows for 100 TB at 256 MB files), so the global
+    cumulative window is bounded by file count, never data."""
+    from big_data_validator_spark.operators.maintenance import (
+        compaction_manifest,
+    )
+
+    src = _frag_layout_source(spark, sf_dir)
+    back = spark.read.parquet(src)
+    per_file = (
+        back.groupBy(
+            F.col("frag").cast("long").alias("frag"),
+            F.input_file_name().alias("_file"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    # one file per fragment BY CONSTRUCTION — fail loudly if the staging
+    # contract broke (the guard lives in a filter predicate so pruning
+    # can't drop it)
+    frags = per_file.groupBy("frag").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("_nf"),
+    ).filter(
+        F.when(
+            F.col("_nf") != 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("fragment with multiple files: frag="),
+                    F.col("frag").cast("string"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).select("frag", "n_rows")
+    return compaction_manifest(frags, target_rows=15_000)
+
+
 @query("streaming_metrics_trend", oracle=_stream_metrics_oracle_sql())
 def streaming_metrics_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING metrics repository + trend rule, oracle-checked
@@ -6427,6 +6526,11 @@ _DEMOTED_TO_TAIL = [
     # seat for streaming_metrics_trend (the streaming Deequ repository,
     # VERDICT r6 item 2).
     "streaming_attribution_join",
+    # KS drift green r5+r6; drift coverage keeps its required in-window
+    # seat via drift_text_kl (and the PSI/chi² twins are driver-green in
+    # earlier rounds); frees the seat for layout_compaction_plan (the
+    # maintenance surface's first oracled entry, VERDICT r6 item 6).
+    "drift_ks_totalprice",
 ]
 
 

@@ -140,7 +140,7 @@ def test_driver_window_is_all_oracled():
         "ts_resample_ffill", "pipeline_bpe_pack",
         # round-7 additions: each must get its driver-green row
         "join_asof_forward", "emb_near_dup_pairs",
-        "streaming_metrics_trend",
+        "streaming_metrics_trend", "layout_compaction_plan",
     ]:
         assert required in window, required
 
