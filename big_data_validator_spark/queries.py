@@ -2516,6 +2516,61 @@ def _emb_near_dup_oracle(
     """
 
 
+def _emb_near_dup_clusters_oracle(**kw) -> str:
+    """Connected components over the exact-integer near-dup pairs via a
+    RECURSIVE transitive-closure CTE: enumerate every (id, reachable)
+    pair, take MIN(reachable) — per-component cost is |C|², fine for the
+    near-dup graphs the oracle checks (the Spark side runs union-find /
+    large-star-small-star, which any engine can't express relationally
+    without recursion)."""
+    inner = _emb_near_dup_oracle(**kw)
+    return f"""
+    WITH RECURSIVE pairs AS ({inner}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    v AS (SELECT DISTINCT src AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM v
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
+@query(
+    "emb_near_dup_clusters",
+    oracle=_emb_near_dup_clusters_oracle(
+        threshold_ppm=350_000, num_planes=8
+    ),
+)
+def emb_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → transitive CLUSTERS over the exact-integer near-dup pair
+    list — the first driver-oracled connected-components entry (the
+    MinHash clusters twin is rows-only because its pairs are
+    hash-dependent; these pairs are bit-exact cross-engine, so the
+    cluster labels are too).  Spark side: operators/dedup.py
+    duplicate_clusters (driver union-find at this size; two-phase
+    large-star/small-star above the 1M-edge limit — both pinned to
+    identical labels).  Oracle: recursive transitive-closure CTE over
+    the same integer pair list, MIN(reachable) per vertex."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.embedding_near_dup_pairs_exactint(
+        emb,
+        dim=64,
+        threshold_ppm=350_000,
+        num_planes=8,
+        max_bucket_size=None,
+    )
+    clusters = D.duplicate_clusters(pairs)
+    return D.materialize_release(
+        clusters.select("id", "cluster_id"), pairs
+    )
+
+
 @query(
     "emb_near_dup_pairs",
     oracle=_emb_near_dup_oracle(threshold_ppm=350_000, num_planes=8),
@@ -6531,6 +6586,13 @@ _DEMOTED_TO_TAIL = [
     # earlier rounds); frees the seat for layout_compaction_plan (the
     # maintenance surface's first oracled entry, VERDICT r6 item 6).
     "drift_ks_totalprice",
+    # Plain rolling z-score monitor green r1–r5 + r6; the
+    # weekday-seasonal twin events_anomaly_weekday (green r6, strictly
+    # more general baseline) keeps the monitor family in-window; frees
+    # the seat for emb_near_dup_clusters — the FIRST driver-oracled
+    # connected-components entry (bit-exact integer pairs make the
+    # labels engine-portable where the MinHash clusters never were).
+    "events_anomaly_zscore",
 ]
 
 

@@ -1,0 +1,67 @@
+"""sf1.0 spot bench (VERDICT r6 item 5): the 10 most expensive BENCH_DETAIL
+queries, run at the synthetic sf1.0 (/tmp/bdv_sf1, 10x key-shifted sf0.1)
+on local[32] with bench.py's methodology (untimed warm pass, median of 3).
+Writes BENCH_SCALE.json at the repo root.
+"""
+import json, os, statistics, sys, time
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession, functions as F
+
+SF_DIR = "/tmp/bdv_sf1"
+TOP = [
+    "streaming_attribution_left",
+    "sim_ann_recall",
+    "dedup_minhash_clusters",
+    "dedup_winnowing",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "agg_approx_distinct",
+    "streaming_sessionize_stateful",
+    "rule_order_totals_reconcile",
+    "emb_near_dup_pairs",
+]
+
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "96g")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.shuffle.partitions", "32").getOrCreate())
+spark.range(1000).select(F.sum("id")).collect()
+from pyspark.sql.pandas.functions import pandas_udf
+
+@pandas_udf("long")
+def _warm(v):
+    return v
+
+spark.range(1000).repartition(32).select(_warm("id")).write.mode(
+    "overwrite").format("noop").save()
+
+from big_data_validator_spark.queries import all_queries
+registry = all_queries()
+samples = {n: [] for n in TOP}
+for timed in [False, True, True, True]:
+    for name in TOP:
+        start = time.perf_counter()
+        df = registry[name](spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        dt = time.perf_counter() - start
+        if timed:
+            samples[name].append(dt)
+        print(f"{'timed' if timed else 'warm '} {name}: {dt:.2f}s", flush=True)
+
+timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+out = {
+    "metric": "sf1_spot_bench_sec",
+    "value": round(sum(timings.values()), 3),
+    "unit": "sec",
+    "queries": timings,
+    "queries_min": {n: round(min(v), 3) for n, v in samples.items()},
+    "sf": 1.0,
+    "note": ("synthetic sf1.0: 10 key-shifted copies of sf0.1 "
+             "(/tmp/gen_sf1.py recipe; docs near-dup-tagged, embeddings "
+             "noise-decorrelated); local[32], median of 3 after warm pass"),
+}
+with open("/root/repo/BENCH_SCALE.json", "w") as fh:
+    json.dump(out, fh, indent=1)
+print(json.dumps({k: v for k, v in out.items() if k != "queries_min"}))
