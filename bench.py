@@ -160,6 +160,7 @@ HEADLINE = [
     "rule_field_count_quoted",
     "dedup_winnowing",
     "emb_near_dup_pairs",
+    "emb_near_dup_clusters",
     "multimodal_features",
     "drift_snapshots",
     "rule_field_count_quote_stripped",
