@@ -161,6 +161,7 @@ HEADLINE = [
     "dedup_winnowing",
     "emb_near_dup_pairs",
     "emb_near_dup_clusters",
+    "sim_ann_exactint",
     "multimodal_features",
     "drift_snapshots",
     "rule_field_count_quote_stripped",

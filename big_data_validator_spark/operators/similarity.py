@@ -792,3 +792,98 @@ def embedding_near_dup_pairs_exactint(
     )
     out._bdv_pinned = pinned_caches(pairs)
     return out
+
+
+def ann_topk_exactint(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 100_000,
+    plane_scale: int = 10_000,
+) -> DataFrame:
+    """LSH ANN top-k with EXACT cross-engine semantics — the
+    oracle-checkable sibling of :func:`lsh_ann_topk` (whose float
+    buckets/scores are hash-stable only within one engine).
+
+    Same integer contract as
+    :func:`embedding_near_dup_pairs_exactint`: vectors floor-quantized
+    to 1/``quant_scale`` units, buckets from int64 sign patterns
+    (:func:`int_lsh_buckets_kernel`), candidates = corpus rows sharing
+    ≥1 (table, bucket) with a query.  The COSINE itself is then safe as
+    a double: ``dot``, ``|a|²``, ``|b|²`` are exact integers, and
+    ``dot / sqrt(|a|²·|b|²)`` is two correctly-rounded IEEE ops on a
+    once-rounded product — bit-identical in every conforming engine, so
+    the per-query ORDER BY over it (ties broken by id) is too.  The
+    emitted score is ``floor(cosine · 1e6)`` (floor of identical
+    doubles; ``round`` would re-open the shortest-repr-vs-binary trap).
+
+    Scale shape: corpus bucketed in one Arrow pass + one shuffle on the
+    bucket key; the query side is tiny and broadcasts; scoring touches
+    only candidate rows (never |queries| × |corpus|).  Zero-norm
+    vectors (all components under the quantization floor) are excluded
+    — cosine is undefined for them.
+
+    Returns ``(query_id, {id_col}, cosine_e6, rank)`` with
+    ``rank <= k``.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    corpus = rebalance_for_compute(corpus)
+    tables = [
+        quantized_hyperplanes(dim, num_planes, seed + 1000 * t, plane_scale)
+        for t in range(num_tables)
+    ]
+    kernel = int_lsh_buckets_kernel(tables)
+
+    def bucketize(df: DataFrame, out_id: str) -> DataFrame:
+        q = df.select(
+            F.col(id_col).alias(out_id),
+            quantize_vec(F.col(vec_col), quant_scale).alias(f"_qv_{out_id}"),
+        )
+        return q.select(
+            out_id,
+            f"_qv_{out_id}",
+            F.posexplode(kernel(f"_qv_{out_id}")).alias("table", "bucket"),
+        )
+
+    bc = bucketize(corpus, "cand_id")
+    bq = bucketize(queries, "query_id")
+    cand = (
+        bc.join(
+            F.broadcast(bq.select("query_id", "_qv_query_id", "table", "bucket")),
+            ["table", "bucket"],
+        )
+        .select("query_id", "cand_id", "_qv_query_id", "_qv_cand_id")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    dot = _int_dot(F.col("_qv_cand_id"), F.col("_qv_query_id")).cast("double")
+    na2 = _int_dot(F.col("_qv_cand_id"), F.col("_qv_cand_id")).cast("double")
+    nb2 = _int_dot(F.col("_qv_query_id"), F.col("_qv_query_id")).cast("double")
+    scored = cand.select(
+        "query_id",
+        F.col("cand_id").alias(id_col),
+        (dot / F.sqrt(na2 * nb2)).alias("_cos"),
+        na2.alias("_na2"),
+        nb2.alias("_nb2"),
+    ).filter((F.col("_na2") > 0) & (F.col("_nb2") > 0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.floor(F.col("_cos") * F.lit(1_000_000.0))
+            .cast("long")
+            .alias("cosine_e6"),
+            "rank",
+        )
+    )

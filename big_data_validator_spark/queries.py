@@ -2516,6 +2516,102 @@ def _emb_near_dup_oracle(
     """
 
 
+def _sim_ann_exactint_oracle(
+    dim: int = 64,
+    k: int = 10,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    seed: int = 42,
+    quant_scale: int = 100_000,
+    plane_scale: int = 10_000,
+    query_max_id: int = 5,
+) -> str:
+    """GENERATE the exact-integer ANN top-k oracle from the same
+    quantized hyperplanes the Spark kernel uses.  Buckets and dot/norm
+    integers are exact; the cosine double is two correctly-rounded IEEE
+    ops over them, so its ORDER BY (ties by id) and floor(·1e6) score
+    are bit-identical cross-engine."""
+    from big_data_validator_spark.operators.similarity import (
+        quantized_hyperplanes,
+    )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> x[1] * x[2]))"
+        )
+
+    selects = []
+    for t in range(num_tables):
+        planes = quantized_hyperplanes(
+            dim, num_planes, seed + 1000 * t, plane_scale
+        )
+        bits = " + ".join(
+            f"(CASE WHEN {dot('qv', '[' + ','.join(map(str, p)) + ']::BIGINT[]')}"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT vec_id, qv, {t} AS tbl, ({bits}) AS bucket FROM q"
+        )
+    union = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {quant_scale}.0) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    b AS (
+      {union}
+    ),
+    bq AS (SELECT * FROM b WHERE vec_id < {query_max_id}),
+    cand AS (
+      SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS cand_id
+      FROM bq JOIN b bc
+        ON bq.tbl = bc.tbl AND bq.bucket = bc.bucket
+    ),
+    scored AS (
+      SELECT c.query_id, c.cand_id,
+             CAST({dot('qc.qv', 'qq.qv')} AS DOUBLE)
+               / sqrt(CAST({dot('qc.qv', 'qc.qv')} AS DOUBLE)
+                      * CAST({dot('qq.qv', 'qq.qv')} AS DOUBLE)) AS cos
+      FROM cand c
+      JOIN q qc ON c.cand_id = qc.vec_id
+      JOIN q qq ON c.query_id = qq.vec_id
+      WHERE {dot('qc.qv', 'qc.qv')} > 0 AND {dot('qq.qv', 'qq.qv')} > 0
+    ),
+    r AS (
+      SELECT query_id, cand_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, cand_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, cand_id AS vec_id,
+           CAST(floor(cos * 1000000) AS BIGINT) AS cosine_e6,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= {k}
+    """
+
+
+@query("sim_ann_exactint", oracle=_sim_ann_exactint_oracle())
+def sim_ann_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN top-k with EXACT cross-engine semantics
+    (operators/similarity.py: ann_topk_exactint) — the first
+    driver-oracled ANN RANKING entry (sim_ann_lsh/ivf/pq are rows-only
+    because float bucket hashes and scores aren't portable; the recall
+    gate sim_ann_recall checks quality, this checks the ranking itself).
+    Integer quantization + int64 sign-matmul buckets as in
+    emb_near_dup_pairs; the cosine is then safe as a double — two
+    correctly-rounded IEEE ops over exact integers are bit-identical in
+    every engine, so ORDER BY cosine (ties by id) and floor(cos·1e6)
+    agree with DuckDB exactly.  Query side = vec_id < 5, broadcast;
+    corpus bucketed in one Arrow pass + one bucket-key shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return S.ann_topk_exactint(emb, q, dim=64, k=10)
+
+
 def _emb_near_dup_clusters_oracle(**kw) -> str:
     """Connected components over the exact-integer near-dup pairs via a
     RECURSIVE transitive-closure CTE: enumerate every (id, reachable)
@@ -6593,6 +6689,12 @@ _DEMOTED_TO_TAIL = [
     # connected-components entry (bit-exact integer pairs make the
     # labels engine-portable where the MinHash clusters never were).
     "events_anomaly_zscore",
+    # GROUPING SETS green r5+r6; the rollup and cube twins are
+    # driver-green in earlier rounds and the family is pure built-in
+    # Catalyst surface; frees the seat for sim_ann_exactint — the first
+    # driver-oracled ANN RANKING entry (recall was gated via
+    # sim_ann_recall, the ranking itself never was).
+    "agg_grouping_sets",
 ]
 
 

@@ -141,7 +141,7 @@ def test_driver_window_is_all_oracled():
         # round-7 additions: each must get its driver-green row
         "join_asof_forward", "emb_near_dup_pairs",
         "streaming_metrics_trend", "layout_compaction_plan",
-        "emb_near_dup_clusters",
+        "emb_near_dup_clusters", "sim_ann_exactint",
     ]:
         assert required in window, required
 

@@ -410,3 +410,59 @@ def test_payload_stats_prunes_payload_column(spark, tmp_path):
     assert stats.count() == 3  # image/audio/video
     total = sum(r["asset_count"] for r in stats.collect())
     assert total == 9
+
+
+def test_ann_topk_exactint_matches_python(spark, vectors):
+    """Exact-int ANN ranking: output equals a plain-Python recomputation
+    of the whole pipeline (quantize → int buckets → exact dots → cosine
+    as two correctly-rounded IEEE ops → sort) — the property the oracle
+    relies on; and the planted near-copy of vec 0 ranks at the top of
+    its query."""
+    df, dim = vectors
+    qs_, ps = 100_000, 10_000
+    planes_n, tabs = 6, 4
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine_e6"])
+        for r in S.ann_topk_exactint(
+            df, df.filter(F.col("vec_id") < 2), dim=dim, k=5,
+            num_planes=planes_n, num_tables=tabs,
+            quant_scale=qs_, plane_scale=ps,
+        ).collect()
+    }
+    rows = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    q = {i: [math.floor(x * qs_) for x in v] for i, v in rows.items()}
+    buckets = {}
+    for t in range(tabs):
+        P = S.quantized_hyperplanes(dim, planes_n, 42 + 1000 * t, ps)
+        for i, vq in q.items():
+            b = sum(
+                (1 << j)
+                for j, p in enumerate(P)
+                if sum(a * h for a, h in zip(vq, p)) >= 0
+            )
+            buckets.setdefault((t, b), []).append(i)
+    want = {}
+    for qid in (0, 1):
+        cands = set()
+        for t in range(tabs):
+            P = S.quantized_hyperplanes(dim, planes_n, 42 + 1000 * t, ps)
+            b = sum(
+                (1 << j)
+                for j, p in enumerate(P)
+                if sum(a * h for a, h in zip(q[qid], p)) >= 0
+            )
+            cands.update(buckets.get((t, b), []))
+        scored = []
+        for c in cands:
+            dot = sum(x * y for x, y in zip(q[c], q[qid]))
+            na2 = sum(x * x for x in q[c])
+            nb2 = sum(y * y for y in q[qid])
+            if na2 > 0 and nb2 > 0:
+                cos = float(dot) / math.sqrt(float(na2) * float(nb2))
+                scored.append((-cos, c))
+        for rank, (negcos, c) in enumerate(sorted(scored), start=1):
+            if rank <= 5:
+                want[(qid, rank)] = (c, math.floor(-negcos * 1_000_000))
+    assert got == want
+    assert got[(0, 1)][0] == 0          # self-match leads
+    assert got[(0, 2)][0] == 100        # the planted near-copy is next
