@@ -181,6 +181,7 @@ HEADLINE = [
     "sample_hash_split",
     "join_asof_nearest",
     "join_asof_forward",
+    "join_point_in_time",
     "rule_order_totals_reconcile",
 ]
 

@@ -583,6 +583,54 @@ def asof_join_nearest(
     )
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    features: DataFrame,
+    key: str,
+    fact_ts: str,
+    feature_ts: str,
+    feature_cols: Sequence[str],
+    ttl_seconds: Optional[float] = None,
+    feature_key: Optional[str] = None,
+    age_col: str = "feature_age_us",
+) -> DataFrame:
+    """Feature-store POINT-IN-TIME-CORRECT join: each fact row picks up
+    ``feature_cols`` from the LATEST feature row at-or-before its
+    timestamp for the same key — never a future one.  This is the
+    training-set construction rule that prevents feature LEAKAGE /
+    training-serving skew (Feast's get_historical_features, Databricks
+    feature-store point-in-time semantics): a model trained with
+    features the serving system could not have known yet looks great
+    offline and fails online.
+
+    ``ttl_seconds`` expires stale features (a fact farther than the TTL
+    from its newest feature gets NULLs, exactly like a serving-side
+    feature TTL); ``age_col`` emits the feature's age at fact time in
+    exact integer microseconds (>= 0; NULL when unmatched/expired) —
+    the staleness distribution to monitor for skew.
+
+    Built on the one-shuffle union-and-fill as-of frame
+    (:func:`asof_join_nearest`, ``direction='backward'``): one shuffle
+    on the key, one keyed window pass, no range explosion — the same
+    cost as any equi-join at 100 TB.
+    """
+    out = asof_join_nearest(
+        facts,
+        features,
+        key,
+        feature_key or key,
+        fact_ts,
+        feature_ts,
+        feature_cols,
+        tolerance_seconds=ttl_seconds,
+        direction="backward",
+    )
+    # backward gaps are <= 0 by construction; age is the non-negative view
+    return out.withColumn(
+        age_col, (-F.col("asof_gap_us")).cast("long")
+    ).drop("asof_gap_us")
+
+
 def range_bucket_join(
     fact: DataFrame,
     buckets: DataFrame,

@@ -5619,6 +5619,89 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_point_in_time",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'click' AND value IS NOT NULL),
+    u AS (
+      SELECT user_id, ts AS t, 0 AS is_r, ts AS p_ts,
+             CAST(NULL AS TIMESTAMP) AS rt, CAST(NULL AS DOUBLE) AS v
+      FROM p
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, ts, value FROM c),
+    w AS (
+      SELECT *,
+        LAST_VALUE(rt IGNORE NULLS) OVER win AS brt,
+        LAST_VALUE(v IGNORE NULLS) OVER win AS bv
+      FROM u
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, is_r DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sel AS (SELECT user_id, p_ts, brt, bv FROM w WHERE is_r = 0),
+    tol AS (
+      SELECT user_id, p_ts,
+        CASE WHEN brt IS NOT NULL
+                  AND epoch_us(p_ts) - epoch_us(brt) <= 7200000000
+             THEN brt END AS crt,
+        CASE WHEN brt IS NOT NULL
+                  AND epoch_us(p_ts) - epoch_us(brt) <= 7200000000
+             THEN bv END AS cv
+      FROM sel)
+    SELECT user_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           cv AS click_value,
+           CAST(epoch_us(p_ts) - epoch_us(crt) AS BIGINT)
+             AS feature_age_us
+    FROM tol
+    """,
+)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store POINT-IN-TIME-CORRECT join
+    (operators/relational.py: point_in_time_join): every purchase picks
+    up the latest click-derived feature (the click's value) at-or-before
+    the purchase for the same user — never a future one (the
+    training-set construction rule that prevents feature leakage /
+    training-serving skew) — with a 2-hour feature TTL and the
+    feature's age at fact time in exact integer microseconds (the
+    staleness distribution a serving monitor watches).  NULL-valued
+    feature rows are excluded (a NULL feature is no feature — and it
+    keeps the oracle's two aligned IGNORE NULLS windows exact).  One
+    shuffle on the key, one keyed window pass — equi-join cost at any
+    scale."""
+    from big_data_validator_spark.operators.relational import (
+        point_in_time_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = point_in_time_join(
+        purchases,
+        clicks,
+        key="user_id",
+        fact_ts="ts",
+        feature_ts="c_ts",
+        feature_cols=["click_value"],
+        ttl_seconds=7200,
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_value",
+        "feature_age_us",
+    )
+
+
+@query(
     "sample_hash_split",
     oracle="""
     WITH tagged AS (
@@ -6695,6 +6778,12 @@ _DEMOTED_TO_TAIL = [
     # driver-oracled ANN RANKING entry (recall was gated via
     # sim_ann_recall, the ranking itself never was).
     "agg_grouping_sets",
+    # Interval-overlap join green r5+r6; the binned-join device stays
+    # pytest-pinned (pair set == nested loop) and the join family keeps
+    # join_asof_forward + join_point_in_time in-window; frees the seat
+    # for join_point_in_time (the feature-store leakage-guard join — a
+    # capability entry, not a plan variant).
+    "join_interval_overlap",
 ]
 
 

@@ -619,3 +619,39 @@ def test_asof_backward_direction_matches_asof_join(spark):
         ).collect()
     }
     assert a == b and len(a) == 12
+
+
+def test_point_in_time_join_no_future_leakage(spark):
+    """Feature-store PIT join: only at-or-before features bind (a future
+    feature one microsecond ahead must NOT leak); TTL expires stale
+    features; feature_age_us is the non-negative staleness."""
+    import datetime as dt
+
+    from big_data_validator_spark.operators.relational import (
+        point_in_time_join,
+    )
+
+    T = lambda s: dt.datetime(2024, 1, 1, 12, 0, s)
+    facts = spark.createDataFrame(
+        [(1, T(30)), (2, T(30)), (3, T(30)), (4, T(30))],
+        "k long, ts timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            (1, T(10), 10.0), (1, T(31), 99.0),  # future 99 must not leak
+            (2, T(30), 20.0),                     # exact-ts binds, age 0
+            (3, T(0), 30.0),                      # stale beyond ttl=25
+        ],
+        "k long, f_ts timestamp, feat double",
+    )
+    got = {
+        r["k"]: (r["feat"], r["feature_age_us"])
+        for r in point_in_time_join(
+            facts, feats, key="k", fact_ts="ts", feature_ts="f_ts",
+            feature_cols=["feat"], ttl_seconds=25,
+        ).collect()
+    }
+    assert got[1] == (10.0, 20_000_000)   # not the future 99.0
+    assert got[2] == (20.0, 0)
+    assert got[3] == (None, None)         # expired
+    assert got[4] == (None, None)         # no features at all
