@@ -150,6 +150,7 @@ HEADLINE = [
     "text_bpe_encode",
     "streaming_attribution_left",
     "streaming_metrics_trend",
+    "streaming_drift_psi",
     "layout_compaction_plan",
     "ts_resample_ffill",
     "pipeline_bpe_pack",

@@ -6405,6 +6405,139 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_manifest(frags, target_rows=15_000)
 
 
+_DRIFT_SRC_CACHE: dict[tuple, str] = {}
+
+#: Run assignment for the streaming drift monitor: two uniform samples
+#: (calm baseline traffic), then the remaining rows split BY VALUE —
+#: run 2 high-only, run 3 low-only — the regime shift the monitor must
+#: flag.  SQL-expressible so the oracle re-derives batch membership.
+_DRIFT_RUN_CASE = (
+    "CASE WHEN user_id % 12 = 0 THEN 0 "
+    "WHEN user_id % 12 = 1 THEN 1 "
+    "WHEN value > 50 THEN 2 ELSE 3 END"
+)
+
+
+def _drift_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the 4-run streaming source for the
+    drift drain: runs 0/1 are uniform user-hash samples (PSI ≈ 0), runs
+    2/3 carry only the high / only the low half of the value range (PSI
+    large) — same mtime+name ordering device as the other streaming
+    sources, so ``maxFilesPerTrigger=1`` maps batch_id == run_id."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DRIFT_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.expr(_DRIFT_RUN_CASE).alias("_run")
+    )
+    root = tempfile.mkdtemp(prefix="bdv_drift_src_")
+    for r in range(4):
+        dst = f"{root}/run{r}"
+        ev.filter(F.col("_run") == r).drop("_run").coalesce(1).write.parquet(
+            dst
+        )
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + r, 1_000_000 + r))
+    _DRIFT_SRC_CACHE[key] = root
+    return root
+
+
+@query(
+    "streaming_drift_psi",
+    oracle=f"""
+    WITH src AS (
+      SELECT {_DRIFT_RUN_CASE} AS run_id, value FROM events
+    ),
+    bins(bin_id) AS (VALUES (0), (1), (2), (3), (4)),
+    runs(run_id) AS (VALUES (0), (1), (2), (3)),
+    binned AS (
+      SELECT run_id,
+             CASE WHEN value >= 100 THEN 4
+                  WHEN value >= 75 THEN 3
+                  WHEN value >= 50 THEN 2
+                  WHEN value >= 25 THEN 1
+                  ELSE 0 END AS bin_id
+      FROM src),
+    base AS (
+      SELECT bin_id,
+             COUNT(*) / CAST((SELECT COUNT(*) FROM binned) AS DOUBLE)
+               AS p_base
+      FROM binned GROUP BY 1),
+    per_run AS (
+      SELECT run_id, bin_id, COUNT(*) AS n FROM binned GROUP BY 1, 2),
+    totals AS (SELECT run_id, SUM(n) AS t FROM per_run GROUP BY 1),
+    grid AS (SELECT runs.run_id, bins.bin_id FROM runs, bins)
+    SELECT CAST(grid.run_id AS BIGINT) AS run_id, grid.bin_id,
+           ROUND(COALESCE(base.p_base, 0), 6) AS p_base,
+           ROUND(COALESCE(per_run.n / CAST(totals.t AS DOUBLE), 0), 6)
+             AS p_run,
+           ROUND((COALESCE(per_run.n / CAST(totals.t AS DOUBLE), 0)
+                  - COALESCE(base.p_base, 0))
+                 * ln((COALESCE(per_run.n / CAST(totals.t AS DOUBLE), 0)
+                       + 1e-6)
+                      / (COALESCE(base.p_base, 0) + 1e-6)), 6)
+             AS psi_term
+    FROM grid
+    LEFT JOIN base ON base.bin_id = grid.bin_id
+    LEFT JOIN per_run ON per_run.run_id = grid.run_id
+                     AND per_run.bin_id = grid.bin_id
+    LEFT JOIN totals ON totals.run_id = grid.run_id
+    """,
+)
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING PSI drift monitor, oracle-checked end-to-end
+    (streaming/validate_stream.py: stream_drift_psi): live micro-batch
+    traffic scored against a static baseline distribution (the
+    training distribution) over explicit value bins, per-bin PSI terms
+    appended under the exactly-once batch-id commit protocol with
+    batch_id == run_id.  Runs 0/1 are uniform samples (calm, PSI ≈ 0);
+    runs 2/3 carry only the high / only the low half of the value
+    range — the regime shift a serving-side monitor exists to catch
+    (their psi_terms are large).  The baseline histogram folds into the
+    per-batch plan as literals (bounded driver work: one row per bin);
+    each micro-batch is one pass."""
+    import tempfile
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_drift_psi,
+    )
+
+    src = _drift_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    repo = tempfile.mkdtemp(prefix="bdv_drift_repo_")
+    baseline = _t(spark, sf_dir, "events").select("value")
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_drift_psi(
+            stream,
+            baseline,
+            value_col="value",
+            bin_edges=[25.0, 50.0, 75.0, 100.0],
+            repo_path=repo,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+        )
+        q.awaitTermination()
+    hist = read_metrics_repository(spark, repo)
+    return hist.select(
+        "run_id",
+        "bin_id",
+        F.round("p_base", 6).alias("p_base"),
+        F.round("p_run", 6).alias("p_run"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
 @query("streaming_metrics_trend", oracle=_stream_metrics_oracle_sql())
 def streaming_metrics_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING metrics repository + trend rule, oracle-checked
@@ -6784,6 +6917,12 @@ _DEMOTED_TO_TAIL = [
     # for join_point_in_time (the feature-store leakage-guard join — a
     # capability entry, not a plan variant).
     "join_interval_overlap",
+    # Stream-static broadcast enrichment green r5+r6 — the simplest
+    # streaming shape, its broadcast-join-per-micro-batch plan is
+    # pytest-pinned; frees the seat for streaming_drift_psi (the
+    # serving-side drift monitor — live traffic PSI-scored against a
+    # static baseline, a new streaming capability).
+    "streaming_static_enrich",
 ]
 
 

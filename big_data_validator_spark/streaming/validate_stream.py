@@ -23,7 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -416,3 +416,106 @@ def read_metrics_repository(spark, repo_path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "false").parquet(
         f"{repo_path.rstrip('/')}/batch_id=*"
     )
+
+
+def stream_drift_psi(
+    stream: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    bin_edges,
+    repo_path: str,
+    checkpoint_path: str,
+    epsilon: float = 1e-6,
+    run_col: str = "run_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """STREAMING drift monitor: every micro-batch's ``value_col``
+    distribution is PSI-scored against a STATIC baseline (the training
+    distribution) over EXPLICIT bin edges, and the per-bin terms append
+    to a parquet repository with ``run_id = batch_id`` — live-traffic
+    drift detection, the serving-side complement of the batch
+    :func:`~big_data_validator_spark.operators.relational
+    .distribution_drift_psi`.
+
+    The baseline's bin proportions are computed ONCE up front and
+    folded into the per-batch plan as literals (the baseline histogram
+    is ``len(bin_edges)+1`` rows — bounded driver work by
+    construction).  Each micro-batch costs one pass (bucket expression
+    + groupBy(bin) partial counts); the repository holds one row per
+    (batch, bin).  Exactly-once by the same batch-id ``_SUCCESS``
+    commit protocol as :func:`stream_metrics_repository`.
+
+    Emits ``(run_id, bin_id, p_base, p_run, psi_term)`` rows; sum
+    ``psi_term`` per run for the headline PSI (> 0.2 conventionally
+    flags a shift).
+    """
+    edges = [float(e) for e in bin_edges]
+    n_bins = len(edges) + 1
+
+    def bucket(col):
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(col >= F.lit(e), F.lit(i + 1)).otherwise(b)
+        return b
+
+    base_counts = dict.fromkeys(range(n_bins), 0)
+    for r in (
+        baseline.select(bucket(F.col(value_col)).alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        base_counts[r["bin_id"]] = r["n"]
+    base_total = sum(base_counts.values())
+    if base_total == 0:
+        raise ValueError("baseline is empty — no distribution to drift from")
+    p_base = {b: n / base_total for b, n in base_counts.items()}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dst = f"{repo_path.rstrip('/')}/batch_id={batch_id}"
+        jvm = batch_df.sparkSession._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS")
+        fs = marker.getFileSystem(
+            batch_df.sparkSession._jsc.hadoopConfiguration()
+        )
+        if fs.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        grid = spark.createDataFrame(
+            [(b, float(p_base[b])) for b in range(n_bins)],
+            f"bin_id int, p_base double",
+        )
+        counts = (
+            batch_df.select(bucket(F.col(value_col)).alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+        p_run = counts.select(
+            "bin_id", (F.col("n") / total).alias("p_run")
+        )
+        eps = F.lit(float(epsilon))
+        out = (
+            grid.join(p_run, "bin_id", "left")
+            .select(
+                F.lit(int(batch_id)).cast("long").alias(run_col),
+                "bin_id",
+                "p_base",
+                F.coalesce("p_run", F.lit(0.0)).alias("p_run"),
+            )
+            .withColumn(
+                "psi_term",
+                (F.col("p_run") - F.col("p_base"))
+                * F.log((F.col("p_run") + eps) / (F.col("p_base") + eps)),
+            )
+        )
+        out.write.mode("overwrite").parquet(dst)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -142,7 +142,7 @@ def test_driver_window_is_all_oracled():
         "join_asof_forward", "emb_near_dup_pairs",
         "streaming_metrics_trend", "layout_compaction_plan",
         "emb_near_dup_clusters", "sim_ann_exactint",
-        "join_point_in_time",
+        "join_point_in_time", "streaming_drift_psi",
     ]:
         assert required in window, required
 

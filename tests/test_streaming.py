@@ -418,3 +418,74 @@ def test_stream_metrics_repository_matches_batch_and_replay(spark, tmp_path):
     q2.awaitTermination()
     g2 = {key(r): r["value"] for r in read_metrics_repository(spark, repo).collect()}
     assert g2 == w  # torn batch healed, committed batches untouched
+
+
+def test_stream_drift_psi_flags_regime_shift(spark, tmp_path):
+    """Streaming PSI: uniform batches score ~0 against the baseline; a
+    batch carrying only the high half of the value range scores large;
+    empty bins appear with p_run=0; replay is a no-op."""
+    import os
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_drift_psi,
+    )
+
+    rows = [(i, float(i % 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, value double")
+    splits = [
+        df.filter(F.col("k") % 2 == 0),        # uniform half
+        df.filter((F.col("k") % 2 == 1) & (F.col("value") >= 50.0)),
+        df.filter((F.col("k") % 2 == 1) & (F.col("value") < 50.0)),
+    ]
+    src = tmp_path / "src"
+    for i, part in enumerate(splits):
+        dst = str(src / f"run{i}")
+        part.coalesce(1).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(str(src / "run0")).schema
+    repo = str(tmp_path / "repo")
+    q = stream_drift_psi(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*"),
+        baseline=df.select("value"),
+        value_col="value",
+        bin_edges=[50.0],
+        repo_path=repo,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    hist = read_metrics_repository(spark, repo)
+    psi = {
+        r["run_id"]: r["total_psi"]
+        for r in hist.groupBy("run_id")
+        .agg(F.sum("psi_term").alias("total_psi"))
+        .collect()
+    }
+    assert abs(psi[0]) < 0.01          # uniform batch: calm
+    assert psi[1] > 1.0 and psi[2] > 1.0   # regime shifts flagged
+    rows_run1 = {
+        r["bin_id"]: (r["p_run"], r["p_base"])
+        for r in hist.filter("run_id = 1").collect()
+    }
+    assert rows_run1[0][0] == 0.0      # empty low bin present with p=0
+    assert rows_run1[1][0] == 1.0
+    # replay with a fresh checkpoint: committed batches skip, values equal
+    before = sorted(map(tuple, hist.collect()))
+    q2 = stream_drift_psi(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*"),
+        baseline=df.select("value"),
+        value_col="value",
+        bin_edges=[50.0],
+        repo_path=repo,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    after = sorted(map(tuple, read_metrics_repository(spark, repo).collect()))
+    assert after == before
