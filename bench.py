@@ -148,6 +148,7 @@ HEADLINE = [
     "cdc_apply_changeset",
     "rule_profile_trend_anomaly",
     "text_bpe_encode",
+    "text_bpe_learn",
     "streaming_attribution_left",
     "streaming_metrics_trend",
     "streaming_drift_psi",

@@ -358,3 +358,78 @@ def bpe_oracle_sql_expr(
     for a, b in merges:
         expr = f"replace({expr}, '|{a}||{b}|', '|{a}{b}|')"
     return f"string_split(trim({expr}, '|'), '||')"
+
+
+def bpe_learn_merges(
+    words: "DataFrame",
+    num_merges: int = 8,
+    word_col: str = "w",
+    count_col: str = "_n",
+) -> "list[tuple[int, str, str, int]]":
+    """LEARN a BPE merge table FROM the corpus — the training half of
+    the tokenizer loop (:func:`bpe_encode_tokens` is the apply half;
+    Sennrich 2016 learn): repeat ``num_merges`` times: count every
+    adjacent symbol pair across the weighted vocabulary, take the most
+    frequent (ties broken count-desc then pair-lexicographic — a
+    deterministic rule both engines share), merge it everywhere, record
+    it.
+
+    Scale contract: the corpus is reduced to DISTINCT ``(word, count)``
+    BEFORE this runs, so every iteration aggregates over the
+    VOCABULARY (10⁵–10⁶ rows at web scale), not the corpus; each round
+    is one pair-explode aggregation plus one argmax ``collect()`` of
+    exactly ONE row (bounded driver work by construction, like the IVF
+    training sample).  The working frame is eagerly localCheckpointed
+    each round — the replace-chain lineage would otherwise deepen by
+    one expression per merge.
+
+    Uses the same ``|``-wrapped symbol-string representation as the
+    encoder, so a pair merge is a plain left-to-right ``replace`` of
+    ``|A||B|`` with ``|AB|`` — bindable only at whole-symbol
+    boundaries, identical semantics in DuckDB (the oracle replays the
+    loop UNROLLED with materialized CTEs).
+
+    Returns ``[(rank, a, b, pair_count), ...]``.
+    """
+    work = words.select(
+        F.regexp_replace(F.col(word_col), "(.)", f"{_BPE_SEP}$1{_BPE_SEP}")
+        .alias("s"),
+        F.col(count_col).cast("long").alias("cnt"),
+    ).localCheckpoint(eager=True)
+    merges: "list[tuple[int, str, str, int]]" = []
+    for rank in range(num_merges):
+        syms = F.split(F.btrim(F.col("s"), F.lit(_BPE_SEP)), r"\|\|")
+        pairs = (
+            work.select(
+                F.explode(
+                    F.arrays_zip(
+                        syms.alias("a"),
+                        F.slice(syms, 2, 1_000_000).alias("b"),
+                    )
+                ).alias("pr"),
+                "cnt",
+            )
+            .filter(F.col("pr.b").isNotNull())
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = (
+            pairs.orderBy(
+                F.col("n").desc(), F.col("a").asc(), F.col("b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((rank, a, b, n))
+        work = work.select(
+            F.replace(
+                F.col("s"),
+                F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{_BPE_SEP}{b}{_BPE_SEP}"),
+                F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint(eager=True)
+    return merges

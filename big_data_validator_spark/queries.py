@@ -5266,6 +5266,78 @@ def rule_profile_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_learn_oracle_sql(num_merges: int = 8) -> str:
+    """GENERATE the unrolled BPE-LEARNING oracle: ``num_merges`` stages
+    of (pair-count → argmax → merge-everywhere), each CTE MATERIALIZED —
+    without the hint DuckDB inlines every reference and the 3 scalar
+    subqueries per stage expand the prefix 3^k times (the first attempt
+    died on file handles before it died of arithmetic)."""
+    parts = ["""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> '')) AS w
+      FROM documents),
+    w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1)"""]
+    for i in range(num_merges):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT pr[1] AS a, pr[2] AS b, SUM(cnt) AS n
+      FROM (SELECT unnest(list_zip(sy, sy[2:])) AS pr, cnt
+            FROM (SELECT string_split(trim(s, '|'), '||') AS sy, cnt
+                  FROM w{i}))
+      WHERE pr[2] IS NOT NULL
+      GROUP BY 1, 2),
+    m{i} AS MATERIALIZED (
+      SELECT {i} AS rank, a, b, CAST(n AS BIGINT) AS pair_count
+      FROM p{i} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    w{i + 1} AS MATERIALIZED (
+      SELECT replace(s,
+                     '|' || (SELECT a FROM m{i}) || '||'
+                         || (SELECT b FROM m{i}) || '|',
+                     '|' || (SELECT a FROM m{i})
+                         || (SELECT b FROM m{i}) || '|') AS s, cnt
+      FROM w{i})""")
+    final = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM m{i}" for i in range(num_merges)
+    )
+    return ",".join(parts) + "\n    " + final
+
+
+@query("text_bpe_learn", oracle=_bpe_learn_oracle_sql())
+def text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING on the cluster (operators/text.py:
+    bpe_learn_merges — the learn half of the Sennrich loop;
+    text_bpe_encode is the apply half): 8 merge rounds over the
+    corpus's weighted vocabulary, each round one pair-explode
+    aggregation + a one-row argmax collect, ties broken
+    count-desc/pair-lexicographic so the result is deterministic in
+    any engine.  The oracle replays the loop UNROLLED (8 materialized
+    CTE stages of count→argmax→replace) — the two engines run the
+    identical algorithm on the identical representation, so the learned
+    table matches bit-for-bit.  Scale: corpus reduces to distinct
+    (word, count) FIRST; iteration cost is vocabulary-bounded, never
+    corpus-bounded."""
+    from big_data_validator_spark.operators.text import (
+        bpe_learn_merges,
+        word_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    merges = bpe_learn_merges(wc, num_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, a string, b string, pair_count long"
+    )
+
+
 def _bpe_oracle_sql() -> str:
     from big_data_validator_spark.operators.text import (
         bpe_oracle_sql_expr,
@@ -6923,6 +6995,12 @@ _DEMOTED_TO_TAIL = [
     # serving-side drift monitor — live traffic PSI-scored against a
     # static baseline, a new streaming capability).
     "streaming_static_enrich",
+    # Sequential-pattern mining green r5+r6; the events family keeps
+    # funnel/retention/weekday monitors in-window; frees the seat for
+    # text_bpe_learn — tokenizer TRAINING on the cluster, closing the
+    # learn half of the BPE loop whose apply half (text_bpe_encode)
+    # holds a required seat.
+    "events_top_sequences",
 ]
 
 

@@ -491,3 +491,54 @@ def test_two_phase_cc_beats_diameter_on_adversarial_chain(spark):
     }
     assert dist == want
     assert set(dist.values()) == {0} and len(dist) == n
+
+
+def test_bpe_learn_matches_textbook(spark):
+    """bpe_learn_merges == the textbook Sennrich learn loop (overlapping
+    pair counts, left-to-right non-overlapping merge application,
+    count-desc/pair-lexicographic ties) on a corpus with planted
+    frequency structure; and the learned table drives the encoder
+    (learn→encode loop closes)."""
+    from collections import Counter
+
+    from big_data_validator_spark.operators.text import (
+        bpe_encode_tokens,
+        bpe_learn_merges,
+    )
+
+    words = ["lower"] * 5 + ["lowest"] * 4 + ["newer"] * 6 + ["wider"] * 3 + ["aaa"] * 2
+    wc = Counter(words)
+    df = spark.createDataFrame(list(wc.items()), ["w", "_n"])
+    got = bpe_learn_merges(df, num_merges=6)
+
+    vocab = {tuple(w): c for w, c in wc.items()}
+    want = []
+    for rank in range(6):
+        stats = Counter()
+        for syms, c in vocab.items():
+            for j in range(len(syms) - 1):
+                stats[(syms[j], syms[j + 1])] += c
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        want.append((rank, a, b, n))
+        nv: dict = {}
+        for syms, c in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j < len(syms) - 1 and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    assert got == want
+
+    # the learned table plugs straight into the encoder
+    learned = [(a, b) for _, a, b, _ in got]
+    enc = spark.createDataFrame([("newer",)], ["w"]).select(
+        bpe_encode_tokens(F.col("w"), merges=learned).alias("toks")
+    ).collect()[0]["toks"]
+    flat = "".join(enc)
+    assert flat == "newer" and len(enc) < 5  # merges actually applied
