@@ -117,6 +117,7 @@ HEADLINE = [
     "rule_key_gaps",
     "quality_gopher_flags",
     "pii_redaction_scan",
+    "rule_k_anonymity",
     "contamination_probes",
     "agg_grouping_sets",
     "window_lag_delta",

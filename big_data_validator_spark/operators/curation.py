@@ -383,3 +383,52 @@ def contamination_probe_counts_automaton(
             .alias("n_contaminated"),
         )
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int,
+    sensitive_col: Optional[str] = None,
+    l: Optional[int] = None,
+) -> DataFrame:
+    """Privacy audit for training-data release: quasi-identifier groups
+    smaller than ``k`` (re-identification risk — Sweeney's k-anonymity)
+    and, when ``sensitive_col``/``l`` are given, groups whose sensitive
+    attribute takes fewer than ``l`` distinct values (attribute
+    disclosure — Machanavajjhala's l-diversity; a 10-member group that
+    all share one diagnosis is k-anonymous and still leaks it).
+
+    One aggregation pass: groupBy the quasi-identifiers with map-side
+    partial counts; the shuffle carries (QI, count, distinct-sensitive)
+    partial states, never rows.  Returns one row per VIOLATING group —
+    ``(quasi_cols..., group_size, sensitive_diversity, violations)``
+    where ``violations`` is the sorted array of failed rules — so the
+    releasing pipeline can suppress or generalize exactly those groups.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("group_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col))
+            .cast("long")
+            .alias("sensitive_diversity")
+        )
+    g = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    checks = [
+        F.when(F.col("group_size") < k, F.lit("k_anonymity")),
+    ]
+    if sensitive_col is not None and l is not None:
+        checks.append(
+            F.when(
+                F.col("sensitive_diversity") < l, F.lit("l_diversity")
+            )
+        )
+    if sensitive_col is None:
+        g = g.withColumn("sensitive_diversity", F.lit(None).cast("long"))
+    out = g.withColumn(
+        "violations",
+        F.array_sort(
+            F.filter(F.array(*checks), lambda x: x.isNotNull())
+        ),
+    )
+    return out.filter(F.size("violations") > 0)

@@ -5266,6 +5266,59 @@ def rule_profile_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rule_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT)
+               AS sensitive_diversity
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, bal_band, group_size, sensitive_diversity,
+           array_to_string(list_sort(
+             list_filter([
+               CASE WHEN group_size < 10 THEN 'k_anonymity' END,
+               CASE WHEN sensitive_diversity < 3 THEN 'l_diversity' END
+             ], x -> x IS NOT NULL)), ',') AS violations
+    FROM g
+    WHERE group_size < 10 OR sensitive_diversity < 3
+    """,
+)
+def rule_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release (operators/curation.py:
+    k_anonymity_violations): customer quasi-identifier groups
+    (nationkey × account-balance band) smaller than k=10 are
+    re-identification risks; k-anonymous groups whose market segment
+    takes fewer than l=3 distinct values still leak the attribute
+    (l-diversity).  One aggregation pass, shuffle carries per-group
+    partial states only; output is exactly the groups a releasing
+    pipeline must suppress or generalize.  The violations array is
+    emitted as a sorted comma-joined string for cross-engine hashing."""
+    from big_data_validator_spark.operators.curation import (
+        k_anonymity_violations,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("long")
+    )
+    out = k_anonymity_violations(
+        c,
+        quasi_cols=["c_nationkey", "bal_band"],
+        k=10,
+        sensitive_col="c_mktsegment",
+        l=3,
+    )
+    return out.select(
+        "c_nationkey",
+        "bal_band",
+        "group_size",
+        "sensitive_diversity",
+        F.array_join("violations", ",").alias("violations"),
+    )
+
+
 def _bpe_learn_oracle_sql(num_merges: int = 8) -> str:
     """GENERATE the unrolled BPE-LEARNING oracle: ``num_merges`` stages
     of (pair-count → argmax → merge-everywhere), each CTE MATERIALIZED —
@@ -7001,6 +7054,13 @@ _DEMOTED_TO_TAIL = [
     # learn half of the BPE loop whose apply half (text_bpe_encode)
     # holds a required seat.
     "events_top_sequences",
+    # Hive-style partition pruning green r5+r6; the pruning facts
+    # (PartitionFilters + actually-read files) are pytest-pinned in
+    # test_partition_pruning and the layout family keeps
+    # layout_compaction_plan in-window; frees the seat for
+    # rule_k_anonymity (the privacy-audit rule a data RELEASE needs —
+    # a new rule family, not a plan variant).
+    "scan_partition_pruned",
 ]
 
 

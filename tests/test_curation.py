@@ -216,3 +216,39 @@ def test_unigram_lm_empty_doc_excluded_and_validation(spark):
     assert ids == {1}
     with pytest.raises(ValueError):
         unigram_lm_scores(df, vocab_size=0)
+
+
+def test_k_anonymity_and_l_diversity_violations(spark):
+    """k-anonymity: groups under k flag; l-diversity: a k-anonymous
+    group whose sensitive attribute is uniform still flags; compliant
+    groups don't appear; both rules can flag the same group."""
+    from big_data_validator_spark.operators.curation import (
+        k_anonymity_violations,
+    )
+
+    rows = (
+        [("us", 1, f"d{i}") for i in range(5)]        # ok: n=5, div=5
+        + [("uk", 1, "flu")] * 4                      # n=4<k AND uniform
+        + [("fr", 2, "flu")] * 6                      # k-ok, div=1<l
+        + [("de", 3, "a"), ("de", 3, "b")]            # n=2<k, div=2>=l? l=2
+    )
+    df = spark.createDataFrame(rows, "region string, band long, diag string")
+    got = {
+        (r["region"], r["band"]): (
+            r["group_size"], r["sensitive_diversity"], list(r["violations"])
+        )
+        for r in k_anonymity_violations(
+            df, ["region", "band"], k=5, sensitive_col="diag", l=2
+        ).collect()
+    }
+    assert ("us", 1) not in got
+    assert got[("uk", 1)] == (4, 1, ["k_anonymity", "l_diversity"])
+    assert got[("fr", 2)] == (6, 1, ["l_diversity"])
+    assert got[("de", 3)] == (2, 2, ["k_anonymity"])
+
+    # k-only mode: no sensitive column required
+    konly = {
+        (r["region"], r["band"])
+        for r in k_anonymity_violations(df, ["region", "band"], k=5).collect()
+    }
+    assert konly == {("uk", 1), ("de", 3)}

@@ -143,7 +143,7 @@ def test_driver_window_is_all_oracled():
         "streaming_metrics_trend", "layout_compaction_plan",
         "emb_near_dup_clusters", "sim_ann_exactint",
         "join_point_in_time", "streaming_drift_psi",
-        "text_bpe_learn",
+        "text_bpe_learn", "rule_k_anonymity",
     ]:
         assert required in window, required
 
