@@ -118,6 +118,7 @@ HEADLINE = [
     "quality_gopher_flags",
     "pii_redaction_scan",
     "rule_k_anonymity",
+    "link_part_entities",
     "contamination_probes",
     "agg_grouping_sets",
     "window_lag_delta",

@@ -5267,6 +5267,59 @@ def rule_profile_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "link_part_entities",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS id, p_brand, p_type, p_size,
+             list_distinct(string_split(p_name, ' ')) AS toks
+      FROM part),
+    b AS (SELECT id, unnest(toks) AS tok, p_size FROM p),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM b a JOIN b c ON a.tok = c.tok AND a.p_size = c.p_size
+                        AND a.id < c.id),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_intersect(pa.toks, pb.toks)) AS BIGINT)
+               AS inter,
+             CAST(len(list_distinct(list_concat(pa.toks, pb.toks)))
+                  AS BIGINT) AS uni,
+             CAST(pa.p_brand = pb.p_brand AS INT) AS p_brand_eq,
+             CAST(pa.p_type = pb.p_type AS INT) AS p_type_eq
+      FROM cand JOIN p pa ON cand.id_a = pa.id
+                JOIN p pb ON cand.id_b = pb.id)
+    SELECT id_a, id_b, inter, uni, p_brand_eq, p_type_eq,
+           CAST((50 * inter) // uni + 25 * p_brand_eq + 25 * p_type_eq
+                AS BIGINT) AS score
+    FROM scored
+    WHERE (50 * inter) // uni + 25 * p_brand_eq + 25 * p_type_eq >= 75
+    """,
+)
+def link_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part catalog (operators/linkage.py:
+    link_entity_pairs — the Fellegi–Sunter shape with fixed integer
+    agreement weights): candidates blocked on (name token × size) —
+    never all-pairs, the only join is the blocking equi-join — then
+    scored 50·token-Jaccard (integer div) + 25 per agreeing
+    brand/type field, matches at score ≥ 75.  The agreement vector
+    ships with the score so reviewers re-weight without re-running the
+    join.  All-integer scoring makes the verdict engine-portable."""
+    from big_data_validator_spark.operators.linkage import (
+        link_entity_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return link_entity_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_size"],
+        eq_cols=["p_brand", "p_type"],
+        threshold=75,
+    )
+
+
+@query(
     "rule_k_anonymity",
     oracle="""
     WITH g AS (
@@ -7061,6 +7114,13 @@ _DEMOTED_TO_TAIL = [
     # rule_k_anonymity (the privacy-audit rule a data RELEASE needs —
     # a new rule family, not a plan variant).
     "scan_partition_pruned",
+    # Basic column profiler green r5+r6; the profile family keeps FOUR
+    # r6-green siblings in-window (key-skew, join-cardinality, mutual
+    # information, trend rule) and the one-pass profiler also runs
+    # inside streaming_metrics_trend every round; frees the seat for
+    # link_part_entities — entity resolution, a capability family the
+    # registry lacked entirely.
+    "profile_orders_columns",
 ]
 
 

@@ -1,0 +1,61 @@
+"""Entity-resolution operator: blocking discipline + integer scoring."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators.linkage import link_entity_pairs
+
+
+def test_link_entity_pairs_scoring_and_blocking(spark):
+    """Known-value grid: identical entities score 100; same name but
+    different block NEVER meet (blocking is the only join); partial
+    agreement lands mid-scale; threshold filters."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "B1", "T1", 5),
+            (2, "red widget", "B1", "T1", 5),    # exact dup of 1 → 100
+            (3, "red widget", "B1", "T1", 9),    # same name, other block
+            (4, "red gizmo", "B1", "T1", 5),     # 1 shared of 3 → 16+50=66
+            (5, "red widget", "B2", "T1", 5),    # brand differs → 75
+        ],
+        "id long, name string, brand string, type string, size long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["inter"], r["uni"], r["brand_eq"], r["type_eq"], r["score"]
+        )
+        for r in link_entity_pairs(
+            df, "id", "name", block_cols=["size"],
+            eq_cols=["brand", "type"], threshold=0,
+        ).collect()
+    }
+    assert got[(1, 2)] == (2, 2, 1, 1, 100)
+    assert (1, 3) not in got and (2, 3) not in got  # different block
+    assert got[(1, 4)] == (1, 3, 1, 1, 66)
+    assert got[(1, 5)] == (2, 2, 0, 1, 75)
+
+    matched = {
+        (r["id_a"], r["id_b"])
+        for r in link_entity_pairs(
+            df, "id", "name", block_cols=["size"],
+            eq_cols=["brand", "type"], threshold=75,
+        ).collect()
+    }
+    assert matched == {(1, 2), (2, 5), (1, 5)}
+
+
+def test_link_entity_pairs_no_block_cols(spark):
+    """Token-only blocking: any shared token makes a candidate."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta", "X"), (2, "beta gamma", "X"), (3, "delta", "X")],
+        "id long, name string, brand string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in link_entity_pairs(
+            df, "id", "name", eq_cols=["brand"], threshold=0
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}          # 3 shares no token with anyone
+    assert got[(1, 2)] == (50 * 1) // 3 + 25
