@@ -119,6 +119,7 @@ HEADLINE = [
     "pii_redaction_scan",
     "rule_k_anonymity",
     "link_part_entities",
+    "agg_incremental_totals",
     "contamination_probes",
     "agg_grouping_sets",
     "window_lag_delta",

@@ -216,3 +216,116 @@ def changeset_summary(changeset: DataFrame) -> DataFrame:
     return changeset.groupBy("change_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_keys")
     )
+
+
+def changeset_delta_rows(
+    current: DataFrame,
+    incoming: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Signed delta rows between two snapshots — the input of
+    incremental (materialized-view) maintenance: ``+1`` rows carry the
+    payload of inserted keys and the NEW version of changed keys,
+    ``-1`` rows the payload of deleted keys and the OLD version of
+    changed keys.  Summing ``sign``-weighted contributions of these
+    rows transforms any distributive aggregate of ``current`` into the
+    same aggregate of ``incoming`` — without rescanning either base
+    table beyond this one key join.
+
+    One FULL OUTER key join (the same shape as
+    :func:`snapshot_changeset`); unchanged keys produce no rows, so the
+    delta volume is proportional to the CHANGE RATE, not the table.
+    Returns ``(key_cols..., sign, payload_cols...)``.
+    """
+    keys = list(key_cols)
+    pays = list(payload_cols)
+    c = current.select(
+        *[F.col(k).alias(f"_ck_{k}") for k in keys],
+        *[F.col(p).alias(f"_cp_{p}") for p in pays],
+    )
+    i = incoming.select(
+        *[F.col(k).alias(f"_ik_{k}") for k in keys],
+        *[F.col(p).alias(f"_ip_{p}") for p in pays],
+    )
+    cond = [
+        c[f"_ck_{k}"].eqNullSafe(i[f"_ik_{k}"]) for k in keys
+    ]
+    j = c.join(i, cond, "full_outer")
+    in_cur = F.col(f"_ck_{keys[0]}").isNotNull()
+    in_inc = F.col(f"_ik_{keys[0]}").isNotNull()
+    differs = F.lit(False)
+    for p in pays:
+        differs = differs | ~F.col(f"_cp_{p}").eqNullSafe(
+            F.col(f"_ip_{p}")
+        )
+    minus = j.filter(in_cur & (~in_inc | differs)).select(
+        *[F.col(f"_ck_{k}").alias(k) for k in keys],
+        F.lit(-1).alias("sign"),
+        *[F.col(f"_cp_{p}").alias(p) for p in pays],
+    )
+    plus = j.filter(in_inc & (~in_cur | differs)).select(
+        *[F.col(f"_ik_{k}").alias(k) for k in keys],
+        F.lit(1).alias("sign"),
+        *[F.col(f"_ip_{p}").alias(p) for p in pays],
+    )
+    return minus.unionByName(plus)
+
+
+def apply_delta_to_group_totals(
+    summary: DataFrame,
+    deltas: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incrementally maintain a grouped count/sum MATERIALIZED VIEW from
+    :func:`changeset_delta_rows` output: per group,
+    ``n' = n + Σ sign`` and ``sum' = sum + Σ sign·value``; groups whose
+    maintained count reaches zero disappear (as a full recompute would
+    drop them).  Only distributive aggregates maintain this way —
+    min/max need a recompute of affected groups; sums should be exact
+    DECIMAL (float increments would drift from the recomputed truth).
+
+    Cost: one aggregation over the (change-rate-sized) delta rows plus
+    a FULL OUTER join against the (group-cardinality-sized) summary —
+    the base table is never rescanned, which is the entire point of a
+    maintained view at 100 TB.
+    """
+    gcols = list(group_cols)
+    aggs = [F.sum("sign").cast("long").alias("_dn")]
+    for scol in sum_cols:
+        aggs.append(
+            F.sum(F.col("sign") * F.col(scol)).alias(f"_ds_{scol}")
+        )
+    d = deltas.groupBy(*gcols).agg(*aggs)
+    sold = summary.select(
+        *[F.col(g).alias(f"_sg_{g}") for g in gcols],
+        F.col(count_col).alias("_n"),
+        *[F.col(s).alias(f"_ss_{s}") for s in sum_cols],
+    )
+    cond = [sold[f"_sg_{g}"].eqNullSafe(d[g]) for g in gcols]
+    j = sold.join(d, cond, "full_outer")
+    merged = j.select(
+        *[
+            F.coalesce(F.col(f"_sg_{g}"), F.col(g)).alias(g)
+            for g in gcols
+        ],
+        (
+            F.coalesce(F.col("_n"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        )
+        .cast("long")
+        .alias(count_col),
+        *[
+            (
+                F.coalesce(
+                    F.col(f"_ss_{s}"),
+                    F.col(f"_ds_{s}") * F.lit(0),
+                )
+                + F.coalesce(F.col(f"_ds_{s}"), F.col(f"_ss_{s}") * F.lit(0))
+            ).alias(s)
+            for s in sum_cols
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)

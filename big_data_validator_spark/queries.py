@@ -5267,6 +5267,85 @@ def rule_profile_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_incremental_totals",
+    oracle="""
+    WITH incoming AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,6))
+                       + CAST(10.5 AS DECIMAL(18,6))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS v
+      FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,6))
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(v) AS DECIMAL(38,6)) AS total
+    FROM incoming GROUP BY 1
+    """,
+)
+def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance (operators/cdc.py:
+    changeset_delta_rows + apply_delta_to_group_totals): a per-priority
+    count/total summary of yesterday's orders is advanced to today's
+    state by applying SIGNED delta rows (+new/-old, emitted by one
+    full-outer key join whose volume is the CHANGE RATE, not the
+    table) — deletes, price updates, and inserts all maintained without
+    rescanning the base.  The ORACLE is the full recompute over the
+    incoming snapshot, so the driver check IS the
+    incremental-equals-recompute invariant.  Money stays exact DECIMAL
+    end-to-end: float increments would drift from the recomputed truth
+    and flip trailing digits cross-engine."""
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+        changeset_delta_rows,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("decimal(18,6)")
+    current = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderpriority", v.alias("v")
+    )
+    bumped = F.when(
+        F.col("o_orderkey") % 5 == 0,
+        v + F.expr("CAST(10.5 AS DECIMAL(18,6))"),
+    ).otherwise(v)
+    incoming = (
+        o.filter(
+            (F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select("o_orderkey", "o_orderpriority", bumped.alias("v"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_orderpriority",
+                v.alias("v"),
+            )
+        )
+    )
+    summary = current.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("v").alias("total"),
+    )
+    deltas = changeset_delta_rows(
+        current, incoming, ["o_orderkey"], ["o_orderpriority", "v"]
+    ).withColumnRenamed("v", "total")  # align payload to the view column
+    maintained = apply_delta_to_group_totals(
+        summary,
+        deltas,
+        group_cols=["o_orderpriority"],
+        sum_cols=["total"],
+        count_col="n_orders",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total").cast("decimal(38,6)").alias("total"),
+    )
+
+
+@query(
     "link_part_entities",
     oracle="""
     WITH p AS (
@@ -7121,6 +7200,12 @@ _DEMOTED_TO_TAIL = [
     # link_part_entities — entity resolution, a capability family the
     # registry lacked entirely.
     "profile_orders_columns",
+    # Cohort retention matrix green r5+r6; the events family keeps the
+    # funnel and both anomaly monitors in-window; frees the seat for
+    # agg_incremental_totals — incremental materialized-view
+    # maintenance, whose oracle IS the incremental-equals-recompute
+    # invariant.
+    "events_retention_cohorts",
 ]
 
 

@@ -234,3 +234,56 @@ def test_apply_changeset_rejects_null_change_type(spark, snapshots):
     )
     with pytest.raises(Exception, match="unknown change_type"):
         apply_changeset(current, cs, key_cols=["k"]).collect()
+
+
+def test_incremental_group_totals_equal_full_recompute(spark):
+    """Delta maintenance == full recompute for inserts, deletes,
+    updates (old version subtracted, new added), group appearance
+    (first key of a new group) and disappearance (count reaches 0)."""
+    from decimal import Decimal
+
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+        changeset_delta_rows,
+    )
+
+    D_ = lambda x: Decimal(x)
+    cur = spark.createDataFrame(
+        [
+            (1, "a", D_("10.000000")),
+            (2, "a", D_("20.000000")),
+            (3, "b", D_("5.000000")),
+        ],
+        "k long, g string, v decimal(18,6)",
+    )
+    inc = spark.createDataFrame(
+        [
+            (1, "a", D_("12.500000")),   # update
+            (2, "a", D_("20.000000")),   # unchanged
+            (4, "c", D_("7.000000")),    # insert into NEW group
+        ],  # key 3 deleted → group b disappears
+        "k long, g string, v decimal(18,6)",
+    )
+    summary = cur.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("v"),
+    )
+    deltas = changeset_delta_rows(cur, inc, ["k"], ["g", "v"])
+    got = {
+        r["g"]: (r["n"], r["v"])
+        for r in apply_delta_to_group_totals(
+            summary, deltas, ["g"], ["v"], count_col="n"
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["v"])
+        for r in inc.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert got == want
+    assert "b" not in got and got["c"][0] == 1
+
+    # delta volume is the change rate: unchanged key 2 emits no rows
+    assert deltas.filter("k = 2").count() == 0
+    assert deltas.filter("k = 1").count() == 2  # -old, +new

@@ -144,7 +144,7 @@ def test_driver_window_is_all_oracled():
         "emb_near_dup_clusters", "sim_ann_exactint",
         "join_point_in_time", "streaming_drift_psi",
         "text_bpe_learn", "rule_k_anonymity",
-        "link_part_entities",
+        "link_part_entities", "agg_incremental_totals",
     ]:
         assert required in window, required
 
