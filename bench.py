@@ -120,6 +120,7 @@ HEADLINE = [
     "rule_k_anonymity",
     "link_part_entities",
     "agg_incremental_totals",
+    "streaming_incremental_mv",
     "contamination_probes",
     "agg_grouping_sets",
     "window_lag_delta",

@@ -5302,10 +5302,69 @@ def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         changeset_delta_rows,
     )
 
+    current, incoming = _mv_snapshots(spark, sf_dir)
+    summary = current.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("total").alias("total"),
+    )
+    deltas = changeset_delta_rows(
+        current, incoming, ["o_orderkey"], ["o_orderpriority", "total"]
+    )
+    maintained = apply_delta_to_group_totals(
+        summary,
+        deltas,
+        group_cols=["o_orderpriority"],
+        sum_cols=["total"],
+        count_col="n_orders",
+    )
+    return maintained.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total").cast("decimal(38,6)").alias("total"),
+    )
+
+
+_MV_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _mv_delta_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the 3-batch CDC delta feed for the
+    streaming view maintenance drain: the signed delta rows between the
+    agg_incremental_totals snapshots, split by ``o_orderkey % 3`` into
+    mtime-ordered file groups."""
+    import os
+    import tempfile
+
+    from big_data_validator_spark.operators.cdc import changeset_delta_rows
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MV_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+    current, incoming = _mv_snapshots(spark, sf_dir)
+    deltas = changeset_delta_rows(
+        current, incoming, ["o_orderkey"], ["o_orderpriority", "total"]
+    )
+    root = tempfile.mkdtemp(prefix="bdv_mv_src_")
+    for r in range(3):
+        dst = f"{root}/run{r}"
+        deltas.filter(F.col("o_orderkey") % 3 == r).coalesce(
+            1
+        ).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + r, 1_000_000 + r))
+    _MV_SRC_CACHE[key] = root
+    return root
+
+
+def _mv_snapshots(spark: SparkSession, sf_dir: str):
+    """The current/incoming snapshot pair shared by the batch
+    (agg_incremental_totals) and streaming (streaming_incremental_mv)
+    maintenance entries — one definition, one oracle shape."""
     o = _t(spark, sf_dir, "orders")
     v = F.col("o_totalprice").cast("decimal(18,6)")
     current = o.filter(F.col("o_orderkey") % 10 != 0).select(
-        "o_orderkey", "o_orderpriority", v.alias("v")
+        "o_orderkey", "o_orderpriority", v.alias("total")
     )
     bumped = F.when(
         F.col("o_orderkey") % 5 == 0,
@@ -5315,30 +5374,83 @@ def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(
             (F.col("o_orderkey") % 10 != 0) & (F.col("o_orderkey") % 7 != 0)
         )
-        .select("o_orderkey", "o_orderpriority", bumped.alias("v"))
+        .select("o_orderkey", "o_orderpriority", bumped.alias("total"))
         .unionByName(
             o.filter(F.col("o_orderkey") % 13 == 0).select(
                 (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
                 "o_orderpriority",
-                v.alias("v"),
+                v.alias("total"),
             )
         )
     )
+    return current, incoming
+
+
+@query(
+    "streaming_incremental_mv",
+    oracle="""
+    WITH incoming AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(18,6))
+                       + CAST(10.5 AS DECIMAL(18,6))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,6)) END AS v
+      FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,6))
+      FROM orders WHERE o_orderkey % 13 = 0)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(v) AS DECIMAL(38,6)) AS total
+    FROM incoming GROUP BY 1
+    """,
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING materialized-view maintenance, oracle-checked
+    end-to-end (streaming/validate_stream.py:
+    stream_apply_deltas_to_totals): the CDC delta feed between the
+    agg_incremental_totals snapshots arrives as 3 micro-batches; each
+    batch advances the per-priority count/total view from the previous
+    batch's committed state under the _SUCCESS protocol (replays
+    no-op, so the chain is exactly-once), never reading the base
+    table.  The oracle is the SAME full recompute as the batch twin —
+    the driver check pins that three sequential partial delta
+    applications land on the identical exact-DECIMAL view a recompute
+    would build, i.e. the streaming view is always a prefix-consistent
+    state of the table."""
+    import tempfile
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        stream_apply_deltas_to_totals,
+    )
+
+    current, _ = _mv_snapshots(spark, sf_dir)
     summary = current.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum("v").alias("total"),
+        F.sum("total").alias("total"),
     )
-    deltas = changeset_delta_rows(
-        current, incoming, ["o_orderkey"], ["o_orderpriority", "v"]
-    ).withColumnRenamed("v", "total")  # align payload to the view column
-    maintained = apply_delta_to_group_totals(
-        summary,
-        deltas,
-        group_cols=["o_orderpriority"],
-        sum_cols=["total"],
-        count_col="n_orders",
-    )
-    return maintained.select(
+    src = _mv_delta_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    state = tempfile.mkdtemp(prefix="bdv_mv_state_")
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_apply_deltas_to_totals(
+            stream,
+            summary,
+            group_cols=["o_orderpriority"],
+            sum_cols=["total"],
+            state_path=state,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+            count_col="n_orders",
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(f"{state}/batch_id=2")
+    return final.select(
         "o_orderpriority",
         "n_orders",
         F.col("total").cast("decimal(38,6)").alias("total"),
@@ -7206,6 +7318,13 @@ _DEMOTED_TO_TAIL = [
     # maintenance, whose oracle IS the incremental-equals-recompute
     # invariant.
     "events_retention_cohorts",
+    # Watermarked streaming exact dedup green r5+r6; the streaming
+    # family keeps six in-window seats (sessionize, metrics trend,
+    # drift PSI, attribution LEFT OUTER, exactly-once sink, incremental
+    # MV); frees the seat for streaming_incremental_mv — the streaming
+    # half of the maintained-view pair, whose oracle pins
+    # prefix-consistency of the chained delta applications.
+    "streaming_dedup_events",
 ]
 
 

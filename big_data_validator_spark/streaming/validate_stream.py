@@ -519,3 +519,66 @@ def stream_drift_psi(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_apply_deltas_to_totals(
+    delta_stream: DataFrame,
+    initial_summary: DataFrame,
+    group_cols,
+    sum_cols,
+    state_path: str,
+    checkpoint_path: str,
+    count_col: str = "n_rows",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """STREAMING materialized-view maintenance: a CDC feed of SIGNED
+    delta rows (:func:`~big_data_validator_spark.operators.cdc
+    .changeset_delta_rows` shape — ``sign`` ±1 plus group/value
+    payload) advances a grouped count/sum summary micro-batch by
+    micro-batch, each batch reading the previous batch's state and
+    writing its own under the ``_SUCCESS`` commit protocol
+    (``state_path/batch_id=N`` = the view AFTER batch N; a replayed
+    batch sees its marker and no-ops, so the chain is exactly-once).
+
+    The base table is NEVER read: per batch the work is one
+    aggregation over the (change-rate-sized) delta batch plus a merge
+    against the (group-cardinality-sized) prior state — the streaming
+    version of the warehouse's incrementally-maintained view, and the
+    reason a 100 TB summary can stay seconds-fresh.
+
+    Read the latest committed ``batch_id=N`` dir for the current view;
+    on a bounded drain the last batch's dir is the final state.
+    """
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+    )
+
+    gcols = list(group_cols)
+    scols = list(sum_cols)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = state_path.rstrip("/")
+        dst = f"{root}/batch_id={batch_id}"
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        if batch_id == 0:
+            prev = initial_summary
+        else:
+            prev = spark.read.parquet(f"{root}/batch_id={batch_id - 1}")
+        nxt = apply_delta_to_group_totals(
+            prev, batch_df, gcols, scols, count_col=count_col
+        )
+        nxt.write.mode("overwrite").parquet(dst)
+
+    writer = (
+        delta_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

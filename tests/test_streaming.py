@@ -489,3 +489,78 @@ def test_stream_drift_psi_flags_regime_shift(spark, tmp_path):
     q2.awaitTermination()
     after = sorted(map(tuple, read_metrics_repository(spark, repo).collect()))
     assert after == before
+
+
+def test_stream_apply_deltas_chained_state_and_replay(spark, tmp_path):
+    """Streaming MV maintenance: 3 sequential delta batches land on the
+    full-recompute state; a replay with a fresh checkpoint no-ops
+    against committed batch dirs; intermediate states are
+    prefix-consistent."""
+    import os
+    from decimal import Decimal
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        stream_apply_deltas_to_totals,
+    )
+
+    D_ = lambda x: Decimal(x)
+    summary = spark.createDataFrame(
+        [("a", 2, D_("30.000000")), ("b", 1, D_("5.000000"))],
+        "g string, n long, v decimal(18,6)",
+    )
+    batches = [
+        [("a", 1, D_("7.000000"))],                       # insert into a
+        [("b", -1, D_("5.000000")), ("c", 1, D_("2.000000"))],  # b gone, c new
+        [("a", -1, D_("30.000000")), ("a", 1, D_("31.000000"))],  # update
+    ]
+    src = tmp_path / "src"
+    for i, rows in enumerate(batches):
+        dst = str(src / f"run{i}")
+        spark.createDataFrame(
+            [(g, s, v) for g, s, v in rows],
+            "g string, sign int, v decimal(18,6)",
+        ).coalesce(1).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(str(src / "run0")).schema
+    state = str(tmp_path / "state")
+    q = stream_apply_deltas_to_totals(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*"),
+        summary,
+        group_cols=["g"],
+        sum_cols=["v"],
+        state_path=state,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        count_col="n",
+    )
+    q.awaitTermination()
+
+    def view(batch_id):
+        return {
+            r["g"]: (r["n"], r["v"])
+            for r in spark.read.parquet(f"{state}/batch_id={batch_id}").collect()
+        }
+
+    assert view(0) == {"a": (3, D_("37.000000")), "b": (1, D_("5.000000"))}
+    assert view(1) == {"a": (3, D_("37.000000")), "c": (1, D_("2.000000"))}
+    final = view(2)
+    assert final == {"a": (3, D_("38.000000")), "c": (1, D_("2.000000"))}
+
+    # replay: committed dirs make every batch a no-op
+    q2 = stream_apply_deltas_to_totals(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*"),
+        summary,
+        group_cols=["g"],
+        sum_cols=["v"],
+        state_path=state,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        count_col="n",
+    )
+    q2.awaitTermination()
+    assert view(2) == final
