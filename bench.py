@@ -121,6 +121,7 @@ HEADLINE = [
     "link_part_entities",
     "agg_incremental_totals",
     "streaming_incremental_mv",
+    "profile_fd_discovery",
     "contamination_probes",
     "agg_grouping_sets",
     "window_lag_delta",

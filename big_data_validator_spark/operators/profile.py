@@ -570,3 +570,57 @@ def join_cardinality_profile(
             " div (2 * greatest(rows_a, rows_b)) as double) / 1000000.0"
         ).alias("amplification"),
     )
+
+
+def fd_discovery(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Functional-dependency DISCOVERY over every ordered column pair —
+    the search the single-pair rule (:func:`functional_dependency_profile`
+    via operators/rules.py) assumes someone already ran: which
+    ``lhs → rhs`` dependencies actually hold in this data (candidate
+    constraints to promote into the contract), and how broken the rest
+    are.
+
+    Scale contract: ONE scan reduces the table to its distinct
+    combination relation over ``cols`` (bounded by combo cardinality,
+    not rows); every pair statistic is then computed from that tiny
+    relation — ``lhs → rhs`` holds iff ``count_distinct(lhs) ==
+    count_distinct(lhs, rhs)``, and the violating-lhs count is the
+    number of lhs values mapping to >1 rhs.  For k columns the k·(k-1)
+    pair aggregations all run over the combos frame; the base table is
+    never re-read.
+
+    Returns ``(lhs, rhs, n_lhs_values, n_pairs, n_violating_lhs,
+    holds)`` per ordered pair.
+    """
+    cols = list(cols)
+    combos = (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        .localCheckpoint(eager=True)
+    )
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            per_lhs = combos.groupBy(a).agg(
+                F.count_distinct(F.col(b)).alias("_nb")
+            )
+            parts.append(
+                per_lhs.agg(
+                    F.lit(a).alias("lhs"),
+                    F.lit(b).alias("rhs"),
+                    F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+                    F.sum("_nb").cast("long").alias("n_pairs"),
+                    F.sum((F.col("_nb") > 1).cast("long"))
+                    .cast("long")
+                    .alias("n_violating_lhs"),
+                    (F.sum((F.col("_nb") > 1).cast("long")) == 0).alias(
+                        "holds"
+                    ),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5511,6 +5511,66 @@ def link_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_fd_discovery",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pr,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(year(o_orderdate) >= 1998 AS BIGINT) AS era
+      FROM orders),
+    combos AS (SELECT DISTINCT st, pr, yr, era FROM base),
+    pairs AS (
+      SELECT 'st' AS lhs, 'pr' AS rhs, st AS a, pr AS b FROM combos
+      UNION ALL SELECT 'st', 'yr', st, CAST(yr AS VARCHAR) FROM combos
+      UNION ALL SELECT 'st', 'era', st, CAST(era AS VARCHAR) FROM combos
+      UNION ALL SELECT 'pr', 'st', pr, st FROM combos
+      UNION ALL SELECT 'pr', 'yr', pr, CAST(yr AS VARCHAR) FROM combos
+      UNION ALL SELECT 'pr', 'era', pr, CAST(era AS VARCHAR) FROM combos
+      UNION ALL SELECT 'yr', 'st', CAST(yr AS VARCHAR), st FROM combos
+      UNION ALL SELECT 'yr', 'pr', CAST(yr AS VARCHAR), pr FROM combos
+      UNION ALL SELECT 'yr', 'era', CAST(yr AS VARCHAR),
+                       CAST(era AS VARCHAR) FROM combos
+      UNION ALL SELECT 'era', 'st', CAST(era AS VARCHAR), st FROM combos
+      UNION ALL SELECT 'era', 'pr', CAST(era AS VARCHAR), pr FROM combos
+      UNION ALL SELECT 'era', 'yr', CAST(era AS VARCHAR),
+                       CAST(yr AS VARCHAR) FROM combos),
+    per_lhs AS (
+      SELECT lhs, rhs, a, COUNT(DISTINCT b) AS nb
+      FROM (SELECT DISTINCT lhs, rhs, a, b FROM pairs)
+      GROUP BY 1, 2, 3)
+    SELECT lhs, rhs,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+           CAST(SUM(nb) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM per_lhs GROUP BY 1, 2
+    """,
+)
+def profile_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency DISCOVERY (operators/profile.py:
+    fd_discovery): every ordered pair of (status, priority, order-year,
+    era) scored for lhs→rhs dependency — the search that feeds the
+    single-pair FD rule and the contract-suggestion loop with
+    candidate constraints.  The planted era column (year >= 1998) makes
+    yr→era a TRUE dependency the discovery must find while era→yr and
+    every other pair fail with measured violating-lhs counts.  One
+    corpus scan builds the distinct-combination relation; all 12 pair
+    aggregations run over that tiny frame (combo-cardinality-bounded,
+    the base is never re-read).  String-cast comparisons in the oracle
+    mirror value distinctness, not representation."""
+    from big_data_validator_spark.operators.profile import fd_discovery
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pr"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        (F.year("o_orderdate") >= 1998).cast("long").alias("era"),
+    )
+    return fd_discovery(o, ["st", "pr", "yr", "era"])
+
+
+@query(
     "rule_k_anonymity",
     oracle="""
     WITH g AS (
@@ -7325,6 +7385,11 @@ _DEMOTED_TO_TAIL = [
     # half of the maintained-view pair, whose oracle pins
     # prefix-consistency of the chained delta applications.
     "streaming_dedup_events",
+    # Benford screen green r5+r6; the statistical-rule family keeps the
+    # FD rule, MI profile, and both anomaly monitors in-window; frees
+    # the seat for profile_fd_discovery — the dependency SEARCH that
+    # feeds the single-pair FD rule and the contract-suggestion loop.
+    "rule_benford_totalprice",
 ]
 
 

@@ -145,7 +145,7 @@ def test_driver_window_is_all_oracled():
         "join_point_in_time", "streaming_drift_psi",
         "text_bpe_learn", "rule_k_anonymity",
         "link_part_entities", "agg_incremental_totals",
-        "streaming_incremental_mv",
+        "streaming_incremental_mv", "profile_fd_discovery",
     ]:
         assert required in window, required
 

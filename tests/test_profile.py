@@ -259,3 +259,24 @@ def test_join_cardinality_exact_prediction(spark):
     assert r["n_shared_keys"] == 2
     assert r["top_key"] == 1 and r["top_key_fanout"] == 6
     assert r["amplification"] == 1.4  # 7 / max(5, 4)
+
+
+def test_fd_discovery_finds_planted_dependency(spark):
+    """FD discovery: a planted derived column (b = a div 2) makes a→b a
+    TRUE dependency; b→a fails with the exact violating-lhs count;
+    key→anything holds; counts match brute force."""
+    from big_data_validator_spark.operators.profile import fd_discovery
+
+    rows = [(i, i % 6, (i % 6) // 2, f"g{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "k long, a long, b long, g string")
+    got = {
+        (r["lhs"], r["rhs"]): (
+            r["n_lhs_values"], r["n_pairs"], r["n_violating_lhs"], r["holds"]
+        )
+        for r in fd_discovery(df, ["k", "a", "b", "g"]).collect()
+    }
+    assert len(got) == 12
+    assert got[("a", "b")] == (6, 6, 0, True)     # planted FD holds
+    assert got[("b", "a")] == (3, 6, 3, False)    # every b maps to 2 a's
+    assert got[("k", "a")][3] and got[("k", "g")][3]  # key determines all
+    assert not got[("g", "a")][3]
