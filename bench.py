@@ -159,6 +159,7 @@ HEADLINE = [
     "streaming_drift_psi",
     "layout_compaction_plan",
     "ts_resample_ffill",
+    "ts_twap_daily",
     "pipeline_bpe_pack",
     "profile_mutual_information",
     # round-6 completeness sweep: every remaining registry entry gets a

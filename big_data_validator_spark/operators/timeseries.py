@@ -83,3 +83,75 @@ def resample_ffill_daily(
         F.last("_v", ignorenulls=True).over(w).alias("filled_value"),
         F.col("_n").isNull().alias("is_gap"),
     )
+
+
+def time_weighted_daily_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-key DAILY time-weighted average of an irregularly-sampled
+    series (the TWAP every metering / pricing / sensor pipeline needs;
+    a plain AVG over-weights bursts of samples): each observation's
+    value holds from its timestamp until the next observation in the
+    same (key, day), the last one until end-of-day, and the day's
+    average weights each value by its holding time.
+
+    Exactness discipline: the value is quantized to integer
+    ``1/value_scale`` units via floor (engine-portable), holding times
+    are exact integer MICROSECONDS, and the weighted sum accumulates in
+    DECIMAL(38,0) — integer accumulation commutes, so the result is
+    independent of row order and bit-identical in any engine (a double
+    Σ v·w depends on reduction order and is NOT).  The quotient ships
+    as ``twap_e{4}`` = ``(100·num) div den`` integer units plus the
+    exact num/den pair, so consumers pick their own precision.
+
+    One shuffle on (key, day) shared by the lead window and the
+    aggregation.  Rows with NULL value are excluded (they hold
+    nothing).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    w = Window.partitionBy(key_col, "day").orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col),
+            day,
+            F.col(ts_col),
+            F.col(order_tiebreak),
+            F.floor(F.col(value_col) * F.lit(float(value_scale)))
+            .cast("long")
+            .alias("_vq"),
+        )
+    )
+    day_end = F.to_timestamp(F.date_add(F.col("day"), 1))
+    hold_us = F.unix_micros(
+        F.coalesce(F.lead(ts_col).over(w), day_end)
+    ) - F.unix_micros(F.col(ts_col))
+    weighted = base.select(
+        key_col,
+        "day",
+        (F.col("_vq").cast("decimal(38,0)") * hold_us.cast("decimal(38,0)"))
+        .alias("_num"),
+        hold_us.alias("_w"),
+    )
+    agg = weighted.groupBy(key_col, "day").agg(
+        F.sum("_num").cast("decimal(38,0)").alias("num_qus"),
+        F.sum("_w").cast("long").alias("den_us"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    return agg.select(
+        key_col,
+        "day",
+        "n_obs",
+        "num_qus",
+        "den_us",
+        F.expr("CAST((100 * num_qus) div den_us AS BIGINT)").alias(
+            "twap_e4"
+        ),
+    )

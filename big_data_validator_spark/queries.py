@@ -5511,6 +5511,62 @@ def link_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_twap_daily",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(floor(value * 100.0) AS BIGINT) AS vq
+      FROM events WHERE value IS NOT NULL),
+    wts AS (
+      SELECT user_id, day, vq,
+        epoch_us(COALESCE(
+          LEAD(ts) OVER (PARTITION BY user_id, day
+                         ORDER BY ts, event_id),
+          CAST(day + INTERVAL 1 DAY AS TIMESTAMP)))
+          - epoch_us(ts) AS w
+      FROM base),
+    agg AS (
+      SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(vq AS HUGEINT) * w) AS DECIMAL(38,0))
+               AS num_qus,
+             CAST(SUM(w) AS BIGINT) AS den_us
+      FROM wts GROUP BY 1, 2)
+    SELECT user_id, day, n_obs, num_qus, den_us,
+           -- HUGEINT division: DECIMAL // goes through DOUBLE and
+           -- 100*num exceeds exact-double range (off-by-one rounding)
+           CAST((100 * CAST(num_qus AS HUGEINT)) // den_us AS BIGINT)
+             AS twap_e4
+    FROM agg
+    """,
+)
+def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user DAILY time-weighted average value
+    (operators/timeseries.py: time_weighted_daily_avg): each
+    observation's value holds until the next observation in the same
+    (user, day), the last until end-of-day — the TWAP a metering /
+    pricing / sensor pipeline needs where a plain AVG over-weights
+    sample bursts.  Values quantize to integer centi-units via floor,
+    holding times are exact integer microseconds, and the weighted sum
+    accumulates in DECIMAL(38,0) — integer accumulation commutes, so
+    the result is row-order-independent and bit-identical cross-engine
+    (a double Σ v·w depends on reduction order and is neither).  One
+    (user, day) shuffle shared by the lead window and the
+    aggregation."""
+    from big_data_validator_spark.operators.timeseries import (
+        time_weighted_daily_avg,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_daily_avg(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_tiebreak="event_id",
+    )
+
+
+@query(
     "profile_fd_discovery",
     oracle="""
     WITH base AS (
@@ -7390,6 +7446,12 @@ _DEMOTED_TO_TAIL = [
     # the seat for profile_fd_discovery — the dependency SEARCH that
     # feeds the single-pair FD rule and the contract-suggestion loop.
     "rule_benford_totalprice",
+    # Funnel conversion green r5+r6; the events family keeps both
+    # anomaly monitors in-window and retention/funnel stay green in the
+    # local mirror; frees the seat for ts_twap_daily — the
+    # time-weighted daily average, the second first-class timeseries
+    # entry beside ts_resample_ffill.
+    "events_funnel_conversion",
 ]
 
 

@@ -84,3 +84,45 @@ def test_resample_registry_matches_duckdb(spark):
     )
     want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert got == want and len(got) > 0
+
+
+def test_time_weighted_daily_avg_known_values(spark):
+    """TWAP vs hand arithmetic: a value holding most of the day
+    dominates a brief spike regardless of sample count; last
+    observation holds to end-of-day; NULL values excluded; per-day
+    isolation."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from big_data_validator_spark.operators.timeseries import (
+        time_weighted_daily_avg,
+    )
+
+    T = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, 101, T(0), 10.0),     # holds 0:00 -> 12:00 (12h)
+        (1, 102, T(12), 30.0),    # holds 12:00 -> 12:01 (1 min)
+        (1, 103, T(12, 1), 10.0), # holds 12:01 -> 24:00
+        (1, 104, T(6), None),     # NULL: excluded entirely
+        (2, 201, T(8), 50.0),     # alone: holds 8:00 -> 24:00
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = {
+        r["user_id"]: r
+        for r in time_weighted_daily_avg(
+            df, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    r1 = got[1]
+    us = 3_600_000_000
+    num = 1000 * 12 * us + 3000 * 1 * us // 60 + 1000 * (12 * us - us // 60)
+    assert r1["n_obs"] == 3
+    assert int(r1["num_qus"]) == num
+    assert r1["den_us"] == 24 * us
+    assert r1["twap_e4"] == (100 * num) // (24 * us)
+    # the 1-minute spike moved the day mean by < 0.02 of a unit
+    assert abs(r1["twap_e4"] - 10_0139) < 150
+    r2 = got[2]
+    assert r2["den_us"] == 16 * us and r2["twap_e4"] == 50_0000
