@@ -191,12 +191,16 @@ def test_drift_text_kl_single_corpus_scan(spark):
     """VERDICT r5 #2: same-table snapshots use conditional aggregation
     over ONE scan; the pinned wordcount relation feeds both the totals
     and the statistic, and is released after materialization."""
+    # materialize_release returns a local-relation frame; assert THIS
+    # query leaves no new pinned caches behind (hygiene).  Relative, not
+    # absolute: earlier tests' eagerly-localCheckpointed frames (two-phase
+    # CC, BPE learn, FD discovery) sit in the cache manager until the
+    # driver GCs them, so a global ==0 is suite-order flaky.
+    sc = spark.sparkContext
+    before = set(dict(sc._jsc.getPersistentRDDs()).keys())
     df = q("drift_text_kl", spark)
-    # materialize_release returns a local-relation frame; assert the
-    # session holds no pinned caches afterwards (hygiene), and re-check
-    # the scan count on a fresh lazy build of the same query body
-    sc = df.sparkSession.sparkContext
-    assert len(dict(sc._jsc.getPersistentRDDs())) == 0
+    after = set(dict(sc._jsc.getPersistentRDDs()).keys())
+    assert after <= before, f"query pinned new caches: {after - before}"
     assert len(df.columns) == 4
 
 
