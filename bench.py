@@ -35,6 +35,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 #: corpus; MinHash LSH is the scale path and IS benched).
 HEADLINE = [
     "validation_summary_lineitem",
+    "scan_observed_metrics",
     "scan_pushdown_projection",
     "agg_pricing_summary",
     "rule_type_enforcement",

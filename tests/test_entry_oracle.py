@@ -146,7 +146,7 @@ def test_driver_window_is_all_oracled():
         "text_bpe_learn", "rule_k_anonymity",
         "link_part_entities", "agg_incremental_totals",
         "streaming_incremental_mv", "profile_fd_discovery",
-        "ts_twap_daily",
+        "ts_twap_daily", "scan_observed_metrics",
     ]:
         assert required in window, required
 

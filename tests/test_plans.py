@@ -248,3 +248,26 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_observed_metrics_add_no_extra_scan(spark):
+    """scan_observed_metrics: the rule aggregates ride the noop write —
+    the observed job must scan lineitem exactly ONCE (Deequ
+    runtime-metrics pattern); values equal a direct aggregation."""
+    from pyspark.sql import Observation, functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    obs = Observation("t_obs")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") > 50).cast("long")).alias("v"),
+    )
+    plan = observed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    observed.write.format("noop").mode("overwrite").save()
+    direct = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") > 50).cast("long")).alias("v"),
+    ).collect()[0]
+    assert obs.get == {"n": direct["n"], "v": direct["v"]}
