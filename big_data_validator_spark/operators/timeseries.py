@@ -102,12 +102,23 @@ def time_weighted_daily_avg(
 
     Exactness discipline: the value is quantized to integer
     ``1/value_scale`` units via floor (engine-portable), holding times
-    are exact integer MICROSECONDS, and the weighted sum accumulates in
+    are exact integer MICROSECONDS, and the weighted sum ACCUMULATES in
     DECIMAL(38,0) — integer accumulation commutes, so the result is
     independent of row order and bit-identical in any engine (a double
     Σ v·w depends on reduction order and is NOT).  The quotient ships
     as ``twap_e{4}`` = ``(100·num) div den`` integer units plus the
     exact num/den pair, so consumers pick their own precision.
+
+    Output-type discipline: the numerator SHIPS as BIGINT ``num_qus``
+    (the DECIMAL(38,0) stays internal) — wide-decimal output columns
+    are not canonicalized identically by every consumer's
+    materialization layer (decimal128 → float64/object divergence
+    broke the round-7 driver value-hash), while BIGINT is.  The range
+    is safe by construction: per (key, day) the holding times sum to
+    at most one day (86_400e6 µs), so |num| ≤ max|vq| · 8.64e10 —
+    ~8.6e16 even at vq ~ 1e6 — and a ``raise_error`` guard fires
+    loudly if an extreme ``value_scale``/value range ever pushes the
+    exact numerator past 2⁶³.
 
     One shuffle on (key, day) shared by the lead window and the
     aggregation.  Rows with NULL value are excluded (they hold
@@ -141,17 +152,27 @@ def time_weighted_daily_avg(
         hold_us.alias("_w"),
     )
     agg = weighted.groupBy(key_col, "day").agg(
-        F.sum("_num").cast("decimal(38,0)").alias("num_qus"),
+        F.sum("_num").cast("decimal(38,0)").alias("_num_dec"),
         F.sum("_w").cast("long").alias("den_us"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
+    long_max = F.lit("9223372036854775807").cast("decimal(38,0)")
+    num_guarded = F.when(
+        F.abs(F.col("_num_dec")) > long_max,
+        F.raise_error(
+            F.lit(
+                "time_weighted_daily_avg: exact numerator overflows "
+                "BIGINT; lower value_scale or shard the day"
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(F.col("_num_dec"))
     return agg.select(
         key_col,
         "day",
         "n_obs",
-        "num_qus",
+        num_guarded.cast("long").alias("num_qus"),
         "den_us",
-        F.expr("CAST((100 * num_qus) div den_us AS BIGINT)").alias(
+        F.expr("CAST((100 * _num_dec) div den_us AS BIGINT)").alias(
             "twap_e4"
         ),
     )

@@ -5281,7 +5281,8 @@ def rule_profile_trend_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(o_totalprice AS DECIMAL(18,6))
       FROM orders WHERE o_orderkey % 13 = 0)
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(v) AS DECIMAL(38,6)) AS total
+           CAST(SUM(CAST(v * 1000000 AS BIGINT)) AS BIGINT)
+             AS total_micro
     FROM incoming GROUP BY 1
     """,
 )
@@ -5294,9 +5295,14 @@ def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) — deletes, price updates, and inserts all maintained without
     rescanning the base.  The ORACLE is the full recompute over the
     incoming snapshot, so the driver check IS the
-    incremental-equals-recompute invariant.  Money stays exact DECIMAL
-    end-to-end: float increments would drift from the recomputed truth
-    and flip trailing digits cross-engine."""
+    incremental-equals-recompute invariant.  Money ACCUMULATES in
+    exact DECIMAL (float increments would drift from the recomputed
+    truth) but SHIPS as micro-unit BIGINT ``total_micro`` — scale-6
+    decimals convert to micro-units exactly, and wide-decimal output
+    columns broke the round-7 driver value-hash (decimal128
+    canonicalization diverges across engines' materialization layers;
+    BIGINT's does not).  Overflow-guarded, same discipline as the
+    deci-cent ``cdc_apply_changeset``."""
     from big_data_validator_spark.operators.cdc import (
         apply_delta_to_group_totals,
         changeset_delta_rows,
@@ -5320,8 +5326,30 @@ def agg_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maintained.select(
         "o_orderpriority",
         "n_orders",
-        F.col("total").cast("decimal(38,6)").alias("total"),
+        _mv_total_micro().alias("total_micro"),
     )
+
+
+def _mv_total_micro(col: str = "total"):
+    """Exact scale-6 DECIMAL → micro-unit BIGINT for the MV entries'
+    SHIPPED total (the accumulation stays DECIMAL; wide-decimal output
+    columns broke the round-7 driver value-hash).  Narrow to
+    DECIMAL(25,6) first so the ×10⁶ product (→ DECIMAL(33,6)) never
+    hits Spark's precision-38 cap and silently loses scale; the guard
+    raises loudly before the narrowing could overflow (|total| bound
+    9.2e12 keeps the micro value inside BIGINT with 10× headroom to
+    DECIMAL(25,6)'s own 1e19 range)."""
+    t = F.col(col)
+    guarded = F.when(
+        t.isNotNull() & (F.abs(t) > F.lit(9_200_000_000_000.0)),
+        F.raise_error(
+            F.lit(
+                "mv total overflows micro-unit BIGINT; ship coarser "
+                "integer units"
+            )
+        ).cast("decimal(25,6)"),
+    ).otherwise(t.cast("decimal(25,6)"))
+    return (guarded * F.lit(1000000).cast("decimal(7,0)")).cast("long")
 
 
 _MV_SRC_CACHE: dict[tuple, str] = {}
@@ -5401,7 +5429,8 @@ def _mv_snapshots(spark: SparkSession, sf_dir: str):
              CAST(o_totalprice AS DECIMAL(18,6))
       FROM orders WHERE o_orderkey % 13 = 0)
     SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(v) AS DECIMAL(38,6)) AS total
+           CAST(SUM(CAST(v * 1000000 AS BIGINT)) AS BIGINT)
+             AS total_micro
     FROM incoming GROUP BY 1
     """,
 )
@@ -5417,7 +5446,9 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver check pins that three sequential partial delta
     applications land on the identical exact-DECIMAL view a recompute
     would build, i.e. the streaming view is always a prefix-consistent
-    state of the table."""
+    state of the table.  Ships micro-unit BIGINT like the batch twin
+    (wide-decimal outputs break driver-hash canonicalization; the
+    DECIMAL accumulation stays internal)."""
     import tempfile
 
     from big_data_validator_spark.streaming.validate_stream import (
@@ -5453,7 +5484,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "o_orderpriority",
         "n_orders",
-        F.col("total").cast("decimal(38,6)").alias("total"),
+        _mv_total_micro().alias("total_micro"),
     )
 
 
@@ -5590,14 +5621,14 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM base),
     agg AS (
       SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_obs,
-             CAST(SUM(CAST(vq AS HUGEINT) * w) AS DECIMAL(38,0))
-               AS num_qus,
+             SUM(CAST(vq AS HUGEINT) * w) AS num_h,
              CAST(SUM(w) AS BIGINT) AS den_us
       FROM wts GROUP BY 1, 2)
-    SELECT user_id, day, n_obs, num_qus, den_us,
+    SELECT user_id, day, n_obs,
+           CAST(num_h AS BIGINT) AS num_qus, den_us,
            -- HUGEINT division: DECIMAL // goes through DOUBLE and
            -- 100*num exceeds exact-double range (off-by-one rounding)
-           CAST((100 * CAST(num_qus AS HUGEINT)) // den_us AS BIGINT)
+           CAST((100 * num_h) // den_us AS BIGINT)
              AS twap_e4
     FROM agg
     """,
@@ -5612,9 +5643,12 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding times are exact integer microseconds, and the weighted sum
     accumulates in DECIMAL(38,0) — integer accumulation commutes, so
     the result is row-order-independent and bit-identical cross-engine
-    (a double Σ v·w depends on reduction order and is neither).  One
-    (user, day) shuffle shared by the lead window and the
-    aggregation."""
+    (a double Σ v·w depends on reduction order and is neither).  The
+    numerator SHIPS as BIGINT (range-guarded; the wide decimal stays
+    internal): DECIMAL(38,x) output columns broke the round-7 driver
+    value-hash — decimal128 canonicalization diverges between engines'
+    materialization layers, BIGINT's does not.  One (user, day)
+    shuffle shared by the lead window and the aggregation."""
     from big_data_validator_spark.operators.timeseries import (
         time_weighted_daily_avg,
     )

@@ -37,7 +37,18 @@ def duck():
 
 def normalize(rows, columns):
     """Order-insensitive canonical form: sort columns by name, normalize
-    numeric noise, sort rows."""
+    numeric noise, sort rows.
+
+    Decimals normalize to their exact ``as_tuple()`` (sign, digits,
+    exponent) under a type tag of their own — NOT ``str()``.  The
+    round-7 driver hash break proved the old str-fold masked real
+    divergence: two engines can materialize a wide decimal as
+    different Python classes (decimal128 → float64/object) or
+    different scales, and a string fold of equal-looking values cannot
+    catch it.  The mirror must fail wherever the driver's value-hash
+    would."""
+    import decimal
+
     idx = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def norm_val(v):
@@ -49,6 +60,8 @@ def normalize(rows, columns):
             return ("f", round(v, 9))
         if isinstance(v, int):
             return ("i", v)
+        if isinstance(v, decimal.Decimal):
+            return ("d", v.as_tuple())
         return ("s", str(v))
 
     return sorted(tuple(norm_val(r[i]) for i in idx) for r in rows)
@@ -71,6 +84,28 @@ def test_entry_smoke(spark):
 SF_PINNED = {"sim_ann_recall"}
 
 
+def _assert_no_decimal_output(name, schema):
+    """Hash-discipline pin (VERDICT r7 §What's-wrong 1): no oracled
+    entry may SHIP a DecimalType column.  Every historically
+    driver-green entry ships BIGINT/DOUBLE/VARCHAR/DATE/BOOL; the only
+    three DECIMAL(38,x) outputs ever shipped (agg_incremental_totals,
+    streaming_incremental_mv, ts_twap_daily, round 7) all failed the
+    driver's value-hash with rows+schema green — decimal128
+    canonicalization diverges between the two engines' materialization
+    layers.  Exact money/weighted math stays DECIMAL *internally* and
+    ships integer units in BIGINT (cdc_apply_changeset's deci-cents,
+    _mv_total_micro, the TWAP num_qus guard)."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = [
+        f.name for f in schema.fields if isinstance(f.dataType, DecimalType)
+    ]
+    assert not offenders, (
+        f"{name}: shipped DecimalType columns {offenders} — convert to "
+        "integer-unit BIGINT (see _mv_total_micro / cdc deci-cents)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     if name in SF_PINNED and not SF_DIR.rstrip("/").endswith("sf0.01"):
@@ -80,6 +115,7 @@ def test_query_matches_oracle(spark, duck, name):
         assert set(rows) == {"ivf_full_probe", "ivf_nprobe4", "lsh"}
         return
     sdf = ALL_QUERIES[name](spark, SF_DIR)
+    _assert_no_decimal_output(name, sdf.schema)
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
