@@ -240,20 +240,30 @@ def changeset_delta_rows(
     """
     keys = list(key_cols)
     pays = list(payload_cols)
+    # Presence markers, NOT key nullability: the join matches keys
+    # with eqNullSafe, so a row whose (first) key column is NULL is a
+    # legitimate joinable key — testing `_ck_/_ik_ isNotNull()` would
+    # classify it as absent from both sides and silently emit no delta
+    # rows for its inserts/updates/deletes (ADVICE r7).  A literal
+    # lit(1) column is NULL after the full outer join exactly when the
+    # side had no matching row, which is the fact we actually need
+    # (same device as snapshot_changeset).
     c = current.select(
         *[F.col(k).alias(f"_ck_{k}") for k in keys],
         *[F.col(p).alias(f"_cp_{p}") for p in pays],
+        F.lit(1).alias("_cur_present"),
     )
     i = incoming.select(
         *[F.col(k).alias(f"_ik_{k}") for k in keys],
         *[F.col(p).alias(f"_ip_{p}") for p in pays],
+        F.lit(1).alias("_inc_present"),
     )
     cond = [
         c[f"_ck_{k}"].eqNullSafe(i[f"_ik_{k}"]) for k in keys
     ]
     j = c.join(i, cond, "full_outer")
-    in_cur = F.col(f"_ck_{keys[0]}").isNotNull()
-    in_inc = F.col(f"_ik_{keys[0]}").isNotNull()
+    in_cur = F.col("_cur_present").isNotNull()
+    in_inc = F.col("_inc_present").isNotNull()
     differs = F.lit(False)
     for p in pays:
         differs = differs | ~F.col(f"_cp_{p}").eqNullSafe(

@@ -37,6 +37,7 @@ def link_entity_pairs(
     name_weight: int = 50,
     eq_weight: int = 25,
     threshold: int = 75,
+    max_block_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Candidate pairs of entities likely to be the SAME real-world
     thing: block on (each distinct name token × ``block_cols``), then
@@ -44,11 +45,26 @@ def link_entity_pairs(
     ``eq_weight`` per agreeing ``eq_cols`` field; keep pairs with
     ``score >= threshold``.
 
+    The block self-join goes through the repo-wide
+    :func:`~big_data_validator_spark.operators.dedup.capped_bucket_pairs`
+    skew guard (ADVICE r7): a frequent name token — a stop word, a
+    common brand word — would otherwise make one block O(size²).
+    Blocks over ``max_block_size`` fall back to leader edges, which
+    keeps the candidate graph connected for clustering but drops
+    member↔member pairs inside that block — a corpus whose tokens are
+    that skewed should add a discriminating ``block_cols`` entry or
+    pre-filter stop-word tokens.  ``None`` disables the cap.
+
     Returns ``(id_a, id_b, inter, uni, <c>_eq..., score)`` with
     ``id_a < id_b`` — the agreement vector ships with the score so a
     reviewer (or a downstream trained model) can re-weight without
     re-running the join.
     """
+    from big_data_validator_spark.operators.dedup import (
+        capped_bucket_pairs,
+        pinned_caches,
+    )
+
     toks = F.array_distinct(F.split(F.col(name_col), " "))
     p = df.select(
         F.col(id_col).alias("id"),
@@ -58,24 +74,11 @@ def link_entity_pairs(
     b = p.select(
         "id", F.explode("toks").alias("tok"), *[F.col(c) for c in block_cols]
     )
-    left = b.select(
-        F.col("id").alias("id_a"),
-        "tok",
-        *[F.col(c).alias(f"_bl_{c}") for c in block_cols],
+    raw_pairs = capped_bucket_pairs(
+        b, ["tok", *block_cols], max_block_size
     )
-    right = b.select(
-        F.col("id").alias("id_b"),
-        "tok",
-        *[F.col(c).alias(f"_br_{c}") for c in block_cols],
-    )
-    cond = [left["tok"] == right["tok"]] + [
-        left[f"_bl_{c}"] == right[f"_br_{c}"] for c in block_cols
-    ]
-    cand = (
-        left.join(right, cond)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    cand = raw_pairs.select("id_a", "id_b").dropDuplicates(
+        ["id_a", "id_b"]
     )
     pa = p.select(
         F.col("id").alias("id_a"),
@@ -110,6 +113,8 @@ def link_entity_pairs(
     score = F.expr(f"({int(name_weight)} * inter) div uni")
     for c in eq_cols:
         score = score + F.lit(int(eq_weight)) * F.col(f"{c}_eq")
-    return scored.withColumn("score", score.cast("long")).filter(
+    out = scored.withColumn("score", score.cast("long")).filter(
         F.col("score") >= threshold
     )
+    out._bdv_pinned = pinned_caches(raw_pairs)
+    return out

@@ -744,6 +744,21 @@ def embedding_near_dup_pairs_exactint(
         pinned_caches,
     )
 
+    # ADVICE r7: both verify-predicate extremes — dot²·10¹² and
+    # t_ppm²·na²·nb² — are bounded by (dim·quant_scale²)²·10¹² for
+    # unit-range components; past DECIMAL(38,0) the non-ANSI products
+    # NULL out and the filter silently drops EVERY pair.  Refuse the
+    # parameter combination loudly instead (dim·quant_scale² < 1e13,
+    # i.e. dim < ~1000 at the default quant_scale — the docstring's
+    # 4096-dim case needs quant_scale ≤ ~4e4).
+    if (dim * quant_scale * quant_scale) ** 2 * 10**12 >= 10**38:
+        raise ValueError(
+            "embedding_near_dup_pairs_exactint: dim * quant_scale**2 = "
+            f"{dim * quant_scale * quant_scale:.3g} >= 1e13 pushes the "
+            "exact verify products past DECIMAL(38,0) (they would NULL "
+            "out and drop all pairs); lower quant_scale — precision is "
+            "~1/quant_scale per component — or reduce dim"
+        )
     df = rebalance_for_compute(df)
     tables = [
         quantized_hyperplanes(dim, num_planes, seed + 1000 * t, plane_scale)

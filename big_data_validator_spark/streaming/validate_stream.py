@@ -409,13 +409,50 @@ def stream_metrics_repository(
 def read_metrics_repository(spark, repo_path: str) -> DataFrame:
     """Read a :func:`stream_metrics_repository` repository back as the
     ``(run_id, column, metric, value)`` history frame
-    :func:`profile_trend_anomalies` consumes.  Uncommitted (torn)
-    batch directories are invisible: parquet readers ignore dirs whose
-    files a failed attempt never finished (the ``_SUCCESS`` gate means
-    a completed re-attempt overwrote them)."""
+    :func:`profile_trend_anomalies` consumes.
+
+    Only batch directories carrying the ``_SUCCESS`` marker are read
+    (ADVICE r7): directory existence does NOT imply commit — with a v2
+    committer, or task-committed files left by a failed attempt, an
+    uncommitted ``batch_id=N`` dir holds readable partial rows until
+    the replay overwrites it.  The filter is one driver-side
+    FileSystem listing of the repository root; the committed dirs are
+    handed to the parquet reader as explicit paths (each its own root,
+    so no partition column is inferred and the schema matches the
+    writer's)."""
+    committed = _committed_batch_dirs(spark, repo_path)
+    if not committed:
+        raise ValueError(
+            "read_metrics_repository: no committed batch_id=* "
+            f"directories under {repo_path}"
+        )
     return spark.read.option("recursiveFileLookup", "false").parquet(
-        f"{repo_path.rstrip('/')}/batch_id=*"
+        *committed
     )
+
+
+def _committed_batch_dirs(spark, root_path: str) -> list:
+    """``batch_id=N`` child directories of ``root_path`` that contain a
+    ``_SUCCESS`` marker, sorted by N — the one driver-side listing both
+    repository readers and the delta-chain state resolver share."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(root_path.rstrip("/"))
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        name = p.getName()
+        if not (st.isDirectory() and name.startswith("batch_id=")):
+            continue
+        try:
+            n = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+            out.append((n, p.toString()))
+    return [p for _, p in sorted(out)]
 
 
 def stream_drift_psi(
@@ -521,6 +558,23 @@ def stream_drift_psi(
     return writer.start()
 
 
+def _resolve_prior_state(spark, root: str, batch_id: int, initial_summary):
+    """The view state a delta batch advances FROM: the LATEST COMMITTED
+    ``batch_id=N`` dir with ``N < batch_id``, else ``initial_summary``.
+
+    NOT ``batch_id - 1`` (ADVICE r7): batch ids come from the
+    checkpoint and nothing guarantees they stay contiguous for the
+    state dir's lifetime — a source/trigger combination that skips an
+    id would crash the chain unrecoverably.  Gated on ``_SUCCESS`` so a
+    torn predecessor attempt is never read as state."""
+    prior = [
+        p
+        for p in _committed_batch_dirs(spark, root)
+        if int(p.rsplit("=", 1)[1]) < batch_id
+    ]
+    return spark.read.parquet(prior[-1]) if prior else initial_summary
+
+
 def stream_apply_deltas_to_totals(
     delta_stream: DataFrame,
     initial_summary: DataFrame,
@@ -535,8 +589,9 @@ def stream_apply_deltas_to_totals(
     delta rows (:func:`~big_data_validator_spark.operators.cdc
     .changeset_delta_rows` shape — ``sign`` ±1 plus group/value
     payload) advances a grouped count/sum summary micro-batch by
-    micro-batch, each batch reading the previous batch's state and
-    writing its own under the ``_SUCCESS`` commit protocol
+    micro-batch, each batch reading the LATEST COMMITTED prior state
+    (:func:`_resolve_prior_state` — id gaps tolerated, torn dirs
+    skipped) and writing its own under the ``_SUCCESS`` commit protocol
     (``state_path/batch_id=N`` = the view AFTER batch N; a replayed
     batch sees its marker and no-ops, so the chain is exactly-once).
 
@@ -565,10 +620,7 @@ def stream_apply_deltas_to_totals(
         fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(marker):
             return
-        if batch_id == 0:
-            prev = initial_summary
-        else:
-            prev = spark.read.parquet(f"{root}/batch_id={batch_id - 1}")
+        prev = _resolve_prior_state(spark, root, batch_id, initial_summary)
         nxt = apply_delta_to_group_totals(
             prev, batch_df, gcols, scols, count_col=count_col
         )

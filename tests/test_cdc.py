@@ -287,3 +287,56 @@ def test_incremental_group_totals_equal_full_recompute(spark):
     # delta volume is the change rate: unchanged key 2 emits no rows
     assert deltas.filter("k = 2").count() == 0
     assert deltas.filter("k = 1").count() == 2  # -old, +new
+
+
+def test_delta_rows_null_key_rows_are_present(spark):
+    """ADVICE r7 (medium): presence after the full outer join must come
+    from literal marker columns, not key nullability — eqNullSafe makes
+    a NULL key a legitimate joinable value, so NULL-keyed updates,
+    deletes, and inserts must emit delta rows like any other key."""
+    from decimal import Decimal
+
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+        changeset_delta_rows,
+    )
+
+    cur = spark.createDataFrame(
+        [
+            (None, "a", Decimal("10.000000")),  # NULL key, updated
+            (1, "a", Decimal("20.000000")),     # unchanged
+            (2, "b", Decimal("5.000000")),      # NULL-keyed twin deleted
+        ],
+        "k long, g string, v decimal(18,6)",
+    )
+    inc = spark.createDataFrame(
+        [
+            (None, "a", Decimal("12.000000")),
+            (1, "a", Decimal("20.000000")),
+        ],
+        "k long, g string, v decimal(18,6)",
+    )
+    deltas = changeset_delta_rows(cur, inc, ["k"], ["g", "v"])
+    null_key = deltas.filter(F.col("k").isNull()).collect()
+    # -old and +new for the NULL-keyed update
+    assert sorted(r["sign"] for r in null_key) == [-1, 1]
+    assert deltas.filter("k = 1").count() == 0
+    assert deltas.filter("k = 2").count() == 1  # the delete
+
+    summary = cur.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").alias("v"),
+    )
+    got = {
+        r["g"]: (r["n"], r["v"])
+        for r in apply_delta_to_group_totals(
+            summary, deltas, ["g"], ["v"], count_col="n"
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["v"])
+        for r in inc.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.sum("v").alias("v"))
+        .collect()
+    }
+    assert got == want

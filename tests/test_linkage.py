@@ -59,3 +59,51 @@ def test_link_entity_pairs_no_block_cols(spark):
     }
     assert set(got) == {(1, 2)}          # 3 shares no token with anyone
     assert got[(1, 2)] == (50 * 1) // 3 + 25
+
+
+def test_link_entity_pairs_block_cap_leader_fallback(spark):
+    """ADVICE r7: a frequent token (stop word) must not explode into an
+    O(size²) block self-join.  Over the cap, the block degrades to
+    leader edges — candidate count is linear in the block size and the
+    graph stays connected through the leader."""
+    rows = [(i, "common stopword", "B", "T", 1) for i in range(1, 21)]
+    df = spark.createDataFrame(
+        rows, "id long, name string, brand string, type string, size long"
+    )
+    capped = link_entity_pairs(
+        df, "id", "name", block_cols=["size"], eq_cols=["brand", "type"],
+        threshold=0, max_block_size=5,
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in capped}
+    # leader edges only: 19 pairs (leader 1 ↔ each member), not C(20,2)
+    assert pairs == {(1, i) for i in range(2, 21)}
+    assert all(r["score"] == 100 for r in capped)
+
+
+def test_link_entity_pairs_cap_inert_when_blocks_small(spark):
+    """With every block under the cap the guarded plan returns exactly
+    the uncapped candidate set (the registry entry relies on this)."""
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "B1", "T1", 5),
+            (2, "red widget", "B1", "T1", 5),
+            (4, "red gizmo", "B1", "T1", 5),
+            (5, "red widget", "B2", "T1", 5),
+        ],
+        "id long, name string, brand string, type string, size long",
+    )
+    kw = dict(block_cols=["size"], eq_cols=["brand", "type"], threshold=0)
+    got_capped = sorted(
+        tuple(r)
+        for r in link_entity_pairs(
+            df, "id", "name", max_block_size=1000, **kw
+        ).collect()
+    )
+    got_uncapped = sorted(
+        tuple(r)
+        for r in link_entity_pairs(
+            df, "id", "name", max_block_size=None, **kw
+        ).collect()
+    )
+    # all four size-5 entities share the "red" token → C(4,2) pairs
+    assert got_capped == got_uncapped and len(got_capped) == 6

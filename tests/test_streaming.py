@@ -564,3 +564,63 @@ def test_stream_apply_deltas_chained_state_and_replay(spark, tmp_path):
     )
     q2.awaitTermination()
     assert view(2) == final
+
+
+def test_read_metrics_repository_commit_gate(spark, tmp_path):
+    """ADVICE r7: directory existence is not commit — a batch dir whose
+    _SUCCESS is missing (v2 committer, task files from a failed
+    attempt) holds readable partial rows and must be invisible to the
+    reader; an all-torn repository refuses loudly."""
+    import os
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+    )
+
+    repo = str(tmp_path / "repo")
+    mk = lambda run: spark.createDataFrame(
+        [(run, "k", "row_count", 1.0 + run)],
+        "run_id long, column string, metric string, value double",
+    )
+    mk(0).coalesce(1).write.parquet(f"{repo}/batch_id=0")
+    mk(1).coalesce(1).write.parquet(f"{repo}/batch_id=1")
+    mk(2).coalesce(1).write.parquet(f"{repo}/batch_id=2")
+    os.remove(f"{repo}/batch_id=1/_SUCCESS")  # torn attempt
+
+    got = read_metrics_repository(spark, repo)
+    assert sorted(r["run_id"] for r in got.collect()) == [0, 2]
+    assert got.columns == ["run_id", "column", "metric", "value"]
+
+    os.remove(f"{repo}/batch_id=0/_SUCCESS")
+    os.remove(f"{repo}/batch_id=2/_SUCCESS")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no committed"):
+        read_metrics_repository(spark, repo)
+
+
+def test_resolve_prior_state_tolerates_id_gaps(spark, tmp_path):
+    """ADVICE r7: the delta chain reads the LATEST COMMITTED prior
+    state, not batch_id-1 — id gaps (non-contiguous checkpoint ids)
+    and torn predecessor dirs must both resolve correctly."""
+    import os
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        _resolve_prior_state,
+    )
+
+    root = str(tmp_path / "state")
+    mk = lambda tag: spark.createDataFrame(
+        [("a", 1, tag)], "g string, n long, v long"
+    )
+    mk(0).coalesce(1).write.parquet(f"{root}/batch_id=0")
+    mk(3).coalesce(1).write.parquet(f"{root}/batch_id=3")
+    mk(5).coalesce(1).write.parquet(f"{root}/batch_id=5")
+    os.remove(f"{root}/batch_id=5/_SUCCESS")  # torn
+
+    initial = mk(-1)
+    tag = lambda df: df.collect()[0]["v"]
+    assert tag(_resolve_prior_state(spark, root, 0, initial)) == -1
+    assert tag(_resolve_prior_state(spark, root, 3, initial)) == 0
+    # gap: batch 7 follows 3 (ids 4-6 never committed; 5 is torn)
+    assert tag(_resolve_prior_state(spark, root, 7, initial)) == 3
