@@ -192,7 +192,22 @@ HEADLINE = [
     "join_asof_forward",
     "join_point_in_time",
     "rule_order_totals_reconcile",
+    # round-8 additions
+    "agg_incremental_minmax",
+    "profile_fd_composite",
 ]
+
+#: Registry entries deliberately NOT benched, with the reason shipped in
+#: BENCH_DETAIL.json (VERDICT r7 missing-item 3 — a silent cap reads as
+#: "covered everything").  tests/test_bench_contract.py pins
+#: HEADLINE ∪ EXCLUDED == registry, so a new entry cannot fall through.
+EXCLUDED = {
+    "dedup_ngram_jaccard": (
+        "deliberately corpus-bounded exact-Jaccard demo (educational "
+        "baseline); dedup_minhash_lsh is the benched scale path for "
+        "the same similarity"
+    ),
+}
 
 
 def main() -> None:
@@ -269,6 +284,9 @@ def main() -> None:
         "queries": timings,
         "queries_min": timings_min,
         "sf": sf_val,
+        # explicit, machine-readable exclusion record (VERDICT r7
+        # missing-item 3): silence reads as "covered everything"
+        "excluded": EXCLUDED,
     }
     # Overridable so the sf0.001 contract test never clobbers the
     # committed sf0.1 detail record (r5's checked-in file was silently

@@ -624,3 +624,86 @@ def fd_discovery(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def fd_discovery_composite(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Level-2 functional-dependency discovery (VERDICT r7 item 7 —
+    TANE-style level-wise search): score every candidate
+    ``{a, b} → c`` whose single-column parents both FAIL — the
+    composite keys' dependencies the contract-suggestion loop cannot
+    see from :func:`fd_discovery` alone.
+
+    TANE's candidate pruning is applied BEFORE computing a level-2
+    aggregation: if ``a → c`` or ``b → c`` already holds, the
+    composite is implied (non-minimal) and never tested — the control
+    decision is driver-side over the level-1 verdicts, which is
+    ``k·(k-1)`` booleans, bounded by the column-set size, never by
+    rows (the classic TANE shape: lattice control on the driver, one
+    distributed aggregation per surviving candidate).
+
+    Scale contract is inherited from :func:`fd_discovery`: ONE base
+    scan builds the distinct combination relation; level-1 verdicts
+    and every surviving level-2 aggregation run over that
+    combo-cardinality-bounded frame.
+
+    Returns ``(lhs, rhs, n_lhs_values, n_pairs, n_violating_lhs,
+    holds)`` with ``lhs = "a+b"`` — surviving (minimal) candidates
+    only, so every ``holds = true`` row is a GENUINELY composite
+    dependency.
+    """
+    from itertools import combinations
+
+    cols = list(cols)
+    combos = (
+        df.groupBy(*[F.col(c) for c in cols])
+        .agg(F.count(F.lit(1)).alias("_rows"))
+        .localCheckpoint(eager=True)
+    )
+    single_holds: dict[tuple, bool] = {}
+    for a in cols:
+        for c in cols:
+            if a == c:
+                continue
+            row = (
+                combos.groupBy(a)
+                .agg(F.count_distinct(F.col(c)).alias("_nb"))
+                .agg(F.sum((F.col("_nb") > 1).cast("long")).alias("_v"))
+                .collect()[0]
+            )
+            single_holds[(a, c)] = (row["_v"] or 0) == 0
+    parts = []
+    for a, b in combinations(cols, 2):
+        for c in cols:
+            if c in (a, b):
+                continue
+            if single_holds[(a, c)] or single_holds[(b, c)]:
+                continue  # implied by a level-1 FD — TANE-pruned
+            per_lhs = combos.groupBy(a, b).agg(
+                F.count_distinct(F.col(c)).alias("_nb")
+            )
+            parts.append(
+                per_lhs.agg(
+                    F.lit(f"{a}+{b}").alias("lhs"),
+                    F.lit(c).alias("rhs"),
+                    F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+                    F.sum("_nb").cast("long").alias("n_pairs"),
+                    F.sum((F.col("_nb") > 1).cast("long"))
+                    .cast("long")
+                    .alias("n_violating_lhs"),
+                    (F.sum((F.col("_nb") > 1).cast("long")) == 0).alias(
+                        "holds"
+                    ),
+                )
+            )
+    if not parts:
+        schema = (
+            "lhs string, rhs string, n_lhs_values long, n_pairs long,"
+            " n_violating_lhs long, holds boolean"
+        )
+        return df.sparkSession.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -19,6 +19,21 @@ def test_headline_names_resolve_in_registry():
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate names"
 
 
+def test_every_registry_entry_is_benched_or_explicitly_excluded():
+    """No silent bench caps (VERDICT r7 missing-item 3): every registry
+    entry is either in the HEADLINE set or carries a written exclusion
+    reason that ships in BENCH_DETAIL.json."""
+    import bench
+
+    from big_data_validator_spark.queries import REGISTRY
+
+    covered = set(bench.HEADLINE) | set(bench.EXCLUDED)
+    gaps = [n for n in REGISTRY if n not in covered]
+    assert not gaps, f"registry entries neither benched nor excluded: {gaps}"
+    overlap = set(bench.HEADLINE) & set(bench.EXCLUDED)
+    assert not overlap, f"both benched and excluded: {overlap}"
+
+
 def test_bench_emits_contract_json_line(tmp_path):
     """One timed pass at sf0.001 end-to-end: bench.py must exit 0 and print
     ONE parseable JSON line with the driver-contract fields."""

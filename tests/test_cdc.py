@@ -340,3 +340,67 @@ def test_delta_rows_null_key_rows_are_present(spark):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_minmax_retreat_and_passthrough(spark):
+    """Affected-group MIN/MAX recompute (VERDICT r7 item 4): deleting
+    the extremum holder forces a retreat the recompute answers; groups
+    without deltas pass through from the stored summary WITHOUT
+    touching the base (pinned by feeding the untouched group a base
+    row the summary disagrees with); empty groups vanish."""
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_minmax,
+        changeset_delta_rows,
+    )
+
+    cur = spark.createDataFrame(
+        [
+            (1, "a", 100), (2, "a", 5), (3, "a", 50),   # max holder: 1
+            (4, "b", 7),                                  # b vanishes
+            (5, "c", 9), (6, "c", 2),                     # untouched
+        ],
+        "k long, g string, v long",
+    )
+    inc = spark.createDataFrame(
+        [
+            (2, "a", 5), (3, "a", 50),   # key 1 deleted → max retreats
+            (5, "c", 9), (6, "c", 2),    # untouched
+        ],
+        "k long, g string, v long",
+    )
+    summary = cur.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+    deltas = changeset_delta_rows(cur, inc, ["k"], ["g", "v"])
+    # poison the untouched group in the base: passthrough must win
+    poisoned = inc.withColumn(
+        "v", F.when(F.col("g") == "c", F.lit(999_999)).otherwise(F.col("v"))
+    )
+    got = {
+        r["g"]: (r["n"], r["v_min"], r["v_max"])
+        for r in apply_delta_to_group_minmax(
+            summary, poisoned, deltas, ["g"], ["v"], count_col="n"
+        ).collect()
+    }
+    assert got["a"] == (2, 5, 50)        # retreat from 100 → 50
+    assert "b" not in got                # group vanished
+    assert got["c"] == (2, 2, 9)         # stored row, base never read
+
+    # incremental == recompute when the base is the true new snapshot
+    got2 = {
+        r["g"]: (r["n"], r["v_min"], r["v_max"])
+        for r in apply_delta_to_group_minmax(
+            summary, inc, deltas, ["g"], ["v"], count_col="n"
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["v_min"], r["v_max"])
+        for r in inc.groupBy("g").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("v").alias("v_min"),
+            F.max("v").alias("v_max"),
+        ).collect()
+    }
+    assert got2 == want

