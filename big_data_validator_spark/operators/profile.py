@@ -661,18 +661,30 @@ def fd_discovery_composite(
         .agg(F.count(F.lit(1)).alias("_rows"))
         .localCheckpoint(eager=True)
     )
-    single_holds: dict[tuple, bool] = {}
+    # all k·(k-1) level-1 verdicts in ONE job (a union of per-pair
+    # two-row aggregations over the checkpointed combos frame), not one
+    # Spark job per pair — lattice control should cost one round trip
+    verdict_parts = []
     for a in cols:
         for c in cols:
             if a == c:
                 continue
-            row = (
+            verdict_parts.append(
                 combos.groupBy(a)
                 .agg(F.count_distinct(F.col(c)).alias("_nb"))
-                .agg(F.sum((F.col("_nb") > 1).cast("long")).alias("_v"))
-                .collect()[0]
+                .agg(
+                    F.lit(a).alias("_a"),
+                    F.lit(c).alias("_c"),
+                    F.sum((F.col("_nb") > 1).cast("long")).alias("_v"),
+                )
             )
-            single_holds[(a, c)] = (row["_v"] or 0) == 0
+    verdicts = verdict_parts[0]
+    for p in verdict_parts[1:]:
+        verdicts = verdicts.unionByName(p)
+    single_holds = {
+        (r["_a"], r["_c"]): (r["_v"] or 0) == 0
+        for r in verdicts.collect()
+    }
     parts = []
     for a, b in combinations(cols, 2):
         for c in cols:
