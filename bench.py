@@ -195,6 +195,8 @@ HEADLINE = [
     # round-8 additions
     "agg_incremental_minmax",
     "profile_fd_composite",
+    "sample_cluster_split",
+    "join_salted_skew",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

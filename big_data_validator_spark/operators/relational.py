@@ -1225,3 +1225,56 @@ def chi_square_drift(
         F.first("_ta").cast("long").alias("n_a"),
         F.first("_tb").cast("long").alias("n_b"),
     )
+
+
+def salted_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    salt: int = 8,
+    how: str = "inner",
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Explicit salt-replication equi-join for a SKEWED big side whose
+    small side is too large to broadcast: the classic hot-key device a
+    100 TB fact-fact join needs when one key holds a double-digit
+    percentage of the rows and a single reducer would own it.
+
+    - every big row gets a deterministic salt in ``[0, salt)`` (an
+      ``xxhash64`` over its columns — retry-stable, unlike
+      ``monotonically_increasing_id``/``rand``);
+    - the small side replicates ``salt`` ways (an ``explode`` of a
+      literal array — map-side, no shuffle of its own);
+    - the join runs on ``key_cols + [salt]``, splitting each hot key's
+      rows across ``salt`` reducers.
+
+    Correctness is salt-invariant (each big row meets exactly one
+    replica of each matching small row), which is what the oracle
+    checks; the SHAPE (hot key fanned across partitions, no broadcast)
+    is pinned in tests with the broadcast threshold disabled.  AQE's
+    skew-join split is the runtime alternative — this operator is the
+    explicit, plan-stable form for when AQE's thresholds don't fire or
+    the engine is pinned to static planning.
+
+    Only ``inner`` and ``left`` joins preserve semantics under
+    replication (the preserved side is the salted one); ``right`` /
+    ``full`` would duplicate unmatched small rows — rejected loudly.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_skew_join: how={how!r} would duplicate unmatched "
+            "small-side rows under replication; use inner or left, or "
+            "swap the sides"
+        )
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    keys = list(key_cols)
+    b = big.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),
+    )
+    s = small.withColumn(
+        salt_col,
+        F.explode(F.array(*[F.lit(i) for i in range(salt)])),
+    )
+    return b.join(s, keys + [salt_col], how).drop(salt_col)

@@ -269,3 +269,68 @@ def shuffle_shard_stats(
         F.min_by(F.col(key_col), F.col("_shuffle_rank")).alias("first_key"),
         F.max_by(F.col(key_col), F.col("_shuffle_rank")).alias("last_key"),
     )
+
+
+def group_leakage_split(
+    df: DataFrame,
+    group_col: str,
+    weights: Sequence[float],
+    seed: int = 42,
+    split_col: str = "split",
+    portable: bool = True,
+) -> DataFrame:
+    """Train/val/test split by GROUP, not by row: the split is a pure
+    function of ``group_col``, so every member of a group lands in the
+    same split BY CONSTRUCTION — the guard that keeps duplicate /
+    near-duplicate families from straddling train and eval.  Row-keyed
+    splitting leaks through duplicates silently: the eval twin of a
+    training document IS test-set contamination, and no per-row audit
+    sees it.  Feed ``group_col`` with the dedup family identity (exact
+    fingerprint, MinHash cluster id, …) produced upstream.
+
+    Thin by design over :func:`hash_split` — the contract is where the
+    key COMES FROM; the split device (portable md5, disjoint covering
+    ranges, NULL rejection) is shared so the same auditability
+    properties hold.
+    """
+    return hash_split(
+        df,
+        group_col,
+        weights,
+        seed=seed,
+        split_col=split_col,
+        portable=portable,
+    )
+
+
+def split_leakage_audit(
+    df: DataFrame,
+    group_col: str,
+    split_col: str = "split",
+    sum_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-split sizes plus the global leakage verdict: how many
+    groups appear in MORE than one split (``straddling_groups`` — 0
+    certifies a group-keyed split; > 0 is the contamination count a
+    row-keyed split hides).  One aggregation per grain; the verdict is
+    a one-row frame broadcast onto the split summary, so the audit
+    costs two group-bys over the tagged corpus and nothing joins at
+    row grain."""
+    sizes = df.groupBy(split_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col(group_col)).cast("long").alias("n_groups"),
+        *[
+            F.sum(F.col(c)).cast("long").alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    straddle = (
+        df.groupBy(group_col)
+        .agg(F.count_distinct(F.col(split_col)).alias("_ns"))
+        .agg(
+            F.sum((F.col("_ns") > 1).cast("long"))
+            .cast("long")
+            .alias("straddling_groups")
+        )
+    )
+    return sizes.crossJoin(F.broadcast(straddle))

@@ -5579,6 +5579,63 @@ def agg_incremental_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+                  ELSE l_orderkey % 97 END AS k,
+             CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty_cents
+      FROM lineitem),
+    dim AS (
+      SELECT i AS k,
+             CASE WHEN i = 0 THEN 'hot' ELSE 'cold' END AS label
+      FROM generate_series(0, 96) AS t(i))
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents
+    FROM fact JOIN dim USING (k) GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salt-replication join under ENGINEERED skew
+    (operators/relational.py: salted_skew_join): ~30%% of lineitem is
+    funneled onto one hot key (``l_orderkey %% 10 < 3 → 0``), the 97-row
+    dim is joined through salt-replication — each big row takes a
+    deterministic xxhash64 salt, the dim explodes ``salt`` ways
+    map-side, and the equi-join runs on (key, salt) so the hot key
+    fans across reducers instead of owning one.  The ORACLE is the
+    plain unsalted join (salt-invariance IS the correctness property);
+    the skew SHAPE — no broadcast, hot key split across partitions —
+    is pinned in tests/test_relational.py with the broadcast threshold
+    disabled.  This is the static-plan alternative to AQE's runtime
+    skew split for engines/pipelines where AQE's thresholds don't
+    fire."""
+    from big_data_validator_spark.operators.relational import (
+        salted_skew_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 97)
+        .alias("k"),
+        F.round(F.col("l_quantity") * 100)
+        .cast("long")
+        .alias("qty_cents"),
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 0, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("label"),
+    )
+    joined = salted_skew_join(fact, dim, ["k"], salt=8)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("qty_cents").cast("long").alias("sum_qty_cents"),
+    )
+
+
+@query(
     "link_part_entities",
     oracle="""
     WITH p AS (
@@ -6500,6 +6557,63 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.min("doc_id").cast("long").alias("min_doc_id"),
         F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+@query(
+    "sample_cluster_split",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, n_chars, md5(text) AS grp FROM documents),
+    s AS (
+      SELECT doc_id, n_chars, grp,
+             CASE WHEN b < 800000 THEN 0
+                  WHEN b < 900000 THEN 1
+                  ELSE 2 END AS split
+      FROM (SELECT *,
+              CAST(CAST('0x' || substr(md5(grp || ':42'), 1, 8)
+                        AS UBIGINT) % 1000000 AS BIGINT) AS b
+            FROM g)),
+    sizes AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+      FROM s GROUP BY 1),
+    leak AS (
+      SELECT CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS straddling_groups
+      FROM (SELECT grp, COUNT(DISTINCT split) AS ns FROM s GROUP BY 1))
+    SELECT split, n_rows, n_groups, sum_n_chars, straddling_groups
+    FROM sizes, leak
+    """,
+)
+def sample_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-leakage-safe train/val/test split (operators/sampling.py:
+    group_leakage_split + split_leakage_audit): documents split 80/10/10
+    by their exact-duplicate FAMILY identity (md5 text fingerprint) so
+    no duplicate family straddles train and eval — row-keyed splitting
+    leaks silently through duplicates (the eval twin of a training doc
+    IS test-set contamination), and the shipped ``straddling_groups``
+    column is the audited proof it cannot happen here (0 by
+    construction, recomputed — not assumed — by both engines).  The
+    portable md5 split device means an external auditor re-derives
+    every membership.  One projection + two aggregations; nothing
+    joins at row grain."""
+    from big_data_validator_spark.operators.sampling import (
+        group_leakage_split,
+        split_leakage_audit,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("grp"),
+    )
+    tagged = group_leakage_split(
+        docs, "grp", [0.8, 0.1, 0.1], seed=42, portable=True
+    )
+    return split_leakage_audit(
+        tagged, "grp", sum_cols=["n_chars"]
     )
 
 
@@ -7772,6 +7886,19 @@ _DEMOTED_TO_TAIL = [
     # Mixture QUALITY scoring green r6+r7; corpus_mixture_apply
     # (required seat) recomputes the same quality gates end-to-end.
     "corpus_mixture_quality",
+    # ---- round-8 second rotation: two more green entries rest so the
+    # ---- two new scale-device entries (group-leakage split, salted
+    # ---- skew join) get driver rows.  Twin rationale:
+    # MI dependency profile green r6+r7; dependency profiling keeps
+    # THREE in-window seats (FD rule semantics inside both discovery
+    # entries + the single-pair violating counts in
+    # profile_fd_discovery).
+    "profile_mutual_information",
+    # The batch-id _SUCCESS commit protocol this entry pioneered is now
+    # driver-exercised end-to-end by THREE in-window streaming entries
+    # every round (metrics trend, incremental MV, drift PSI — same
+    # sink device); the original sink entry rests green r5-r7.
+    "streaming_exactly_once_sink",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

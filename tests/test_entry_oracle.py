@@ -197,6 +197,7 @@ def test_driver_window_is_all_oracled():
         "ts_twap_daily", "scan_observed_metrics",
         # round-8 additions: each must get its driver row
         "agg_incremental_minmax", "profile_fd_composite",
+        "sample_cluster_split", "join_salted_skew",
         "dedup_minhash_lsh", "dedup_winnowing", "dedup_simhash",
         "dedup_minhash_clusters", "sim_ann_lsh", "sim_ann_ivf",
         "sim_ann_pq",

@@ -655,3 +655,79 @@ def test_point_in_time_join_no_future_leakage(spark):
     assert got[2] == (20.0, 0)
     assert got[3] == (None, None)         # expired
     assert got[4] == (None, None)         # no features at all
+
+
+def test_salted_skew_join_equals_plain_and_fans_hot_key(spark):
+    """Salt-invariance: the salted join's result equals the plain join
+    for inner and left; the hot key's rows really are spread across
+    all salt values; right/full are rejected."""
+    import pytest as _pytest
+
+    from big_data_validator_spark.operators.relational import (
+        salted_skew_join,
+    )
+
+    big = spark.createDataFrame(
+        [(0, i) for i in range(80)] + [(k, 1000 + k) for k in range(1, 5)],
+        "k long, v long",
+    )
+    small = spark.createDataFrame(
+        [(0, "hot"), (1, "c1"), (2, "c2"), (9, "unmatched")],
+        "k long, label string",
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in salted_skew_join(big, small, ["k"], salt=4, how=how)
+            .select("k", "v", "label")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in big.join(small, ["k"], how)
+            .select("k", "v", "label")
+            .collect()
+        )
+        assert got == want, how
+
+    # the hot key's 80 rows hash across every salt bucket
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(4)),
+    )
+    salts = {
+        r["_salt"] for r in b.filter("k = 0").select("_salt").collect()
+    }
+    assert salts == {0, 1, 2, 3}
+
+    with _pytest.raises(ValueError, match="inner or left"):
+        salted_skew_join(big, small, ["k"], salt=4, how="full")
+
+
+def test_salted_skew_join_no_broadcast_shape(spark):
+    """With broadcasting disabled the salted join plans a shuffle join
+    keyed on (k, _salt) — the fan-out exists in the PLAN, not only in
+    the data."""
+    from big_data_validator_spark.operators.relational import (
+        salted_skew_join,
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = spark.range(0, 1000).select(
+            (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+        )
+        small = spark.range(0, 13).select(
+            F.col("id").alias("k"), F.lit("x").alias("label")
+        )
+        plan = (
+            salted_skew_join(big, small, ["k"], salt=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "_salt" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

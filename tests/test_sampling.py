@@ -199,3 +199,59 @@ def test_hash_split_rejects_null_keys(spark):
             hash_split(
                 df, "k", [0.5, 0.5], portable=portable
             ).collect()
+
+
+def test_group_leakage_split_no_straddle_vs_row_split(spark):
+    """Group-keyed splitting keeps every duplicate family in ONE split
+    (straddling_groups == 0 by construction); the same corpus split by
+    ROW id measurably leaks — the contrast that justifies the
+    operator."""
+    from big_data_validator_spark.operators.sampling import (
+        group_leakage_split,
+        hash_split,
+        split_leakage_audit,
+    )
+
+    # 40 duplicate families of 5 identical docs each
+    rows = [
+        (fam * 10 + i, f"text of family {fam}", 100 + fam)
+        for fam in range(40)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    docs = df.withColumn("grp", F.md5(F.encode(F.col("text"), "UTF-8")))
+
+    grouped = group_leakage_split(docs, "grp", [0.8, 0.1, 0.1])
+    g_audit = split_leakage_audit(grouped, "grp", sum_cols=["n_chars"]).collect()
+    assert all(r["straddling_groups"] == 0 for r in g_audit)
+    assert sum(r["n_rows"] for r in g_audit) == 200
+    # family members travel together: every split's row count is 5x its
+    # group count
+    assert all(r["n_rows"] == 5 * r["n_groups"] for r in g_audit)
+
+    rowwise = hash_split(docs, "doc_id", [0.8, 0.1, 0.1], portable=True)
+    r_audit = split_leakage_audit(rowwise, "grp").collect()
+    assert r_audit[0]["straddling_groups"] > 0  # row split leaks
+
+
+def test_split_leakage_audit_counts(spark):
+    """Hand-built grid: sizes, group counts, sums, straddle count."""
+    from big_data_validator_spark.operators.sampling import (
+        split_leakage_audit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0, 10), ("a", 0, 20),       # group a wholly in 0
+            ("b", 0, 1), ("b", 1, 2),         # b straddles 0/1
+            ("c", 1, 5),
+        ],
+        "grp string, split int, w long",
+    )
+    got = {
+        r["split"]: (r["n_rows"], r["n_groups"], r["sum_w"],
+                     r["straddling_groups"])
+        for r in split_leakage_audit(df, "grp", sum_cols=["w"]).collect()
+    }
+    assert got[0] == (3, 2, 31, 1)
+    assert got[1] == (2, 2, 7, 1)
