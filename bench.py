@@ -197,6 +197,8 @@ HEADLINE = [
     "profile_fd_composite",
     "sample_cluster_split",
     "join_salted_skew",
+    "dedup_ssjoin_prefix",
+    "agg_incremental_join_mv",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -396,3 +396,80 @@ def apply_delta_to_group_minmax(
         *[col for c in vcols for col in (f"{c}_min", f"{c}_max")],
     )
     return untouched.unionByName(recomputed)
+
+
+def delta_join_view_rows(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_new: DataFrame,
+    delta_b: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Signed delta rows of a JOIN view — the bilinear step that extends
+    incremental maintenance from single-table aggregates
+    (:func:`apply_delta_to_group_totals`) to join-aggregate views:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+
+    (exact by algebra over signed multisets: ``A_new⋈B_new −
+    A_old⋈B_old = (A_old+ΔA)⋈B_new − A_old⋈(B_new−ΔB) = ΔA⋈B_new +
+    A_old⋈ΔB``).  Each output row carries the ``sign`` of the delta
+    row that produced it, so feeding the result straight into
+    :func:`apply_delta_to_group_totals` maintains any distributive
+    join-aggregate view without ever recomputing the join.
+
+    Cost at 100 TB: both terms are change-rate × join-fanout sized —
+    ``ΔA ⋈ B_new`` shuffles only the left DELTA (broadcast ``b_new``
+    when it is a dimension; pass ``F.broadcast(b_new)``), and
+    ``A_old ⋈ ΔB`` is a base-table join against a change-rate-sized
+    probe, which under key-partitioned/bucketed storage prunes to the
+    touched keys' partitions.  The full ``A⋈B`` never re-runs.
+
+    The two deltas come from :func:`changeset_delta_rows` (they must
+    carry a ``sign`` column); ``a_old``/``b_new`` are plain snapshots.
+    Column names must be disjoint across the two sides apart from the
+    join key itself (standard join hygiene — project before calling; a
+    non-key name collision raises).  When ``left_key == right_key``
+    (or the names collide), the LEFT side's copy is kept — the matched
+    values are equal under the join predicate, so nothing is lost.
+    Keys are matched with ``eqNullSafe`` for consistency with the
+    changeset operators; rows whose key misses the other side
+    contribute nothing (inner-join view semantics).
+    """
+    collide = (set(b_new.columns) & set(delta_a.columns)) - {right_key}
+    if collide:
+        raise ValueError(
+            f"non-key column collision between the two sides: {sorted(collide)}"
+        )
+    right_cols = [
+        c
+        for c in b_new.columns
+        if not (c == right_key and c in delta_a.columns)
+    ]
+    cond_ab = F.col(f"__da.{left_key}").eqNullSafe(
+        F.col(f"__bn.{right_key}")
+    )
+    term1 = (
+        delta_a.alias("__da")
+        .join(b_new.alias("__bn"), cond_ab, "inner")
+        .select("__da.*", *[f"__bn.{c}" for c in right_cols])
+    )
+    cond_adb = F.col(f"__ao.{left_key}").eqNullSafe(
+        F.col(f"__db.{right_key}")
+    )
+    db_payload = [
+        c
+        for c in delta_b.columns
+        if c != "sign" and not (c == right_key and c in a_old.columns)
+    ]
+    term2 = (
+        a_old.alias("__ao")
+        .join(delta_b.alias("__db"), cond_adb, "inner")
+        .select(
+            "__ao.*",
+            *[f"__db.{c}" for c in db_payload],
+            F.col("__db.sign").alias("sign"),
+        )
+    )
+    return term1.unionByName(term2)

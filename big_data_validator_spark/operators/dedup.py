@@ -1128,3 +1128,163 @@ def levenshtein_pairs_banded(
         .filter(F.col("dist") <= max_dist)
         .drop("_band")
     )
+
+
+# ------------------------------------------- exact set-similarity join
+
+def word_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingles: array<string>) — DISTINCT word n-gram shingles of
+    the lowercased, single-space-tokenized text; documents shorter than
+    ``n`` words produce an EMPTY set (they cannot meet any positive
+    Jaccard threshold against a non-identical document, and an empty
+    set keeps the size arithmetic total).
+
+    Word shingles (vs :func:`_shingle_sets`'s character n-grams) are
+    the unit of the exact set-similarity JOIN below: sets are ~20×
+    smaller (one element per word position, not per byte), which is
+    what makes the exact verification join affordable, and the
+    construction is portable SQL on any engine (split → slide →
+    distinct), so the operator can be oracle-checked exactly.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+    )
+    # F.sequence(1, stop) DESCENDS when stop < 1 (it never yields an
+    # empty list), so the short-document case needs an explicit guard
+    # or element_at walks past the array.
+    slid = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.concat_ws(
+            "_", *[F.element_at("_w", i + j) for j in range(n)]
+        ),
+    )
+    shingles = F.when(
+        F.size("_w") < n, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(slid))
+    return df.select(
+        F.col(id_col).alias("id"), words.alias("_w")
+    ).select("id", shingles.alias("shingles"))
+
+
+def set_similarity_join(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 3,
+    threshold_e6: int = 500_000,
+) -> DataFrame:
+    """EXACT Jaccard threshold self-join with PPJoin-style prefix +
+    length + positional filtering (Xiao et al., WWW'08) — the scale
+    path for the semantics :func:`ngram_jaccard_pairs` demonstrates:
+    returns exactly the pairs whose word-shingle Jaccard ≥ t, but the
+    candidate self-join runs only over each document's PREFIX tokens
+    instead of its whole inverted index.
+
+    Why this is never all-pairs at 100 TB:
+
+    - tokens are globally ordered by ascending document frequency
+      (ties by token text), so each document's prefix — its first
+      ``m - ⌈t·m⌉ + 1`` tokens in that order — consists of its RAREST
+      tokens.  Two documents can only reach Jaccard ≥ t if their
+      prefixes share a token (pigeonhole: disjoint prefixes leave
+      fewer than ⌈t·m⌉ common tokens possible), so the inverted-index
+      self-join touches only rare-token buckets; the frequent tokens
+      that create quadratic buckets in a naive shingle join never
+      enter the join at all.
+    - the LENGTH filter (t·max(m_a,m_b) ≤ min(m_a,m_b)) and the
+      POSITIONAL filter (remaining-suffix overlap bound ≥ the minimum
+      required intersection ⌈t/(1+t)·(m_a+m_b)⌉) run inside the join
+      condition, before any shuffle of candidate pairs.
+    - verification is exact and integer-only: candidates re-join the
+      token relation on (id, token) to count the true intersection,
+      and the final predicate ``1e6·∩ ≥ t_e6·(m_a+m_b−∩)`` plus the
+      shipped ``jacc_e6 = (1e6·∩) div ∪`` are pure BIGINT arithmetic —
+      bit-identical on any engine, hence oracle-checkable.
+
+    Threshold is a ppm integer (500_000 = 0.5) so every comparison
+    stays integral.  Cost: one token-frequency aggregation, one window
+    rank per document, one rare-token self-join, and one
+    candidate-bounded verification join — all key-partitioned; nothing
+    is quadratic in the corpus.
+
+    Returns ``(id_a, id_b, inter, size_a, size_b, jacc_e6)`` with
+    ``id_a < id_b``, all BIGINT.
+    """
+    if not 0 < threshold_e6 <= 1_000_000:
+        raise ValueError(f"threshold_e6 out of (0, 1e6]: {threshold_e6}")
+    t = F.lit(int(threshold_e6))
+    e6 = F.lit(1_000_000)
+    sets_df = word_shingle_sets(df, text_col, id_col, n_words)
+    tok = sets_df.select(
+        "id",
+        F.size("shingles").alias("m"),
+        F.explode("shingles").alias("token"),
+    )
+    # Global rarity order: document frequency per token, ties by token.
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = tok.join(dfreq, "token").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy("_df", "token")
+        ),
+    )
+    # prefix length = m - ceil(t*m) + 1, with ceil(t*m) in integers
+    # (operands <= 1e6 * |set| << 2^53, so floor-of-double is exact).
+    ceil_tm = F.floor((t * F.col("m") + (e6 - 1)) / e6)
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("m") - ceil_tm + 1
+    ).select("id", "m", "token", "pos")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ma, mb = F.col("a.m"), F.col("b.m")
+    pa, pb = F.col("a.pos"), F.col("b.pos")
+    # minimum required intersection for Jaccard >= t at sizes (ma, mb):
+    # ceil(t/(1+t) * (ma+mb)), kept integral via the e6 scaling.
+    min_inter = F.floor((t * (ma + mb) + (e6 + t - 1)) / (e6 + t))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t*max <= 1e6*min
+            & (t * F.greatest(ma, mb) <= e6 * F.least(ma, mb))
+            # positional filter: tokens at/after this match can
+            # contribute at most min(ma-pa, mb-pb)+1 common tokens
+            & (F.least(ma - pa, mb - pb) + 1 >= min_inter),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ma.alias("size_a"),
+            mb.alias("size_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    slim = tok.select("id", "token")
+    inter = (
+        cand.join(slim.alias("ta"), F.col("id_a") == F.col("ta.id"))
+        .join(
+            slim.alias("tb"),
+            (F.col("id_b") == F.col("tb.id"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.filter(
+            e6 * F.col("inter")
+            >= t * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        )
+        .select(
+            F.col("id_a").cast("long"),
+            F.col("id_b").cast("long"),
+            F.col("inter").cast("long"),
+            F.col("size_a").cast("long"),
+            F.col("size_b").cast("long"),
+            F.expr(
+                "(1000000 * inter) div (size_a + size_b - inter)"
+            ).alias("jacc_e6"),
+        )
+    )

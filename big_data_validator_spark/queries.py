@@ -7462,6 +7462,185 @@ def streaming_metrics_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_ssjoin_prefix",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || '_' || w[i+1] || '_' || w[i+2])
+             )) AS token
+      FROM ws WHERE len(w) >= 3
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.m AS size_a, sb.m AS size_b,
+           CAST((1000000 * inter) // (sa.m + sb.m - inter) AS BIGINT)
+             AS jacc_e6
+    FROM common
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE 1000000 * inter >= 500000 * (sa.m + sb.m - inter)
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join with PPJoin-style prefix
+    filtering (operators/dedup.py:set_similarity_join) — the scale
+    path for exact Jaccard dedup that the bounded inverted-index demo
+    (dedup_ngram_jaccard) could not be: candidate pairs come ONLY from
+    shared prefix tokens (each document's rarest ``m-⌈t·m⌉+1`` tokens
+    under a global ascending-document-frequency order), with length
+    and positional pruning inside the join condition, then an exact
+    integer verification join.  The ORACLE is the all-pairs exact
+    Jaccard join over the same word-3-gram shingle sets — a driver
+    hash match proves the prefix filter is LOSSLESS, not just fast.
+    All-BIGINT outputs (``jacc_e6`` is an exact integer floor
+    division), per the repo's hash discipline.
+
+    Reference parity anchor: the reference's dedup surface is
+    row-level (bigDataValidator validates row shapes, never
+    similarity); this is a north-star LLM-pipeline operator.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return D.set_similarity_join(
+        docs,
+        text_col="text",
+        id_col="doc_id",
+        n_words=3,
+        threshold_e6=500_000,
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "agg_incremental_join_mv",
+    oracle="""
+    WITH inc_orders AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000
+             + CASE WHEN o_orderkey % 5 = 0 THEN 10500000 ELSE 0 END
+               AS value_micro
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000
+      FROM orders WHERE o_orderkey % 13 = 0),
+    inc_cust AS (
+      SELECT c_custkey,
+             CAST(CASE WHEN c_custkey % 11 = 0
+                       THEN (c_nationkey + 1) % 25
+                       ELSE c_nationkey END AS BIGINT) AS c_nationkey
+      FROM customer)
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(value_micro) AS BIGINT) AS total_micro
+    FROM inc_orders JOIN inc_cust ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view (operators/
+    cdc.py:delta_join_view_rows) — the bilinear extension beyond the
+    single-table IVM twins: the maintained view is per-nation order
+    revenue, ``orders ⋈ customer GROUP BY c_nationkey``, and BOTH base
+    tables change (orders: %%7 deletes / %%5 price updates / %%13
+    inserts; customer: every %%11 customer MOVES to the next nation —
+    the payload-change case that re-routes every one of that
+    customer's old orders between groups).  The signed join delta
+    ``Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB`` feeds the same
+    apply_delta_to_group_totals as the single-table twin; neither base
+    join nor base aggregate is recomputed.  The ORACLE is the full
+    recompute over both new snapshots — the driver check IS
+    incremental-equals-recompute under simultaneous fact and dimension
+    churn.  BIGINT micro-units end-to-end (hash discipline).
+    """
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+        changeset_delta_rows,
+        delta_join_view_rows,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    micro = F.round(F.col("o_totalprice") * 100).cast("long") * 10000
+    cur_orders = o.select(
+        "o_orderkey", "o_custkey", micro.alias("value_micro")
+    )
+    inc_orders = (
+        o.filter(k % 7 != 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                micro
+                + F.when(k % 5 == 0, F.lit(10_500_000)).otherwise(F.lit(0))
+            ).alias("value_micro"),
+        )
+        .unionByName(
+            o.filter(k % 13 == 0).select(
+                (k + 100000000).alias("o_orderkey"),
+                "o_custkey",
+                micro.alias("value_micro"),
+            )
+        )
+    )
+    nat = F.col("c_nationkey").cast("long")
+    cur_cust = c.select("c_custkey", nat.alias("c_nationkey"))
+    inc_cust = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 11 == 0, (nat + 1) % 25)
+        .otherwise(nat)
+        .alias("c_nationkey"),
+    )
+    # The stored view: join-aggregate of the OLD snapshots.
+    summary = (
+        cur_orders.join(
+            F.broadcast(cur_cust),
+            cur_orders["o_custkey"] == cur_cust["c_custkey"],
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("value_micro").alias("value_micro"),
+        )
+    )
+    delta_o = changeset_delta_rows(
+        cur_orders, inc_orders, ["o_orderkey"], ["o_custkey", "value_micro"]
+    )
+    delta_c = changeset_delta_rows(
+        cur_cust, inc_cust, ["c_custkey"], ["c_nationkey"]
+    )
+    joined_delta = delta_join_view_rows(
+        a_old=cur_orders.select("o_orderkey", "o_custkey", "value_micro"),
+        delta_a=delta_o,
+        b_new=F.broadcast(inc_cust),
+        delta_b=delta_c,
+        left_key="o_custkey",
+        right_key="c_custkey",
+    )
+    view = apply_delta_to_group_totals(
+        summary,
+        joined_delta,
+        group_cols=["c_nationkey"],
+        sum_cols=["value_micro"],
+        count_col="n_rows",
+    )
+    return view.select(
+        "c_nationkey",
+        "n_rows",
+        F.col("value_micro").cast("long").alias("total_micro"),
+    ).orderBy("c_nationkey")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -7899,6 +8078,23 @@ _DEMOTED_TO_TAIL = [
     # every round (metrics trend, incremental MV, drift PSI — same
     # sink device); the original sink entry rests green r5-r7.
     "streaming_exactly_once_sink",
+    # ---- round-8 third rotation: seats for the session's new
+    # ---- capability entries.  Twin rationale:
+    # Green in ALL SEVEN driver rounds — the longest streak in the
+    # registry; its single-scan N-rule aggregation plan is pinned in
+    # tests/test_plans.py and the same fused-metrics shape runs inside
+    # streaming_metrics_trend's per-batch profiler every round.  Frees
+    # the seat for dedup_ssjoin_prefix (exact set-similarity join —
+    # the first entry whose oracle proves a candidate filter LOSSLESS).
+    "validation_summary_lineitem",
+    # Green r6+r7; the skew-advisor's aggregate-first estimation device
+    # is now driver-exercised by its CONSUMER: join_salted_skew (newly
+    # seated r8) executes the salted plan the advisor recommends, and
+    # the twin advisor profile_join_cardinality carries the same device
+    # with a green r6/r7 history.  Frees the seat for
+    # agg_incremental_join_mv (join-view IVM — both base tables
+    # changing, the bilinear delta the single-table twins can't cover).
+    "profile_key_skew",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

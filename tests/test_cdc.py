@@ -404,3 +404,110 @@ def test_incremental_minmax_retreat_and_passthrough(spark):
         ).collect()
     }
     assert got2 == want
+
+
+# --------------------------------------------------- join-view IVM
+
+def test_delta_join_view_equals_recompute(spark):
+    """The bilinear identity Δ(A⋈B) = ΔA⋈B_new ∪ A_old⋈ΔB, applied
+    through apply_delta_to_group_totals, lands on the same view a full
+    recompute builds — including the adversarial overlap case where an
+    order is DELETED in the same transition its customer MOVES groups
+    (the ΔA⋈B_new and A_old⋈ΔB terms partially cancel)."""
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+        changeset_delta_rows,
+        delta_join_view_rows,
+    )
+
+    # A: orders (okey -> ckey, v); B: customers (ckey -> grp)
+    a_old = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 20, 300), (4, 30, 400)],
+        ["okey", "ckey", "v"],
+    )
+    # okey 1 deleted; okey 2 value updated; okey 5 inserted (ckey 20)
+    a_new = spark.createDataFrame(
+        [(2, 10, 250), (3, 20, 300), (4, 30, 400), (5, 20, 500)],
+        ["okey", "ckey", "v"],
+    )
+    b_old = spark.createDataFrame(
+        [(10, "g1"), (20, "g1"), (30, "g2")], ["ckey", "grp"]
+    )
+    # customer 10 MOVES g1 -> g2 (while its order 1 is deleted and its
+    # order 2 is updated in the same transition)
+    b_new = spark.createDataFrame(
+        [(10, "g2"), (20, "g1"), (30, "g2")], ["ckey", "grp"]
+    )
+    summary = (
+        a_old.join(b_old, "ckey")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )
+    da = changeset_delta_rows(a_old, a_new, ["okey"], ["ckey", "v"])
+    db = changeset_delta_rows(b_old, b_new, ["ckey"], ["grp"])
+    joined = delta_join_view_rows(
+        a_old=a_old.select("okey", "ckey", "v"),
+        delta_a=da,
+        b_new=b_new,
+        delta_b=db,
+        left_key="ckey",
+        right_key="ckey",
+    )
+    got = {
+        (r.grp, r.n_rows, r.v)
+        for r in apply_delta_to_group_totals(
+            summary, joined, ["grp"], ["v"], count_col="n_rows"
+        ).collect()
+    }
+    want = {
+        (r.grp, r.n_rows, r.v)
+        for r in a_new.join(b_new, "ckey")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+        .collect()
+    }
+    assert got == want
+    # recompute: g1 = {o3:300} (o2 moved away with c10), n=1;
+    #            g2 = {o2:250, o4:400, o5? no - o5 is ckey20 g1} wait:
+    # o5(ckey20)->g1; so g1={o3:300,o5:500} n=2 v=800; g2={o2:250,o4:400}
+    assert want == {("g1", 2, 800), ("g2", 2, 650)}
+
+
+def test_delta_join_view_group_vanishes(spark):
+    """A group whose every joined row disappears must vanish from the
+    maintained view exactly as a recompute drops it."""
+    from big_data_validator_spark.operators.cdc import (
+        apply_delta_to_group_totals,
+        changeset_delta_rows,
+        delta_join_view_rows,
+    )
+
+    a_old = spark.createDataFrame([(1, 10, 100)], ["okey", "ckey", "v"])
+    a_new = spark.createDataFrame(
+        [], "okey bigint, ckey bigint, v bigint"
+    )
+    b = spark.createDataFrame([(10, "g1")], ["ckey", "grp"])
+    summary = (
+        a_old.join(b, "ckey")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )
+    da = changeset_delta_rows(a_old, a_new, ["okey"], ["ckey", "v"])
+    db = changeset_delta_rows(b, b, ["ckey"], ["grp"])
+    joined = delta_join_view_rows(
+        a_old=a_old, delta_a=da, b_new=b, delta_b=db,
+        left_key="ckey", right_key="ckey",
+    )
+    out = apply_delta_to_group_totals(
+        summary, joined, ["grp"], ["v"], count_col="n_rows"
+    ).collect()
+    assert out == []

@@ -201,6 +201,8 @@ def test_driver_window_is_all_oracled():
         "dedup_minhash_lsh", "dedup_winnowing", "dedup_simhash",
         "dedup_minhash_clusters", "sim_ann_lsh", "sim_ann_ivf",
         "sim_ann_pq",
+        # round-8 second-wave additions
+        "dedup_ssjoin_prefix", "agg_incremental_join_mv",
     ]:
         assert required in window, required
 

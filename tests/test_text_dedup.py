@@ -542,3 +542,111 @@ def test_bpe_learn_matches_textbook(spark):
     ).collect()[0]["toks"]
     flat = "".join(enc)
     assert flat == "newer" and len(enc) < 5  # merges actually applied
+
+
+# ------------------------------------------- exact set-similarity join
+
+def _brute_jaccard_pairs(rows, n, t_e6):
+    """Reference implementation: all-pairs exact word-n-gram Jaccard."""
+    import itertools
+
+    sets = {}
+    for did, text in rows:
+        ws = [w for w in text.lower().split(" ") if w]
+        sets[did] = (
+            frozenset(
+                "_".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            )
+            if len(ws) >= n
+            else frozenset()
+        )
+    out = []
+    for a, b in itertools.combinations(sorted(sets), 2):
+        A, B = sets[a], sets[b]
+        inter = len(A & B)
+        if inter and 1_000_000 * inter >= t_e6 * (len(A) + len(B) - inter):
+            out.append(
+                (
+                    a,
+                    b,
+                    inter,
+                    len(A),
+                    len(B),
+                    (1_000_000 * inter) // (len(A) + len(B) - inter),
+                )
+            )
+    return sorted(out)
+
+
+@pytest.mark.parametrize("t_e6", [300_000, 500_000, 800_000, 1_000_000])
+def test_ssjoin_equals_bruteforce(spark, t_e6):
+    """The prefix+length+positional filters are LOSSLESS: the joined
+    pair set equals all-pairs exact Jaccard at every threshold,
+    including t=1.0 (identical sets only)."""
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),            # identical to 1
+        (3, "a b c d e f g h i j k l"),        # superset of 1
+        (4, "z y x w v u t s r q"),            # disjoint
+        (5, "a b c d e f q r s t u v w x"),    # partial overlap
+        (6, "m n"),                            # too short: empty set
+        (7, "c d e f g h i j a b"),            # same set as 1, rotated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        tuple(r)
+        for r in D.set_similarity_join(
+            df, threshold_e6=t_e6
+        ).collect()
+    )
+    assert got == _brute_jaccard_pairs(rows, 3, t_e6)
+
+
+def test_ssjoin_prefix_actually_prunes(spark):
+    """The candidate generation must touch FEWER inverted-index rows
+    than the full token relation: prefix length m-ceil(t*m)+1 < m for
+    any set with >1 token at t=0.5.  Checked structurally: the pairs
+    produced by joining FULL token lists differ from the prefix join's
+    candidate count on a corpus with a universally-shared stop token
+    (the stop token never enters any prefix, so the quadratic bucket
+    it would create is never formed)."""
+    # 40 docs, all sharing one hot trigram ("x x x"), pairwise Jaccard
+    # far below threshold except one planted dup pair.
+    rows = [
+        (i, f"x x x u{i} v{i} w{i} p{i} q{i} r{i} s{i}")
+        for i in range(40)
+    ]
+    rows.append((100, rows[0][1]))  # exact dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.set_similarity_join(df, threshold_e6=500_000).collect()
+    assert [(r.id_a, r.id_b, r.jacc_e6) for r in out] == [(0, 100, 1_000_000)]
+    # structural: the hot token 'x_x_x' (df=41) is in NO prefix — every
+    # doc's 8-shingle set has prefix length 8-4+1=5, and the five
+    # rarest tokens of each doc are its unique u/v/w/p/q shingles.
+    sets_df = D.word_shingle_sets(df, "text", "doc_id", 3)
+    tok = sets_df.select(
+        "id",
+        F.size("shingles").alias("m"),
+        F.explode("shingles").alias("token"),
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    from pyspark.sql import Window
+
+    ranked = tok.join(dfreq, "token").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("id").orderBy("_df", "token")),
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("m") - F.floor((F.lit(500_000) * F.col("m") + 499_999) / F.lit(1_000_000)) + 1
+    )
+    hot_in_prefix = prefix.filter(F.col("token") == "x_x_x").count()
+    assert hot_in_prefix == 0
+
+
+def test_ssjoin_rejects_bad_threshold(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        D.set_similarity_join(df, threshold_e6=0)
+    with pytest.raises(ValueError):
+        D.set_similarity_join(df, threshold_e6=1_000_001)
