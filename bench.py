@@ -199,6 +199,8 @@ HEADLINE = [
     "join_salted_skew",
     "dedup_ssjoin_prefix",
     "agg_incremental_join_mv",
+    "ts_rollup_cascade",
+    "topk_pareto_frontier",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

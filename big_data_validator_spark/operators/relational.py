@@ -1278,3 +1278,68 @@ def salted_skew_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt)])),
     )
     return b.join(s, keys + [salt_col], how).drop(salt_col)
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    cost_col: str,
+    gain_col: str,
+    prefilter_buckets: Optional[int] = 64,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the rows no other row dominates,
+    where ``q`` dominates ``p`` iff ``q.cost ≤ p.cost ∧ q.gain ≥
+    p.gain`` with at least one strict.  Ties that dominate in neither
+    direction (equal cost AND equal gain) all stay on the frontier
+    (multiset semantics — matches the NOT EXISTS formulation oracles
+    use).
+
+    Both columns must be integral (the strictly-cheaper window below
+    uses a RANGE frame with offset −1, exact only on integers — scale
+    floats to cents/micros first, which the repo's hash discipline
+    demands anyway).
+
+    Exact window formulation, one pass, no self-join: sort by cost;
+    a row survives iff its gain exceeds the running max gain over all
+    STRICTLY cheaper rows (``RANGE UNBOUNDED PRECEDING .. -1``) and it
+    carries the max gain within its own cost (same-cost dominance).
+
+    Scale shape: the final window is a global sort — the classic
+    skyline bottleneck — so a LOCAL PREFILTER runs first when
+    ``prefilter_buckets`` is set: rows are hash-bucketed and the SAME
+    survivor predicate runs per bucket.  A bucket-local skyline is a
+    superset of the global one restricted to that bucket (dominance
+    by a row outside the bucket is not tested locally, and dominance
+    is transitive: any global survivor survives every subset), so the
+    global pass sees only Σ per-bucket frontiers — typically
+    O(buckets · frontier) rows instead of the table.  The global sort
+    never touches the full input.
+    """
+    cost, gain = F.col(cost_col), F.col(gain_col)
+
+    def survivors(frame: DataFrame, *part_cols: str) -> DataFrame:
+        strictly_cheaper = (
+            Window.partitionBy(*part_cols)
+            .orderBy(cost_col)
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        same_cost = Window.partitionBy(*part_cols, cost_col)
+        return (
+            frame.withColumn("_best_cheaper", F.max(gain).over(strictly_cheaper))
+            .withColumn("_best_same", F.max(gain).over(same_cost))
+            .filter(
+                (F.col("_best_cheaper").isNull() | (gain > F.col("_best_cheaper")))
+                & (gain == F.col("_best_same"))
+            )
+            .drop("_best_cheaper", "_best_same")
+        )
+
+    if prefilter_buckets:
+        local = survivors(
+            df.withColumn(
+                "_skyb",
+                F.pmod(F.xxhash64(cost, gain), F.lit(prefilter_buckets)),
+            ),
+            "_skyb",
+        ).drop("_skyb")
+        return survivors(local)
+    return survivors(df)

@@ -176,3 +176,83 @@ def time_weighted_daily_avg(
             "twap_e4"
         ),
     )
+
+
+def cascade_rollup_refresh(
+    base_new: DataFrame,
+    hourly_old: DataFrame,
+    daily_old: DataFrame,
+    late: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> tuple[DataFrame, DataFrame]:
+    """Continuous-aggregate CASCADE refresh (the hypertable-rollup
+    shape): a raw event stream maintains an hourly materialized
+    rollup, and the DAILY rollup is maintained FROM the hourly one —
+    late-arriving rows dirty only their own buckets, and dirtiness
+    propagates up the cascade instead of triggering any full
+    recompute.
+
+    - ``dirty hours``  = distinct ``(hour_bucket, key…)`` groups of the
+      LATE rows — change-rate-sized;
+    - hourly refresh   = untouched hourly groups pass through via LEFT
+      ANTI join (their stored rows are provably current: no late row
+      mentioned them), dirty groups recompute from ``base_new``
+      restricted by a LEFT SEMI join (at 100 TB the base is
+      partitioned by event date, so the semi join prunes to the dirty
+      buckets' partitions — cold history is never re-read);
+    - ``dirty days``   = the dirty hours' days;
+    - daily refresh    = untouched daily groups pass through; dirty
+      days re-aggregate FROM THE REFRESHED HOURLY LAYER (count-sum +
+      sum-sum are distributive), so the raw table is touched exactly
+      once per refresh no matter how many rollup resolutions stack.
+
+    ``hourly_old`` / ``daily_old`` carry ``(bucket, key…, count_col,
+    sum_cols…)`` with an ``hour``/``day`` timestamp-truncated bucket
+    column; all value columns must be integral (BIGINT) per the repo's
+    exact-arithmetic discipline.  Returns the refreshed
+    ``(hourly_new, daily_new)`` — each equal to a full recompute, a
+    fact the oracle-checked registry entry pins.
+    """
+    keys = list(key_cols)
+    sums = list(sum_cols)
+    hour_of = F.date_trunc("hour", F.col(ts_col)).alias("hour")
+    dirty_hours = late.select(hour_of, *keys).distinct()
+    hourly_aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
+        F.sum(c).cast("long").alias(c) for c in sums
+    ]
+    recomputed_h = (
+        base_new.select(hour_of, *keys, *sums)
+        .join(dirty_hours, ["hour", *keys], "left_semi")
+        .groupBy("hour", *keys)
+        .agg(*hourly_aggs)
+    )
+    untouched_h = hourly_old.join(
+        dirty_hours, ["hour", *keys], "left_anti"
+    ).select("hour", *keys, count_col, *sums)
+    hourly_new = untouched_h.unionByName(recomputed_h)
+
+    dirty_days = dirty_hours.select(
+        F.date_trunc("day", F.col("hour")).alias("day"), *keys
+    ).distinct()
+    daily_aggs = [F.sum(count_col).cast("long").alias(count_col)] + [
+        F.sum(c).cast("long").alias(c) for c in sums
+    ]
+    recomputed_d = (
+        hourly_new.select(
+            F.date_trunc("day", F.col("hour")).alias("day"),
+            *keys,
+            count_col,
+            *sums,
+        )
+        .join(dirty_days, ["day", *keys], "left_semi")
+        .groupBy("day", *keys)
+        .agg(*daily_aggs)
+    )
+    untouched_d = daily_old.join(
+        dirty_days, ["day", *keys], "left_anti"
+    ).select("day", *keys, count_col, *sums)
+    daily_new = untouched_d.unionByName(recomputed_d)
+    return hourly_new, daily_new

