@@ -201,6 +201,7 @@ HEADLINE = [
     "agg_incremental_join_mv",
     "ts_rollup_cascade",
     "topk_pareto_frontier",
+    "graph_pagerank_flow",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

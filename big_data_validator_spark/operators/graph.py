@@ -1,0 +1,92 @@
+"""Graph analytics over relational edge lists.
+
+The registry's only graph surface so far was connected components
+(dedup clustering, ``operators/dedup.py:duplicate_clusters``); this
+module adds link analysis — PageRank over an edge relation — in the
+repo's exact-integer discipline so the iterative computation is
+oracle-checkable bit-for-bit across engines.
+
+Scale design
+------------
+
+- Edges are a DataFrame, never an adjacency structure on the driver;
+  each iteration is one (rank ⋈ edges) key join + one ``dst``
+  aggregation — the standard vertex-centric shape, AQE-planned.
+- The ``(src, dst, out_degree)`` relation is reused every iteration —
+  callers should persist it (the registry entry pins it via the
+  ``_bdv_pinned``/materialize_release device); iteration count is a
+  small constant (monitoring-grade centrality, not convergence runs).
+- All arithmetic is BIGINT: ranks are fixed-point integers, per-edge
+  contributions are floor divisions, damping is a rational
+  ``num/den`` applied as ``(num·Σ) div den``.  Integer sums are
+  ORDER-INDEPENDENT (float sums are not, which is what makes naive
+  PageRank un-oracleable cross-engine).  Under ANSI mode an overflow
+  raises loudly; with the default ``init=1e12`` the headroom bound is
+  ``85 · Σ_incoming rank/outdeg < 2⁶³`` — a single node fed by ~10⁵
+  out-degree-1 sources at full initial mass.  Scale ``init`` down for
+  graphs beyond that.
+
+The reference validator has no graph surface at all (row-local rules
+only — ``reference/bigDataValidator``); this extends the north-star
+event/profiling families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    init: int = 10**12,
+) -> DataFrame:
+    """Fixed-point integer PageRank: ``iters`` synchronous iterations
+    of ``r' = base + (d·Σ_in (r div outdeg)) div den`` over the
+    DISTINCT edge set, with ``base = ((den−num)·init) div den``
+    uniform per node and no dangling-mass redistribution (sinks keep
+    what flows in; the simplification is mirrored exactly by the
+    oracle).  Every operation is BIGINT, so the result is exact and
+    engine-portable.
+
+    Returns ``(node, rank_q)`` for every node (sources, sinks, both).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    outd = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
+    ew = e.join(outd, "_src")
+    base = ((damping_den - damping_num) * init) // damping_den
+    r = nodes.select("node", F.lit(init).cast("long").alias("rank_q"))
+    for _ in range(iters):
+        contrib = ew.join(
+            r, ew["_src"] == r["node"]
+        ).select(
+            F.col("_dst").alias("node"),
+            F.expr("rank_q div _od").alias("_c"),
+        )
+        insum = contrib.groupBy("node").agg(F.sum("_c").alias("_m"))
+        r = nodes.join(insum, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(_m, 0L)) div {damping_den}"
+                )
+            )
+            .cast("long")
+            .alias("rank_q"),
+        )
+    return r

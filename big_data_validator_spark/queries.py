@@ -7766,6 +7766,92 @@ def topk_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "price_cents", "p_size").orderBy("p_partkey")
 
 
+@query(
+    "graph_pagerank_flow",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS MATERIALIZED (
+      SELECT src AS node FROM e UNION SELECT dst FROM e),
+    outd AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY 1),
+    r0 AS MATERIALIZED (
+      SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+    i1 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(r0.r // outd.od) AS m
+        FROM e JOIN r0 ON r0.node = e.src
+               JOIN outd ON outd.src = e.src
+        GROUP BY 1) s ON s.node = n.node),
+    i2 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(i1.r // outd.od) AS m
+        FROM e JOIN i1 ON i1.node = e.src
+               JOIN outd ON outd.src = e.src
+        GROUP BY 1) s ON s.node = n.node),
+    i3 AS MATERIALIZED (
+      SELECT n.node,
+             CAST(150000000000 + (85 * COALESCE(s.m, 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(i2.r // outd.od) AS m
+        FROM e JOIN i2 ON i2.node = e.src
+               JOIN outd ON outd.src = e.src
+        GROUP BY 1) s ON s.node = n.node)
+    SELECT node, r AS rank_q FROM i3
+    WHERE node LIKE 's%' ORDER BY node
+    """,
+)
+def graph_pagerank_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank over the customer→supplier flow graph
+    (operators/graph.py:pagerank_integer — the registry's first link-
+    analysis entry): edges are the DISTINCT (customer, supplier) pairs
+    an order connects (orders ⋈ lineitem), three synchronous
+    iterations of ``r' = base + (85·Σ_in (r div outdeg)) div 100`` in
+    pure BIGINT fixed-point — integer sums are order-independent, so
+    an ITERATIVE graph algorithm becomes exactly oracle-checkable
+    where float PageRank never could be.  The ORACLE unrolls the three
+    iterations as MATERIALIZED CTEs (the text_bpe_learn device).
+    Ships the supplier ranks (sinks that accumulate flow), ordered by
+    node.  The edge+outdegree relation is pinned/cached across
+    iterations and released after materialization (the repo's
+    _bdv_pinned device), so the base join runs once, not per
+    iteration.
+    """
+    from big_data_validator_spark.operators.graph import pagerank_integer
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .cache()
+    )
+    ranks = pagerank_integer(edges, iters=3)
+    out = (
+        ranks.filter(F.col("node").startswith("s"))
+        .select("node", "rank_q")
+        .orderBy("node")
+    )
+    return D.materialize_release(out, edges)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8234,6 +8320,14 @@ _DEMOTED_TO_TAIL = [
     # skyline operator — multi-objective top-k, a new sort-family
     # capability whose oracle is an independent NOT EXISTS formulation).
     "text_bpe_encode",
+    # Green r5+r6+r7; the CDC family keeps cdc_apply_changeset
+    # in-window, which RUNS snapshot_changeset internally (MERGE
+    # consumes the changeset), and changeset semantics are further
+    # driver-exercised by the three IVM entries' delta feeds every
+    # round.  Frees the seat for graph_pagerank_flow (the registry's
+    # first link-analysis entry — iterative integer PageRank, exactly
+    # oracled via unrolled materialized CTEs).
+    "cdc_changeset_orders",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -179,7 +179,9 @@ def test_driver_window_is_all_oracled():
         "sample_weighted_orders", "pipeline_curate_pack",
         "corpus_mixture_apply", "quality_gopher_flags",
         "pii_redaction_scan", "contamination_probes",
-        "train_shuffle_shards", "cdc_changeset_orders",
+        "train_shuffle_shards",
+        # (cdc_changeset_orders got green r5-r7 rows and rests in r8;
+        # cdc_apply_changeset runs snapshot_changeset inside its MERGE)
         "drift_text_kl", "mining_frequent_pairs",
         "gen_synthetic_validated",
         # round-6 additions: each must get its driver-green row
@@ -208,6 +210,7 @@ def test_driver_window_is_all_oracled():
         # round-8 second-wave additions
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
         "ts_rollup_cascade", "topk_pareto_frontier",
+        "graph_pagerank_flow",
     ]:
         assert required in window, required
 
