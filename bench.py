@@ -202,6 +202,7 @@ HEADLINE = [
     "ts_rollup_cascade",
     "topk_pareto_frontier",
     "graph_pagerank_flow",
+    "rule_outlier_mad",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

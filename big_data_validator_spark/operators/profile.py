@@ -719,3 +719,69 @@ def fd_discovery_composite(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def robust_outlier_mad(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_e4: int = 30_000,
+    scale_e4: int = 14_826,
+) -> DataFrame:
+    """Robust per-group outlier screen on median/MAD — the
+    heavy-tail-safe sibling of the mean/σ z-score rule (one extreme
+    row inflates σ and HIDES other outliers; the median and the
+    median absolute deviation have 50% breakdown).  A row is flagged
+    when ``|x − median| > (k · 1.4826) · MAD`` (1.4826 ≈ the
+    σ-consistency constant for normal data, carried as the rational
+    ``scale_e4/1e4`` so the comparison stays exact).
+
+    Cross-engine exactness without integers-only: ``value_col`` must
+    be integral (cents), so the interpolated median lands on 0.5
+    steps and the MAD on 0.25 steps — both binary fractions, exact in
+    doubles, and every product below stays under 2⁵³ — hence the
+    shipped ``median_x2``/``mad_x4`` BIGINT columns are engine-exact.
+
+    Plan: two aggregation passes (median, then MAD of deviations)
+    plus the final flag count — medians per group, joined back
+    broadcast (group cardinality is small by construction of a
+    grouped rule).  At 100 TB with huge groups, swap the exact
+    percentile buffer for the two-pass equidepth device
+    (operators/sampling.py) — the rule's contract is the flag
+    predicate, not the percentile algorithm.
+    """
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), group_col)
+        .withColumn(
+            "_is_out",
+            (F.col("_adev") * 10_000 * 10_000)
+            > (F.lit(k_e4) * F.lit(scale_e4) * F.col("_mad")),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum(F.col("_is_out").cast("long"))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, group_col)
+        .join(flagged, group_col)
+        .select(
+            group_col,
+            "n_rows",
+            (F.col("_med") * 2).cast("long").alias("median_x2"),
+            (F.col("_mad") * 4).cast("long").alias("mad_x4"),
+            "n_outliers",
+        )
+    )

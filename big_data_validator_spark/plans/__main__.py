@@ -117,6 +117,7 @@ PLAN_QUERIES = [
     "dedup_ssjoin_prefix",
     "ts_rollup_cascade",
     "topk_pareto_frontier",
+    "rule_outlier_mad",
     # graph_pagerank_flow is in the eager-materialization class (its
     # cached edge relation is released via materialize_release, so the
     # returned frame is a LocalTableScan); the per-iteration join+agg

@@ -7852,6 +7852,64 @@ def graph_pagerank_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out, edges)
 
 
+@query(
+    "rule_outlier_mad",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    med AS (
+      SELECT o_orderpriority, median(cents) AS med,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM x GROUP BY 1),
+    dev AS (
+      SELECT x.o_orderpriority, abs(cents - med) AS adev
+      FROM x JOIN med USING (o_orderpriority)),
+    mad AS (
+      SELECT o_orderpriority, median(adev) AS mad
+      FROM dev GROUP BY 1),
+    outl AS (
+      SELECT dev.o_orderpriority,
+             CAST(SUM(CASE WHEN adev * 10000 * 10000
+                                > (30000 * 14826) * mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev JOIN mad USING (o_orderpriority) GROUP BY 1)
+    SELECT med.o_orderpriority, n_rows,
+           CAST(med * 2 AS BIGINT) AS median_x2,
+           CAST(mad * 4 AS BIGINT) AS mad_x4,
+           n_outliers
+    FROM med JOIN mad USING (o_orderpriority)
+             JOIN outl USING (o_orderpriority)
+    ORDER BY 1
+    """,
+)
+def rule_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier rule (operators/profile.py:
+    robust_outlier_mad) — the 50%-breakdown sibling of
+    rule_outlier_zscore: one planted extreme inflates a z-score's σ
+    and hides every other outlier, while the median and the median
+    absolute deviation shrug it off.  Flag: ``|x − median| >
+    3·1.4826·MAD`` with the consistency constant carried as the exact
+    rational 14826/10⁴.  Cross-engine exactness comes from cents
+    integers: the interpolated median lands on 0.5 steps and the MAD
+    on 0.25 steps — binary fractions, exact in doubles, every product
+    single-rounded IEEE — so the shipped ``median_x2``/``mad_x4``
+    BIGINTs and the flag count hash identically on both engines.
+    """
+    from big_data_validator_spark.operators.profile import (
+        robust_outlier_mad,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return robust_outlier_mad(
+        o, group_col="o_orderpriority", value_col="cents"
+    ).orderBy("o_orderpriority")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8328,6 +8386,13 @@ _DEMOTED_TO_TAIL = [
     # first link-analysis entry — iterative integer PageRank, exactly
     # oracled via unrolled materialized CTEs).
     "cdc_changeset_orders",
+    # Green r5+r6+r7; the curation family keeps THREE in-window seats
+    # (Gopher gates, PII scan, k-anonymity), and the contamination
+    # probe semantics stay pytest-pinned against the Aho-Corasick twin
+    # (tests/test_curation_automaton.py: broadcast-NLJ == automaton).
+    # Frees the seat for rule_outlier_mad (the robust median/MAD
+    # monitor — 50%-breakdown outlier screen the z-score rule lacks).
+    "contamination_probes",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

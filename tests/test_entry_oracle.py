@@ -178,7 +178,9 @@ def test_driver_window_is_all_oracled():
         "text_unigram_lm_score",
         "sample_weighted_orders", "pipeline_curate_pack",
         "corpus_mixture_apply", "quality_gopher_flags",
-        "pii_redaction_scan", "contamination_probes",
+        "pii_redaction_scan",
+        # (contamination_probes got green r5-r7 rows and rests in r8;
+        # the automaton-parity pytest pins its semantics)
         "train_shuffle_shards",
         # (cdc_changeset_orders got green r5-r7 rows and rests in r8;
         # cdc_apply_changeset runs snapshot_changeset inside its MERGE)
@@ -210,7 +212,7 @@ def test_driver_window_is_all_oracled():
         # round-8 second-wave additions
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
         "ts_rollup_cascade", "topk_pareto_frontier",
-        "graph_pagerank_flow",
+        "graph_pagerank_flow", "rule_outlier_mad",
     ]:
         assert required in window, required
 

@@ -317,3 +317,50 @@ def test_fd_discovery_composite_pruning_and_minimality(spark):
     # a failing composite is measured, not just flagged: {a,d} → b fails
     holds, viol = out[("a+d", "b")]
     assert holds is False and viol == 2  # both (x,dx) and (y,dy) map to 2 b's
+
+
+# --------------------------------------------------- robust MAD rule
+
+def test_mad_outlier_hand_values(spark):
+    """Exact median (0.5-step) and MAD (0.25-step) on a hand set, and
+    the flag count under |x-med| > 3*1.4826*MAD."""
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.profile import (
+        robust_outlier_mad,
+    )
+
+    # values 10,12,14,16,1000 -> med 14; adev 4,2,0,2,986 -> mad 2
+    rows = [("g", v) for v in [10, 12, 14, 16, 1000]]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    out = robust_outlier_mad(df, "grp", "v").collect()[0]
+    assert out.n_rows == 5
+    assert out.median_x2 == 28       # med 14
+    assert out.mad_x4 == 8           # mad 2
+    # threshold = 3*1.4826*2 = 8.8956 -> only 986 exceeds
+    assert out.n_outliers == 1
+
+
+def test_mad_survives_breakdown_where_zscore_hides(spark):
+    """One colossal outlier inflates sigma enough that a clearly
+    anomalous second point sits under 3 sigma — the z-score rule finds
+    only 1 outlier; median/MAD flags both (50% breakdown point)."""
+    from pyspark.sql import functions as F
+
+    from big_data_validator_spark.operators.profile import (
+        robust_outlier_mad,
+    )
+
+    base = [("g", 100 + (i % 7)) for i in range(60)]
+    rows = base + [("g", 10_000_000), ("g", 500)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    mad_out = robust_outlier_mad(df, "grp", "v").collect()[0]
+    assert mad_out.n_outliers == 2
+    # z-score on the same data: sigma is dominated by the 1e7 point
+    stats = df.groupBy("grp").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sd")
+    ).collect()[0]
+    z_flagged = df.filter(
+        F.abs(F.col("v") - stats.mu) > 3 * stats.sd
+    ).count()
+    assert z_flagged == 1  # the 500 hides under the inflated sigma
