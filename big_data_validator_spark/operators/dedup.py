@@ -1216,7 +1216,14 @@ def set_similarity_join(
         raise ValueError(f"threshold_e6 out of (0, 1e6]: {threshold_e6}")
     t = F.lit(int(threshold_e6))
     e6 = F.lit(1_000_000)
-    sets_df = word_shingle_sets(df, text_col, id_col, n_words)
+    # The shingle-set relation feeds four branches (token frequencies,
+    # the ranked prefix, and both verification legs); caching the
+    # PRE-explosion sets keeps the corpus scan + shingling single —
+    # each branch re-explodes from the cached arrays, which is pure
+    # CPU.  Pinned on the result as _bdv_pinned; the registry entry
+    # releases it after materialization (the repo's cache-hygiene
+    # device).
+    sets_df = word_shingle_sets(df, text_col, id_col, n_words).cache()
     tok = sets_df.select(
         "id",
         F.size("shingles").alias("m"),
@@ -1272,7 +1279,7 @@ def set_similarity_join(
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         inter.filter(
             e6 * F.col("inter")
             >= t * (F.col("size_a") + F.col("size_b") - F.col("inter"))
@@ -1288,3 +1295,5 @@ def set_similarity_join(
             ).alias("jacc_e6"),
         )
     )
+    out._bdv_pinned = [sets_df]
+    return out

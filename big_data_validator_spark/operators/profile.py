@@ -742,10 +742,16 @@ def robust_outlier_mad(
     doubles, and every product below stays under 2⁵³ — hence the
     shipped ``median_x2``/``mad_x4`` BIGINT columns are engine-exact.
 
-    Plan: two aggregation passes (median, then MAD of deviations)
-    plus the final flag count — medians per group, joined back
-    broadcast (group cardinality is small by construction of a
-    grouped rule).  At 100 TB with huge groups, swap the exact
+    Plan: THREE base passes — the exact minimum for a grouped exact
+    MAD (median first, then the deviation distribution's median, then
+    the flags).  The per-group ``median``/``MAD`` relations are
+    |groups|-row tiny, CACHED (pinned on the result as
+    ``_bdv_pinned``; callers release via
+    :func:`big_data_validator_spark.operators.dedup.
+    materialize_release`) and broadcast back, so neither median
+    subtree ever recomputes and the final pass folds the flag count,
+    row count, and both statistics into ONE aggregation — no final
+    multi-join.  At 100 TB with huge groups, swap the exact
     percentile buffer for the two-pass equidepth device
     (operators/sampling.py) — the rule's contract is the flag
     predicate, not the percentile algorithm.
@@ -753,14 +759,14 @@ def robust_outlier_mad(
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("_med"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-    )
+    ).cache()
     dev = df.join(F.broadcast(med), group_col).withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("_med"))
     )
     mad = dev.groupBy(group_col).agg(
         F.expr("percentile(_adev, 0.5)").alias("_mad")
-    )
-    flagged = (
+    ).cache()
+    out = (
         dev.join(F.broadcast(mad), group_col)
         .withColumn(
             "_is_out",
@@ -769,19 +775,16 @@ def robust_outlier_mad(
         )
         .groupBy(group_col)
         .agg(
+            F.first("n_rows").alias("n_rows"),
+            (F.first("_med") * 2).cast("long").alias("median_x2"),
+            (F.first("_mad") * 4).cast("long").alias("mad_x4"),
             F.sum(F.col("_is_out").cast("long"))
             .cast("long")
-            .alias("n_outliers")
+            .alias("n_outliers"),
         )
-    )
-    return (
-        med.join(mad, group_col)
-        .join(flagged, group_col)
         .select(
-            group_col,
-            "n_rows",
-            (F.col("_med") * 2).cast("long").alias("median_x2"),
-            (F.col("_mad") * 4).cast("long").alias("mad_x4"),
-            "n_outliers",
+            group_col, "n_rows", "median_x2", "mad_x4", "n_outliers"
         )
     )
+    out._bdv_pinned = [med, mad]
+    return out

@@ -219,7 +219,11 @@ def cascade_rollup_refresh(
     keys = list(key_cols)
     sums = list(sum_cols)
     hour_of = F.date_trunc("hour", F.col(ts_col)).alias("hour")
-    dirty_hours = late.select(hour_of, *keys).distinct()
+    # Both dirty relations are consumed twice (semi + anti legs) and
+    # are change-rate-sized; caching them keeps the late scan single
+    # and the two legs co-consistent.  Pinned on the returned daily
+    # frame as _bdv_pinned; callers release after materializing.
+    dirty_hours = late.select(hour_of, *keys).distinct().cache()
     hourly_aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
         F.sum(c).cast("long").alias(c) for c in sums
     ]
@@ -236,7 +240,7 @@ def cascade_rollup_refresh(
 
     dirty_days = dirty_hours.select(
         F.date_trunc("day", F.col("hour")).alias("day"), *keys
-    ).distinct()
+    ).distinct().cache()
     daily_aggs = [F.sum(count_col).cast("long").alias(count_col)] + [
         F.sum(c).cast("long").alias(c) for c in sums
     ]
@@ -255,4 +259,5 @@ def cascade_rollup_refresh(
         dirty_days, ["day", *keys], "left_anti"
     ).select("day", *keys, count_col, *sums)
     daily_new = untouched_d.unionByName(recomputed_d)
+    daily_new._bdv_pinned = [dirty_hours, dirty_days]
     return hourly_new, daily_new

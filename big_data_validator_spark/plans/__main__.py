@@ -114,10 +114,17 @@ PLAN_QUERIES = [
     # tests.  profile_fd_composite is lattice-controlled over an eager
     # localCheckpoint like profile_fd_discovery — same exclusion.)
     "agg_incremental_minmax",
-    "dedup_ssjoin_prefix",
-    "ts_rollup_cascade",
+    # dedup_ssjoin_prefix is in the eager-materialization class (its
+    # cached shingle-set relation is released via materialize_release);
+    # the prefix-prune shape is pinned in tests/test_text_dedup.py.
+    # ts_rollup_cascade joined the eager-materialization class in r8
+    # (cached stored-rollup + dirty relations released via
+    # materialize_release); its semi/anti pass-through shape is pinned
+    # in tests/test_timeseries.py (poisoned-row pass-through test).
     "topk_pareto_frontier",
-    "rule_outlier_mad",
+    # rule_outlier_mad is in the eager-materialization class (pinned
+    # med/MAD caches released via materialize_release); its 3-pass
+    # shape is pinned in tests/test_profile.py.
     # graph_pagerank_flow is in the eager-materialization class (its
     # cached edge relation is released via materialize_release, so the
     # returned frame is a LocalTableScan); the per-iteration join+agg

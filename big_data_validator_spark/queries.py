@@ -7512,13 +7512,16 @@ def dedup_ssjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity); this is a north-star LLM-pipeline operator.
     """
     docs = _t(spark, sf_dir, "documents")
-    return D.set_similarity_join(
+    res = D.set_similarity_join(
         docs,
         text_col="text",
         id_col="doc_id",
         n_words=3,
         threshold_e6=500_000,
-    ).orderBy("id_a", "id_b")
+    )
+    out = res.orderBy("id_a", "id_b")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
 
 
 @query(
@@ -7702,6 +7705,12 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("val_cents").cast("long").alias("val_cents"),
         )
     )
+    # The stored rollups are small (hours × types); caching them keeps
+    # this simulation of "stored MV" at one base scan per layer and the
+    # anti/semi legs co-consistent.  Released below with the operator's
+    # own pinned dirty relations after materialization.
+    hourly_old = hourly_old.cache()
+    daily_old = daily_old.cache()
     _, daily_new = cascade_rollup_refresh(
         base_new=ev,
         hourly_old=hourly_old,
@@ -7712,12 +7721,14 @@ def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols=["val_cents"],
         count_col="n_rows",
     )
-    return daily_new.select(
+    out = daily_new.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "event_type",
         "n_rows",
         "val_cents",
     ).orderBy("day", "event_type")
+    out._bdv_pinned = D.pinned_caches(daily_new) + [hourly_old, daily_old]
+    return D.materialize_release(out)
 
 
 @query(
@@ -7905,9 +7916,12 @@ def rule_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    return robust_outlier_mad(
+    res = robust_outlier_mad(
         o, group_col="o_orderpriority", value_col="cents"
-    ).orderBy("o_orderpriority")
+    )
+    out = res.orderBy("o_orderpriority")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
 
 
 # =====================================================================
