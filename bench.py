@@ -203,6 +203,7 @@ HEADLINE = [
     "topk_pareto_frontier",
     "graph_pagerank_flow",
     "rule_outlier_mad",
+    "events_rolling_distinct",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -239,3 +239,53 @@ def weekday_seasonal_anomalies(
             F.abs(z) > F.lit(float(z_threshold)), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def rolling_distinct_counts(
+    events: DataFrame,
+    entity_col: str,
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-window DISTINCT entity counts per day (e.g. 7-day
+    active users) — the sliding aggregate Spark's window functions
+    cannot express (``COUNT(DISTINCT) OVER (RANGE …)`` is unsupported
+    because distinctness doesn't decompose into a running frame).
+
+    Device: bounded INTERVAL EXPLODE.  Dedupe to one row per
+    ``(entity, day)``, then each such row contributes to the
+    ``window_days`` report days it is visible from
+    (``sequence(day, day + w−1)`` + explode), and a per-day
+    ``count(DISTINCT entity)`` absorbs the multi-day entities.  Cost
+    is ``window_days × |entity-days|`` shuffle rows — LINEAR in the
+    data with a small constant, vs the quadratic day×day self-join
+    the naive formulation needs; no global sort anywhere.  Report
+    days are restricted to days that exist in the data (inner join
+    against the observed-day set), matching the SQL oracle's
+    formulation.
+
+    Returns ``(day, distinct_entities)`` — ``day`` a date-truncated
+    timestamp, the count BIGINT.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.date_trunc("day", F.col(ts_col)).alias("day")
+    ed = events.select(F.col(entity_col).alias("_e"), day).distinct()
+    observed = ed.select("day").distinct()
+    contrib = ed.select(
+        "_e",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr(f"INTERVAL {window_days - 1} DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.join(observed, "day")
+        .groupBy("day")
+        .agg(
+            F.countDistinct("_e").cast("long").alias("distinct_entities")
+        )
+    )

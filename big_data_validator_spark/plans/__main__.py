@@ -122,6 +122,7 @@ PLAN_QUERIES = [
     # materialize_release); its semi/anti pass-through shape is pinned
     # in tests/test_timeseries.py (poisoned-row pass-through test).
     "topk_pareto_frontier",
+    "events_rolling_distinct",
     # rule_outlier_mad is in the eager-materialization class (pinned
     # med/MAD caches released via materialize_release); its 3-pass
     # shape is pinned in tests/test_profile.py.

@@ -7924,6 +7924,48 @@ def rule_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out)
 
 
+@query(
+    "events_rolling_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+             AS distinct_entities
+    FROM days d JOIN ud u
+      ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day ORDER BY 1
+    """,
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day DISTINCT active users per day
+    (operators/events_analytics.py:rolling_distinct_counts) — the
+    sliding aggregate no Spark window function can express
+    (``COUNT(DISTINCT) OVER (RANGE …)`` doesn't decompose into a
+    running frame).  The Spark device is a bounded interval explode
+    (each (user, day) row feeds the 7 report days it is visible
+    from — linear shuffle volume, window_days constant); the ORACLE
+    is the independent day×activity range-join formulation — two
+    different algorithms, one exact answer.
+    """
+    from big_data_validator_spark.operators.events_analytics import (
+        rolling_distinct_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        rolling_distinct_counts(
+            ev, entity_col="user_id", ts_col="ts", window_days=7
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "distinct_entities",
+        )
+        .orderBy("day")
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8407,6 +8449,13 @@ _DEMOTED_TO_TAIL = [
     # Frees the seat for rule_outlier_mad (the robust median/MAD
     # monitor — 50%-breakdown outlier screen the z-score rule lacks).
     "contamination_probes",
+    # Green r5+r6+r7; corpus_mixture_apply (required seat) recomputes
+    # the same Gopher-style quality gates end-to-end every round, and
+    # the gate thresholds are fixture-pinned in tests/test_curation.py.
+    # Frees the seat for events_rolling_distinct (trailing-window
+    # DISTINCT counts — the sliding aggregate window functions cannot
+    # express, via the bounded interval-explode device).
+    "quality_gopher_flags",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -23,6 +23,13 @@ TOP = [
     # exactly where 10x keys x 10x rows stress the one-shuffle claim —
     # none of the original 10 covered it
     "join_point_in_time",
+    # round-8 capability entries whose scale story IS the claim:
+    # the prefix-filtered exact ssjoin must show candidate volume
+    # tracking true-pair density (not corpus size), and the iterative
+    # integer PageRank must show per-iteration join+agg cost tracking
+    # edge count
+    "dedup_ssjoin_prefix",
+    "graph_pagerank_flow",
 ]
 
 spark = (SparkSession.builder.master("local[32]")

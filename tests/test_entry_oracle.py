@@ -177,7 +177,9 @@ def test_driver_window_is_all_oracled():
         "multimodal_resize_stats",
         "text_unigram_lm_score",
         "sample_weighted_orders", "pipeline_curate_pack",
-        "corpus_mixture_apply", "quality_gopher_flags",
+        "corpus_mixture_apply",
+        # (quality_gopher_flags got green r5-r7 rows and rests in r8;
+        # corpus_mixture_apply recomputes the same gates in-window)
         "pii_redaction_scan",
         # (contamination_probes got green r5-r7 rows and rests in r8;
         # the automaton-parity pytest pins its semantics)
@@ -213,6 +215,7 @@ def test_driver_window_is_all_oracled():
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
         "ts_rollup_cascade", "topk_pareto_frontier",
         "graph_pagerank_flow", "rule_outlier_mad",
+        "events_rolling_distinct",
     ]:
         assert required in window, required
 

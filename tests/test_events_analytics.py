@@ -181,3 +181,76 @@ def test_weekday_anomaly_flags_broken_sunday_only(spark):
     # first two occurrences of each weekday have <2 history → NULL z
     assert got["2024-01-01"]["z_score"] is None
     assert got["2024-01-08"]["z_score"] is None
+
+
+# --------------------------------------------- rolling distinct counts
+
+def test_rolling_distinct_matches_bruteforce(spark):
+    """Interval-explode formulation == brute-force per-day set union
+    over the trailing window, incl. users active on several days (must
+    count once) and gap days (absent from output)."""
+    import datetime
+
+    from big_data_validator_spark.operators.events_analytics import (
+        rolling_distinct_counts,
+    )
+
+    T = datetime.datetime
+    rows = [
+        (T(2024, 1, 1, 5), 1), (T(2024, 1, 1, 6), 2),
+        (T(2024, 1, 2, 5), 1),                     # u1 again next day
+        (T(2024, 1, 5, 5), 3),
+        (T(2024, 1, 20, 5), 1),                    # far gap: fresh window
+        (T(2024, 1, 22, 5), 4), (T(2024, 1, 22, 6), 1),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r.day.strftime("%Y-%m-%d"): r.distinct_entities
+        for r in rolling_distinct_counts(
+            df, "user_id", "ts", window_days=7
+        ).collect()
+    }
+    # brute force
+    import collections
+
+    days = sorted({t.date() for t, _ in rows})
+    want = {}
+    for d in days:
+        s = {
+            u
+            for t, u in rows
+            if d - datetime.timedelta(days=6) <= t.date() <= d
+        }
+        want[d.strftime("%Y-%m-%d")] = len(s)
+    assert got == want
+    assert got["2024-01-02"] == 2      # u1 deduped across days
+    assert "2024-01-03" not in got     # gap day absent
+
+
+def test_rolling_distinct_window_one_is_daily_distinct(spark):
+    import datetime
+
+    from big_data_validator_spark.operators.events_analytics import (
+        rolling_distinct_counts,
+    )
+
+    T = datetime.datetime
+    rows = [(T(2024, 1, 1, 1), 1), (T(2024, 1, 1, 2), 1), (T(2024, 1, 2, 1), 2)]
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r.day.strftime("%Y-%m-%d"): r.distinct_entities
+        for r in rolling_distinct_counts(df, "user_id", window_days=1).collect()
+    }
+    assert got == {"2024-01-01": 1, "2024-01-02": 1}
+
+
+def test_rolling_distinct_rejects_bad_window(spark):
+    import pytest as _pytest
+
+    from big_data_validator_spark.operators.events_analytics import (
+        rolling_distinct_counts,
+    )
+
+    df = spark.createDataFrame([], "ts timestamp, user_id bigint")
+    with _pytest.raises(ValueError):
+        rolling_distinct_counts(df, "user_id", window_days=0)
