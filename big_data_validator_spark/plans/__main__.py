@@ -114,6 +114,7 @@ PLAN_QUERIES = [
     # tests.  profile_fd_composite is lattice-controlled over an eager
     # localCheckpoint like profile_fd_discovery — same exclusion.)
     "agg_incremental_minmax",
+    "agg_incremental_join_mv",
     # dedup_ssjoin_prefix is in the eager-materialization class (its
     # cached shingle-set relation is released via materialize_release);
     # the prefix-prune shape is pinned in tests/test_text_dedup.py.
