@@ -341,6 +341,29 @@ def apply_delta_to_group_totals(
     return merged.filter(F.col(count_col) > 0)
 
 
+def null_safe_semi_anti(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    how: str,
+) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI join on ``keys`` with ``eqNullSafe``
+    matching (ADVICE r8).  A name-based semi/anti join compiles to
+    ``==``, under which a NULL key never matches: a NULL-group delta
+    row would recompute nothing (the semi leg drops it) while the
+    stale summary row sailed through the anti leg — silently wrong.
+    ``eqNullSafe`` makes NULL a first-class group key on both legs,
+    consistent with :func:`changeset_delta_rows` /
+    :func:`apply_delta_to_group_totals`."""
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"null_safe_semi_anti: how={how!r}")
+    cond = None
+    for k in keys:
+        c = F.col(f"__nsl.{k}").eqNullSafe(F.col(f"__nsr.{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.alias("__nsl").join(right.alias("__nsr"), cond, how)
+
+
 def apply_delta_to_group_minmax(
     summary: DataFrame,
     new_base: DataFrame,
@@ -375,8 +398,11 @@ def apply_delta_to_group_minmax(
     gcols = list(group_cols)
     vcols = list(minmax_cols)
     touched = deltas.select(*gcols).dropDuplicates(gcols)
+    # Both legs match with eqNullSafe (null_safe_semi_anti) so a NULL
+    # group key is touched/passed-through correctly (ADVICE r8: the
+    # name-based join silently kept stale NULL-group summary rows).
     recomputed = (
-        new_base.join(touched, gcols, "left_semi")
+        null_safe_semi_anti(new_base, touched, gcols, "left_semi")
         .groupBy(*gcols)
         .agg(
             F.count(F.lit(1)).cast("long").alias(count_col),
@@ -390,7 +416,7 @@ def apply_delta_to_group_minmax(
             ],
         )
     )
-    untouched = summary.join(touched, gcols, "left_anti").select(
+    untouched = null_safe_semi_anti(summary, touched, gcols, "left_anti").select(
         *gcols,
         count_col,
         *[col for c in vcols for col in (f"{c}_min", f"{c}_max")],
@@ -441,6 +467,17 @@ def delta_join_view_rows(
     if collide:
         raise ValueError(
             f"non-key column collision between the two sides: {sorted(collide)}"
+        )
+    # Term 2 (a_old ⋈ Δb) needs the mirrored check (ADVICE r8): an
+    # a_old column named "sign" — or any non-key Δb payload name —
+    # would duplicate in the `__ao.* + __db.<payload> + __db.sign`
+    # select and only blow up downstream in apply_delta_to_group_totals
+    # as an ambiguous reference, far from the cause.
+    collide2 = (set(a_old.columns) & set(delta_b.columns)) - {right_key}
+    if collide2:
+        raise ValueError(
+            "non-key column collision between a_old and delta_b: "
+            f"{sorted(collide2)}"
         )
     right_cols = [
         c

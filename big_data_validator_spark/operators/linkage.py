@@ -74,6 +74,15 @@ def link_entity_pairs(
     b = p.select(
         "id", F.explode("toks").alias("tok"), *[F.col(c) for c in block_cols]
     )
+    # NULL block values generate NO candidates (ADVICE r8): the
+    # original join-based blocking used `==`, under which NULL never
+    # matched, but capped_bucket_pairs groups by the block key and
+    # groupBy treats NULL as one joinable bucket — silently pairing
+    # every NULL-block entity.  Filter first to preserve the join
+    # semantics; corpora that want NULL-block matching should coalesce
+    # to a sentinel value explicitly.
+    for c in ["tok", *block_cols]:
+        b = b.filter(F.col(c).isNotNull())
     raw_pairs = capped_bucket_pairs(
         b, ["tok", *block_cols], max_block_size
     )

@@ -766,13 +766,31 @@ def robust_outlier_mad(
     mad = dev.groupBy(group_col).agg(
         F.expr("percentile(_adev, 0.5)").alias("_mad")
     ).cache()
+    # Enforce (not just document) the exactness precondition (ADVICE
+    # r8): beyond these bounds the double products misround relative
+    # to the oracle SILENTLY.  2^53 is exact in a double, and both
+    # products are monotone in their operand, so the compare itself is
+    # a safe guard even where the product has already lost ulps.
+    exact_bound = F.lit(float(2**53))
+    overflow = (
+        F.col("_adev") * F.lit(100_000_000.0) > exact_bound
+    ) | (F.lit(float(k_e4) * float(scale_e4)) * F.col("_mad") > exact_bound)
+    flag = F.when(
+        overflow,
+        F.raise_error(
+            F.lit(
+                "robust_outlier_mad: |x-median|*1e8 or k*scale*MAD "
+                "exceeds 2^53; the exact-double flag predicate would "
+                "misround silently — rescale value_col first"
+            )
+        ).cast("boolean"),
+    ).otherwise(
+        (F.col("_adev") * 10_000 * 10_000)
+        > (F.lit(k_e4) * F.lit(scale_e4) * F.col("_mad"))
+    )
     out = (
         dev.join(F.broadcast(mad), group_col)
-        .withColumn(
-            "_is_out",
-            (F.col("_adev") * 10_000 * 10_000)
-            > (F.lit(k_e4) * F.lit(scale_e4) * F.col("_mad")),
-        )
+        .withColumn("_is_out", flag)
         .groupBy(group_col)
         .agg(
             F.first("n_rows").alias("n_rows"),

@@ -1234,15 +1234,24 @@ def salted_skew_join(
     salt: int = 8,
     how: str = "inner",
     salt_col: str = "_salt",
+    salt_cols: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Explicit salt-replication equi-join for a SKEWED big side whose
     small side is too large to broadcast: the classic hot-key device a
     100 TB fact-fact join needs when one key holds a double-digit
     percentage of the rows and a single reducer would own it.
 
-    - every big row gets a deterministic salt in ``[0, salt)`` (an
-      ``xxhash64`` over its columns — retry-stable, unlike
-      ``monotonically_increasing_id``/``rand``);
+    - every big row gets a deterministic salt in ``[0, salt)``:
+      ``xxhash64`` over ``salt_cols`` when given (pick columns that
+      VARY within the hot key — an order id, an event timestamp),
+      otherwise over all columns MIXED WITH ``spark_partition_id()``
+      (ADVICE r8: hashing columns alone sends byte-identical duplicate
+      rows — a common real skew shape — to ONE reducer, silently
+      no-op'ing the mitigation; the partition id spreads identical
+      rows by their physical location while staying deterministic for
+      a fixed input partitioning, unlike ``rand``).  Note xxhash64
+      rejects un-hashable column types (e.g. ``MapType``) — pass
+      ``salt_cols`` to skip them;
     - the small side replicates ``salt`` ways (an ``explode`` of a
       literal array — map-side, no shuffle of its own);
     - the join runs on ``key_cols + [salt]``, splitting each hot key's
@@ -1269,10 +1278,19 @@ def salted_skew_join(
     if salt < 1:
         raise ValueError("salt must be >= 1")
     keys = list(key_cols)
-    b = big.withColumn(
-        salt_col,
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)),
-    )
+    if salt_cols is not None:
+        salt_expr = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt)
+        )
+    else:
+        salt_expr = F.pmod(
+            F.xxhash64(
+                F.spark_partition_id(),
+                *[F.col(c) for c in big.columns],
+            ),
+            F.lit(salt),
+        )
+    b = big.withColumn(salt_col, salt_expr)
     s = small.withColumn(
         salt_col,
         F.explode(F.array(*[F.lit(i) for i in range(salt)])),

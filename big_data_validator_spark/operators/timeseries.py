@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_validator_spark.operators.cdc import null_safe_semi_anti
+
 
 def resample_ffill_daily(
     events: DataFrame,
@@ -227,14 +229,22 @@ def cascade_rollup_refresh(
     hourly_aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
         F.sum(c).cast("long").alias(c) for c in sums
     ]
+    # Dirty-group matching is eqNullSafe on every leg (ADVICE r8): a
+    # NULL key — or a NULL ts, whose date_trunc is a NULL bucket — is a
+    # real group, and the name-based `==` semi/anti pair would both
+    # skip its recompute AND keep its stale rollup row.
     recomputed_h = (
-        base_new.select(hour_of, *keys, *sums)
-        .join(dirty_hours, ["hour", *keys], "left_semi")
+        null_safe_semi_anti(
+            base_new.select(hour_of, *keys, *sums),
+            dirty_hours,
+            ["hour", *keys],
+            "left_semi",
+        )
         .groupBy("hour", *keys)
         .agg(*hourly_aggs)
     )
-    untouched_h = hourly_old.join(
-        dirty_hours, ["hour", *keys], "left_anti"
+    untouched_h = null_safe_semi_anti(
+        hourly_old, dirty_hours, ["hour", *keys], "left_anti"
     ).select("hour", *keys, count_col, *sums)
     hourly_new = untouched_h.unionByName(recomputed_h)
 
@@ -245,18 +255,22 @@ def cascade_rollup_refresh(
         F.sum(c).cast("long").alias(c) for c in sums
     ]
     recomputed_d = (
-        hourly_new.select(
-            F.date_trunc("day", F.col("hour")).alias("day"),
-            *keys,
-            count_col,
-            *sums,
+        null_safe_semi_anti(
+            hourly_new.select(
+                F.date_trunc("day", F.col("hour")).alias("day"),
+                *keys,
+                count_col,
+                *sums,
+            ),
+            dirty_days,
+            ["day", *keys],
+            "left_semi",
         )
-        .join(dirty_days, ["day", *keys], "left_semi")
         .groupBy("day", *keys)
         .agg(*daily_aggs)
     )
-    untouched_d = daily_old.join(
-        dirty_days, ["day", *keys], "left_anti"
+    untouched_d = null_safe_semi_anti(
+        daily_old, dirty_days, ["day", *keys], "left_anti"
     ).select("day", *keys, count_col, *sums)
     daily_new = untouched_d.unionByName(recomputed_d)
     daily_new._bdv_pinned = [dirty_hours, dirty_days]
