@@ -20,6 +20,7 @@ import os
 import statistics
 import sys
 import time
+from typing import Optional
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -219,6 +220,60 @@ EXCLUDED = {
 }
 
 
+def compute_prev_ratios(
+    timings: dict[str, float],
+    prev_detail: Optional[dict],
+    sf_val: Optional[float],
+) -> dict:
+    """Round-over-round attribution that survives host noise (VERDICT r8
+    item 1).  The r8 post-mortem showed the same query moving ~2× between
+    sessions while every within-session ratio held — so a raw
+    cur/prev comparison across sessions is unfalsifiable.  The device:
+    all of THIS round's queries share one session, so a uniform
+    host-speed shift moves every per-query ratio by the same factor;
+    the MEDIAN per-query ratio against the previous committed detail IS
+    that session-noise factor, and each query's ratio divided by it
+    (``ratio_vs_prev_adj``) isolates real per-query change.  An
+    adjusted ratio ≫ 1 is a genuine localized regression even when the
+    raw aggregate moved; adjusted ≈ 1 with raw 1.2× is host noise,
+    now provable from the shipped record alone.
+
+    Returns null fields (never raises) when the previous detail is
+    absent, unparseable, or from a different scale factor.
+    """
+    empty = {
+        "ratio_vs_prev": None,
+        "ratio_vs_prev_adj": None,
+        "noise_factor": None,
+        "n_shared_prev": 0,
+        "worst_adj": None,
+    }
+    if not prev_detail or not isinstance(prev_detail, dict):
+        return empty
+    if prev_detail.get("sf") != sf_val:
+        return empty
+    prev_q = prev_detail.get("queries") or {}
+    ratios = {
+        n: round(timings[n] / prev_q[n], 4)
+        for n in timings
+        if n in prev_q and prev_q[n] and prev_q[n] > 0
+    }
+    if not ratios:
+        return empty
+    noise = statistics.median(ratios.values())
+    if noise <= 0:
+        return empty
+    adj = {n: round(r / noise, 4) for n, r in ratios.items()}
+    worst_name = max(adj, key=adj.get)
+    return {
+        "ratio_vs_prev": ratios,
+        "ratio_vs_prev_adj": adj,
+        "noise_factor": round(noise, 4),
+        "n_shared_prev": len(ratios),
+        "worst_adj": {"name": worst_name, "ratio": adj[worst_name]},
+    }
+
+
 def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -282,6 +337,21 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf else None
+    # Previous round's committed detail, read BEFORE this run overwrites
+    # it — the denominator of the session-noise device (see
+    # compute_prev_ratios).  Env-overridable for tests.
+    prev_path = os.environ.get(
+        "SPARK_GRAFT_PREV_DETAIL",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        ),
+    )
+    try:
+        with open(prev_path) as fh:
+            prev_detail = json.load(fh)
+    except (OSError, ValueError):
+        prev_detail = None
+    prev = compute_prev_ratios(timings, prev_detail, sf_val)
     # The driver records only the TAIL (~2 KB) of stdout: a single line
     # carrying both per-query maps grew past that in r3/r4 and was
     # truncated mid-map — two rounds with no machine-readable perf
@@ -296,6 +366,14 @@ def main() -> None:
         # explicit, machine-readable exclusion record (VERDICT r7
         # missing-item 3): silence reads as "covered everything"
         "excluded": EXCLUDED,
+        # session-noise-adjusted round-over-round attribution
+        # (VERDICT r8 item 1): raw per-query ratio vs the previous
+        # committed detail, the fleet-median noise factor, and the
+        # noise-adjusted per-query ratio that isolates real change
+        "ratio_vs_prev": prev["ratio_vs_prev"],
+        "ratio_vs_prev_adj": prev["ratio_vs_prev_adj"],
+        "noise_factor": prev["noise_factor"],
+        "n_shared_prev": prev["n_shared_prev"],
     }
     # Overridable so the sf0.001 contract test never clobbers the
     # committed sf0.1 detail record (r5's checked-in file was silently
@@ -321,6 +399,14 @@ def main() -> None:
                 "passes": passes,
                 "n_queries": len(timings),
                 "queries_detail": "BENCH_DETAIL.json",
+                # compact noise-device summary: the fleet-median shift
+                # vs the previous round's detail (host-speed factor)
+                # and the single worst noise-ADJUSTED per-query ratio —
+                # enough on its own to tell "uniform host noise" from
+                # "this query regressed"
+                "noise_factor": prev["noise_factor"],
+                "n_shared_prev": prev["n_shared_prev"],
+                "worst_adj": prev["worst_adj"],
             }
         )
     )

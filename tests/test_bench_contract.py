@@ -34,6 +34,33 @@ def test_every_registry_entry_is_benched_or_explicitly_excluded():
     assert not overlap, f"both benched and excluded: {overlap}"
 
 
+def test_prev_ratio_device_isolates_localized_regression():
+    """The session-noise device (VERDICT r8 item 1): a uniform 1.5x
+    host slowdown plus one genuinely-3x query must come out as
+    noise_factor ~1.5 with only that query's ADJUSTED ratio elevated."""
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {f"q{i}": 1.0 for i in range(10)} | {"slow": 1.0},
+    }
+    cur = {f"q{i}": 1.5 for i in range(10)} | {"slow": 3.0}
+    out = bench.compute_prev_ratios(cur, prev, 0.1)
+    assert out["n_shared_prev"] == 11
+    assert abs(out["noise_factor"] - 1.5) < 1e-9
+    assert out["worst_adj"]["name"] == "slow"
+    assert abs(out["worst_adj"]["ratio"] - 2.0) < 1e-9
+    for n in (f"q{i}" for i in range(10)):
+        assert abs(out["ratio_vs_prev_adj"][n] - 1.0) < 1e-9
+    # sf mismatch / missing prev -> null fields, never a crash
+    assert bench.compute_prev_ratios(cur, prev, 0.001)["noise_factor"] is None
+    assert bench.compute_prev_ratios(cur, None, 0.1)["n_shared_prev"] == 0
+    # a prev entry with zero/absent timing is skipped, not divided by
+    prev2 = {"sf": 0.1, "queries": {"a": 0.0, "b": 2.0}}
+    out2 = bench.compute_prev_ratios({"a": 1.0, "b": 1.0}, prev2, 0.1)
+    assert out2["n_shared_prev"] == 1 and out2["noise_factor"] == 0.5
+
+
 def test_bench_emits_contract_json_line(tmp_path):
     """One timed pass at sf0.001 end-to-end: bench.py must exit 0 and print
     ONE parseable JSON line with the driver-contract fields."""
@@ -72,10 +99,17 @@ def test_bench_emits_contract_json_line(tmp_path):
     assert d["n_queries"] == len(bench.HEADLINE)
     assert d["sf"] == 0.001
     assert "queries" not in d  # per-query maps live in the detail line/file
+    # the noise-device fields must be PRESENT every round (VERDICT r8
+    # item 1); here the committed repo-root prev detail is sf0.1 while
+    # the run is sf0.001, so they are null — but the contract carries
+    # them so their absence can never again be silent
+    assert "noise_factor" in d and "worst_adj" in d
+    assert d["n_shared_prev"] == 0 and d["noise_factor"] is None
     # preceding detail line + file carry the full per-query maps
     detail = json.loads(lines[-2])
     assert set(detail["queries"]) == set(bench.HEADLINE)
     assert set(detail["queries_min"]) == set(bench.HEADLINE)
+    assert "ratio_vs_prev" in detail and "ratio_vs_prev_adj" in detail
     with open(tmp_path / "BENCH_DETAIL.json") as fh:
         fdetail = json.load(fh)
     assert fdetail["queries"] == detail["queries"]
