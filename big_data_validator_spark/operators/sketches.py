@@ -1,0 +1,410 @@
+"""Mergeable quantile sketches (KLL/MRL shape) — the percentile sibling
+of the HLL distinct-count architecture (``agg_hll_mergeable``,
+VERDICT r8 item 4).
+
+Why this exists at 100 TB: an exact percentile needs the value
+distribution — a rolling "p99 over the last 30 days" monitor that
+recomputes exactly must rescan 30 days of raw data every tick.  A
+MERGEABLE sketch changes the shape: each partition summarizes its
+values into a few-KB state (map-side, one pass), states merge
+associatively per day, per-day sketch rows persist in a tiny metadata
+table, and the rolling percentile is an N-ROW MERGE of stored sketches
+— the raw table is read exactly once per day ever.
+
+Algorithm: the Manku–Rajagopalan–Lindsay / KLL family with FIXED
+per-level capacity ``k`` and DETERMINISTIC alternating compaction
+offsets (the classic KLL randomizes the offset; alternation keeps the
+same error-cancellation telescoping while making a given input order
+reproduce bit-identically — important for debuggability, NOT relied on
+for correctness: the rank-error bound below holds for every offset
+choice).  Level ``i`` items carry weight ``2^i``; a full level sorts
+and promotes every other item to level ``i+1``.  Size is
+``O(k · log(n/k))``; worst-case rank error is bounded by the number of
+compactions times half a level weight and behaves like ~1% of n at
+``k = 200`` (property-pinned in tests/test_sketches.py across random
+inputs; the shipped entries assert a conservative ±2.5% rank check
+against the exact CDF).
+
+Everything engine-facing is integers (the repo's hash discipline):
+values must arrive as BIGINT units (cents, micros).  The sketch state
+itself is partitioning-dependent (which rows share a partition changes
+compaction order), so oracled entries never ship sketch internals —
+they ship the EXACT percentile (block-CDF device, below) plus an
+``est_ok`` rank-tolerance verdict, so a sketch regression flips the
+driver hash while the hashed values stay engine-portable (the
+``agg_hll_mergeable`` device).
+
+The reference validator has no aggregate surface at all beyond COUNT
+(``reference/big_data_validator.py`` — three row-local rules); this
+module is north-star scope.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from typing import Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_K = 200
+
+
+# ------------------------------------------------------------ pure sketch
+
+def kll_new(k: int = DEFAULT_K) -> dict:
+    if k < 8:
+        raise ValueError(f"k must be >= 8, got {k}")
+    return {"k": k, "n": 0, "levels": [[]], "flips": [0]}
+
+
+def _compact_level(sk: dict, i: int) -> None:
+    """Sort level ``i``, promote every other item (alternating offset)
+    to level ``i+1`` with doubled weight, clear level ``i``."""
+    levels = sk["levels"]
+    flips = sk["flips"]
+    if i + 1 == len(levels):
+        levels.append([])
+        flips.append(0)
+    buf = sorted(levels[i])
+    off = flips[i] & 1
+    flips[i] += 1
+    levels[i + 1].extend(buf[off::2])
+    levels[i] = []
+
+
+def kll_add(sk: dict, value: int) -> None:
+    sk["levels"][0].append(int(value))
+    sk["n"] += 1
+    i = 0
+    while i < len(sk["levels"]) and len(sk["levels"][i]) > sk["k"]:
+        _compact_level(sk, i)
+        i += 1
+
+
+def kll_add_many(sk: dict, values: Iterable[int]) -> None:
+    for v in values:
+        kll_add(sk, v)
+
+
+def kll_merge(a: dict, b: dict) -> dict:
+    """Associative merge: concatenate level-wise, then re-compact any
+    level over capacity.  ``merge(sketch(A), sketch(B))`` estimates
+    quantiles of ``A ∪ B`` within the same rank-error bound as a
+    sketch built from the union directly (pinned in tests)."""
+    if a["k"] != b["k"]:
+        raise ValueError(f"cannot merge sketches with k={a['k']} and k={b['k']}")
+    depth = max(len(a["levels"]), len(b["levels"]))
+    out = {
+        "k": a["k"],
+        "n": a["n"] + b["n"],
+        "levels": [
+            list(a["levels"][i] if i < len(a["levels"]) else [])
+            + list(b["levels"][i] if i < len(b["levels"]) else [])
+            for i in range(depth)
+        ],
+        "flips": [
+            (a["flips"][i] if i < len(a["flips"]) else 0)
+            + (b["flips"][i] if i < len(b["flips"]) else 0)
+            for i in range(depth)
+        ],
+    }
+    i = 0
+    while i < len(out["levels"]):
+        if len(out["levels"][i]) > out["k"]:
+            _compact_level(out, i)
+        i += 1
+    return out
+
+
+def kll_total_weight(sk: dict) -> int:
+    return sum(len(lvl) << i for i, lvl in enumerate(sk["levels"]))
+
+
+def kll_quantiles(sk: dict, fractions: Sequence[float]) -> list:
+    """Smallest stored item whose cumulative weight reaches
+    ``ceil(p · W)`` — the discrete-rank convention the exact verifier
+    and the SQL oracles share."""
+    items = sorted(
+        (v, 1 << i)
+        for i, lvl in enumerate(sk["levels"])
+        for v in lvl
+    )
+    total = sum(w for _, w in items)
+    out = []
+    for p in fractions:
+        if not items:
+            out.append(None)
+            continue
+        target = max(1, math.ceil(p * total))
+        cum = 0
+        est = items[-1][0]
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        out.append(est)
+    return out
+
+
+def kll_serialize(sk: dict) -> str:
+    return json.dumps(
+        {"k": sk["k"], "n": sk["n"], "levels": sk["levels"], "flips": sk["flips"]},
+        separators=(",", ":"),
+    )
+
+
+def kll_deserialize(s: str) -> dict:
+    d = json.loads(s)
+    return {
+        "k": int(d["k"]),
+        "n": int(d["n"]),
+        "levels": [list(map(int, lvl)) for lvl in d["levels"]],
+        "flips": list(map(int, d.get("flips", [0] * len(d["levels"])))),
+    }
+
+
+# --------------------------------------------------------- spark plumbing
+
+def _sketch_schema(df: DataFrame, group_cols: Sequence[str]) -> T.StructType:
+    by_name = {f.name: f for f in df.schema.fields}
+    fields = [by_name[c] for c in group_cols]
+    return T.StructType(
+        fields
+        + [
+            T.StructField("sketch", T.StringType(), False),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+
+def kll_partial_sketches(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Map-side partial sketches: ONE pass over the input emitting one
+    ``(group…, sketch, n_rows)`` row per (partition × group) — the
+    level-0 combine of the two-level aggregation.  No shuffle happens
+    here; the output is change-of-support, rows → sketch rows, sized
+    ``partitions × groups-per-partition``, each a few KB.
+
+    ``value_col`` must already be integral (BIGINT units — cents,
+    micros); NULL values are skipped (SQL aggregate convention).
+    """
+    gcols = list(group_cols)
+    out_schema = _sketch_schema(df, gcols)
+    src = df.select(*gcols, F.col(value_col).cast("long").alias("_v"))
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mask = pdf["_v"].notna()
+            for key, sub in pdf[mask].groupby(gcols, dropna=False, sort=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                sk = acc.get(key)
+                if sk is None:
+                    sk = acc[key] = kll_new(k)
+                kll_add_many(sk, sub["_v"].astype("int64").tolist())
+        rows = [
+            list(key) + [kll_serialize(sk), sk["n"]]
+            for key, sk in acc.items()
+        ]
+        yield pd.DataFrame(rows, columns=[*gcols, "sketch", "n_rows"])
+
+    return src.mapInPandas(build, out_schema)
+
+
+def kll_merge_groups(
+    partials: DataFrame,
+    group_cols: Sequence[str],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Merge partial sketches into ONE row per group — the persistable
+    per-day/per-partition sketch table.  The shuffle moves sketch rows
+    (KBs per group), never data rows."""
+    gcols = list(group_cols)
+    out_schema = _sketch_schema(partials, gcols)
+
+    def merge(pdf):
+        import pandas as pd
+
+        sk = kll_new(k)
+        for s in pdf["sketch"]:
+            sk = kll_merge(sk, kll_deserialize(s))
+        key = [pdf.iloc[0][c] for c in gcols]
+        return pd.DataFrame(
+            [key + [kll_serialize(sk), int(pdf["n_rows"].sum())]],
+            columns=[*gcols, "sketch", "n_rows"],
+        )
+
+    return partials.groupBy(*gcols).applyInPandas(
+        lambda pdf: merge(pdf), out_schema
+    )
+
+
+def kll_rollup_quantiles(
+    sketches: DataFrame,
+    quantile_pcts: Sequence[int],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """The payoff step: merge N stored sketch ROWS (never the raw data)
+    and read the requested percentiles.  Returns ``(quantile_pct,
+    est, n_rows)``.  The merge is a single task over N few-KB rows —
+    exactly the "rolling percentile without rescan" contract."""
+    pcts = [int(p) for p in quantile_pcts]
+    out_schema = T.StructType(
+        [
+            T.StructField("quantile_pct", T.IntegerType(), False),
+            T.StructField("est", T.LongType(), True),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+    def rollup(pdf):
+        import pandas as pd
+
+        sk = kll_new(k)
+        for s in pdf["sketch"]:
+            sk = kll_merge(sk, kll_deserialize(s))
+        ests = kll_quantiles(sk, [p / 100.0 for p in pcts])
+        n = int(pdf["n_rows"].sum())
+        return pd.DataFrame(
+            [[p, e, n] for p, e in zip(pcts, ests)],
+            columns=["quantile_pct", "est", "n_rows"],
+        )
+
+    return (
+        sketches.select(
+            F.lit(1).alias("_g"), "sketch", "n_rows"
+        )
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: rollup(pdf), out_schema)
+    )
+
+
+# ------------------------------------------------- exact verification leg
+
+def exact_rank_cdf(
+    df: DataFrame, value_col: str, block_width: int
+) -> DataFrame:
+    """Exact cumulative distribution over DISTINCT values without a
+    global sort: per-distinct-value counts (one shuffle, frame shrinks
+    to the value domain), block-local cumulative windows, and a tiny
+    broadcast per-block prefix — the :func:`equidepth_histogram` /
+    ks_two_sample block-scan device.  Returns ``(_v, cum_le)`` where
+    ``cum_le`` = #rows with value ≤ ``_v``.  Any positive
+    ``block_width`` yields the identical frame."""
+    from pyspark.sql import Window
+
+    if block_width <= 0:
+        raise ValueError(f"block_width must be positive, got {block_width}")
+    v = F.col(value_col)
+    cnts = (
+        df.filter(v.isNotNull())
+        .groupBy(v.cast("long").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    keyed = cnts.withColumn(
+        "_blk", F.floor(F.col("_v") / F.lit(int(block_width))).cast("long")
+    )
+    local = keyed.withColumn(
+        "_lcum",
+        F.sum("_n").over(
+            Window.partitionBy("_blk")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_n").alias("_t"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_t").over(
+                    Window.orderBy("_blk").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_pre"),
+        )
+    )
+    return local.join(F.broadcast(totals), "_blk").select(
+        "_v", (F.col("_lcum") + F.col("_pre")).cast("long").alias("cum_le")
+    )
+
+
+def kll_quantile_monitor(
+    df: DataFrame,
+    value_col: str,
+    day_col: str,
+    quantile_pcts: Sequence[int],
+    k: int = DEFAULT_K,
+    tol_ppm: int = 25_000,
+    block_width: int = 1_000_000,
+) -> DataFrame:
+    """End-to-end sketch-vs-exact monitor, oracle-ready: build per-day
+    mergeable sketches (partials → per-day merge), roll all days up to
+    global percentile ESTIMATES by merging sketch rows, then verify
+    each estimate's RANK against the exact block-scan CDF.
+
+    Ships ``(quantile_pct, exact, n_rows, est_ok)`` — the estimate
+    itself is partitioning-dependent and never leaves; ``est_ok`` is
+    ``|rank(est) − ceil(p·n)| ≤ (tol_ppm·n) div 10⁶`` (integer
+    arithmetic end-to-end), so a sketch accuracy regression flips the
+    driver hash while every hashed value stays engine-exact.  The
+    exact CDF leg is the VERIFICATION device — production reads the
+    sketch table alone.
+    """
+    pcts = [int(p) for p in quantile_pcts]
+    partials = kll_partial_sketches(df, value_col, [day_col], k)
+    per_day = kll_merge_groups(partials, [day_col], k)
+    est = kll_rollup_quantiles(per_day, pcts, k)
+
+    cdf = exact_rank_cdf(df, value_col, block_width)
+    # exact percentile: smallest value whose cum_le reaches the integer
+    # target rank ceil(pct·n/100) = (pct·n + 99) div 100
+    targets = est.select(
+        "quantile_pct",
+        "est",
+        "n_rows",
+        F.expr("(quantile_pct * n_rows + 99) div 100").alias("_r"),
+    )
+    t = F.broadcast(targets)
+    exact = (
+        cdf.join(t, cdf["cum_le"] >= t["_r"])
+        .groupBy("quantile_pct")
+        .agg(F.min("_v").alias("exact"))
+    )
+    # rank of the estimate: cum_le of the largest distinct value ≤ est
+    # (0 when the estimate sits below every value)
+    est_rank = (
+        cdf.join(t, cdf["_v"] <= t["est"])
+        .groupBy("quantile_pct")
+        .agg(F.max("cum_le").alias("_est_rank"))
+    )
+    out = (
+        targets.join(exact, "quantile_pct")
+        .join(est_rank, "quantile_pct", "left")
+        .select(
+            "quantile_pct",
+            "exact",
+            "n_rows",
+            (
+                F.abs(F.coalesce(F.col("_est_rank"), F.lit(0)) - F.col("_r"))
+                <= F.expr(f"({int(tol_ppm)} * n_rows) div 1000000")
+            ).alias("est_ok"),
+        )
+    )
+    return out

@@ -1,0 +1,181 @@
+"""KLL mergeable-quantile-sketch pins (VERDICT r8 item 4):
+
+- rank-error bound: ≤1% of n at k=200 across random inputs (the
+  shipped entries assert ±2.5%, so this margin is 2.5×);
+- mergeability: merge(sketch(A), sketch(B)) estimates quantiles of
+  A ∪ B within the same tolerance as sketch(A ∪ B) built directly;
+- determinism: identical input order → identical serialized state;
+- Spark plumbing: partials → per-day merge → N-row rollup matches the
+  pure-python sketch fed the same values, and the monitor's exact leg
+  equals a direct sorted-rank computation.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from big_data_validator_spark.operators.sketches import (
+    exact_rank_cdf,
+    kll_add_many,
+    kll_deserialize,
+    kll_merge,
+    kll_merge_groups,
+    kll_new,
+    kll_partial_sketches,
+    kll_quantile_monitor,
+    kll_quantiles,
+    kll_rollup_quantiles,
+    kll_serialize,
+    kll_total_weight,
+)
+
+PCTS = (0.01, 0.1, 0.5, 0.9, 0.99)
+
+
+def _rank_err(data_sorted, est, p):
+    n = len(data_sorted)
+    r = bisect.bisect_right(data_sorted, est)
+    return abs(r - max(1, math.ceil(p * n))) / n
+
+
+def test_rank_error_bound_random_and_sorted():
+    rng = random.Random(11)
+    for n, gen in [
+        (50_000, lambda: rng.randint(0, 10**9)),
+        (120_000, lambda: rng.randint(0, 100)),  # heavy duplicates
+    ]:
+        data = [gen() for _ in range(n)]
+        sk = kll_new(200)
+        kll_add_many(sk, data)
+        srt = sorted(data)
+        for p in PCTS:
+            est = kll_quantiles(sk, [p])[0]
+            assert _rank_err(srt, est, p) <= 0.01, (n, p)
+    # adversarial sorted input (no randomness to help)
+    data = list(range(100_000))
+    sk = kll_new(200)
+    kll_add_many(sk, data)
+    for p in PCTS:
+        est = kll_quantiles(sk, [p])[0]
+        assert _rank_err(data, est, p) <= 0.01, p
+
+
+def test_merge_equals_union_within_tolerance():
+    rng = random.Random(23)
+    a = [rng.randint(0, 10**6) for _ in range(40_000)]
+    b = [rng.randint(5 * 10**5, 2 * 10**6) for _ in range(60_000)]
+    ska, skb, sku = kll_new(200), kll_new(200), kll_new(200)
+    kll_add_many(ska, a)
+    kll_add_many(skb, b)
+    kll_add_many(sku, a + b)
+    merged = kll_merge(ska, skb)
+    srt = sorted(a + b)
+    for p in PCTS:
+        em = kll_quantiles(merged, [p])[0]
+        eu = kll_quantiles(sku, [p])[0]
+        assert _rank_err(srt, em, p) <= 0.01, p
+        assert _rank_err(srt, eu, p) <= 0.01, p
+    # weight conservation within compaction round-off
+    w = kll_total_weight(merged)
+    assert abs(w - 100_000) / 100_000 < 0.02
+
+
+def test_determinism_and_serialization_roundtrip():
+    rng = random.Random(5)
+    data = [rng.randint(-(10**8), 10**8) for _ in range(30_000)]
+    s1, s2 = kll_new(64), kll_new(64)
+    kll_add_many(s1, data)
+    kll_add_many(s2, list(data))
+    assert kll_serialize(s1) == kll_serialize(s2)
+    assert kll_deserialize(kll_serialize(s1)) == s1
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    data=st.lists(
+        st.integers(-(10**9), 10**9), min_size=1, max_size=3000
+    ),
+    k=st.sampled_from([16, 64, 200]),
+)
+def test_property_rank_error_small_inputs(data, k):
+    """For arbitrary small inputs the estimate's rank error stays under
+    the loose bound max(2/k·levels, 1 item) — and inputs that fit in
+    level 0 entirely are EXACT."""
+    sk = kll_new(k)
+    kll_add_many(sk, data)
+    srt = sorted(data)
+    n = len(data)
+    for p in (0.1, 0.5, 0.9):
+        est = kll_quantiles(sk, [p])[0]
+        r = bisect.bisect_right(srt, est)
+        target = max(1, math.ceil(p * n))
+        if n <= k:
+            assert srt[target - 1] == est, (n, k, p)
+        else:
+            levels = len(sk["levels"])
+            assert abs(r - target) <= max(2 * levels * n / k, 2), (n, k, p)
+
+
+def test_spark_pipeline_matches_pure_python(spark):
+    rng = random.Random(97)
+    rows = [
+        (i % 7, rng.randint(0, 10**7)) for i in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "day int, v long").repartition(8)
+    partials = kll_partial_sketches(df, "v", ["day"], k=100)
+    per_day = kll_merge_groups(partials, ["day"], k=100)
+    days = per_day.collect()
+    assert len(days) == 7
+    assert sum(r["n_rows"] for r in days) == 20_000
+    # per-day sketch quantiles within tolerance of that day's exact
+    by_day = {}
+    for d, v in rows:
+        by_day.setdefault(d, []).append(v)
+    for r in days:
+        sk = kll_deserialize(r["sketch"])
+        srt = sorted(by_day[r["day"]])
+        for p in (0.5, 0.9):
+            assert _rank_err(srt, kll_quantiles(sk, [p])[0], p) <= 0.02
+    # rollup = N-row merge, compared against all-data exact
+    est = {
+        r["quantile_pct"]: r["est"]
+        for r in kll_rollup_quantiles(per_day, [50, 90, 99], k=100).collect()
+    }
+    srt_all = sorted(v for _, v in rows)
+    for pct, e in est.items():
+        assert _rank_err(srt_all, e, pct / 100.0) <= 0.01
+
+
+def test_exact_rank_cdf_and_monitor(spark):
+    rng = random.Random(31)
+    rows = [(i % 5, rng.randint(0, 10**6)) for i in range(8_000)]
+    df = spark.createDataFrame(rows, "day int, v long")
+    cdf = {r["_v"]: r["cum_le"] for r in exact_rank_cdf(df, "v", 10_000).collect()}
+    srt = sorted(v for _, v in rows)
+    for v in list(cdf)[:50]:
+        assert cdf[v] == bisect.bisect_right(srt, v)
+    # block width must not change the frame
+    cdf2 = {r["_v"]: r["cum_le"] for r in exact_rank_cdf(df, "v", 137).collect()}
+    assert cdf == cdf2
+    out = kll_quantile_monitor(
+        df, "v", "day", [50, 90, 99], k=100, tol_ppm=25_000,
+        block_width=10_000,
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        target = max(1, math.ceil(r["quantile_pct"] / 100.0 * 8_000))
+        assert r["exact"] == srt[target - 1], r
+        assert r["n_rows"] == 8_000
+        assert r["est_ok"] is True, r
+
+
+def test_merge_rejects_mismatched_k():
+    with pytest.raises(ValueError, match="k="):
+        kll_merge(kll_new(64), kll_new(128))
