@@ -8020,6 +8020,132 @@ def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("quantile_pct")
 
 
+def _semantic_dedup_oracle(
+    dim: int = 64,
+    num_clusters: int = 8,
+    threshold_ppm: int = 300_000,
+    kmeans_iters: int = 2,
+    train_sample: int = 1024,
+    quant_scale: int = 100_000,
+) -> str:
+    """GENERATE the SemDeDup oracle.  Unlike the hyperplane oracles
+    (data-independent literals), the coarse quantizer here is
+    data-DEPENDENT — so the oracle RETRAINS it: the integer k-means of
+    ``train_centroids_exactint`` (init = first k ids, argmin with ties
+    to lowest cid, truncating ``//`` centroid means, empty clusters
+    carry forward) unrolled as MATERIALIZED CTEs, one assign+update
+    pair per iteration.  Exact integer arithmetic end-to-end makes the
+    retrained centroids bit-identical to the Spark driver's trainer —
+    the property float k-means can never have (sum order changes the
+    means).  Within-cluster pairs are the oracle-side all-pairs join
+    (sub-quadratic candidate generation is the Spark side's job); the
+    duplicate verdict is the shared dot²·10¹² ≥ t²·|a|²·|b|² integer
+    predicate."""
+
+    def dot(a: str, b: str) -> str:
+        # stays HUGEINT: casting to BIGINT would overflow the
+        # dot² · 10¹² verify product (the emb_near_dup oracle device)
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> x[1] * x[2]))"
+        )
+
+    iter_ctes = []
+    prev = "c0"
+    for it in range(kmeans_iters):
+        a, m, u, c = f"a{it}", f"m{it}", f"u{it}", f"c{it + 1}"
+        iter_ctes.append(
+            f"""{a} AS MATERIALIZED (
+      SELECT vec_id, qv, cid FROM (
+        SELECT s.vec_id, s.qv, {prev}.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY {dot(f'{prev}.cv', f'{prev}.cv')}
+                          - 2 * {dot('s.qv', f'{prev}.cv')},
+                          {prev}.cid) AS rn
+        FROM s CROSS JOIN {prev}) WHERE rn = 1),
+    {m} AS MATERIALIZED (
+      SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {a}, generate_series(1, {dim}) AS g(i)
+      GROUP BY 1, 2),
+    {u} AS MATERIALIZED (
+      SELECT cid, list(sm // cnt ORDER BY i) AS cv FROM {m} GROUP BY 1),
+    {c} AS MATERIALIZED (
+      SELECT {prev}.cid, COALESCE({u}.cv, {prev}.cv) AS cv
+      FROM {prev} LEFT JOIN {u} USING (cid))"""
+        )
+        prev = c
+    iters_sql = ",\n    ".join(iter_ctes)
+    t2 = threshold_ppm * threshold_ppm
+    return f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {quant_scale}.0) AS BIGINT))
+               AS qv
+      FROM embeddings),
+    s AS MATERIALIZED (
+      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {train_sample}),
+    c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             qv AS cv
+      FROM (SELECT vec_id, qv FROM s ORDER BY vec_id
+            LIMIT {num_clusters})),
+    {iters_sql},
+    bf AS MATERIALIZED (
+      SELECT vec_id, qv, cid FROM (
+        SELECT q.vec_id, q.qv, {prev}.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot(f'{prev}.cv', f'{prev}.cv')}
+                          - 2 * {dot('q.qv', f'{prev}.cv')},
+                          {prev}.cid) AS rn
+        FROM q CROSS JOIN {prev}) WHERE rn = 1),
+    v AS MATERIALIZED (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             {dot('x.qv', 'y.qv')} AS dot,
+             {dot('x.qv', 'x.qv')} AS na2,
+             {dot('y.qv', 'y.qv')} AS nb2
+      FROM bf x JOIN bf y
+        ON x.cid = y.cid AND x.vec_id < y.vec_id),
+    pruned AS MATERIALIZED (
+      SELECT DISTINCT id_b FROM v
+      WHERE dot > 0
+        AND dot * dot * 1000000000000 >= {t2} * na2 * nb2)
+    SELECT bf.vec_id, CAST(bf.cid AS INT) AS cell,
+           (pruned.id_b IS NULL) AS keep
+    FROM bf LEFT JOIN pruned ON bf.vec_id = pruned.id_b
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_dedup_oracle())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (operators/similarity.py:
+    semantic_dedup_exactint — VERDICT r8 item 5): the semantic tier
+    above lexical MinHash/ssjoin.  Coarse integer k-means clusters the
+    corpus (trainer: bounded deterministic sample, truncating-division
+    means — exact enough that the ORACLE RETRAINS the identical
+    centroids as unrolled MATERIALIZED CTEs, no data-dependent
+    literals), a map-side Arrow int64 matmul assigns every vector its
+    cell, candidates form WITHIN a cluster only (capped_bucket_pairs —
+    |cluster|²-bounded, never corpus²), and items with a smaller-id
+    duplicate at cosine ≥ 0.30 are pruned, one representative kept.
+    All verdict arithmetic is the shared exact-integer sqrt-free
+    predicate, so every row hashes identically cross-engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup_exactint(
+        emb,
+        dim=64,
+        num_clusters=8,
+        threshold_ppm=300_000,
+        kmeans_iters=2,
+        train_sample=1024,
+        max_cluster_size=None,
+    )
+    return D.materialize_release(out)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
