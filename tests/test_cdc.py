@@ -511,3 +511,95 @@ def test_delta_join_view_group_vanishes(spark):
         summary, joined, ["grp"], ["v"], count_col="n_rows"
     ).collect()
     assert out == []
+
+
+# -------------------------------------------- schema-evolution changeset
+
+def _evolving(spark, cur_rows, cur_schema, inc_rows, inc_schema, **kw):
+    from big_data_validator_spark.operators.cdc import (
+        snapshot_changeset_evolving,
+    )
+
+    cur = spark.createDataFrame(cur_rows, cur_schema)
+    inc = spark.createDataFrame(inc_rows, inc_schema)
+    out = snapshot_changeset_evolving(cur, inc, ["k"], **kw)
+    return {r["k"]: r["change_type"] for r in out.collect()}, out
+
+
+def test_evolving_changeset_add_grid(spark):
+    """Column ADD: non-null added data -> schema_add; all-null added
+    tuple -> unchanged; a simultaneous shared-column change on the same
+    key stays a plain update (data dominates)."""
+    got, out = _evolving(
+        spark,
+        [(1, "a"), (2, "b"), (3, "c")],
+        "k long, v string",
+        [(1, "a", "NEW"), (2, "b", None), (3, "CHANGED", "NEW")],
+        "k long, v string, extra string",
+    )
+    assert got == {1: "schema_add", 3: "update"}
+    row = out.collect()[0]
+    assert row["added_cols"] == "extra" and row["dropped_cols"] == ""
+
+
+def test_evolving_changeset_drop_grid(spark):
+    """Column DROP raises by default (one-way superset tolerance);
+    with allow_drops=True, lost non-null data -> schema_drop, lost
+    all-null data -> unchanged."""
+    from big_data_validator_spark.operators.cdc import (
+        snapshot_changeset_evolving,
+    )
+
+    cur = spark.createDataFrame(
+        [(1, "a", "HAD"), (2, "b", None)], "k long, v string, legacy string"
+    )
+    inc = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="dropped columns"):
+        snapshot_changeset_evolving(cur, inc, ["k"])
+    out = snapshot_changeset_evolving(cur, inc, ["k"], allow_drops=True)
+    got = {r["k"]: r["change_type"] for r in out.collect()}
+    assert got == {1: "schema_drop"}
+    assert out.collect()[0]["dropped_cols"] == "legacy"
+
+
+def test_evolving_changeset_add_drop_and_data_on_same_key(spark):
+    """The full grid on one snapshot pair: insert/delete untouched,
+    update dominates schema_add, schema_add dominates schema_drop,
+    include_unchanged surfaces the quiet keys."""
+    got, _ = _evolving(
+        spark,
+        [
+            (1, "a", "HAD"),   # unchanged shared, lost data, gains data
+            (2, "b", "HAD"),   # update + schema noise -> update
+            (3, "c", None),    # unchanged shared, lost nothing, gains nothing
+            (4, "d", "HAD"),   # deleted
+        ],
+        "k long, v string, legacy string",
+        [
+            (1, "a", "NEW"),
+            (2, "B", "NEW"),
+            (3, "c", None),
+            (5, "e", "NEW"),   # inserted
+        ],
+        "k long, v string, extra string",
+        allow_drops=True,
+        include_unchanged=True,
+    )
+    assert got == {
+        1: "schema_add",   # add dominates drop
+        2: "update",       # data change dominates schema notes
+        3: "unchanged",
+        4: "delete",
+        5: "insert",
+    }
+
+
+def test_evolving_changeset_requires_shared_columns(spark):
+    from big_data_validator_spark.operators.cdc import (
+        snapshot_changeset_evolving,
+    )
+
+    cur = spark.createDataFrame([(1, "x")], "k long, old string")
+    inc = spark.createDataFrame([(1, "y")], "k long, new string")
+    with pytest.raises(ValueError, match="share no non-key"):
+        snapshot_changeset_evolving(cur, inc, ["k"], allow_drops=True)
