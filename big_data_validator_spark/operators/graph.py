@@ -90,3 +90,62 @@ def pagerank_integer(
             .alias("rank_q"),
         )
     return r
+
+
+def label_propagation_min(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    symmetrized: bool = False,
+) -> DataFrame:
+    """Synchronous min-label propagation (HashMin): every node starts
+    labeled with its own id; each round it takes the minimum of its
+    label and its neighbors' labels over the SYMMETRIZED edge set.
+    After ``iters`` rounds a node's label is the minimum id within its
+    ``iters``-hop neighborhood; run to the graph's diameter and labels
+    are connected components — the relational fixed-point the
+    large-star/small-star dedup clustering implements with adaptive
+    rounds, here in the FIXED-round form whose every intermediate state
+    is engine-portable (min over ids is order-independent, so an
+    unrolled-CTE oracle replays it exactly — the pagerank device).
+
+    Scale shape matches :func:`pagerank_integer`: per round, one
+    (labels ⋈ edges) key join + one ``dst`` min-aggregation, both
+    map-side combinable; the symmetrized distinct edge relation is
+    reused every round (callers persist it — the registry entry pins
+    it via materialize_release).  Labels are compared with ``least``,
+    which for STRING ids is lexicographic in both Spark and DuckDB
+    (ASCII ids only — mind collation for anything fancier).
+
+    Returns ``(node, label)`` for every node.
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    e0 = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_b")
+    )
+    if symmetrized:
+        # caller vouches the relation is already undirected + distinct
+        # (and typically CACHED — it is consumed once per round)
+        und = e0
+    else:
+        e0 = e0.distinct()
+        und = e0.union(e0.select(F.col("_b"), F.col("_a"))).distinct()
+    nodes = und.select(F.col("_a").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        nbr_min = (
+            und.join(lbl, und["_a"] == lbl["node"])
+            .groupBy(F.col("_b").alias("_n"))
+            .agg(F.min("label").alias("_nl"))
+        )
+        lbl = lbl.join(
+            nbr_min, lbl["node"] == nbr_min["_n"], "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
+            ).alias("label"),
+        )
+    return lbl

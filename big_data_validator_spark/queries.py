@@ -8238,6 +8238,86 @@ def cdc_schema_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_propagation_oracle(iters: int = 3) -> str:
+    """Unrolled min-label propagation (the pagerank CTE device): one
+    (neighbor-min LEFT JOIN + LEAST) stage per iteration over the
+    symmetrized distinct edge set."""
+    stages = []
+    prev = "lab0"
+    for it in range(1, iters + 1):
+        cur = f"lab{it}"
+        stages.append(
+            f"""{cur} AS MATERIALIZED (
+      SELECT n.node,
+             LEAST(n.label, COALESCE(m.nl, n.label)) AS label
+      FROM {prev} n LEFT JOIN (
+        SELECT e.b AS node, MIN(l.label) AS nl
+        FROM e JOIN {prev} l ON l.node = e.a
+        GROUP BY 1) m ON m.node = n.node)"""
+        )
+        prev = cur
+    stages_sql = ",\n    ".join(stages)
+    return f"""
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                      's' || CAST(l_suppkey AS VARCHAR) AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_totalprice > 450000),
+    e AS MATERIALIZED (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    lab0 AS MATERIALIZED (
+      SELECT node, node AS label
+      FROM (SELECT DISTINCT a AS node FROM e)),
+    {stages_sql}
+    SELECT node, label FROM {prev} ORDER BY node
+    """
+
+
+@query("graph_label_propagation", oracle=_label_propagation_oracle(3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over the HIGH-VALUE customer↔supplier
+    flow subgraph (operators/graph.py:label_propagation_min — VERDICT
+    r8 item 8, rounding out link analysis next to PageRank): edges are
+    restricted to orders above 450k so the graph fractures into dozens
+    of components (the full graph is one blob and every label
+    collapses — discriminating nothing); three synchronous HashMin
+    rounds over the symmetrized distinct edge set give each node the
+    minimum id within its 3-hop neighborhood —
+    the fixed-round, engine-portable form of connected components
+    (min over string ids is order-independent, unlike any float
+    computation).  The ORACLE unrolls the three rounds as MATERIALIZED
+    CTEs, one neighbor-min join per round — two engines, one algebra.
+    The symmetrized edge relation is cached across rounds and released
+    after materialization (_bdv_pinned device)."""
+    from big_data_validator_spark.operators.graph import (
+        label_propagation_min,
+    )
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select("o_orderkey", "o_custkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    directed = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
+    ).distinct()
+    # symmetrize ONCE and cache: the undirected relation is consumed by
+    # every propagation round, so the distinct-union shuffle must not
+    # re-run per iteration
+    und = directed.union(
+        directed.select(F.col("dst"), F.col("src"))
+    ).distinct().cache()
+    labels = label_propagation_min(und, iters=3, symmetrized=True)
+    out = labels.orderBy("node")
+    return D.materialize_release(out, und)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

@@ -59,3 +59,71 @@ def test_pagerank_rejects_negative_iters(spark):
     df = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError):
         pagerank_integer(df, iters=-1)
+
+
+# ------------------------------------------------------ label propagation
+
+def _py_label_prop(edges, iters):
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = {a for a, _ in und}
+    lbl = {n: n for n in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for n in nodes:
+            nbrs = [lbl[b] for a, b in und if a == n]
+            nxt[n] = min([lbl[n]] + nbrs)
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_hand_graph(spark):
+    from big_data_validator_spark.operators.graph import (
+        label_propagation_min,
+    )
+
+    # two components: {a,b,c} path and {x,y}; after 1 round b has seen
+    # a but c has only seen b; after 2 rounds c converges
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    one = {r.node: r.label for r in label_propagation_min(df, iters=1).collect()}
+    assert one == {"a": "a", "b": "a", "c": "b", "x": "x", "y": "x"}
+    two = {r.node: r.label for r in label_propagation_min(df, iters=2).collect()}
+    assert two == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+@pytest.mark.parametrize("iters", [0, 1, 3])
+def test_label_propagation_matches_reference(spark, iters):
+    from big_data_validator_spark.operators.graph import (
+        label_propagation_min,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = list(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(45)
+        }
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r.node: r.label
+        for r in label_propagation_min(df, iters=iters).collect()
+    }
+    assert got == _py_label_prop(edges, iters)
+    # pre-symmetrized path must agree
+    und = list({e for a, b in edges for e in [(a, b), (b, a)]})
+    df2 = spark.createDataFrame(und, ["src", "dst"])
+    got2 = {
+        r.node: r.label
+        for r in label_propagation_min(
+            df2, iters=iters, symmetrized=True
+        ).collect()
+    }
+    assert got2 == got
