@@ -205,6 +205,11 @@ HEADLINE = [
     "graph_pagerank_flow",
     "rule_outlier_mad",
     "events_rolling_distinct",
+    # round-9 additions
+    "agg_kll_mergeable",
+    "dedup_semantic_clusters",
+    "cdc_schema_changeset",
+    "graph_label_propagation",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

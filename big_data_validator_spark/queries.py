@@ -8336,21 +8336,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CORRECTNESS_r*.json or a seat in the current window.
 _DRIVER_WINDOW_SIZE = 50
 _DEMOTED_TO_TAIL = [
-    # Row-level detail listing; the summary twin rule_uniqueness_metrics
-    # stays in-window and pins the same uniqueness semantics.
-    "rule_uniqueness_dup_keys",
-    # EXCEPT set-op drift detail; set_intersect_priority_profiles and
-    # drift_psi_totalprice keep set-op + drift coverage in-window.
-    "drift_snapshots",
-    # Quote-stripped variant of rule_field_count_quoted; the naive rule
-    # stays in-window and the quoted regex has a property-based parity test.
-    "rule_field_count_quote_stripped",
-    # Exact COUNT(DISTINCT) twin of agg_approx_distinct; distinct-count
-    # semantics stay in-window via rule_uniqueness_metrics.
-    "agg_count_distinct",
-    # Broadcast fact-dim enrichment join; the same plan shape stays
-    # in-window via join_region_revenue (broadcast dims, pushed filters).
-    "join_part_enrichment",
+    # ---- round-9 re-validation seats (VERDICT r8 item 3): the five
+    # ---- oldest-vintage entries — green in r1-r4 only, resting since —
+    # ---- return to the window this round, so their records stop aging:
+    # ---- rule_uniqueness_dup_keys, drift_snapshots,
+    # ---- rule_field_count_quote_stripped, agg_count_distinct,
+    # ---- join_part_enrichment (removed from this list).
     # ---- round-5 rotation: twelve r1-r4-green entries rest this round so
     # ---- the twelve entries added since r2 (plus the two new scan
     # ---- queries) each get a driver-green row.  Per-entry twin rationale:
@@ -8808,6 +8799,20 @@ _DEMOTED_TO_TAIL = [
     # DISTINCT counts — the sliding aggregate window functions cannot
     # express, via the bounded interval-explode device).
     "quality_gopher_flags",
+    # ---- round-9 rotation: two multi-round greens rest so the four new
+    # ---- operators (KLL sketch, SemDeDup, schema-evolving CDC, label
+    # ---- propagation) and the five r1-vintage re-seats all fit.
+    # Green r4-r8 (five driver rounds); pairwise edit-distance dedup
+    # semantics stay pinned by tests/test_text_dedup.py, and the exact
+    # pairwise-similarity-join family keeps its in-window seat via
+    # dedup_ssjoin_prefix (PPJoin prefix filter, green r8) plus the
+    # semantic tier's new dedup_semantic_clusters.
+    "dedup_fuzzy_levenshtein",
+    # Green r5-r8 (four driver rounds); A-ExpJ weighted reservoir
+    # semantics stay pytest-pinned (tests/test_sampling.py exact-weight
+    # grid) and the sampling family keeps two in-window seats
+    # (train_shuffle_shards, sample_cluster_split).
+    "sample_weighted_orders",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels
@@ -8817,14 +8822,14 @@ _DEMOTED_TO_TAIL = [
 #: point: each gets its first CORRECTNESS row ever this round.  Their
 #: SEMANTICS stay pinned by pytest recall/parity tests and by oracled
 #: twins (sim_ann_recall, sim_ann_exactint, emb_near_dup_*).
-_SEATED_ROWS_ONLY = [
-    "dedup_minhash_lsh",
-    "dedup_winnowing",
-    "dedup_simhash",
-    "dedup_minhash_clusters",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "sim_ann_pq",
+_SEATED_ROWS_ONLY: list = [
+    # Round 9: EMPTY.  All seven hash-dependent sketch kernels got
+    # their rows-only driver records in CORRECTNESS_r08 (the point of
+    # the round-8 seating); their seats return to oracled entries —
+    # four new operators + five r1-vintage re-validations.  Their
+    # semantics remain pytest-pinned (recall/parity tests) and
+    # oracle-twinned (sim_ann_recall, sim_ann_exactint,
+    # emb_near_dup_*, dedup_ssjoin_prefix).
 ]
 
 

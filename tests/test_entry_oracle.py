@@ -172,11 +172,15 @@ def test_driver_window_is_all_oracled():
     # (membership rotates — see _DEMOTED_TO_TAIL — but each family keeps
     # at least one seat).
     for required in [
-        "dedup_fuzzy_levenshtein",
+        # (dedup_fuzzy_levenshtein got green r4-r8 rows and rests in
+        # r9; dedup_ssjoin_prefix + dedup_semantic_clusters keep the
+        # pairwise-similarity dedup family seats.  sample_weighted_orders
+        # got green r5-r8 rows and rests in r9; train_shuffle_shards +
+        # sample_cluster_split keep the sampling family seats.)
         "sim_ann_recall",  # recomputes brute-force cosine as ground truth
         "multimodal_resize_stats",
         "text_unigram_lm_score",
-        "sample_weighted_orders", "pipeline_curate_pack",
+        "pipeline_curate_pack",
         "corpus_mixture_apply",
         # (quality_gopher_flags got green r5-r7 rows and rests in r8;
         # corpus_mixture_apply recomputes the same gates in-window)
@@ -206,16 +210,24 @@ def test_driver_window_is_all_oracled():
         "streaming_incremental_mv", "profile_fd_discovery",
         "ts_twap_daily", "scan_observed_metrics",
         # round-8 additions: each must get its driver row
+        # (the seven rows-only sketch kernels got their CORRECTNESS_r08
+        # records and leave the window in r9 — _SEATED_ROWS_ONLY is
+        # empty; oracled twins keep their families covered)
         "agg_incremental_minmax", "profile_fd_composite",
         "sample_cluster_split", "join_salted_skew",
-        "dedup_minhash_lsh", "dedup_winnowing", "dedup_simhash",
-        "dedup_minhash_clusters", "sim_ann_lsh", "sim_ann_ivf",
-        "sim_ann_pq",
         # round-8 second-wave additions
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
         "ts_rollup_cascade", "topk_pareto_frontier",
         "graph_pagerank_flow", "rule_outlier_mad",
         "events_rolling_distinct",
+        # round-9 additions: each must get its driver row
+        "agg_kll_mergeable", "dedup_semantic_clusters",
+        "cdc_schema_changeset", "graph_label_propagation",
+        # round-9 re-validation seats (r1-vintage records, VERDICT r8
+        # item 3): the oldest greens return for a fresh driver row
+        "rule_uniqueness_dup_keys", "drift_snapshots",
+        "agg_count_distinct", "join_part_enrichment",
+        "rule_field_count_quote_stripped",
     ]:
         assert required in window, required
 
