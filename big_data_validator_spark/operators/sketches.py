@@ -370,9 +370,14 @@ def kll_quantile_monitor(
     pcts = [int(p) for p in quantile_pcts]
     partials = kll_partial_sketches(df, value_col, [day_col], k)
     per_day = kll_merge_groups(partials, [day_col], k)
-    est = kll_rollup_quantiles(per_day, pcts, k)
-
-    cdf = exact_rank_cdf(df, value_col, block_width)
+    # Both relations feed MULTIPLE joins below and Spark shares no
+    # subplans: uncached, the whole sketch pipeline would re-run per
+    # consumer (measured: 47 shuffles vs ~10).  est is |pcts| rows; the
+    # CDF is value-domain-sized and exists only on this verification
+    # leg.  Pinned on the result as _bdv_pinned — the registry entry
+    # releases them via materialize_release.
+    est = kll_rollup_quantiles(per_day, pcts, k).cache()
+    cdf = exact_rank_cdf(df, value_col, block_width).cache()
     # exact percentile: smallest value whose cum_le reaches the integer
     # target rank ceil(pct·n/100) = (pct·n + 99) div 100
     targets = est.select(
@@ -407,4 +412,5 @@ def kll_quantile_monitor(
             ).alias("est_ok"),
         )
     )
+    out._bdv_pinned = [est, cdf]
     return out

@@ -124,6 +124,15 @@ PLAN_QUERIES = [
     # in tests/test_timeseries.py (poisoned-row pass-through test).
     "topk_pareto_frontier",
     "events_rolling_distinct",
+    # round-9 session additions (agg_kll_mergeable,
+    # dedup_semantic_clusters and graph_label_propagation are in the
+    # eager-materialization class — pinned est/CDF, cluster-pair, and
+    # symmetrized-edge caches released via materialize_release, so the
+    # returned frames are LocalTableScans; their sketch-merge,
+    # within-cluster-only, and per-round join+agg shapes are pinned in
+    # tests/test_sketches.py, tests/test_semantic_dedup.py and
+    # tests/test_graph.py)
+    "cdc_schema_changeset",
     # rule_outlier_mad is in the eager-materialization class (pinned
     # med/MAD caches released via materialize_release); its 3-pass
     # shape is pinned in tests/test_profile.py.

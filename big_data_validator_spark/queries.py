@@ -8009,7 +8009,7 @@ def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").alias("day"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
-    return kll_quantile_monitor(
+    res = kll_quantile_monitor(
         o,
         value_col="c",
         day_col="day",
@@ -8017,7 +8017,10 @@ def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=200,
         tol_ppm=25_000,
         block_width=1_000_000,
-    ).orderBy("quantile_pct")
+    )
+    out = res.orderBy("quantile_pct")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
 
 
 def _semantic_dedup_oracle(

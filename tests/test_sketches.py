@@ -179,3 +179,26 @@ def test_exact_rank_cdf_and_monitor(spark):
 def test_merge_rejects_mismatched_k():
     with pytest.raises(ValueError, match="k="):
         kll_merge(kll_new(64), kll_new(128))
+
+
+def test_monitor_plan_is_single_pipeline_per_leg(spark):
+    """Cache-pin regression (the Spark-shares-no-subplans trap): est and
+    the CDF each feed multiple joins; uncached, the whole sketch
+    pipeline re-ran per consumer (measured 47 shuffles).  With the
+    pinned caches the monitor stays bounded."""
+    from big_data_validator_spark.operators.dedup import release_pinned
+    from big_data_validator_spark.plans.inspect import shuffle_count
+
+    df = spark.createDataFrame(
+        [(i % 3, i * 7 % 1000) for i in range(500)], "day int, v long"
+    )
+    res = kll_quantile_monitor(
+        df, "v", "day", [50, 90], k=64, block_width=100
+    )
+    # shuffle_count is a TEXT count and the cached subtree's plan text
+    # reprints under every InMemoryRelation reference, so the number
+    # overstates executed shuffles; the regression signal is the gap:
+    # cached plan ~23 text-exchanges, uncached (the bug) 47.
+    n = shuffle_count(res)
+    assert n <= 30, f"sketch monitor plan re-runs subplans: {n} shuffles"
+    release_pinned(res)
