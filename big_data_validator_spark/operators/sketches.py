@@ -85,8 +85,25 @@ def kll_add(sk: dict, value: int) -> None:
 
 
 def kll_add_many(sk: dict, values: Iterable[int]) -> None:
-    for v in values:
-        kll_add(sk, v)
+    """Bulk add with IDENTICAL state evolution to per-value
+    :func:`kll_add` (compaction still fires exactly when level 0
+    reaches ``k+1`` items), but amortizing the python loop: level 0 is
+    extended in chunks up to its trigger point instead of one append +
+    one capacity check per value."""
+    vals = [int(v) for v in values]
+    k = sk["k"]
+    n = len(vals)
+    i = 0
+    while i < n:
+        lvl0 = sk["levels"][0]
+        take = max(1, min(k + 1 - len(lvl0), n - i))
+        lvl0.extend(vals[i : i + take])
+        sk["n"] += take
+        i += take
+        j = 0
+        while j < len(sk["levels"]) and len(sk["levels"][j]) > k:
+            _compact_level(sk, j)
+            j += 1
 
 
 def kll_merge(a: dict, b: dict) -> dict:
@@ -353,6 +370,7 @@ def kll_quantile_monitor(
     k: int = DEFAULT_K,
     tol_ppm: int = 25_000,
     block_width: int = 1_000_000,
+    partial_stage: str = "map_side",
 ) -> DataFrame:
     """End-to-end sketch-vs-exact monitor, oracle-ready: build per-day
     mergeable sketches (partials → per-day merge), roll all days up to
@@ -368,8 +386,27 @@ def kll_quantile_monitor(
     sketch table alone.
     """
     pcts = [int(p) for p in quantile_pcts]
-    partials = kll_partial_sketches(df, value_col, [day_col], k)
-    per_day = kll_merge_groups(partials, [day_col], k)
+    # Partial-stage cost model: map-side partials emit one sketch row
+    # per (partition × group).  That pays when groups-per-partition ≪
+    # rows-per-partition — the 100 TB layout, where data is
+    # date-partitioned and a task sees one or two days.  Under a
+    # row-random layout with high group cardinality (this bench: 32
+    # partitions × ~2400 days ≈ the row count) the python sketch-object
+    # overhead dominates; "shuffle" repartitions the raw rows on the
+    # group key FIRST so exactly one sketch is built per group
+    # (measured 11.8 s → map-side vs ~2 s shuffled at sf0.1).
+    if partial_stage not in ("map_side", "shuffle"):
+        raise ValueError(f"partial_stage={partial_stage!r}")
+    if partial_stage == "shuffle":
+        # day-locality is guaranteed by the repartition, so the partial
+        # build already emits exactly ONE sketch per day — the merge
+        # stage would be 1-row groups of pure applyInPandas overhead
+        per_day = kll_partial_sketches(
+            df.repartition(F.col(day_col)), value_col, [day_col], k
+        )
+    else:
+        partials = kll_partial_sketches(df, value_col, [day_col], k)
+        per_day = kll_merge_groups(partials, [day_col], k)
     # Both relations feed MULTIPLE joins below and Spark shares no
     # subplans: uncached, the whole sketch pipeline would re-run per
     # consumer (measured: 47 shuffles vs ~10).  est is |pcts| rows; the

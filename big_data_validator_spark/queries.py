@@ -8017,6 +8017,11 @@ def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=200,
         tol_ppm=25_000,
         block_width=1_000_000,
+        # the testdata is row-random with ~2400 distinct days, so
+        # map-side partials would build partitions×days tiny sketches;
+        # at 100 TB the table is date-partitioned and "map_side" is
+        # the right setting (see the operator's cost-model note)
+        partial_stage="shuffle",
     )
     out = res.orderBy("quantile_pct")
     out._bdv_pinned = D.pinned_caches(res)
