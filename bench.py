@@ -207,6 +207,7 @@ HEADLINE = [
     "events_rolling_distinct",
     # round-9 additions
     "agg_kll_mergeable",
+    "agg_kll_rolling",
     "dedup_semantic_clusters",
     "cdc_schema_changeset",
     "graph_label_propagation",

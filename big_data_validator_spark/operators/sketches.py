@@ -309,6 +309,72 @@ def kll_rollup_quantiles(
     )
 
 
+def kll_rolling_quantiles(
+    per_day: DataFrame,
+    day_col: str,
+    pct: int,
+    window_days: int,
+    report_from: str,
+    report_to: str,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """THE payoff query of the mergeable-sketch architecture: a trailing
+    ``window_days`` percentile for every report day, computed ONLY from
+    the stored per-day sketch rows — the raw table is not touched.
+
+    Each sketch day fans out to the ≤``window_days`` report days whose
+    trailing window contains it (the bounded interval explode of
+    ``events_rolling_distinct`` — linear in sketch rows, never a
+    re-scan), then each report day merges its ≤``window_days`` sketch
+    rows.  At 100 TB this reads KBs per day instead of the window's
+    raw partitions; a 30-day rolling p99 over a year is ~365 × 30
+    sketch-row merges, total MBs.
+
+    Returns ``(day_col, est, n_rows)`` — ``n_rows`` is exact (sketch
+    row counts are exact even though ranks are approximate)."""
+    rd = F.col("_rd")
+    fan = (
+        per_day.filter(
+            (F.col(day_col) > F.date_sub(F.lit(report_from), window_days))
+            & (F.col(day_col) <= F.lit(report_to))
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col(day_col),
+                    F.date_add(F.col(day_col), window_days - 1),
+                )
+            ).alias("_rd"),
+            "sketch",
+            "n_rows",
+        )
+        .filter((rd >= F.lit(report_from)) & (rd <= F.lit(report_to)))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(day_col, T.DateType(), False),
+            T.StructField("est", T.LongType(), True),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+    frac = pct / 100.0
+
+    def roll(key, pdf):
+        import pandas as pd
+
+        sk = kll_new(k)
+        for s in pdf["sketch"]:
+            sk = kll_merge(sk, kll_deserialize(s))
+        return pd.DataFrame(
+            [[key[0], kll_quantiles(sk, [frac])[0], int(pdf["n_rows"].sum())]],
+            columns=[day_col, "est", "n_rows"],
+        )
+
+    return fan.groupBy("_rd").applyInPandas(
+        lambda key, pdf: roll(key, pdf), out_schema
+    )
+
+
 # ------------------------------------------------- exact verification leg
 
 def exact_rank_cdf(
@@ -450,4 +516,105 @@ def kll_quantile_monitor(
         )
     )
     out._bdv_pinned = [est, cdf]
+    return out
+
+
+def kll_rolling_monitor(
+    df: DataFrame,
+    value_col: str,
+    day_col: str,
+    pct: int,
+    window_days: int,
+    report_from: str,
+    report_to: str,
+    k: int = DEFAULT_K,
+    tol_ppm: int = 25_000,
+) -> DataFrame:
+    """Rolling-percentile monitor, oracle-ready: per-day sketches →
+    :func:`kll_rolling_quantiles` (sketch-row merges only) per report
+    day, verified per day against the exact trailing percentile.
+
+    The exact leg never globally sorts: per-(day, value) counts fan out
+    through the SAME bounded interval explode (≤``window_days`` report
+    days each), cumulative counts run in windows PARTITIONED by report
+    day over the distinct-value frame, and the exact percentile is the
+    smallest value whose cumulative count reaches the integer target
+    rank.  Ships ``(day, exact, n_rows, est_ok)`` — the estimate stays
+    internal (partitioning-dependent), the ``agg_kll_mergeable``
+    discipline."""
+    from pyspark.sql import Window
+
+    per_day = kll_partial_sketches(
+        df.repartition(F.col(day_col)), value_col, [day_col], k
+    )
+    est = kll_rolling_quantiles(
+        per_day, day_col, pct, window_days, report_from, report_to, k
+    ).cache()
+
+    rd = F.col("_rd")
+    dist = (
+        df.filter(
+            (F.col(day_col) > F.date_sub(F.lit(report_from), window_days))
+            & (F.col(day_col) <= F.lit(report_to))
+            & F.col(value_col).isNotNull()
+        )
+        .groupBy(
+            F.col(day_col).alias("_d"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("_d"), F.date_add(F.col("_d"), window_days - 1)
+                )
+            ).alias("_rd"),
+            "_v",
+            "_n",
+        )
+        .filter((rd >= F.lit(report_from)) & (rd <= F.lit(report_to)))
+        .groupBy("_rd", "_v")
+        .agg(F.sum("_n").alias("_w"))
+    )
+    cum = dist.withColumn(
+        "_cum",
+        F.sum("_w").over(
+            Window.partitionBy("_rd")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).cache()
+    targets = est.select(
+        F.col(day_col).alias("_td"),
+        "est",
+        "n_rows",
+        F.expr(f"({int(pct)} * n_rows + 99) div 100").alias("_r"),
+    )
+    t = F.broadcast(targets)
+    exact = (
+        cum.join(
+            t, (cum["_rd"] == t["_td"]) & (cum["_cum"] >= t["_r"])
+        )
+        .groupBy("_td")
+        .agg(F.min("_v").alias("exact"))
+    )
+    est_rank = (
+        cum.join(t, (cum["_rd"] == t["_td"]) & (cum["_v"] <= t["est"]))
+        .groupBy("_td")
+        .agg(F.max("_cum").alias("_est_rank"))
+    )
+    out = (
+        targets.join(exact, "_td")
+        .join(est_rank, "_td", "left")
+        .select(
+            F.col("_td").alias(day_col),
+            "exact",
+            "n_rows",
+            (
+                F.abs(F.coalesce(F.col("_est_rank"), F.lit(0)) - F.col("_r"))
+                <= F.expr(f"({int(tol_ppm)} * n_rows) div 1000000")
+            ).alias("est_ok"),
+        )
+    )
+    out._bdv_pinned = [est, cum]
     return out

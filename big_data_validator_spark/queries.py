@@ -8326,6 +8326,79 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out, und)
 
 
+@query(
+    "agg_kll_rolling",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderdate AS d,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    days AS (
+      SELECT CAST(rd AS DATE) AS rd
+      FROM generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                           INTERVAL 1 DAY) AS g(rd)),
+    w AS (
+      SELECT days.rd, v.c FROM days JOIN v
+        ON v.d > days.rd - INTERVAL 30 DAY AND v.d <= days.rd),
+    n AS (SELECT rd, CAST(COUNT(*) AS BIGINT) AS n_rows FROM w GROUP BY 1),
+    cum AS (
+      SELECT rd, c,
+             SUM(COUNT(*)) OVER (PARTITION BY rd ORDER BY c) AS cle
+      FROM w GROUP BY rd, c),
+    t AS (SELECT n.rd, n.n_rows,
+                 CAST((90 * n.n_rows + 99) // 100 AS BIGINT) AS r
+          FROM n)
+    SELECT STRFTIME(t.rd, '%Y-%m-%d') AS day,
+           CAST(MIN(cum.c) AS BIGINT) AS exact,
+           t.n_rows AS n_rows,
+           TRUE AS est_ok
+    FROM t JOIN cum ON cum.rd = t.rd AND cum.cle >= t.r
+    GROUP BY t.rd, t.n_rows
+    ORDER BY 1
+    """,
+)
+def agg_kll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day p90 of order values for every January-1995 day,
+    computed FROM STORED SKETCH ROWS ONLY (operators/sketches.py:
+    kll_rolling_monitor) — the query the mergeable-sketch architecture
+    exists for: per-day KLL sketches fan out through the bounded
+    interval explode (≤30 report days each, the events_rolling_distinct
+    device) and each report day MERGES its ≤30 sketch rows; the raw
+    table is scanned once to build the day sketches, never per window.
+    At 100 TB that is KBs of sketch I/O per report day versus 30 days
+    of raw partitions.  Verification ships the exact trailing
+    percentile (per-report-day partitioned cumulative counts — no
+    global sort) plus the ±2.5% rank verdict, so the hash is
+    engine-exact while a sketch-accuracy regression flips it."""
+    from big_data_validator_spark.operators.sketches import (
+        kll_rolling_monitor,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    res = kll_rolling_monitor(
+        o,
+        value_col="c",
+        day_col="day",
+        pct=90,
+        window_days=30,
+        report_from="1995-01-01",
+        report_to="1995-01-31",
+        k=200,
+        tol_ppm=25_000,
+    )
+    out = res.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact",
+        "n_rows",
+        "est_ok",
+    ).orderBy("day")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8821,6 +8894,12 @@ _DEMOTED_TO_TAIL = [
     # grid) and the sampling family keeps two in-window seats
     # (train_shuffle_shards, sample_cluster_split).
     "sample_weighted_orders",
+    # Green r7+r8; gap-fill/resample semantics stay pytest-pinned
+    # (tests/test_timeseries.py grid) and the timeseries family keeps
+    # two in-window seats (ts_rollup_cascade, ts_twap_daily).  Frees
+    # the seat for agg_kll_rolling — the rolling-percentile-from-
+    # stored-sketches payoff query of the round's KLL architecture.
+    "ts_resample_ffill",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -8,28 +8,43 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import SparkSession, functions as F
 
 SF_DIR = "/tmp/bdv_sf1"
+# VERDICT r8 item 7: the 25 most expensive BENCH_DETAIL queries (the
+# set whose sf0.1 costs dominate the headline — dedup/ANN/streaming/
+# profile families), plus the earlier capability seats
+# (join_point_in_time's one-shuffle as-of claim) and the round-9
+# entries whose scale story IS the claim: the KLL monitor's map-side
+# sketch pass, SemDeDup's within-cluster-only candidate discipline,
+# and label propagation's per-round join+agg.
 TOP = [
-    "streaming_attribution_left",
-    "sim_ann_recall",
-    "dedup_minhash_clusters",
-    "dedup_winnowing",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "agg_approx_distinct",
-    "streaming_sessionize_stateful",
-    "rule_order_totals_reconcile",
-    "emb_near_dup_pairs",
-    # VERDICT r7 item 5: the as-of family's union-and-fill window is
-    # exactly where 10x keys x 10x rows stress the one-shuffle claim —
-    # none of the original 10 covered it
-    "join_point_in_time",
-    # round-8 capability entries whose scale story IS the claim:
-    # the prefix-filtered exact ssjoin must show candidate volume
-    # tracking true-pair density (not corpus size), and the iterative
-    # integer PageRank must show per-iteration join+agg cost tracking
-    # edge count
-    "dedup_ssjoin_prefix",
     "graph_pagerank_flow",
+    "streaming_attribution_left",
+    "dedup_ssjoin_prefix",
+    "sim_ann_recall",
+    "streaming_drift_psi",
+    "dedup_winnowing",
+    "dedup_minhash_clusters",
+    "streaming_metrics_trend",
+    "dedup_simhash",
+    "agg_approx_distinct",
+    "link_part_entities",
+    "rule_order_totals_reconcile",
+    "streaming_sessionize_stateful",
+    "rule_profile_trend_anomaly",
+    "dedup_minhash_lsh",
+    "streaming_incremental_mv",
+    "emb_near_dup_clusters",
+    "ts_rollup_cascade",
+    "streaming_attribution_join",
+    "mining_frequent_pairs",
+    "profile_orders_columns",
+    "profile_fd_composite",
+    "rule_outlier_mad",
+    "text_bpe_learn",
+    "emb_near_dup_pairs",
+    "join_point_in_time",
+    "agg_kll_mergeable",
+    "dedup_semantic_clusters",
+    "graph_label_propagation",
 ]
 
 spark = (SparkSession.builder.master("local[32]")

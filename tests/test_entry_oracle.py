@@ -197,7 +197,9 @@ def test_driver_window_is_all_oracled():
         # (text_bpe_encode got green r6+r7 rows and rests in r8;
         # text_bpe_learn + pipeline_bpe_pack keep the BPE family seats)
         "streaming_attribution_left",
-        "ts_resample_ffill", "pipeline_bpe_pack",
+        # (ts_resample_ffill got green r7+r8 rows and rests in r9;
+        # ts_rollup_cascade + ts_twap_daily keep the timeseries seats)
+        "pipeline_bpe_pack",
         # round-7 additions: each must get its driver-green row
         # (join_asof_forward got its green r7 row and rests in r8;
         # join_point_in_time keeps the as-of family seat)
@@ -228,6 +230,8 @@ def test_driver_window_is_all_oracled():
         "rule_uniqueness_dup_keys", "drift_snapshots",
         "agg_count_distinct", "join_part_enrichment",
         "rule_field_count_quote_stripped",
+        # round-9 second wave: the rolling-percentile payoff query
+        "agg_kll_rolling",
     ]:
         assert required in window, required
 

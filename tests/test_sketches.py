@@ -202,3 +202,41 @@ def test_monitor_plan_is_single_pipeline_per_leg(spark):
     n = shuffle_count(res)
     assert n <= 30, f"sketch monitor plan re-runs subplans: {n} shuffles"
     release_pinned(res)
+
+
+def test_rolling_monitor_matches_brute_force(spark):
+    """Rolling percentile FROM SKETCH ROWS: per report day the exact
+    column must equal a brute-force trailing-window percentile, and the
+    sketch estimate's rank verdict must hold."""
+    import datetime as dt
+
+    rng = random.Random(41)
+    d0 = dt.date(2024, 1, 1)
+    rows = [
+        (d0 + dt.timedelta(days=i % 40), rng.randint(0, 10**6))
+        for i in range(12_000)
+    ]
+    df = spark.createDataFrame(rows, "day date, v long")
+    from big_data_validator_spark.operators.dedup import release_pinned
+    from big_data_validator_spark.operators.sketches import (
+        kll_rolling_monitor,
+    )
+
+    res = kll_rolling_monitor(
+        df, "v", "day", pct=90, window_days=7,
+        report_from="2024-01-20", report_to="2024-01-26", k=100,
+    )
+    got = {r["day"].isoformat(): r for r in res.collect()}
+    release_pinned(res)
+    assert len(got) == 7
+    for off in range(19, 26):
+        rd = d0 + dt.timedelta(days=off)
+        win = sorted(
+            v for d, v in rows
+            if rd - dt.timedelta(days=6) <= d <= rd
+        )
+        n = len(win)
+        r = got[rd.isoformat()]
+        assert r["n_rows"] == n
+        assert r["exact"] == win[(90 * n + 99) // 100 - 1]
+        assert r["est_ok"] is True
