@@ -69,6 +69,26 @@ for t, shifts in SHIFTS.items():
                     )
                 ),
             )
+        if t == "part" and i > 0:
+            # the documents lesson (r7 audit trail below), transplanted:
+            # key-shifted part copies kept IDENTICAL p_name strings, so
+            # every name-token block in entity linkage was 10x denser —
+            # candidate pairs grew ~100x for 10x data, an artifact of
+            # the copy scheme, not a scale property (r9: 65x measured).
+            # Per-copy character substitution decorrelates the token
+            # vocabulary; cross-copy parts are distinct entities (new
+            # keys), so no planted duplicate rate is wanted here.
+            c = c.withColumn(
+                "p_name",
+                F.concat(
+                    F.translate(
+                        F.col("p_name"),
+                        "etaoinshrl",
+                        "etaoinshrl"[i:] + "etaoinshrl"[:i],
+                    ),
+                    F.lit(f" v{i}"),
+                ),
+            )
         if t == "embeddings":
             c = c.withColumn(
                 "embedding",
