@@ -211,6 +211,7 @@ HEADLINE = [
     "dedup_semantic_clusters",
     "cdc_schema_changeset",
     "graph_label_propagation",
+    "graph_triangle_count",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -215,6 +215,17 @@ def kll_partial_sketches(
     """
     gcols = list(group_cols)
     out_schema = _sketch_schema(df, gcols)
+    # loud-overflow discipline: a fractional value column would be
+    # silently TRUNCATED by the long cast, and the sketch would
+    # quietly estimate quantiles of floor(x) — refuse instead (the
+    # robust_outlier_mad guard class).  Integral types cast losslessly.
+    vtype = dict(df.dtypes)[value_col]
+    if vtype in ("float", "double") or vtype.startswith("decimal"):
+        raise ValueError(
+            f"kll_partial_sketches: {value_col!r} is {vtype}; sketch "
+            "values must be integer units (cents, micros) — scale and "
+            "round explicitly first, a long cast would truncate"
+        )
     src = df.select(*gcols, F.col(value_col).cast("long").alias("_v"))
 
     def build(batches: Iterator) -> Iterator:

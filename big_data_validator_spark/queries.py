@@ -8399,6 +8399,66 @@ def agg_kll_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out)
 
 
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    t AS MATERIALIZED (
+      SELECT e1.x AS u, e1.y AS v, e2.y AS w
+      FROM e0 e1
+      JOIN e0 e2 ON e2.x = e1.x AND e2.y > e1.y
+      JOIN e0 e3 ON e3.x = e1.y AND e3.y = e2.y),
+    r AS (SELECT u AS node FROM t
+          UNION ALL SELECT v FROM t
+          UNION ALL SELECT w FROM t)
+    SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM r GROUP BY 1 ORDER BY 1
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the FREQUENT co-purchase graph
+    (operators/graph.py:triangle_counts) — the motif member completing
+    the graph family next to PageRank and label propagation.  Edges =
+    part pairs co-occurring in ≥2 orders (the mining_frequent_pairs
+    support device prunes the 100×-larger incidental-pair haze);
+    triangles = closed co-purchase trios, the clustering signal basket
+    analysis and recommender audits read.  The Spark side counts via
+    DEGREE-ORDERED orientation (each triangle generated once at its
+    rank-minimal vertex, out-degrees bounded O(√m) so a hub part can't
+    own the wedge join); the ORACLE is the independent id-ordered
+    3-way self-join — two different enumeration orders, one exact
+    integer answer.  The support-filtered edge relation is cached for
+    its two roles (degree count + joins) and released after
+    materialization."""
+    from big_data_validator_spark.operators.graph import triangle_counts
+
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_partkey").alias("_pk")
+    )
+    edges = (
+        l.join(l2, l["l_orderkey"] == l2["_ok"])
+        .filter(F.col("l_partkey") < F.col("_pk"))
+        .groupBy(
+            F.col("l_partkey").alias("src"), F.col("_pk").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("src", "dst")
+        .cache()
+    )
+    out = (
+        triangle_counts(edges)
+        .select(F.col("node").alias("p_partkey"), "n_triangles")
+        .orderBy("p_partkey")
+    )
+    return D.materialize_release(out, edges)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8900,6 +8960,12 @@ _DEMOTED_TO_TAIL = [
     # the seat for agg_kll_rolling — the rolling-percentile-from-
     # stored-sketches payoff query of the round's KLL architecture.
     "ts_resample_ffill",
+    # Green r6-r8 (three driver rounds); the drift family keeps two
+    # in-window seats (drift_snapshots — re-seated this round — and
+    # streaming_drift_psi), and the text-KL computation itself is
+    # pytest-pinned.  Frees the seat for graph_triangle_count (the
+    # motif member completing the graph family).
+    "drift_text_kl",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -190,7 +190,9 @@ def test_driver_window_is_all_oracled():
         "train_shuffle_shards",
         # (cdc_changeset_orders got green r5-r7 rows and rests in r8;
         # cdc_apply_changeset runs snapshot_changeset inside its MERGE)
-        "drift_text_kl", "mining_frequent_pairs",
+        # (drift_text_kl got green r6-r8 rows and rests in r9;
+        # drift_snapshots + streaming_drift_psi keep the drift seats)
+        "mining_frequent_pairs",
         "gen_synthetic_validated",
         # round-6 additions: each must get its driver-green row
         "cdc_apply_changeset", "rule_profile_trend_anomaly",
@@ -231,7 +233,8 @@ def test_driver_window_is_all_oracled():
         "agg_count_distinct", "join_part_enrichment",
         "rule_field_count_quote_stripped",
         # round-9 second wave: the rolling-percentile payoff query
-        "agg_kll_rolling",
+        # and the graph-motif member
+        "agg_kll_rolling", "graph_triangle_count",
     ]:
         assert required in window, required
 

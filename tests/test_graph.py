@@ -127,3 +127,58 @@ def test_label_propagation_matches_reference(spark, iters):
         ).collect()
     }
     assert got2 == got
+
+
+# ------------------------------------------------------ triangle counts
+
+def _py_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    # each triangle found 3 times (once per edge)
+    return {n: c // 3 for n, c in counts.items() if c}
+
+
+def test_triangle_counts_hand_and_random(spark):
+    from big_data_validator_spark.operators.graph import triangle_counts
+
+    # K4 minus one edge: two triangles sharing an edge; a pendant and a
+    # self-loop and a duplicate/reversed edge must all be ignored
+    edges = [
+        (1, 2), (2, 3), (1, 3), (1, 4), (2, 4),
+        (2, 1), (3, 3), (4, 5),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    import random
+
+    rng = random.Random(29)
+    nodes = list(range(40))
+    redges = list({
+        tuple(sorted((rng.choice(nodes), rng.choice(nodes))))
+        for _ in range(220)
+    })
+    df2 = spark.createDataFrame(redges, ["src", "dst"])
+    got2 = {r.node: r.n_triangles for r in triangle_counts(df2).collect()}
+    assert got2 == _py_triangles(redges)
+
+
+def test_triangle_counts_star_hub_has_none(spark):
+    """A pure hub (star graph) has no triangles — and the degree-ordered
+    orientation means the hub's wedges are never enumerated from the
+    hub itself (every edge points INTO it)."""
+    from big_data_validator_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 50)], ["src", "dst"]
+    )
+    assert triangle_counts(df).count() == 0
