@@ -212,6 +212,7 @@ HEADLINE = [
     "cdc_schema_changeset",
     "graph_label_propagation",
     "graph_triangle_count",
+    "dedup_shared_substrings",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

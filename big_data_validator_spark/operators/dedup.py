@@ -1297,3 +1297,86 @@ def set_similarity_join(
     )
     out._bdv_pinned = [sets_df]
     return out
+
+
+# ------------------------------------------- exact shared-substring dedup
+
+def shared_substring_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 40,
+    max_gram_docs: Optional[int] = 50,
+) -> DataFrame:
+    """EXACT shared-substring detection — the dedup tier between
+    exact-document fingerprints and probabilistic near-dup (MinHash/
+    SimHash/winnowing): find document pairs sharing any VERBATIM
+    ``gram_len``-character span, the "deduplicate training data by
+    exact substring" operation LLM corpus curation runs to kill quoted
+    boilerplate and copy-pasta that sentence-level near-dup misses.
+
+    Every document explodes into its stride-1 ``gram_len``-grams (the
+    suffix-array formulation's relational equivalent: two docs share a
+    ≥L substring iff they share an L-gram), grams reduce to per-doc
+    counts (the shuffle carries DISTINCT (doc, gram) rows, not
+    positions), and pairs aggregate ``Σ cnt_a·cnt_b`` — exactly the
+    number of position pairs with equal spans, so the output is an
+    integer contract any engine reproduces from the same text.
+
+    ``max_gram_docs`` drops grams present in more than that many
+    documents BEFORE the self-join — the stop-fingerprint discipline
+    (winnowing's document-frequency cap): a boilerplate header in 10⁵
+    docs would otherwise create 10¹⁰ pairs.  Dropped grams are
+    boilerplate by definition; pairs that share ONLY boilerplate
+    disappear, which is the curation-intended reading.  The self-join
+    is per-gram bounded by ``max_gram_docs``² — never corpus².
+
+    Returns ``(doc_a, doc_b, n_shared_positions, n_shared_grams)``
+    with ``doc_a < doc_b``.
+    """
+    if gram_len < 1:
+        raise ValueError(f"gram_len must be >= 1, got {gram_len}")
+    t = F.col(text_col)
+    grams = (
+        df.filter(F.length(t) >= gram_len)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - "
+                    f"{gram_len - 1}), i -> substring({text_col}, i, "
+                    f"{gram_len}))"
+                )
+            ).alias("_gram"),
+        )
+    )
+    counts = grams.groupBy("_id", "_gram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    docs_per_gram = counts.groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    lo, hi = 2, max_gram_docs
+    cond = F.col("_nd") >= lo
+    if hi is not None:
+        cond = cond & (F.col("_nd") <= hi)
+    eligible = counts.join(
+        docs_per_gram.filter(cond).select("_gram"), "_gram"
+    )
+    a = eligible.select(
+        "_gram", F.col("_id").alias("doc_a"), F.col("_c").alias("_ca")
+    )
+    b = eligible.select(
+        "_gram", F.col("_id").alias("doc_b"), F.col("_c").alias("_cb")
+    )
+    return (
+        a.join(b, "_gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("_ca") * F.col("_cb"))
+            .cast("long")
+            .alias("n_shared_positions"),
+            F.count(F.lit(1)).cast("long").alias("n_shared_grams"),
+        )
+    )

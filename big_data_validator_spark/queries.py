@@ -8459,6 +8459,51 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out, edges)
 
 
+@query(
+    "dedup_shared_substrings",
+    oracle="""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, substr(text, i, 40) AS gram
+      FROM documents JOIN generate_series(1, 2000) AS t(i)
+        ON i <= len(text) - 39),
+    c AS MATERIALIZED (
+      SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2),
+    d AS MATERIALIZED (
+      SELECT gram FROM c GROUP BY gram
+      HAVING COUNT(*) BETWEEN 2 AND 50),
+    e AS MATERIALIZED (SELECT c.* FROM c JOIN d USING (gram))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS n_shared_positions,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact VERBATIM-span dedup (operators/dedup.py:
+    shared_substring_pairs): document pairs sharing any exact 40-char
+    substring, with the position-pair count — the "dedup training data
+    by exact substring" tier between exact-doc fingerprints and
+    probabilistic near-dup, catching quoted boilerplate and copy-pasta
+    that sentence-level similarity misses.  Stride-1 grams reduce to
+    per-doc counts (shuffle carries distinct (doc, gram) rows, not
+    positions), grams in >50 docs drop BEFORE the self-join (the
+    winnowing stop-fingerprint cap — per-gram pair work is cap²-
+    bounded, never corpus²), and ``Σ cnt_a·cnt_b`` reproduces the
+    exact position-pair count as a pure integer contract.  The oracle
+    is the independent positional formulation over ``substr`` +
+    ``generate_series``."""
+    from big_data_validator_spark.operators.dedup import (
+        shared_substring_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_substring_pairs(
+        docs, gram_len=40, max_gram_docs=50
+    ).orderBy("doc_a", "doc_b")
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8966,6 +9011,12 @@ _DEMOTED_TO_TAIL = [
     # pytest-pinned.  Frees the seat for graph_triangle_count (the
     # motif member completing the graph family).
     "drift_text_kl",
+    # Green r5-r8 (four driver rounds); its support-counting device is
+    # recomputed IN-WINDOW every round by graph_triangle_count (edges
+    # = the same co-occurrence pairs with the same HAVING >= 2), and
+    # the A-priori semantics stay pytest-pinned.  Frees the seat for
+    # dedup_shared_substrings (the exact verbatim-span dedup tier).
+    "mining_frequent_pairs",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

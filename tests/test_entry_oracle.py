@@ -191,8 +191,10 @@ def test_driver_window_is_all_oracled():
         # (cdc_changeset_orders got green r5-r7 rows and rests in r8;
         # cdc_apply_changeset runs snapshot_changeset inside its MERGE)
         # (drift_text_kl got green r6-r8 rows and rests in r9;
-        # drift_snapshots + streaming_drift_psi keep the drift seats)
-        "mining_frequent_pairs",
+        # drift_snapshots + streaming_drift_psi keep the drift seats.
+        # mining_frequent_pairs got green r5-r8 rows and rests in r9;
+        # graph_triangle_count recomputes the same support device
+        # in-window every round)
         "gen_synthetic_validated",
         # round-6 additions: each must get its driver-green row
         "cdc_apply_changeset", "rule_profile_trend_anomaly",
@@ -235,6 +237,7 @@ def test_driver_window_is_all_oracled():
         # round-9 second wave: the rolling-percentile payoff query
         # and the graph-motif member
         "agg_kll_rolling", "graph_triangle_count",
+        "dedup_shared_substrings",
     ]:
         assert required in window, required
 

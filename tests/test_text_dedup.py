@@ -650,3 +650,70 @@ def test_ssjoin_rejects_bad_threshold(spark):
         D.set_similarity_join(df, threshold_e6=0)
     with pytest.raises(ValueError):
         D.set_similarity_join(df, threshold_e6=1_000_001)
+
+
+# ------------------------------------------- exact shared-substring dedup
+
+def test_shared_substring_pairs_brute_force_and_cap(spark):
+    """Exact verbatim-span detection: position-pair counts must equal a
+    from-scratch python enumeration, and grams over the doc-frequency
+    cap must vanish BEFORE pairing (the stop-fingerprint discipline)."""
+    from big_data_validator_spark.operators.dedup import (
+        shared_substring_pairs,
+    )
+
+    boiler = "COMMON-HEADER-" * 3  # 42 chars, present in ALL docs
+    docs = [
+        (1, boiler + "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, boiler + "alpha beta gamma delta epsilon zeta eta IOTA!"),
+        (3, boiler + "completely different tail text here my friend"),
+        (4, boiler + "unrelated content entirely on its own pathway"),
+    ]
+    L = 20
+
+    def grams(s):
+        return [s[i : i + L] for i in range(len(s) - L + 1)]
+
+    def brute(cap):
+        from collections import Counter
+
+        cnt = {i: Counter(grams(t)) for i, t in docs}
+        df_g = Counter()
+        for c in cnt.values():
+            for g in c:
+                df_g[g] += 1
+        ok = {g for g, n in df_g.items() if 2 <= n <= cap}
+        out = {}
+        ids = sorted(cnt)
+        for x in ids:
+            for y in ids:
+                if x >= y:
+                    continue
+                shared = set(cnt[x]) & set(cnt[y]) & ok
+                if shared:
+                    out[(x, y)] = (
+                        sum(cnt[x][g] * cnt[y][g] for g in shared),
+                        len(shared),
+                    )
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for cap in (2, 4):
+        got = {
+            (r.doc_a, r.doc_b): (r.n_shared_positions, r.n_shared_grams)
+            for r in shared_substring_pairs(
+                df, gram_len=L, max_gram_docs=cap
+            ).collect()
+        }
+        assert got == brute(cap), cap
+    # cap=2: the all-doc boilerplate grams are dropped, so docs 3 and 4
+    # (which share ONLY boilerplate) pair with nobody
+    got2 = brute(2)
+    assert not any(3 in p or 4 in p for p in got2)
+    # cap=4 keeps boilerplate: every pair appears
+    assert len(brute(4)) == 6
+    # short docs are silently gram-free, not an error
+    short = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
+    )
+    assert shared_substring_pairs(short, gram_len=20).count() == 0
