@@ -213,6 +213,7 @@ HEADLINE = [
     "graph_label_propagation",
     "graph_triangle_count",
     "dedup_shared_substrings",
+    "streaming_kll_quantiles",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

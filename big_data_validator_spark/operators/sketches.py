@@ -484,16 +484,30 @@ def kll_quantile_monitor(
     else:
         partials = kll_partial_sketches(df, value_col, [day_col], k)
         per_day = kll_merge_groups(partials, [day_col], k)
-    # Both relations feed MULTIPLE joins below and Spark shares no
-    # subplans: uncached, the whole sketch pipeline would re-run per
-    # consumer (measured: 47 shuffles vs ~10).  est is |pcts| rows; the
-    # CDF is value-domain-sized and exists only on this verification
-    # leg.  Pinned on the result as _bdv_pinned — the registry entry
-    # releases them via materialize_release.
-    est = kll_rollup_quantiles(per_day, pcts, k).cache()
+    est = kll_rollup_quantiles(per_day, pcts, k)
+    return kll_verify_quantiles(est, df, value_col, tol_ppm, block_width)
+
+
+def kll_verify_quantiles(
+    est: DataFrame,
+    df: DataFrame,
+    value_col: str,
+    tol_ppm: int = 25_000,
+    block_width: int = 1_000_000,
+) -> DataFrame:
+    """The shared exact-verification leg: given sketch ESTIMATES
+    ``(quantile_pct, est, n_rows)`` (from any builder — batch rollup or
+    streaming repository), compute the exact percentile at integer
+    rank ``(pct·n + 99) div 100`` from the block-scan CDF of ``df``
+    and the ``est_ok`` rank-tolerance verdict.
+
+    Both relations feed MULTIPLE joins and Spark shares no subplans:
+    uncached, the whole estimate pipeline would re-run per consumer
+    (measured: 47 shuffles vs ~10), so both are cached and pinned as
+    ``_bdv_pinned`` — registry entries release them via
+    materialize_release."""
+    est = est.cache()
     cdf = exact_rank_cdf(df, value_col, block_width).cache()
-    # exact percentile: smallest value whose cum_le reaches the integer
-    # target rank ceil(pct·n/100) = (pct·n + 99) div 100
     targets = est.select(
         "quantile_pct",
         "est",

@@ -8504,6 +8504,87 @@ def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@query(
+    "streaming_kll_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY 1),
+    cum AS (SELECT c, SUM(w) OVER (ORDER BY c) AS cle FROM d),
+    t AS (SELECT pct, CAST((pct * n.n + 99) // 100 AS BIGINT) AS r,
+                 n.n AS n_rows
+          FROM (VALUES (50), (90), (99)) AS q(pct), n)
+    SELECT CAST(t.pct AS INT) AS quantile_pct,
+           CAST(MIN(cum.c) AS BIGINT) AS exact,
+           t.n_rows AS n_rows,
+           TRUE AS est_ok
+    FROM t JOIN cum ON cum.cle >= t.r
+    GROUP BY t.pct, t.n_rows
+    """,
+)
+def streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING percentile monitor from mergeable sketches,
+    oracle-checked end-to-end (streaming/validate_stream.py:
+    stream_kll_sketches): a real ``readStream`` drains the 4-run drift
+    source with ``maxFilesPerTrigger=1``, each micro-batch reduces to
+    ONE persisted KLL sketch row under the exactly-once batch-id
+    commit protocol, and the live p50/p90/p99 is a 4-row MERGE of the
+    repository — the stream is read once, state never accumulates in
+    the query (the repository IS the state, one bounded row per
+    batch).  Values are floor-quantized cents (floor of a double
+    product is engine-portable; round is not).  Verification ships the
+    exact percentile over the same drained rows plus the ±2.5% rank
+    verdict — the agg_kll_mergeable hash discipline, now across the
+    batch/streaming boundary."""
+    import tempfile
+
+    from big_data_validator_spark.operators.sketches import (
+        kll_rollup_quantiles,
+        kll_verify_quantiles,
+    )
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_kll_sketches,
+    )
+
+    src = _drift_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    repo = tempfile.mkdtemp(prefix="bdv_kll_repo_")
+    cents = F.floor(F.col("value") * 100).cast("long").alias("c")
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+            .filter(F.col("value").isNotNull())
+            .select(cents)
+        )
+        q = stream_kll_sketches(
+            stream,
+            value_col="c",
+            repo_path=repo,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+            k=200,
+        )
+        q.awaitTermination()
+    sketches = read_metrics_repository(spark, repo)
+    est = kll_rollup_quantiles(sketches, [50, 90, 99], k=200)
+    drained = (
+        spark.read.parquet(f"{src}/*")
+        .filter(F.col("value").isNotNull())
+        .select(cents)
+    )
+    res = kll_verify_quantiles(
+        est, drained, "c", tol_ppm=25_000, block_width=1_000_000
+    )
+    out = res.orderBy("quantile_pct")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -9017,6 +9098,13 @@ _DEMOTED_TO_TAIL = [
     # the A-priori semantics stay pytest-pinned.  Frees the seat for
     # dedup_shared_substrings (the exact verbatim-span dedup tier).
     "mining_frequent_pairs",
+    # Green r5-r8 (four driver rounds); the generator's validation
+    # chain runs the SAME contract rules the in-window rule_* entries
+    # exercise, and the generator itself is pytest-pinned
+    # (tests/test_contract.py).  Frees the seat for
+    # streaming_kll_quantiles — the streaming producer of the round's
+    # mergeable-sketch architecture.
+    "gen_synthetic_validated",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

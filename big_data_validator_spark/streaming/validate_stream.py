@@ -634,3 +634,64 @@ def stream_apply_deltas_to_totals(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_kll_sketches(
+    stream: DataFrame,
+    value_col: str,
+    repo_path: str,
+    checkpoint_path: str,
+    k: int = 200,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """STREAMING mergeable quantile sketches: every micro-batch reduces
+    to ONE persisted KLL sketch row (``sketch`` json + exact
+    ``n_rows``) appended under the exactly-once batch-id ``_SUCCESS``
+    commit protocol — the serving-side producer of the
+    ``agg_kll_mergeable`` architecture.  A live percentile monitor
+    then reads the repository and MERGES sketch rows
+    (:func:`~big_data_validator_spark.operators.sketches
+    .kll_rollup_quantiles`); the stream itself is read exactly once,
+    and any trailing window of batches is a few-KB merge, never a
+    replay.
+
+    Each micro-batch costs one distributed pass: map-side partial
+    sketches (``kll_partial_sketches``) merged to a single row
+    (``kll_merge_groups``) — state never accumulates in the query
+    (the repository IS the state, one bounded row per batch).
+    ``value_col`` must already be integer units (the sketch builder
+    refuses fractional columns loudly).
+    """
+    from big_data_validator_spark.operators.sketches import (
+        kll_merge_groups,
+        kll_partial_sketches,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dst = f"{repo_path.rstrip('/')}/batch_id={batch_id}"
+        jvm = batch_df.sparkSession._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS")
+        fs = marker.getFileSystem(
+            batch_df.sparkSession._jsc.hadoopConfiguration()
+        )
+        if fs.exists(marker):
+            return
+        src = batch_df.select(
+            F.lit(0).alias("_g"), F.col(value_col).alias("_v")
+        )
+        partials = kll_partial_sketches(src, "_v", ["_g"], k)
+        merged = kll_merge_groups(partials, ["_g"], k).select(
+            F.lit(int(batch_id)).cast("long").alias("run_id"),
+            "sketch",
+            "n_rows",
+        )
+        merged.write.mode("overwrite").parquet(dst)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

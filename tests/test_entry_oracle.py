@@ -195,7 +195,9 @@ def test_driver_window_is_all_oracled():
         # mining_frequent_pairs got green r5-r8 rows and rests in r9;
         # graph_triangle_count recomputes the same support device
         # in-window every round)
-        "gen_synthetic_validated",
+        # (gen_synthetic_validated got green r5-r8 rows and rests in
+        # r9; its validation chain is the same contract rules the
+        # in-window rule_* entries run, pytest-pinned)
         # round-6 additions: each must get its driver-green row
         "cdc_apply_changeset", "rule_profile_trend_anomaly",
         # (text_bpe_encode got green r6+r7 rows and rests in r8;
@@ -237,7 +239,7 @@ def test_driver_window_is_all_oracled():
         # round-9 second wave: the rolling-percentile payoff query
         # and the graph-motif member
         "agg_kll_rolling", "graph_triangle_count",
-        "dedup_shared_substrings",
+        "dedup_shared_substrings", "streaming_kll_quantiles",
     ]:
         assert required in window, required
 

@@ -240,3 +240,62 @@ def test_rolling_monitor_matches_brute_force(spark):
         assert r["n_rows"] == n
         assert r["exact"] == win[(90 * n + 99) // 100 - 1]
         assert r["est_ok"] is True
+
+
+def test_stream_kll_sketches_exactly_once_and_merge(spark, tmp_path):
+    """Streaming producer: one sketch row per micro-batch under the
+    _SUCCESS commit protocol; a replay with a fresh checkpoint skips
+    committed batches (idempotent repository); the merged estimate
+    matches the pure-python sketch of all drained values."""
+    import os
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_kll_sketches,
+    )
+
+    rng = random.Random(53)
+    src = tmp_path / "src"
+    for r in range(3):
+        rows = [(rng.randint(0, 10**6),) for _ in range(2000)]
+        d = str(src / f"run{r}")
+        spark.createDataFrame(rows, "c long").coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_000_000 + r,) * 2)
+    schema = spark.read.parquet(str(src / "run0")).schema
+    repo = str(tmp_path / "repo")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src / "*"))
+        )
+        q = stream_kll_sketches(
+            stream, "c", repo, str(tmp_path / ckpt), k=100
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    rows1 = read_metrics_repository(spark, repo).collect()
+    assert len(rows1) == 3
+    assert sum(r["n_rows"] for r in rows1) == 6000
+    # replay from scratch: committed batches are skipped, repository
+    # content identical
+    drain("ckpt2")
+    rows2 = read_metrics_repository(spark, repo).collect()
+    assert sorted(r["sketch"] for r in rows2) == sorted(
+        r["sketch"] for r in rows1
+    )
+    # merged estimate within tolerance of the exact drained percentile
+    sketches = read_metrics_repository(spark, repo)
+    est = {
+        r["quantile_pct"]: r["est"]
+        for r in kll_rollup_quantiles(sketches, [50, 99], k=100).collect()
+    }
+    all_vals = sorted(
+        r["c"] for r in spark.read.parquet(str(src / "*")).collect()
+    )
+    for pct, e in est.items():
+        assert _rank_err(all_vals, e, pct / 100.0) <= 0.02
