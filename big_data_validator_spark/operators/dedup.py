@@ -1353,23 +1353,31 @@ def shared_substring_pairs(
     counts = grams.groupBy("_id", "_gram").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    docs_per_gram = counts.groupBy("_gram").agg(
-        F.count(F.lit(1)).alias("_nd")
-    )
+    # document frequency via a window over the SAME gram partitioning
+    # the groupBy just produced — no second aggregation subtree, no
+    # join (Spark shares no subplans: the agg+join formulation
+    # recomputed the whole explode pipeline three times — 22 shuffles)
+    from pyspark.sql import Window
+
+    nd = F.count(F.lit(1)).over(Window.partitionBy("_gram"))
     lo, hi = 2, max_gram_docs
-    cond = F.col("_nd") >= lo
+    cond = nd >= lo
     if hi is not None:
-        cond = cond & (F.col("_nd") <= hi)
-    eligible = counts.join(
-        docs_per_gram.filter(cond).select("_gram"), "_gram"
-    )
+        cond = cond & (nd <= hi)
+    # the self-join consumes this relation TWICE — cached and pinned
+    # (callers release via materialize_release; at 100 TB this is a
+    # (doc, gram)-sized MEMORY_AND_DISK spillable, traded against
+    # re-running the stride-1 explode shuffle per side)
+    eligible = counts.withColumn("_keep", cond).filter("_keep").drop(
+        "_keep"
+    ).cache()
     a = eligible.select(
         "_gram", F.col("_id").alias("doc_a"), F.col("_c").alias("_ca")
     )
     b = eligible.select(
         "_gram", F.col("_id").alias("doc_b"), F.col("_c").alias("_cb")
     )
-    return (
+    out = (
         a.join(b, "_gram")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
@@ -1380,3 +1388,5 @@ def shared_substring_pairs(
             F.count(F.lit(1)).cast("long").alias("n_shared_grams"),
         )
     )
+    out._bdv_pinned = [eligible]
+    return out

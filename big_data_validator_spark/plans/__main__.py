@@ -133,6 +133,11 @@ PLAN_QUERIES = [
     # tests/test_sketches.py, tests/test_semantic_dedup.py and
     # tests/test_graph.py)
     "cdc_schema_changeset",
+    # (streaming_kll_quantiles is a foreachBatch drain; its repository
+    # protocol and merge path are audited in tests/test_sketches.py.
+    # agg_kll_rolling and dedup_shared_substrings materialize eagerly
+    # — pinned est/CDF and gram-count caches released — with their
+    # shapes pinned in tests/test_sketches.py / tests/test_text_dedup.py.)
     # rule_outlier_mad is in the eager-materialization class (pinned
     # med/MAD caches released via materialize_release); its 3-pass
     # shape is pinned in tests/test_profile.py.

@@ -8499,9 +8499,10 @@ def dedup_shared_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return shared_substring_pairs(
-        docs, gram_len=40, max_gram_docs=50
-    ).orderBy("doc_a", "doc_b")
+    res = shared_substring_pairs(docs, gram_len=40, max_gram_docs=50)
+    out = res.orderBy("doc_a", "doc_b")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
 
 
 @query(

@@ -717,3 +717,24 @@ def test_shared_substring_pairs_brute_force_and_cap(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id long, text string"
     )
     assert shared_substring_pairs(short, gram_len=20).count() == 0
+
+
+def test_shared_substring_plan_single_gram_pipeline(spark):
+    """Plan pin: document frequency comes from a window over the SAME
+    gram shuffle the counts produced (the agg+join formulation re-ran
+    the explode pipeline three times — 22 text-exchanges; the window
+    form with the cached self-join side stays bounded)."""
+    from big_data_validator_spark.operators.dedup import (
+        release_pinned,
+        shared_substring_pairs,
+    )
+    from big_data_validator_spark.plans.inspect import shuffle_count
+
+    df = spark.createDataFrame(
+        [(i, f"some shared prefix text payload {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    res = shared_substring_pairs(df, gram_len=10, max_gram_docs=50)
+    n = shuffle_count(res)
+    assert n <= 12, f"substring dedup re-runs subplans: {n} shuffles"
+    release_pinned(res)
