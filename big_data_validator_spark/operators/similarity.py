@@ -949,23 +949,32 @@ def train_centroids_exactint(
     replays these rules gets bit-identical centroids — float k-means
     can never cross that bridge (sum order changes the means).
     """
+    import numpy as np
+
     pts = [list(map(int, qv)) for _, qv in sample]
     if not pts:
         raise ValueError("empty training sample")
     k = min(num_centroids, len(pts))
     dim = len(pts[0])
+    # int64 matmul is exact here: |component| <= quant_scale (1e5), so a
+    # dim<=1e4 dot product stays far below 2**63 — which is what lets
+    # the assignment step vectorize (auto-k runs k in the hundreds; the
+    # former pure-python argmin loop was O(sample*k*dim) interpreter
+    # ops, and tests/test_semantic_dedup.py pins parity with the
+    # from-scratch reference rules).
+    X = np.asarray(pts, dtype=np.int64)
     cents = [list(p) for p in pts[:k]]
     for _ in range(iters):
-        sums = [[0] * dim for _ in range(k)]
-        counts = [0] * k
-        for qv in pts:
-            best = min(range(k), key=lambda j: (_int_d2(qv, cents[j]), j))
-            counts[best] += 1
-            s = sums[best]
-            for i, q in enumerate(qv):
-                s[i] += q
+        C = np.asarray(cents, dtype=np.int64)
+        # rank-free |c|^2 - 2 q.c; np.argmin takes the FIRST minimum,
+        # which is exactly the ties-to-lowest-cid rule
+        d2 = (C * C).sum(axis=1)[None, :] - 2 * (X @ C.T)
+        best = d2.argmin(axis=1)
+        counts = np.bincount(best, minlength=k)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        np.add.at(sums, best, X)
         cents = [
-            [_tdiv(sums[j][i], counts[j]) for i in range(dim)]
+            [_tdiv(int(sums[j][i]), int(counts[j])) for i in range(dim)]
             if counts[j]
             else cents[j]
             for j in range(k)
@@ -989,15 +998,17 @@ def int_assign_kernel(centroids: Sequence[Sequence[int]]):
     def kernel(qvs):
         import pandas as pd
 
-        out = []
-        for qv in qvs:
-            if qv is None:
-                out.append(None)
-                continue
-            x = np.asarray(qv, dtype=np.int64)
-            d2 = cn2 - 2 * (C @ x)
-            out.append(int(d2.argmin()))
-        return pd.Series(out, dtype="Int32")
+        mask = qvs.notna()
+        out = pd.Series([None] * len(qvs), dtype="Int32")
+        if mask.any():
+            # one batched int64 matmul per Arrow batch instead of a
+            # per-row loop — auto-k runs k in the hundreds, and the
+            # batch matmul keeps assignment a BLAS call (exact: int64,
+            # |dot| <= dim * quant_scale^2 << 2**63)
+            X = np.asarray(list(qvs[mask]), dtype=np.int64)
+            d2 = cn2[None, :] - 2 * (X @ C.T)
+            out[mask] = d2.argmin(axis=1).astype("int32")
+        return out
 
     return kernel
 
@@ -1013,6 +1024,9 @@ def semantic_dedup_exactint(
     vec_col: str = "embedding",
     quant_scale: int = 100_000,
     max_cluster_size: Optional[int] = None,
+    target_cluster_size: Optional[int] = None,
+    train_oversample: int = 4,
+    train_sample_cap: int = 65_536,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (VERDICT r8 item 5): the
     SEMANTIC tier above lexical MinHash/SimHash — cluster the corpus
@@ -1048,6 +1062,26 @@ def semantic_dedup_exactint(
     stage shuffles on the cluster id with the per-cluster cap guarding
     degenerate corpora; at 100 TB raise ``num_clusters`` so clusters
     stay pair-join-sized (SemDeDup runs k in the tens of thousands).
+
+    **Auto-k (VERDICT r9 item 2)**: pass ``target_cluster_size`` to
+    make the cluster count scale WITH the corpus instead of the
+    clusters —
+
+    - ``k = ceil(n / target_cluster_size)`` (one count job),
+    - training sample = ``min(n, train_oversample·k,
+      train_sample_cap)``, still an id-ordered deterministic collect,
+    - ``num_clusters`` / ``train_sample`` are ignored.
+
+    This is what makes the pair stage LINEAR in n: cluster population
+    stays ~``target_cluster_size`` at any scale, so candidate pairs are
+    ``O(n·target)`` instead of the fixed-k ``O(n²/k)``.  The oracle can
+    still retrain the identical quantizer because both ``k`` and the
+    sample size are integer functions of ``COUNT(*)`` (data-dependent
+    LIMITs, no literals).  The residual superlinear term is assignment
+    (``n·k`` int64 FLOPs, a batched matmul) — at corpus scales where
+    that dominates, the published SemDeDup answer is a two-level
+    quantizer (assign to sqrt(k) supercells first); ``train_sample_cap``
+    bounds the driver collect and clamps k once it binds.
     """
     from big_data_validator_spark.operators import rebalance_for_compute
     from big_data_validator_spark.operators.dedup import (
@@ -1066,6 +1100,14 @@ def semantic_dedup_exactint(
         F.col(id_col).alias("id"),
         quantize_vec(F.col(vec_col), quant_scale).alias("qv"),
     )
+    if target_cluster_size is not None:
+        # auto-k: k and the sample size are integer functions of n so
+        # the generated oracle recomputes them from COUNT(*) — keep
+        # these three lines in lockstep with the oracle's kk CTE
+        n = q.count()
+        k0 = (n + target_cluster_size - 1) // target_cluster_size
+        train_sample = min(n, train_oversample * k0, train_sample_cap)
+        num_clusters = min(k0, train_sample)
     # bounded deterministic training collect (TakeOrderedAndProject —
     # the ivf_train device); quantized in-plan so the sample is the
     # same integers the oracle's SQL quantization produces

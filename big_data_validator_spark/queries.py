@@ -5642,10 +5642,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p_partkey AS id, p_brand, p_type, p_size,
              list_distinct(string_split(p_name, ' ')) AS toks
       FROM part),
-    b AS (SELECT id, unnest(toks) AS tok, p_size FROM p),
+    b AS (SELECT id, unnest(toks) AS tok, p_size, p_brand FROM p),
     cand AS (
       SELECT DISTINCT a.id AS id_a, c.id AS id_b
       FROM b a JOIN b c ON a.tok = c.tok AND a.p_size = c.p_size
+                        AND a.p_brand = c.p_brand
                         AND a.id < c.id),
     scored AS (
       SELECT cand.id_a, cand.id_b,
@@ -5661,33 +5662,40 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((50 * inter) // uni + 25 * p_brand_eq + 25 * p_type_eq
                 AS BIGINT) AS score
     FROM scored
-    WHERE (50 * inter) // uni + 25 * p_brand_eq + 25 * p_type_eq >= 75
+    WHERE (50 * inter) // uni + 25 * p_brand_eq + 25 * p_type_eq >= 80
     """,
 )
 def link_part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution over the part catalog (operators/linkage.py:
     link_entity_pairs — the Fellegi–Sunter shape with fixed integer
-    agreement weights): candidates blocked on (name token × size) —
-    never all-pairs, the only join is the blocking equi-join — then
-    scored 50·token-Jaccard (integer div) + 25 per agreeing
-    brand/type field, matches at score ≥ 75.  The agreement vector
+    agreement weights): candidates blocked on (name token × size ×
+    BRAND) — never all-pairs, the only join is the blocking equi-join —
+    then scored 50·token-Jaccard (integer div) + 25 per agreeing
+    brand/type field, matches at score ≥ 80.  The agreement vector
     ships with the score so reviewers re-weight without re-running the
-    join.  All-integer scoring makes the verdict engine-portable."""
+    join.  All-integer scoring makes the verdict engine-portable.
+
+    The brand block is LOSSLESS at this threshold (VERDICT r9 item 3):
+    a cross-brand pair scores at most 50 + 25 = 75 < 80, so every
+    match provably agrees on brand and blocking on it drops no match —
+    while cutting candidates ~25× (TPC-H's 92-token name vocabulary
+    makes token×size blocks dense by construction; brand is the
+    discriminating key).  Pinned in tests/test_linkage.py."""
     from big_data_validator_spark.operators.linkage import (
         link_entity_pairs,
     )
 
     part = _t(spark, sf_dir, "part")
-    # cap inert at every test sf (blocks are (token × size), far under
-    # 1000 members) — pinned by the _cap_inert oracle-equality test
+    # cap inert at every test sf (blocks are (token × size × brand),
+    # far under 1000 members) — pinned by the _cap_inert test
     return D.materialize_release(
         link_entity_pairs(
             part,
             id_col="p_partkey",
             name_col="p_name",
-            block_cols=["p_size"],
+            block_cols=["p_size", "p_brand"],
             eq_cols=["p_brand", "p_type"],
-            threshold=75,
+            threshold=80,
         )
     )
 
@@ -8035,6 +8043,9 @@ def _semantic_dedup_oracle(
     kmeans_iters: int = 2,
     train_sample: int = 1024,
     quant_scale: int = 100_000,
+    target_cluster_size: int | None = None,
+    train_oversample: int = 4,
+    train_sample_cap: int = 65_536,
 ) -> str:
     """GENERATE the SemDeDup oracle.  Unlike the hyperplane oracles
     (data-independent literals), the coarse quantizer here is
@@ -8086,6 +8097,25 @@ def _semantic_dedup_oracle(
         prev = c
     iters_sql = ",\n    ".join(iter_ctes)
     t2 = threshold_ppm * threshold_ppm
+    if target_cluster_size is not None:
+        # auto-k (VERDICT r9 item 2): k and the sample size are integer
+        # functions of COUNT(*) — the oracle recomputes them instead of
+        # receiving literals, mirroring semantic_dedup_exactint's
+        # driver-side `n = q.count(); k0 = ceil(n/target); ...` lines
+        tgt = target_cluster_size
+        kk_cte = f"""kk AS MATERIALIZED (
+      SELECT LEAST(k0, sn) AS k, sn FROM (
+        SELECT k0, LEAST(n, {train_oversample} * k0,
+                         {train_sample_cap}) AS sn
+        FROM (SELECT COUNT(*) AS n,
+                     (COUNT(*) + {tgt - 1}) // {tgt} AS k0 FROM q))),
+    """
+        s_limit = "(SELECT sn FROM kk)"
+        c0_limit = "(SELECT k FROM kk)"
+    else:
+        kk_cte = ""
+        s_limit = str(train_sample)
+        c0_limit = str(num_clusters)
     return f"""
     WITH q AS MATERIALIZED (
       SELECT vec_id,
@@ -8093,13 +8123,13 @@ def _semantic_dedup_oracle(
                             x -> CAST(floor(x * {quant_scale}.0) AS BIGINT))
                AS qv
       FROM embeddings),
-    s AS MATERIALIZED (
-      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {train_sample}),
+    {kk_cte}s AS MATERIALIZED (
+      SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {s_limit}),
     c0 AS MATERIALIZED (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
              qv AS cv
       FROM (SELECT vec_id, qv FROM s ORDER BY vec_id
-            LIMIT {num_clusters})),
+            LIMIT {c0_limit})),
     {iters_sql},
     bf AS MATERIALIZED (
       SELECT vec_id, qv, cid FROM (
@@ -8149,6 +8179,36 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_ppm=300_000,
         kmeans_iters=2,
         train_sample=1024,
+        max_cluster_size=None,
+    )
+    return D.materialize_release(out)
+
+
+@query(
+    "dedup_semantic_autok",
+    oracle=_semantic_dedup_oracle(target_cluster_size=50),
+)
+def dedup_semantic_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup at the SCALE-SAFE configuration (VERDICT r9 item 2):
+    same exact-integer cluster-then-prune pipeline as
+    `dedup_semantic_clusters`, but the cluster count scales WITH the
+    corpus — ``k = ceil(n / 50)`` — so cluster population (and with it
+    the |cluster|²-bounded pair stage) stays ~constant at any scale
+    instead of growing linearly as the fixed-k=8 demo's does.  k and
+    the training-sample size are integer functions of COUNT(*), so the
+    oracle recomputes both via data-dependent LIMITs and retrains the
+    identical centroids from the parquet — no data-dependent literals.
+    The fixed-k twin stays registered as the determinism demo; THIS is
+    the configuration a 100 TB corpus runs (SemDeDup's k-in-the-tens-
+    of-thousands regime), and the one BENCH_SCALE measures for
+    sublinearity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup_exactint(
+        emb,
+        dim=64,
+        threshold_ppm=300_000,
+        kmeans_iters=2,
+        target_cluster_size=50,
         max_cluster_size=None,
     )
     return D.materialize_release(out)

@@ -80,6 +80,52 @@ def test_link_entity_pairs_block_cap_leader_fallback(spark):
     assert all(r["score"] == 100 for r in capped)
 
 
+def test_brand_blocking_lossless_at_threshold_80(spark):
+    """VERDICT r9 item 3: the registry entry blocks on brand, which is
+    LOSSLESS at threshold 80 — a cross-brand pair scores at most
+    name_weight + eq_weight·(other eq fields) = 50 + 25 = 75 < 80, so
+    every pair that can reach the threshold agrees on brand and the
+    brand block drops no match.  Drive both configs over a corpus
+    CONSTRUCTED to contain the adversarial case (identical name + type,
+    different brand — the exact pair threshold 75 used to admit) and
+    pin equality of the match sets."""
+    rows = [
+        (1, "red shiny widget", "B1", "T1", 5),
+        (2, "red shiny widget", "B1", "T1", 5),   # true dup → 100
+        (3, "red shiny widget", "B2", "T1", 5),   # cross-brand J=1 → 75
+        (4, "red shiny gizmo", "B1", "T1", 5),    # J=2/4 → 25+50=75
+        (5, "blue dull widget", "B1", "T2", 5),
+        (6, "red shiny widget", "B1", "T1", 7),   # other size block
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, brand string, type string, size long"
+    )
+    kw = dict(eq_cols=["brand", "type"], threshold=80)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in link_entity_pairs(
+            df, "id", "name", block_cols=["size", "brand"], **kw
+        ).collect()
+    }
+    unblocked = {
+        (r["id_a"], r["id_b"])
+        for r in link_entity_pairs(
+            df, "id", "name", block_cols=["size"], **kw
+        ).collect()
+    }
+    assert blocked == unblocked == {(1, 2)}
+    # the adversarial cross-brand pair exists and scores exactly 75 —
+    # the test corpus is live (threshold 75 WOULD diverge)
+    at75 = {
+        (r["id_a"], r["id_b"])
+        for r in link_entity_pairs(
+            df, "id", "name", block_cols=["size"],
+            eq_cols=["brand", "type"], threshold=75,
+        ).collect()
+    }
+    assert (1, 3) in at75 and (2, 3) in at75
+
+
 def test_link_entity_pairs_cap_inert_when_blocks_small(spark):
     """With every block under the cap the guarded plan returns exactly
     the uncapped candidate set (the registry entry relies on this)."""
