@@ -255,6 +255,64 @@ def distribution_drift_psi(
     return out
 
 
+def distribution_drift_psi_split(
+    df: DataFrame,
+    value_col: str,
+    bin_edges: Sequence[float],
+    old_pred: Column,
+    new_pred: Column,
+    epsilon: float = 1e-6,
+) -> DataFrame:
+    """:func:`distribution_drift_psi` for the common monitoring case
+    where BOTH snapshots are predicates over the SAME table (old = last
+    week's partition filter, new = this week's): one conditional
+    aggregation reads the table ONCE — ``sum(when(pred, 1))`` per side
+    per bin — where the two-frame operator plans two full scans
+    (VERDICT r9 item 6: Spark shares no subplans across the two legs,
+    so the generic operator's flexibility costs a needless 2× read at
+    100 TB).  Same output contract and same numbers as the two-frame
+    form over ``df.filter(old_pred)`` / ``df.filter(new_pred)`` —
+    pinned in tests/test_drift.py."""
+    edges = [float(e) for e in bin_edges]
+    b = F.lit(0)
+    for i, e in enumerate(edges):
+        b = F.when(F.col(value_col) >= F.lit(e), F.lit(i + 1)).otherwise(b)
+    counts = (
+        df.filter(old_pred | new_pred)
+        .select(
+            b.alias("bin_id"),
+            old_pred.cast("long").alias("_o"),
+            new_pred.cast("long").alias("_n"),
+        )
+        .groupBy("bin_id")
+        .agg(F.sum("_o").alias("n_old"), F.sum("_n").alias("n_new"))
+    )
+    w = Window.partitionBy(F.lit(1))
+    props = counts.select(
+        "bin_id",
+        (F.col("n_old") / F.sum("n_old").over(w)).alias("p_old"),
+        (F.col("n_new") / F.sum("n_new").over(w)).alias("p_new"),
+    )
+    spark = df.sparkSession
+    frame = spark.createDataFrame(
+        [(bb,) for bb in range(len(edges) + 1)], ["bin_id"]
+    )
+    eps = F.lit(epsilon)
+    return (
+        frame.join(props, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("p_old", F.lit(0.0)).alias("p_old"),
+            F.coalesce("p_new", F.lit(0.0)).alias("p_new"),
+        )
+        .withColumn(
+            "psi_term",
+            (F.col("p_new") - F.col("p_old"))
+            * F.log((F.col("p_new") + eps) / (F.col("p_old") + eps)),
+        )
+    )
+
+
 # ------------------------------------------------------------- distribution
 
 def distribution_stats(

@@ -940,12 +940,17 @@ def drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 def drift_psi_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-Stability-Index drift between two order snapshots over
     explicit price bins — the production drift monitor (PSI > 0.2 flags a
-    shift); each snapshot is one scan, shuffle carries bin counts only."""
+    shift).  Both snapshots are predicates over the SAME table, so the
+    entry uses the ONE-SCAN conditional-aggregation form (VERDICT r9
+    item 6: the two-frame operator planned two full `orders` scans —
+    Spark shares no subplans); the shuffle carries bin counts only."""
     o = _t(spark, sf_dir, "orders")
-    old = o.filter(F.col("o_orderkey") % 2 == 0)
-    new = o.filter(F.col("o_orderkey") % 2 == 1)
-    out = R.distribution_drift_psi(
-        old, new, "o_totalprice", [1000.0, 5000.0, 20000.0, 50000.0]
+    out = R.distribution_drift_psi_split(
+        o,
+        "o_totalprice",
+        [1000.0, 5000.0, 20000.0, 50000.0],
+        F.col("o_orderkey") % 2 == 0,
+        F.col("o_orderkey") % 2 == 1,
     )
     return out.select(
         "bin_id",
