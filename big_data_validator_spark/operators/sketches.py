@@ -389,53 +389,64 @@ def kll_rolling_quantiles(
 # ------------------------------------------------- exact verification leg
 
 def exact_rank_cdf(
-    df: DataFrame, value_col: str, block_width: int
+    df: DataFrame,
+    value_col: str,
+    block_width: int,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact cumulative distribution over DISTINCT values without a
     global sort: per-distinct-value counts (one shuffle, frame shrinks
     to the value domain), block-local cumulative windows, and a tiny
     broadcast per-block prefix — the :func:`equidepth_histogram` /
-    ks_two_sample block-scan device.  Returns ``(_v, cum_le)`` where
-    ``cum_le`` = #rows with value ≤ ``_v``.  Any positive
-    ``block_width`` yields the identical frame."""
+    ks_two_sample block-scan device.  Returns ``(group…, _v, cum_le)``
+    where ``cum_le`` = #rows in the group with value ≤ ``_v``.  Any
+    positive ``block_width`` yields the identical frame.
+
+    With ``group_cols`` every window is ADDITIONALLY partitioned by the
+    group key (VERDICT r9 item 4), so no window ever sees more than one
+    group's value domain — the per-key variant costs the same one
+    shuffle, and the broadcast prefix relation grows only to
+    groups × blocks rows.  NULL group keys are excluded (join-on-key
+    convention downstream)."""
     from pyspark.sql import Window
 
     if block_width <= 0:
         raise ValueError(f"block_width must be positive, got {block_width}")
+    gcols = list(group_cols)
     v = F.col(value_col)
-    cnts = (
-        df.filter(v.isNotNull())
-        .groupBy(v.cast("long").alias("_v"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    src = df.filter(v.isNotNull())
+    for c in gcols:
+        src = src.filter(F.col(c).isNotNull())
+    cnts = src.groupBy(
+        *gcols, v.cast("long").alias("_v")
+    ).agg(F.count(F.lit(1)).alias("_n"))
     keyed = cnts.withColumn(
         "_blk", F.floor(F.col("_v") / F.lit(int(block_width))).cast("long")
     )
     local = keyed.withColumn(
         "_lcum",
         F.sum("_n").over(
-            Window.partitionBy("_blk")
+            Window.partitionBy(*gcols, "_blk")
             .orderBy("_v")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+    prefix_w = (
+        Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    ).orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
     totals = (
-        keyed.groupBy("_blk")
+        keyed.groupBy(*gcols, "_blk")
         .agg(F.sum("_n").alias("_t"))
         .select(
+            *gcols,
             "_blk",
-            F.coalesce(
-                F.sum("_t").over(
-                    Window.orderBy("_blk").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("_pre"),
+            F.coalesce(F.sum("_t").over(prefix_w), F.lit(0)).alias("_pre"),
         )
     )
-    return local.join(F.broadcast(totals), "_blk").select(
-        "_v", (F.col("_lcum") + F.col("_pre")).cast("long").alias("cum_le")
+    return local.join(F.broadcast(totals), [*gcols, "_blk"]).select(
+        *gcols,
+        "_v",
+        (F.col("_lcum") + F.col("_pre")).cast("long").alias("cum_le"),
     )
 
 
@@ -531,6 +542,131 @@ def kll_verify_quantiles(
         targets.join(exact, "quantile_pct")
         .join(est_rank, "quantile_pct", "left")
         .select(
+            "quantile_pct",
+            "exact",
+            "n_rows",
+            (
+                F.abs(F.coalesce(F.col("_est_rank"), F.lit(0)) - F.col("_r"))
+                <= F.expr(f"({int(tol_ppm)} * n_rows) div 1000000")
+            ).alias("est_ok"),
+        )
+    )
+    out._bdv_pinned = [est, cdf]
+    return out
+
+
+def kll_group_rollup_quantiles(
+    sketches: DataFrame,
+    group_cols: Sequence[str],
+    quantile_pcts: Sequence[int],
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Per-GROUP percentile read-off from stored sketch rows: merge each
+    group's rows (e.g. its daily sketches) and emit ``(group…,
+    quantile_pct, est, n_rows)`` — :func:`kll_rollup_quantiles` with the
+    merge keyed on the group instead of collapsing to one global row.
+    The shuffle moves sketch rows only; each merge task touches one
+    group's few-KB rows."""
+    gcols = list(group_cols)
+    pcts = [int(p) for p in quantile_pcts]
+    by_name = {f.name: f for f in sketches.schema.fields}
+    out_schema = T.StructType(
+        [by_name[c] for c in gcols]
+        + [
+            T.StructField("quantile_pct", T.IntegerType(), False),
+            T.StructField("est", T.LongType(), True),
+            T.StructField("n_rows", T.LongType(), False),
+        ]
+    )
+
+    def rollup(pdf):
+        import pandas as pd
+
+        sk = kll_new(k)
+        for s in pdf["sketch"]:
+            sk = kll_merge(sk, kll_deserialize(s))
+        ests = kll_quantiles(sk, [p / 100.0 for p in pcts])
+        n = int(pdf["n_rows"].sum())
+        key = [pdf.iloc[0][c] for c in gcols]
+        return pd.DataFrame(
+            [key + [p, e, n] for p, e in zip(pcts, ests)],
+            columns=[*gcols, "quantile_pct", "est", "n_rows"],
+        )
+
+    return sketches.groupBy(*gcols).applyInPandas(
+        lambda pdf: rollup(pdf), out_schema
+    )
+
+
+def kll_group_quantile_monitor(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    day_col: str,
+    quantile_pcts: Sequence[int],
+    k: int = DEFAULT_K,
+    tol_ppm: int = 25_000,
+    block_width: int = 1_000_000,
+) -> DataFrame:
+    """Per-KEY percentile monitor (VERDICT r9 item 4): the shape real
+    latency/size monitors need — p90 *per customer segment*, per day —
+    where :func:`kll_quantile_monitor` tracks one global distribution.
+
+    Pipeline: repartition the raw rows on (group, day) FIRST so the
+    partial build emits exactly ONE sketch per stored key (the
+    ``partial_stage='shuffle'`` lesson — map-side partials under a
+    row-random layout build partitions×keys tiny python sketches and
+    drown in object overhead; with the grouped key the cardinality is
+    groups×days, strictly worse), then merge each group's day rows to
+    per-group estimates, then verify each against the exact per-group
+    block-scan CDF.
+
+    Ships ``(group…, quantile_pct, exact, n_rows, est_ok)`` under the
+    shared hash discipline: sketch internals never leave; ``exact`` is
+    the integer per-group percentile at rank ``(pct·n_g + 99) div 100``
+    and ``est_ok`` the ±tol_ppm rank verdict, so a sketch accuracy
+    regression flips the driver hash while every hashed value stays
+    engine-exact.  NULL group keys are excluded on both legs.
+    """
+    gcols = list(group_cols)
+    pcts = [int(p) for p in quantile_pcts]
+    src = df
+    for c in gcols:
+        src = src.filter(F.col(c).isNotNull())
+    per_key = kll_partial_sketches(
+        src.repartition(*[F.col(c) for c in [*gcols, day_col]]),
+        value_col,
+        [*gcols, day_col],
+        k,
+    )
+    est = kll_group_rollup_quantiles(per_key, gcols, pcts, k).cache()
+    cdf = exact_rank_cdf(src, value_col, block_width, gcols).cache()
+    targets = est.select(
+        *gcols,
+        "quantile_pct",
+        "est",
+        "n_rows",
+        F.expr("(quantile_pct * n_rows + 99) div 100").alias("_r"),
+    )
+    t = F.broadcast(targets)
+    c_g = [F.col(c).alias(f"_cg_{c}") for c in gcols]
+    cdf_r = cdf.select(*c_g, "_v", "cum_le")
+    on_group = [cdf_r[f"_cg_{c}"] == t[c] for c in gcols]
+    exact = (
+        cdf_r.join(t, [*on_group, cdf_r["cum_le"] >= t["_r"]])
+        .groupBy(*gcols, "quantile_pct")
+        .agg(F.min("_v").alias("exact"))
+    )
+    est_rank = (
+        cdf_r.join(t, [*on_group, cdf_r["_v"] <= t["est"]])
+        .groupBy(*gcols, "quantile_pct")
+        .agg(F.max("cum_le").alias("_est_rank"))
+    )
+    out = (
+        targets.join(exact, [*gcols, "quantile_pct"])
+        .join(est_rank, [*gcols, "quantile_pct"], "left")
+        .select(
+            *gcols,
             "quantile_pct",
             "exact",
             "n_rows",

@@ -8041,6 +8041,70 @@ def agg_kll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out)
 
 
+@query(
+    "agg_kll_by_segment",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS seg,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+    n AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    d AS (SELECT seg, c, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY 1, 2),
+    cum AS (SELECT seg, c,
+                   SUM(w) OVER (PARTITION BY seg ORDER BY c) AS cle
+            FROM d),
+    t AS (SELECT n.seg, pct, CAST((pct * n.n + 99) // 100 AS BIGINT) AS r,
+                 n.n AS n_rows
+          FROM (VALUES (50), (90)) AS q(pct), n)
+    SELECT t.seg AS o_orderpriority,
+           CAST(t.pct AS INT) AS quantile_pct,
+           CAST(MIN(cum.c) AS BIGINT) AS exact,
+           t.n_rows AS n_rows,
+           TRUE AS est_ok
+    FROM t JOIN cum ON cum.seg = t.seg AND cum.cle >= t.r
+    GROUP BY t.seg, t.pct, t.n_rows
+    """,
+)
+def agg_kll_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-KEY mergeable quantile monitor (operators/sketches.py:
+    kll_group_quantile_monitor — VERDICT r9 item 4): p50/p90 of order
+    value in cents PER PRIORITY SEGMENT from stored per-(segment, day)
+    sketch rows — the shape real monitors need (p99 latency per
+    customer segment), where agg_kll_mergeable tracks one global
+    distribution.  The raw rows are repartitioned on (segment, day)
+    BEFORE the partial build (the partial_stage='shuffle' lesson: one
+    python sketch per stored key, not per partition×key), each
+    segment's day rows merge to its estimates, and every estimate is
+    verified against the exact PER-GROUP block-scan CDF (windows
+    partitioned by segment — no global sort, no cross-group window).
+    Hash discipline as the global twin: exact integer percentile at
+    rank ceil(p·n_seg) plus the ±2.5% rank verdict ship; sketch
+    internals never do."""
+    from big_data_validator_spark.operators.sketches import (
+        kll_group_quantile_monitor,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    res = kll_group_quantile_monitor(
+        o,
+        value_col="c",
+        group_cols=["o_orderpriority"],
+        day_col="day",
+        quantile_pcts=[50, 90],
+        k=200,
+        tol_ppm=25_000,
+        block_width=1_000_000,
+    )
+    out = res.orderBy("o_orderpriority", "quantile_pct")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
+
+
 def _semantic_dedup_oracle(
     dim: int = 64,
     num_clusters: int = 8,

@@ -176,6 +176,73 @@ def test_exact_rank_cdf_and_monitor(spark):
         assert r["est_ok"] is True, r
 
 
+def test_grouped_cdf_and_per_segment_monitor(spark):
+    """VERDICT r9 item 4: the per-key monitor's exact column must equal
+    a per-group brute-force percentile, est_ok must hold, and the
+    grouped CDF must be the per-group cumulative distribution."""
+    from big_data_validator_spark.operators.sketches import (
+        kll_group_quantile_monitor,
+    )
+
+    rng = random.Random(53)
+    segs = ["a", "b", "c"]
+    rows = [
+        (segs[i % 3], i % 7, rng.randint(0, 10**6)) for i in range(9_000)
+    ]
+    df = spark.createDataFrame(rows, "seg string, day int, v long")
+    by_seg = {s: sorted(v for g, _, v in rows if g == s) for s in segs}
+
+    cdf = {
+        (r["seg"], r["_v"]): r["cum_le"]
+        for r in exact_rank_cdf(df, "v", 10_000, ["seg"]).collect()
+    }
+    for (s, v) in list(cdf)[:60]:
+        assert cdf[(s, v)] == bisect.bisect_right(by_seg[s], v)
+    # block width must not change the grouped frame either
+    cdf2 = {
+        (r["seg"], r["_v"]): r["cum_le"]
+        for r in exact_rank_cdf(df, "v", 137, ["seg"]).collect()
+    }
+    assert cdf == cdf2
+
+    out = kll_group_quantile_monitor(
+        df, "v", ["seg"], "day", [50, 90], k=100, tol_ppm=25_000,
+        block_width=10_000,
+    ).collect()
+    assert len(out) == len(segs) * 2
+    for r in out:
+        vals = by_seg[r["seg"]]
+        target = max(1, math.ceil(r["quantile_pct"] / 100.0 * len(vals)))
+        assert r["exact"] == vals[target - 1], r
+        assert r["n_rows"] == len(vals)
+        assert r["est_ok"] is True, r
+
+
+def test_grouped_monitor_repartitions_before_partial_build(spark):
+    """The partial_stage='shuffle' lesson, plan-pinned for the grouped
+    monitor: the raw rows must hit an Exchange on (group, day) BEFORE
+    the mapInPandas partial build, so exactly one python sketch exists
+    per stored key (map-side partials under a row-random layout build
+    partitions × keys of them)."""
+    from big_data_validator_spark.operators.sketches import (
+        kll_partial_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i % 3, i) for i in range(100)], "seg string, day int, v long"
+    )
+    per_key = kll_partial_sketches(
+        df.repartition(F.col("seg"), F.col("day")), "v", ["seg", "day"],
+        k=64,
+    )
+    plan = per_key._jdf.queryExecution().optimizedPlan().toString()
+    i_ex = plan.find("RepartitionByExpression")
+    i_map = plan.find("MapInPandas")
+    assert i_ex != -1 and i_map != -1 and i_map < i_ex, plan
+    # one sketch row per (seg, day) — not per partition × key
+    assert per_key.count() == 3
+
+
 def test_merge_rejects_mismatched_k():
     with pytest.raises(ValueError, match="k="):
         kll_merge(kll_new(64), kll_new(128))
