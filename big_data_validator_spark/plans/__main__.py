@@ -135,9 +135,11 @@ PLAN_QUERIES = [
     "cdc_schema_changeset",
     # (streaming_kll_quantiles is a foreachBatch drain; its repository
     # protocol and merge path are audited in tests/test_sketches.py.
-    # agg_kll_rolling and dedup_shared_substrings materialize eagerly
-    # — pinned est/CDF and gram-count caches released — with their
-    # shapes pinned in tests/test_sketches.py / tests/test_text_dedup.py.)
+    # agg_kll_rolling materializes eagerly — pinned est/CDF caches
+    # released — with its shape pinned in tests/test_sketches.py.)
+    # round-10: the collect-per-gram rewrite made the substring dedup
+    # cache-free and lazy again, so its plan is auditable
+    "dedup_shared_substrings",
     # rule_outlier_mad is in the eager-materialization class (pinned
     # med/MAD caches released via materialize_release); its 3-pass
     # shape is pinned in tests/test_profile.py.

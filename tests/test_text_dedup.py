@@ -719,13 +719,16 @@ def test_shared_substring_pairs_brute_force_and_cap(spark):
     assert shared_substring_pairs(short, gram_len=20).count() == 0
 
 
-def test_shared_substring_plan_single_gram_pipeline(spark):
-    """Plan pin: document frequency comes from a window over the SAME
-    gram shuffle the counts produced (the agg+join formulation re-ran
-    the explode pipeline three times — 22 text-exchanges; the window
-    form with the cached self-join side stays bounded)."""
+def test_shared_substring_plan_two_shuffles_no_join(spark):
+    """Plan pin (VERDICT r9 item 5): exactly two exchanges — the
+    explicit gram repartition (which the (gram, doc) aggregation, the
+    document-frequency window, and the per-gram collect all reuse
+    exchange-free) and the pair aggregate — with pair expansion
+    entirely map-side: no join, no cached relation anywhere in the
+    plan.  (History: the agg+join formulation re-ran the explode
+    pipeline three times — 22 text-exchanges; the window+self-join
+    form needed a pinned cache and moved gram text four times.)"""
     from big_data_validator_spark.operators.dedup import (
-        release_pinned,
         shared_substring_pairs,
     )
     from big_data_validator_spark.plans.inspect import shuffle_count
@@ -735,6 +738,11 @@ def test_shared_substring_plan_single_gram_pipeline(spark):
         "doc_id long, text string",
     )
     res = shared_substring_pairs(df, gram_len=10, max_gram_docs=50)
-    n = shuffle_count(res)
-    assert n <= 12, f"substring dedup re-runs subplans: {n} shuffles"
-    release_pinned(res)
+    assert shuffle_count(res) == 2, shuffle_count(res)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+    assert "InMemoryRelation" not in plan
+    assert not getattr(res, "_bdv_pinned", None)
+    # the single gram exchange feeds agg + window + collect: exactly
+    # one RepartitionByExpression and no other gram-keyed exchange
+    assert plan.count("RepartitionByExpression") == 1
