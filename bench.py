@@ -214,6 +214,9 @@ HEADLINE = [
     "graph_triangle_count",
     "dedup_shared_substrings",
     "streaming_kll_quantiles",
+    # round-10 additions
+    "agg_kll_by_segment",
+    "dedup_semantic_autok",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -8734,45 +8734,57 @@ def streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CORRECTNESS_r*.json or a seat in the current window.
 _DRIVER_WINDOW_SIZE = 50
 _DEMOTED_TO_TAIL = [
-    # ---- round-9 re-validation seats (VERDICT r8 item 3): the five
-    # ---- oldest-vintage entries — green in r1-r4 only, resting since —
-    # ---- return to the window this round, so their records stop aging:
-    # ---- rule_uniqueness_dup_keys, drift_snapshots,
-    # ---- rule_field_count_quote_stripped, agg_count_distinct,
-    # ---- join_part_enrichment (removed from this list).
-    # ---- round-5 rotation: twelve r1-r4-green entries rest this round so
-    # ---- the twelve entries added since r2 (plus the two new scan
-    # ---- queries) each get a driver-green row.  Per-entry twin rationale:
-    # Moments/distribution stats now pinned in-window by the one-pass
-    # profiler (mean/stddev/min/max over numeric columns).
-    "agg_distribution_stats",
-    # z-score = the same moment aggregation + a filter; moments via the
-    # profiler, window-function shape via window_dedup_rank.
-    "rule_outlier_zscore",
-    # Grouping-sets family: agg_rollup_region_nation stays in-window.
-    "agg_cube_segment_status",
-    # Running-window family: events_sessionize (lag + running session
-    # window) and window_dedup_rank keep window coverage in-window.
-    "window_running_total",
-    # Range-join semantics now driver-checked via join_range_binned (the
-    # scale path); the broadcast nested-loop variant rests.
-    "join_range_value_buckets",
-    # Tumbling-window event aggregation stays via
-    # streaming_windowed_violations (same window, streaming drain).
-    "events_hourly_windows",
-    # N-gram token aggregation stays via text_tfidf_top_terms.
-    "text_top_bigrams",
-    # Embedding array math stays via sim_bruteforce_topk + sim_ann_recall.
-    "emb_norm_stats",
-    # Binary payload byte-math stays via multimodal_resize_stats (newly
-    # in-window) + multimodal_frame_sample.
-    "multimodal_payload_stats",
-    # Mixture planning is recomputed inside corpus_mixture_apply (newly
-    # in-window); the plan-only view rests.
-    "corpus_mixture_plan",
-    # Packing stays via pipeline_curate_pack (newly in-window, ends in
-    # the same two-pass packer).
-    "pack_sequences_docs",
+    # ---- round-10 re-validation seats (VERDICT r9 item 8): the eleven
+    # ---- r4-vintage greens — the oldest unrefreshed records — return
+    # ---- to the window (agg_distribution_stats, rule_outlier_zscore,
+    # ---- agg_cube_segment_status, window_running_total,
+    # ---- join_range_value_buckets, events_hourly_windows,
+    # ---- text_top_bigrams, emb_norm_stats, multimodal_payload_stats,
+    # ---- corpus_mixture_plan, pack_sequences_docs — all removed from
+    # ---- this list), plus drift_psi_totalprice (rewritten this round
+    # ---- to the one-scan conditional-aggregation form — the rewrite
+    # ---- earns a fresh driver record).  Twelve fresh greens rest:
+    # The five r9 re-validation seats did their job (fresh r9 records);
+    # uniqueness via window_dedup-family pytest pins, drift via
+    # streaming_drift_psi + the re-seated drift_psi_totalprice,
+    # broadcast-join via join_region_revenue's r5+ history.
+    "rule_uniqueness_dup_keys",
+    "drift_snapshots",
+    "join_part_enrichment",
+    "agg_count_distinct",
+    "rule_field_count_quote_stripped",
+    # Green through r9; binary payload byte-math keeps a seat via the
+    # re-seated multimodal_payload_stats, and the resize kernel's Arrow
+    # batch shape stays pinned in tests/test_multimodal.py.
+    "multimodal_resize_stats",
+    # Green r7-r9; the exact-integer embedding family keeps
+    # sim_ann_exactint (ANN ranking oracle) in-window plus the
+    # re-seated emb_norm_stats; the near-dup verdict predicate is the
+    # same DECIMAL(38,0) device sim_ann_exactint hashes every round.
+    "emb_near_dup_pairs",
+    # Green r7-r9; transitive-closure clustering stays driver-checked
+    # via dedup_semantic_clusters (same duplicate_clusters consumer)
+    # and the CC parity pins in tests/test_text_dedup.py.
+    "emb_near_dup_clusters",
+    # Green r5-r9; the mixture family swaps seats with the re-seated
+    # corpus_mixture_plan (plan is recomputed INSIDE apply, so the
+    # resting entry's semantics ride along in pytest parity).
+    "corpus_mixture_apply",
+    # Green r6-r9; the packing family swaps seats with the re-seated
+    # pack_sequences_docs (the same two-pass packer this entry ends
+    # in); curation gates keep pii_redaction_scan + rule_k_anonymity.
+    "pipeline_curate_pack",
+    # Green r5-r9; the sampling family keeps sample_cluster_split
+    # in-window, and the epoch-shard determinism grid stays pinned in
+    # tests/test_sampling.py.
+    "train_shuffle_shards",
+    # Green r6-r9; the CDC family keeps cdc_schema_changeset (green r9)
+    # plus all three IVM entries in-window — the MERGE apply's
+    # changeset feed is the same snapshot_changeset device.
+    "cdc_apply_changeset",
+    # ---- round-5 rotation: entries rested so the entries added since
+    # ---- r2 each got a driver-green row (the eleven r4-vintage names
+    # ---- originally listed here returned to the window in round 10).
     # Star-join + agg + top-k shape stays via join_region_revenue and
     # topk_order_values.
     "join_shipping_priority",
@@ -8819,9 +8831,8 @@ _DEMOTED_TO_TAIL = [
     # INTERSECT is left-semi sugar; rule_referential_integrity's
     # anti-join keeps existence-join semantics in-window.
     "set_intersect_priority_profiles",
-    # Drift family stays in-window via drift_ks_totalprice (newly
-    # seated, the stronger exact test); PSI rests after 4 green rounds.
-    "drift_psi_totalprice",
+    # (drift_psi_totalprice rested here r5-r9; re-seated in round 10
+    # after its one-scan rewrite.)
     # As-of is the backward range join; join_range_binned +
     # join_interval_overlap keep range-join semantics in-window.
     "join_asof_orders_events",

@@ -45,6 +45,13 @@ TOP = [
     "agg_kll_mergeable",
     "dedup_semantic_clusters",
     "graph_label_propagation",
+    # round-10 scale proofs (VERDICT r9 items 2-5): the auto-k SemDeDup
+    # and brand-blocked linkage configurations exist to be sublinear
+    # here; the per-group KLL monitor and the single-exchange substring
+    # dedup carry the round's other scale claims.
+    "dedup_semantic_autok",
+    "agg_kll_by_segment",
+    "dedup_shared_substrings",
 ]
 
 spark = (SparkSession.builder.master("local[32]")

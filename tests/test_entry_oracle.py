@@ -175,23 +175,30 @@ def test_driver_window_is_all_oracled():
         # (dedup_fuzzy_levenshtein got green r4-r8 rows and rests in
         # r9; dedup_ssjoin_prefix + dedup_semantic_clusters keep the
         # pairwise-similarity dedup family seats.  sample_weighted_orders
-        # got green r5-r8 rows and rests in r9; train_shuffle_shards +
-        # sample_cluster_split keep the sampling family seats.)
+        # got green r5-r8 rows and rests in r9; sample_cluster_split
+        # keeps the sampling family seat.)
+        # (round-10 rests, each with a fresh r9 green:
+        # multimodal_resize_stats → multimodal_payload_stats re-seated;
+        # pipeline_curate_pack → pack_sequences_docs re-seated;
+        # corpus_mixture_apply → corpus_mixture_plan re-seated;
+        # train_shuffle_shards → sample_cluster_split keeps sampling;
+        # emb_near_dup_pairs/clusters → sim_ann_exactint +
+        # emb_norm_stats keep exact-integer embedding coverage;
+        # cdc_apply_changeset → cdc_schema_changeset + three IVM
+        # entries keep CDC; dedup_shared_substrings and
+        # streaming_kll_quantiles got their first greens in r9 and
+        # yield their seats to the r10 additions.)
         "sim_ann_recall",  # recomputes brute-force cosine as ground truth
-        "multimodal_resize_stats",
         "text_unigram_lm_score",
-        "pipeline_curate_pack",
-        "corpus_mixture_apply",
         # (quality_gopher_flags got green r5-r7 rows and rests in r8;
-        # corpus_mixture_apply recomputes the same gates in-window)
+        # the mixture/packing entries recompute the same gates)
         "pii_redaction_scan",
         # (contamination_probes got green r5-r7 rows and rests in r8;
         # the automaton-parity pytest pins its semantics)
-        "train_shuffle_shards",
         # (cdc_changeset_orders got green r5-r7 rows and rests in r8;
-        # cdc_apply_changeset runs snapshot_changeset inside its MERGE)
+        # cdc_schema_changeset runs the same changeset device)
         # (drift_text_kl got green r6-r8 rows and rests in r9;
-        # drift_snapshots + streaming_drift_psi keep the drift seats.
+        # streaming_drift_psi + drift_psi_totalprice keep drift seats.
         # mining_frequent_pairs got green r5-r8 rows and rests in r9;
         # graph_triangle_count recomputes the same support device
         # in-window every round)
@@ -199,7 +206,7 @@ def test_driver_window_is_all_oracled():
         # r9; its validation chain is the same contract rules the
         # in-window rule_* entries run, pytest-pinned)
         # round-6 additions: each must get its driver-green row
-        "cdc_apply_changeset", "rule_profile_trend_anomaly",
+        "rule_profile_trend_anomaly",
         # (text_bpe_encode got green r6+r7 rows and rests in r8;
         # text_bpe_learn + pipeline_bpe_pack keep the BPE family seats)
         "streaming_attribution_left",
@@ -209,9 +216,8 @@ def test_driver_window_is_all_oracled():
         # round-7 additions: each must get its driver-green row
         # (join_asof_forward got its green r7 row and rests in r8;
         # join_point_in_time keeps the as-of family seat)
-        "emb_near_dup_pairs",
         "streaming_metrics_trend", "layout_compaction_plan",
-        "emb_near_dup_clusters", "sim_ann_exactint",
+        "sim_ann_exactint",
         "join_point_in_time", "streaming_drift_psi",
         "text_bpe_learn", "rule_k_anonymity",
         "link_part_entities", "agg_incremental_totals",
@@ -231,15 +237,22 @@ def test_driver_window_is_all_oracled():
         # round-9 additions: each must get its driver row
         "agg_kll_mergeable", "dedup_semantic_clusters",
         "cdc_schema_changeset", "graph_label_propagation",
-        # round-9 re-validation seats (r1-vintage records, VERDICT r8
-        # item 3): the oldest greens return for a fresh driver row
-        "rule_uniqueness_dup_keys", "drift_snapshots",
-        "agg_count_distinct", "join_part_enrichment",
-        "rule_field_count_quote_stripped",
+        # (the five round-9 r1-vintage re-validation seats got their
+        # fresh r9 records and rest in r10)
         # round-9 second wave: the rolling-percentile payoff query
         # and the graph-motif member
         "agg_kll_rolling", "graph_triangle_count",
-        "dedup_shared_substrings", "streaming_kll_quantiles",
+        # round-10 additions: each must get its driver row
+        "agg_kll_by_segment", "dedup_semantic_autok",
+        # round-10 re-validation seats (VERDICT r9 item 8): the eleven
+        # r4-vintage greens return for fresh driver rows, plus the
+        # one-scan-rewritten PSI monitor
+        "agg_distribution_stats", "rule_outlier_zscore",
+        "agg_cube_segment_status", "window_running_total",
+        "join_range_value_buckets", "events_hourly_windows",
+        "text_top_bigrams", "emb_norm_stats",
+        "multimodal_payload_stats", "corpus_mixture_plan",
+        "pack_sequences_docs", "drift_psi_totalprice",
     ]:
         assert required in window, required
 
