@@ -217,6 +217,7 @@ HEADLINE = [
     # round-10 additions
     "agg_kll_by_segment",
     "dedup_semantic_autok",
+    "cdc_scd2_history",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

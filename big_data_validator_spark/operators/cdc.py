@@ -618,3 +618,67 @@ def delta_join_view_rows(
         )
     )
     return term1.unionByName(term2)
+
+
+def scd2_history(
+    snapshots: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 history from stacked snapshot
+    versions: collapse each key's consecutive identical attribute
+    states into one validity interval and emit
+    ``(key…, tracked…, valid_from, valid_to, is_current)`` — the
+    dimension-history build every warehouse runs on top of CDC feeds
+    (the reference has no dimension surface at all; this completes the
+    CDC family above :func:`snapshot_changeset` / :func:`apply_changeset`).
+
+    Semantics (the standard SCD2 contract):
+
+    - input = one row per (key, version) — e.g. nightly snapshot loads
+      stacked with a load-date column;
+    - a row OPENS an interval iff it is the key's first version or any
+      tracked column differs from the previous version (NULL-safe:
+      NULL→value and value→NULL are changes, NULL→NULL is not);
+    - ``valid_from`` = the opening version, ``valid_to`` = the next
+      interval's ``valid_from`` (half-open, NULL while current);
+    - ``is_current`` marks each key's open interval.
+    - a key that disappears from later snapshots keeps its last
+      interval OPEN — pair with :func:`snapshot_changeset`'s deletes
+      and close intervals explicitly when tombstones are modeled.
+
+    Scale: exactly ONE shuffle on the key — both the change-detection
+    lag and the interval-closing lead ride the same
+    ``(key…, version)`` window sort; no join, no second pass over the
+    input.  At 100 TB the version dimension is small per key (days),
+    so windows stay narrow however wide the key space grows.
+    """
+    from pyspark.sql import Window
+
+    kcols = list(key_cols)
+    tcols = list(tracked_cols)
+    w = Window.partitionBy(*kcols).orderBy(version_col)
+    changed = F.lag(version_col).over(w).isNull()
+    for c in tcols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    opens = (
+        snapshots.select(*kcols, *tcols, version_col)
+        .withColumn("_open", changed)
+        .withColumnRenamed(version_col, "valid_from")
+    )
+    # the filter runs AFTER the lag window; the lead below then runs on
+    # the filtered rows over the SAME (key, version) partitioning, so
+    # Catalyst plans one Exchange feeding two Window operators
+    w2 = Window.partitionBy(*kcols).orderBy("valid_from")
+    return (
+        opens.filter("_open")
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .select(
+            *kcols,
+            *tcols,
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

@@ -140,6 +140,7 @@ PLAN_QUERIES = [
     # round-10: the collect-per-gram rewrite made the substring dedup
     # cache-free and lazy again, so its plan is auditable
     "dedup_shared_substrings",
+    "cdc_scd2_history",
     # rule_outlier_mad is in the eager-materialization class (pinned
     # med/MAD caches released via materialize_release); its 3-pass
     # shape is pinned in tests/test_profile.py.

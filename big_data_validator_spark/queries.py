@@ -8375,6 +8375,88 @@ def cdc_schema_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    WITH snaps AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents,
+             1 AS v
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                  ELSE c_mktsegment END,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT), 2
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                  ELSE c_mktsegment END,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c_custkey % 5 = 0 THEN 1000 ELSE 0 END, 3
+      FROM customer),
+    lagged AS (
+      SELECT *, LAG(seg) OVER w AS pseg, LAG(acct_cents) OVER w AS pac,
+             LAG(v) OVER w AS pv
+      FROM snaps WINDOW w AS (PARTITION BY k ORDER BY v)),
+    opens AS (
+      SELECT k, seg, acct_cents, v AS valid_from FROM lagged
+      WHERE pv IS NULL OR seg IS DISTINCT FROM pseg
+         OR acct_cents IS DISTINCT FROM pac)
+    SELECT k AS c_custkey, seg AS c_mktsegment, acct_cents,
+           CAST(valid_from AS INT) AS valid_from,
+           CAST(LEAD(valid_from) OVER w2 AS INT) AS valid_to,
+           (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+    FROM opens WINDOW w2 AS (PARTITION BY k ORDER BY valid_from)
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 build (operators/cdc.py:
+    scd2_history): three stacked snapshot versions of the customer
+    dimension — v2 migrates every 7th key's segment, v3 bumps every
+    5th key's balance — collapse into validity intervals
+    ``(valid_from, valid_to, is_current)``, the dimension-history
+    table every warehouse maintains on top of CDC feeds.  Unchanged
+    keys keep ONE open interval; changed keys close the old interval
+    at the change version (half-open).  One shuffle on the key: the
+    change-detection lag and the interval-closing lead ride the same
+    window sort.  Balances compare in integer cents (the portable
+    ROUND device), so every interval hashes identically cross-engine."""
+    from big_data_validator_spark.operators.cdc import scd2_history
+
+    c = _t(spark, sf_dir, "customer")
+    cents = F.expr(
+        "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+    ).alias("acct_cents")
+    migrated = (
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MIGRATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment")
+    )
+    v1 = c.select(
+        "c_custkey", F.col("c_mktsegment"), cents, F.lit(1).alias("v")
+    )
+    v2 = c.select("c_custkey", migrated, cents, F.lit(2).alias("v"))
+    v3 = c.select(
+        "c_custkey",
+        migrated,
+        (
+            F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(1000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("acct_cents"),
+        F.lit(3).alias("v"),
+    )
+    return scd2_history(
+        v1.unionByName(v2).unionByName(v3),
+        key_cols=["c_custkey"],
+        tracked_cols=["c_mktsegment", "acct_cents"],
+        version_col="v",
+    )
+
+
 def _label_propagation_oracle(iters: int = 3) -> str:
     """Unrolled min-label propagation (the pagerank CTE device): one
     (neighbor-min LEFT JOIN + LEAST) stage per iteration over the
@@ -8782,6 +8864,12 @@ _DEMOTED_TO_TAIL = [
     # plus all three IVM entries in-window — the MERGE apply's
     # changeset feed is the same snapshot_changeset device.
     "cdc_apply_changeset",
+    # Green r7-r9; the zero-extra-scan Observation plumbing is
+    # plan-pinned (tests/test_plans.py: observe adds no scan) and its
+    # fused rule aggregates are exactly the semantics the re-seated
+    # rule_* entries hash this round.  Frees the seat for
+    # cdc_scd2_history (the SCD Type-2 dimension-history build).
+    "scan_observed_metrics",
     # ---- round-5 rotation: entries rested so the entries added since
     # ---- r2 each got a driver-green row (the eleven r4-vintage names
     # ---- originally listed here returned to the window in round 10).

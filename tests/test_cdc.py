@@ -603,3 +603,62 @@ def test_evolving_changeset_requires_shared_columns(spark):
     inc = spark.createDataFrame([(1, "y")], "k long, new string")
     with pytest.raises(ValueError, match="share no non-key"):
         snapshot_changeset_evolving(cur, inc, ["k"], allow_drops=True)
+
+
+def test_scd2_history_hand_grid(spark):
+    """SCD Type-2 collapse: known version grid with change, no-change,
+    NULL transitions, a single-version key, and a disappearing key —
+    intervals must match the contract exactly."""
+    from big_data_validator_spark.operators.cdc import scd2_history
+
+    rows = [
+        # key 1: seg changes at v2, nothing at v3 -> two intervals
+        (1, "A", 10, 1), (1, "B", 10, 2), (1, "B", 10, 3),
+        # key 2: never changes -> one open interval
+        (2, "A", 10, 1), (2, "A", 10, 2), (2, "A", 10, 3),
+        # key 3: NULL -> value (change), value -> NULL (change)
+        (3, None, 10, 1), (3, "C", 10, 2), (3, None, 10, 3),
+        # key 4: NULL -> NULL is NOT a change
+        (4, None, 5, 1), (4, None, 5, 2),
+        # key 5: single version
+        (5, "E", 1, 1),
+        # key 6: disappears after v1 (no tombstone) -> stays open
+        (6, "F", 2, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, seg string, amt long, v int"
+    )
+    got = {
+        (r["k"], r["valid_from"]): (
+            r["seg"], r["amt"], r["valid_to"], r["is_current"]
+        )
+        for r in scd2_history(df, ["k"], ["seg", "amt"], "v").collect()
+    }
+    assert got == {
+        (1, 1): ("A", 10, 2, False),
+        (1, 2): ("B", 10, None, True),
+        (2, 1): ("A", 10, None, True),
+        (3, 1): (None, 10, 2, False),
+        (3, 2): ("C", 10, 3, False),
+        (3, 3): (None, 10, None, True),
+        (4, 1): (None, 5, None, True),
+        (5, 1): ("E", 1, None, True),
+        (6, 1): ("F", 2, None, True),
+    }
+
+
+def test_scd2_history_single_shuffle(spark):
+    """Scale contract: the lag (change detection) and lead (interval
+    close) windows share one (key, version) exchange — no join, no
+    second pass over the input."""
+    from big_data_validator_spark.operators.cdc import scd2_history
+    from big_data_validator_spark.plans.inspect import shuffle_count
+
+    df = spark.createDataFrame(
+        [(i % 5, "s", i, i % 3) for i in range(60)],
+        "k long, seg string, amt long, v int",
+    )
+    res = scd2_history(df, ["k"], ["seg", "amt"], "v")
+    assert shuffle_count(res) == 1, shuffle_count(res)
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan

@@ -222,7 +222,10 @@ def test_driver_window_is_all_oracled():
         "text_bpe_learn", "rule_k_anonymity",
         "link_part_entities", "agg_incremental_totals",
         "streaming_incremental_mv", "profile_fd_discovery",
-        "ts_twap_daily", "scan_observed_metrics",
+        "ts_twap_daily",
+        # (scan_observed_metrics got green r7-r9 rows and rests in
+        # r10; its zero-extra-scan plumbing stays plan-pinned and the
+        # re-seated rule_* entries hash the same fused aggregates)
         # round-8 additions: each must get its driver row
         # (the seven rows-only sketch kernels got their CORRECTNESS_r08
         # records and leave the window in r9 — _SEATED_ROWS_ONLY is
@@ -244,6 +247,7 @@ def test_driver_window_is_all_oracled():
         "agg_kll_rolling", "graph_triangle_count",
         # round-10 additions: each must get its driver row
         "agg_kll_by_segment", "dedup_semantic_autok",
+        "cdc_scd2_history",
         # round-10 re-validation seats (VERDICT r9 item 8): the eleven
         # r4-vintage greens return for fresh driver rows, plus the
         # one-scan-rewritten PSI monitor
