@@ -218,6 +218,7 @@ HEADLINE = [
     "agg_kll_by_segment",
     "dedup_semantic_autok",
     "cdc_scd2_history",
+    "multimodal_phash_neardup",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

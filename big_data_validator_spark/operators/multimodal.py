@@ -18,7 +18,7 @@ Everything Spark-side is real and tested: schemas, Arrow-batched
 
 from __future__ import annotations
 
-from typing import Callable, Iterator
+from typing import Callable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -391,3 +391,131 @@ def payload_stats(assets: DataFrame) -> DataFrame:
         F.min("width").alias("min_width"),
         F.max("height").alias("max_height"),
     )
+
+
+def phash_hashes(
+    assets: DataFrame,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """64-bit difference-hash (dHash) per binary payload — the
+    perceptual-fingerprint device image dedup pipelines run, expressed
+    over the payload's first 65 bytes (bit *i* = byte *i* < byte *i+1*).
+    With a real decoder the same operator runs over the 8×9 downsampled
+    grayscale grid; the bit rule, packing, and banding are identical —
+    only the byte source changes (decode_image's pixel output slots in
+    behind the same hex device).
+
+    Everything is built from JVM-side expressions — hex the payload
+    once, compare adjacent 2-char hex pairs (lexicographic hex-pair
+    order == byte order within an engine regardless of hex case), pack
+    into two BIGINT halves — so the hash job is one map-side pass with
+    no Python in the plan, and the shipped integers are engine-portable
+    (comparison results, never hex strings, cross the wire).
+
+    Returns ``(id, lo, hi)`` — bits 0-31 and 32-63.
+    """
+    bits = F.expr(
+        "transform(sequence(0, 63), i -> "
+        f"IF(substr(hex({payload_col}), 2*i + 1, 2) < "
+        f"substr(hex({payload_col}), 2*i + 3, 2), 1L, 0L))"
+    )
+    out = (
+        assets.filter(F.length(F.col(payload_col)) >= 65)
+        .select(F.col(id_col).alias("id"), bits.alias("_b"))
+        .select(
+            "id",
+            F.expr(
+                "aggregate(transform(sequence(1, 32), "
+                "j -> element_at(_b, j) * shiftleft(1L, j - 1)), "
+                "0L, (a, x) -> a + x)"
+            ).alias("lo"),
+            F.expr(
+                "aggregate(transform(sequence(33, 64), "
+                "j -> element_at(_b, j) * shiftleft(1L, j - 33)), "
+                "0L, (a, x) -> a + x)"
+            ).alias("hi"),
+        )
+    )
+    return out
+
+
+def phash_near_dup_pairs(
+    assets: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    max_bucket_size: Optional[int] = 1000,
+) -> DataFrame:
+    """Perceptual-hash NEAR-DUP pairs over binary assets — the
+    multimodal dedup tier (image/frame near-dup by dHash), completing
+    the dedup ladder's media column alongside the text tiers.
+
+    Candidates come from LSH-style BANDING, never all-pairs: the 64-bit
+    hash splits into ``max_hamming + 1`` bands (16-bit bands at the
+    default 3), and by pigeonhole two hashes within ``max_hamming`` bits
+    of each other agree on AT LEAST one full band — so a bucket join on
+    (band index, band value) through
+    :func:`~big_data_validator_spark.operators.dedup.capped_bucket_pairs`
+    is provably LOSSLESS for the threshold while touching only
+    same-band candidates (tests pin banded == brute-force).  The exact
+    integer verdict is ``bit_count(lo⊕lo') + bit_count(hi⊕hi') ≤ t``.
+
+    Returns ``(asset_a, asset_b, hamming)`` with ``asset_a < asset_b``.
+    Scale: hashing is one map-side pass; the shuffle carries 4 band
+    rows of 3 BIGINTs per asset; per-bucket pair work is bounded by the
+    bucket cap (a degenerate corpus — all-black thumbnails — caps into
+    leader edges instead of exploding).
+    """
+    from big_data_validator_spark.operators.dedup import (
+        capped_bucket_pairs,
+        pinned_caches,
+    )
+
+    if not 0 <= max_hamming <= 16:
+        raise ValueError(f"max_hamming must be in [0, 16], got {max_hamming}")
+    n_bands = max_hamming + 1
+    hashes = phash_hashes(assets, id_col=id_col, payload_col=payload_col)
+    # 64 bits into n_bands contiguous spans (16-bit at the default);
+    # band b covers bits [b*w, (b+1)*w) with w = ceil(64 / n_bands)
+    w = -(-64 // n_bands)
+    full = F.concat(
+        F.expr("transform(sequence(0, 31), j -> shiftright(lo, j) & 1)"),
+        F.expr("transform(sequence(0, 31), j -> shiftright(hi, j) & 1)"),
+    )
+    bands = (
+        hashes.withColumn("_full", full)
+        .select(
+            "id",
+            "lo",
+            "hi",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), b -> "
+                    f"aggregate(transform(sequence(b * {w} + 1, "
+                    f"least((b + 1) * {w}, 64)), "
+                    "j -> element_at(_full, j) * shiftleft(1L, (j - 1) "
+                    f"% {w})), 0L, (a, x) -> a + x))"
+                )
+            ).alias("_band_idx", "_band_val"),
+        )
+    )
+    raw = capped_bucket_pairs(
+        bands.select("id", "_band_idx", "_band_val", "lo", "hi"),
+        ["_band_idx", "_band_val"],
+        max_bucket_size,
+        payload_cols=["lo", "hi"],
+    )
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+    out = (
+        raw.dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("id_a").alias("asset_a"),
+            F.col("id_b").alias("asset_b"),
+            "hamming",
+        )
+    )
+    out._bdv_pinned = pinned_caches(raw)
+    return out

@@ -2206,6 +2206,55 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id, hex(encode(text)) AS h
+      FROM documents WHERE octet_length(encode(text)) >= 65),
+    bits AS (
+      SELECT asset_id,
+             list_transform(generate_series(0, 63),
+               i -> CASE WHEN substr(h, 2*i + 1, 2) < substr(h, 2*i + 3, 2)
+                         THEN 1 ELSE 0 END) AS b
+      FROM a),
+    hh AS (
+      SELECT asset_id,
+             list_sum(list_transform(generate_series(1, 32),
+               j -> b[j] * (1 << (j - 1)))) AS lo,
+             list_sum(list_transform(generate_series(33, 64),
+               j -> b[j] * (1 << (j - 33)))) AS hi
+      FROM bits)
+    SELECT x.asset_id AS asset_a, y.asset_id AS asset_b,
+           CAST(bit_count(xor(CAST(x.lo AS BIGINT), CAST(y.lo AS BIGINT)))
+              + bit_count(xor(CAST(x.hi AS BIGINT), CAST(y.hi AS BIGINT)))
+             AS INT) AS hamming
+    FROM hh x JOIN hh y ON x.asset_id < y.asset_id
+    WHERE bit_count(xor(CAST(x.lo AS BIGINT), CAST(y.lo AS BIGINT)))
+        + bit_count(xor(CAST(x.hi AS BIGINT), CAST(y.hi AS BIGINT))) <= 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over BINARY assets
+    (operators/multimodal.py:phash_near_dup_pairs) — the multimodal
+    member of the dedup ladder: 64-bit dHash per payload (bit i =
+    byte i < byte i+1, built from JVM hex-pair expressions — no Python
+    in the hash pass), then LSH banding into 4 × 16-bit bands where
+    pigeonhole makes the band-bucket join provably LOSSLESS for
+    Hamming ≤ 3, then the exact integer ``bit_count(xor)`` verdict.
+    The oracle is the independent brute-force all-pairs formulation
+    (quadratic candidates live only oracle-side; the Spark plan touches
+    same-band candidates through the repo-wide capped bucket join).
+    With a real image decoder the same operator runs over the 8×9
+    downsampled grid — only the byte source changes."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = M.assets_from_documents(docs)
+    out = M.phash_near_dup_pairs(assets, max_hamming=3)
+    res = out.orderBy("asset_a", "asset_b")
+    res._bdv_pinned = D.pinned_caches(out)
+    return D.materialize_release(res)
+
+
+@query(
     "multimodal_resize_stats",
     oracle="""
     WITH assets AS (
@@ -8870,6 +8919,13 @@ _DEMOTED_TO_TAIL = [
     # rule_* entries hash this round.  Frees the seat for
     # cdc_scd2_history (the SCD Type-2 dimension-history build).
     "scan_observed_metrics",
+    # Green r7-r9; the streaming family keeps THREE in-window seats
+    # (attribution LEFT join, per-batch PSI, incremental MV) and the
+    # metrics-repository commit protocol stays pytest-pinned
+    # (tests/test_streaming.py + the KLL repository twin).  Frees the
+    # seat for multimodal_phash_neardup (the media member of the
+    # dedup ladder).
+    "streaming_metrics_trend",
     # ---- round-5 rotation: entries rested so the entries added since
     # ---- r2 each got a driver-green row (the eleven r4-vintage names
     # ---- originally listed here returned to the window in round 10).

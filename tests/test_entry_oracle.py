@@ -216,7 +216,10 @@ def test_driver_window_is_all_oracled():
         # round-7 additions: each must get its driver-green row
         # (join_asof_forward got its green r7 row and rests in r8;
         # join_point_in_time keeps the as-of family seat)
-        "streaming_metrics_trend", "layout_compaction_plan",
+        # (streaming_metrics_trend got green r7-r9 rows and rests in
+        # r10; three streaming siblings keep the family seats and the
+        # repository protocol stays pytest-pinned)
+        "layout_compaction_plan",
         "sim_ann_exactint",
         "join_point_in_time", "streaming_drift_psi",
         "text_bpe_learn", "rule_k_anonymity",
@@ -247,7 +250,7 @@ def test_driver_window_is_all_oracled():
         "agg_kll_rolling", "graph_triangle_count",
         # round-10 additions: each must get its driver row
         "agg_kll_by_segment", "dedup_semantic_autok",
-        "cdc_scd2_history",
+        "cdc_scd2_history", "multimodal_phash_neardup",
         # round-10 re-validation seats (VERDICT r9 item 8): the eleven
         # r4-vintage greens return for fresh driver rows, plus the
         # one-scan-rewritten PSI monitor

@@ -466,3 +466,109 @@ def test_ann_topk_exactint_matches_python(spark, vectors):
     assert got == want
     assert got[(0, 1)][0] == 0          # self-match leads
     assert got[(0, 2)][0] == 100        # the planted near-copy is next
+
+
+# ---------------------------------------------- perceptual-hash near-dup
+
+def _py_dhash(payload: bytes) -> tuple[int, int]:
+    """Independent reference: bit i = byte[i] < byte[i+1], packed into
+    (lo: bits 0-31, hi: bits 32-63)."""
+    lo = hi = 0
+    for i in range(64):
+        if payload[i] < payload[i + 1]:
+            if i < 32:
+                lo |= 1 << i
+            else:
+                hi |= 1 << (i - 32)
+    return lo, hi
+
+
+def test_phash_hashes_match_python_reference(spark):
+    import random
+
+    from big_data_validator_spark.operators.multimodal import phash_hashes
+
+    rng = random.Random(7)
+    rows = [
+        (i, bytes(rng.randrange(256) for _ in range(65 + i % 20)))
+        for i in range(40)
+    ] + [(99, b"short")]  # < 65 bytes: silently excluded, not an error
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        r["id"]: (r["lo"], r["hi"]) for r in phash_hashes(df).collect()
+    }
+    assert 99 not in got and len(got) == 40
+    for i, p in rows[:-1]:
+        assert got[i] == _py_dhash(p), i
+
+
+def test_phash_banding_lossless_and_verdict_exact(spark):
+    """Pigeonhole pin: Hamming ≤ 3 over 4 × 16-bit bands guarantees a
+    shared band, so the banded join must equal the brute-force pair set
+    — including EXCLUDING a planted pair at Hamming 4 that still shares
+    a band (candidate generated, verdict must kill it)."""
+    import itertools
+    import random
+
+    from big_data_validator_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(13)
+    base = bytes(rng.randrange(256) for _ in range(70))
+
+    def flip_bit(payload: bytes, bit: int) -> bytes:
+        # flip dhash bit `bit` by swapping the byte pair's order
+        b = bytearray(payload)
+        b[bit], b[bit + 1] = b[bit + 1], b[bit], 
+        return bytes(b)
+
+    rows = [(0, base)]
+    # 1: hamming 1 from 0 (bit 5 flipped via byte swap, if it changes)
+    p1 = flip_bit(base, 5)
+    rows.append((1, p1))
+    # 2: hamming 4 from 0 — bits 3, 20, 40, 60 (one per band) flipped
+    p2 = base
+    for bit in (3, 20, 40, 60):
+        p2 = flip_bit(p2, bit)
+    rows.append((2, p2))
+    # noise assets
+    rows += [
+        (10 + k, bytes(rng.randrange(256) for _ in range(70)))
+        for k in range(12)
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    # brute force over the python reference hashes
+    hs = {i: _py_dhash(p) for i, p in rows}
+    want = {}
+    for x, y in itertools.combinations(sorted(hs), 2):
+        d = bin(hs[x][0] ^ hs[y][0]).count("1") + bin(
+            hs[x][1] ^ hs[y][1]
+        ).count("1")
+        if d <= 3:
+            want[(x, y)] = d
+    assert got == want
+    # the test corpus is live: the near pair is found, the planted
+    # hamming-4 pair exists and is excluded
+    d02 = bin(hs[0][0] ^ hs[2][0]).count("1") + bin(
+        hs[0][1] ^ hs[2][1]
+    ).count("1")
+    assert (0, 1) in got and d02 > 3 and (0, 2) not in got
+
+
+def test_phash_max_hamming_bounds(spark):
+    from big_data_validator_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(65)))], "asset_id long, payload binary"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_hamming"):
+        phash_near_dup_pairs(df, max_hamming=17)
