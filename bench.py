@@ -219,6 +219,7 @@ HEADLINE = [
     "dedup_semantic_autok",
     "cdc_scd2_history",
     "multimodal_phash_neardup",
+    "streaming_kll_by_group",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -639,7 +639,35 @@ def kll_group_quantile_monitor(
         [*gcols, day_col],
         k,
     )
-    est = kll_group_rollup_quantiles(per_key, gcols, pcts, k).cache()
+    est = kll_group_rollup_quantiles(per_key, gcols, pcts, k)
+    return kll_group_verify_quantiles(
+        est, src, value_col, gcols, tol_ppm, block_width
+    )
+
+
+def kll_group_verify_quantiles(
+    est: DataFrame,
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    tol_ppm: int = 25_000,
+    block_width: int = 1_000_000,
+) -> DataFrame:
+    """Per-GROUP exact-verification leg (the grouped twin of
+    :func:`kll_verify_quantiles`, shared by the batch monitor and the
+    streaming repository consumer): given per-group estimates
+    ``(group…, quantile_pct, est, n_rows)`` from ANY builder, compute
+    each group's exact percentile at integer rank
+    ``(pct·n_g + 99) div 100`` from the grouped block-scan CDF of
+    ``df`` plus the ±``tol_ppm`` rank verdict.  Both relations feed
+    multiple joins (Spark shares no subplans), so both are cached and
+    pinned — callers release via materialize_release.  NULL group keys
+    are excluded on both legs."""
+    gcols = list(group_cols)
+    src = df
+    for c in gcols:
+        src = src.filter(F.col(c).isNotNull())
+    est = est.cache()
     cdf = exact_rank_cdf(src, value_col, block_width, gcols).cache()
     targets = est.select(
         *gcols,

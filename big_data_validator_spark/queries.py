@@ -8847,6 +8847,124 @@ def streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out)
 
 
+_KLL_GRP_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _kll_group_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session+sf) a 3-run streaming source for the
+    per-group sketch drain: events split by ``user_id % 3`` into runs
+    (a full partition — the union of runs is the whole table, so the
+    oracle is plain SQL over ``events``), keeping the event_type group
+    key and floor-quantized cents.  Same mtime+name ordering device as
+    the other streaming sources: ``maxFilesPerTrigger=1`` maps
+    batch_id == run_id."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KLL_GRP_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            (F.col("user_id") % 3).alias("_run"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="bdv_kll_grp_src_")
+    for r in range(3):
+        dst = f"{root}/run{r}"
+        ev.filter(F.col("_run") == r).drop("_run").coalesce(1).write.parquet(
+            dst
+        )
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + r, 1_000_000 + r))
+    _KLL_GRP_SRC_CACHE[key] = root
+    return root
+
+
+@query(
+    "streaming_kll_by_group",
+    oracle="""
+    WITH v AS (
+      SELECT event_type AS g, CAST(FLOOR(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+    d AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS w FROM v GROUP BY 1, 2),
+    cum AS (SELECT g, c, SUM(w) OVER (PARTITION BY g ORDER BY c) AS cle
+            FROM d),
+    t AS (SELECT n.g, pct, CAST((pct * n.n + 99) // 100 AS BIGINT) AS r,
+                 n.n AS n_rows
+          FROM (VALUES (50), (90)) AS q(pct), n)
+    SELECT t.g AS event_type, CAST(t.pct AS INT) AS quantile_pct,
+           CAST(MIN(cum.c) AS BIGINT) AS exact,
+           t.n_rows AS n_rows, TRUE AS est_ok
+    FROM t JOIN cum ON cum.g = t.g AND cum.cle >= t.r
+    GROUP BY t.g, t.pct, t.n_rows
+    """,
+)
+def streaming_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-group percentile monitor (streaming/
+    validate_stream.py:stream_kll_group_sketches): a real
+    ``readStream`` drains the 3-run grouped source with
+    ``maxFilesPerTrigger=1``, each micro-batch persists ONE KLL sketch
+    row PER event_type under the exactly-once batch-id commit
+    protocol, and the live per-group p50/p90 is a per-group merge of
+    the repository rows — the streaming twin of agg_kll_by_segment,
+    sharing its grouped rollup and grouped exact-CDF verify legs.
+    Values are floor-quantized cents (floor of a double product is
+    engine-portable).  The runs partition events by user hash, so the
+    oracle is plain SQL over the whole table."""
+    import tempfile
+
+    from big_data_validator_spark.operators.sketches import (
+        kll_group_rollup_quantiles,
+        kll_group_verify_quantiles,
+    )
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_kll_group_sketches,
+    )
+
+    src = _kll_group_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    repo = tempfile.mkdtemp(prefix="bdv_kll_grp_repo_")
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_kll_group_sketches(
+            stream,
+            value_col="c",
+            group_cols=["event_type"],
+            repo_path=repo,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+            k=200,
+        )
+        q.awaitTermination()
+    sketches = read_metrics_repository(spark, repo)
+    est = kll_group_rollup_quantiles(
+        sketches.select("event_type", "sketch", "n_rows"),
+        ["event_type"],
+        [50, 90],
+        k=200,
+    )
+    drained = spark.read.parquet(f"{src}/*")
+    res = kll_group_verify_quantiles(
+        est, drained, "c", ["event_type"], tol_ppm=25_000,
+        block_width=1_000_000,
+    )
+    out = res.orderBy("event_type", "quantile_pct")
+    out._bdv_pinned = D.pinned_caches(res)
+    return D.materialize_release(out)
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -8926,6 +9044,20 @@ _DEMOTED_TO_TAIL = [
     # seat for multimodal_phash_neardup (the media member of the
     # dedup ladder).
     "streaming_metrics_trend",
+    # Green r7-r9; the exact-DECIMAL TWAP accumulation device is
+    # pytest-pinned (tests/test_timeseries.py) and the timeseries
+    # family keeps ts_rollup_cascade in-window.  Frees the seat for
+    # streaming_kll_by_group (the per-group streaming percentile
+    # monitor — the live twin of agg_kll_by_segment).
+    "ts_twap_daily",
+    # First greens in r9; both rest for the r10 additions (the window
+    # fills in definition order, so resting them is what seats the new
+    # entries).  The substring tier's brute-force parity + 2-exchange
+    # plan pins stay, and the global streaming KLL twin's repository
+    # protocol is re-exercised in-window by streaming_kll_by_group
+    # every round.
+    "dedup_shared_substrings",
+    "streaming_kll_quantiles",
     # ---- round-5 rotation: entries rested so the entries added since
     # ---- r2 each got a driver-green row (the eleven r4-vintage names
     # ---- originally listed here returned to the window in round 10).

@@ -695,3 +695,70 @@ def stream_kll_sketches(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_kll_group_sketches(
+    stream: DataFrame,
+    value_col: str,
+    group_cols,
+    repo_path: str,
+    checkpoint_path: str,
+    k: int = 200,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Per-GROUP streaming mergeable quantile sketches: every
+    micro-batch reduces to ONE persisted KLL sketch row PER GROUP
+    (``group…, sketch, n_rows``) under the same exactly-once batch-id
+    ``_SUCCESS`` commit protocol as :func:`stream_kll_sketches` — the
+    serving-side producer of the ``agg_kll_by_segment`` architecture
+    (p90 latency per segment, live).  A monitor reads the repository
+    and merges each group's rows across batches
+    (:func:`~big_data_validator_spark.operators.sketches
+    .kll_group_rollup_quantiles`); the stream is read once and state
+    never accumulates in the query — the repository IS the state,
+    one bounded row per (batch, group).
+
+    Each micro-batch costs one distributed pass: the batch rows
+    repartition on the group key so the partial build emits exactly
+    one sketch per group (the ``partial_stage='shuffle'`` lesson —
+    no merge stage needed).  NULL group keys are excluded, matching
+    the batch monitor's join-on-key convention.
+    """
+    from big_data_validator_spark.operators.sketches import (
+        kll_partial_sketches,
+    )
+
+    gcols = list(group_cols)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dst = f"{repo_path.rstrip('/')}/batch_id={batch_id}"
+        jvm = batch_df.sparkSession._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS")
+        fs = marker.getFileSystem(
+            batch_df.sparkSession._jsc.hadoopConfiguration()
+        )
+        if fs.exists(marker):
+            return
+        src = batch_df.select(
+            *gcols, F.col(value_col).alias("_v")
+        )
+        for c in gcols:
+            src = src.filter(F.col(c).isNotNull())
+        per_group = kll_partial_sketches(
+            src.repartition(*[F.col(c) for c in gcols]), "_v", gcols, k
+        )
+        per_group.select(
+            F.lit(int(batch_id)).cast("long").alias("run_id"),
+            *gcols,
+            "sketch",
+            "n_rows",
+        ).write.mode("overwrite").parquet(dst)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -225,7 +225,9 @@ def test_driver_window_is_all_oracled():
         "text_bpe_learn", "rule_k_anonymity",
         "link_part_entities", "agg_incremental_totals",
         "streaming_incremental_mv", "profile_fd_discovery",
-        "ts_twap_daily",
+        # (ts_twap_daily got green r7-r9 rows and rests in r10; the
+        # TWAP integer-accumulation device stays pytest-pinned and
+        # ts_rollup_cascade keeps the timeseries seat)
         # (scan_observed_metrics got green r7-r9 rows and rests in
         # r10; its zero-extra-scan plumbing stays plan-pinned and the
         # re-seated rule_* entries hash the same fused aggregates)
@@ -251,6 +253,7 @@ def test_driver_window_is_all_oracled():
         # round-10 additions: each must get its driver row
         "agg_kll_by_segment", "dedup_semantic_autok",
         "cdc_scd2_history", "multimodal_phash_neardup",
+        "streaming_kll_by_group",
         # round-10 re-validation seats (VERDICT r9 item 8): the eleven
         # r4-vintage greens return for fresh driver rows, plus the
         # one-scan-rewritten PSI monitor

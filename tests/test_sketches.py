@@ -366,3 +366,79 @@ def test_stream_kll_sketches_exactly_once_and_merge(spark, tmp_path):
     )
     for pct, e in est.items():
         assert _rank_err(all_vals, e, pct / 100.0) <= 0.02
+
+
+def test_stream_kll_group_sketches_per_group_rows_and_replay(spark, tmp_path):
+    """Per-group streaming producer: one sketch row per (batch, group)
+    under the _SUCCESS protocol; replay with a fresh checkpoint is
+    idempotent; merging each group's rows across batches estimates the
+    group's percentiles within tolerance; NULL group keys are
+    excluded."""
+    import os
+
+    from big_data_validator_spark.operators.sketches import (
+        kll_group_rollup_quantiles,
+    )
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_kll_group_sketches,
+    )
+
+    rng = random.Random(77)
+    segs = ["x", "y"]
+    src = tmp_path / "src"
+    all_vals = {s: [] for s in segs}
+    for r in range(3):
+        rows = []
+        for _ in range(1500):
+            s = segs[rng.randrange(2)]
+            v = rng.randint(0, 10**6)
+            all_vals[s].append(v)
+            rows.append((s, v))
+        rows.append((None, 123))  # NULL group: must be excluded
+        d = str(src / f"run{r}")
+        spark.createDataFrame(rows, "seg string, c long").coalesce(
+            1
+        ).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_000_000 + r,) * 2)
+    schema = spark.read.parquet(str(src / "run0")).schema
+    repo = str(tmp_path / "repo")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(str(src / "*"))
+        )
+        q = stream_kll_group_sketches(
+            stream, "c", ["seg"], repo, str(tmp_path / ckpt), k=100
+        )
+        q.awaitTermination()
+
+    drain("ckpt1")
+    rows1 = read_metrics_repository(spark, repo).collect()
+    assert len(rows1) == 6  # 3 batches x 2 groups, no NULL-group row
+    assert {(r["run_id"], r["seg"]) for r in rows1} == {
+        (b, s) for b in range(3) for s in segs
+    }
+    assert sum(r["n_rows"] for r in rows1) == 4500
+    drain("ckpt2")
+    rows2 = read_metrics_repository(spark, repo).collect()
+    assert sorted(r["sketch"] for r in rows2) == sorted(
+        r["sketch"] for r in rows1
+    )
+    est = kll_group_rollup_quantiles(
+        read_metrics_repository(spark, repo).select(
+            "seg", "sketch", "n_rows"
+        ),
+        ["seg"],
+        [50, 90],
+        k=100,
+    ).collect()
+    assert len(est) == 4
+    for r in est:
+        vals = sorted(all_vals[r["seg"]])
+        assert r["n_rows"] == len(vals)
+        assert _rank_err(vals, r["est"], r["quantile_pct"] / 100.0) <= 0.02
