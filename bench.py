@@ -220,6 +220,7 @@ HEADLINE = [
     "cdc_scd2_history",
     "multimodal_phash_neardup",
     "streaming_kll_by_group",
+    "dedup_semantic_twolevel",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -8164,6 +8164,7 @@ def _semantic_dedup_oracle(
     target_cluster_size: int | None = None,
     train_oversample: int = 4,
     train_sample_cap: int = 65_536,
+    supercell_size: int | None = None,
 ) -> str:
     """GENERATE the SemDeDup oracle.  Unlike the hyperplane oracles
     (data-independent literals), the coarse quantizer here is
@@ -8187,20 +8188,30 @@ def _semantic_dedup_oracle(
             "x -> x[1] * x[2]))"
         )
 
-    iter_ctes = []
-    prev = "c0"
-    for it in range(kmeans_iters):
-        a, m, u, c = f"a{it}", f"m{it}", f"u{it}", f"c{it + 1}"
-        iter_ctes.append(
-            f"""{a} AS MATERIALIZED (
+    def kmeans_ctes(points: str, init: str, pfx: str) -> tuple[list, str]:
+        """Unroll the exact-integer trainer over relation ``points``
+        (columns vec_id, qv) from ``init`` (cid, cv) — shared by the
+        main quantizer ('' prefix) and the supercell quantizer trained
+        over the CENTROIDS (two-level mode)."""
+        ctes = []
+        prv = init
+        for it in range(kmeans_iters):
+            a, m, u, c = (
+                f"{pfx}a{it}",
+                f"{pfx}m{it}",
+                f"{pfx}u{it}",
+                f"{pfx}c{it + 1}",
+            )
+            ctes.append(
+                f"""{a} AS MATERIALIZED (
       SELECT vec_id, qv, cid FROM (
-        SELECT s.vec_id, s.qv, {prev}.cid,
+        SELECT {points}.vec_id, {points}.qv, {prv}.cid,
                ROW_NUMBER() OVER (
-                 PARTITION BY s.vec_id
-                 ORDER BY {dot(f'{prev}.cv', f'{prev}.cv')}
-                          - 2 * {dot('s.qv', f'{prev}.cv')},
-                          {prev}.cid) AS rn
-        FROM s CROSS JOIN {prev}) WHERE rn = 1),
+                 PARTITION BY {points}.vec_id
+                 ORDER BY {dot(f'{prv}.cv', f'{prv}.cv')}
+                          - 2 * {dot(f'{points}.qv', f'{prv}.cv')},
+                          {prv}.cid) AS rn
+        FROM {points} CROSS JOIN {prv}) WHERE rn = 1),
     {m} AS MATERIALIZED (
       SELECT cid, i, CAST(SUM(qv[i]) AS BIGINT) AS sm,
              CAST(COUNT(*) AS BIGINT) AS cnt
@@ -8209,10 +8220,13 @@ def _semantic_dedup_oracle(
     {u} AS MATERIALIZED (
       SELECT cid, list(sm // cnt ORDER BY i) AS cv FROM {m} GROUP BY 1),
     {c} AS MATERIALIZED (
-      SELECT {prev}.cid, COALESCE({u}.cv, {prev}.cv) AS cv
-      FROM {prev} LEFT JOIN {u} USING (cid))"""
-        )
-        prev = c
+      SELECT {prv}.cid, COALESCE({u}.cv, {prv}.cv) AS cv
+      FROM {prv} LEFT JOIN {u} USING (cid))"""
+            )
+            prv = c
+        return ctes, prv
+
+    iter_ctes, prev = kmeans_ctes("s", "c0", "")
     iters_sql = ",\n    ".join(iter_ctes)
     t2 = threshold_ppm * threshold_ppm
     if target_cluster_size is not None:
@@ -8234,6 +8248,70 @@ def _semantic_dedup_oracle(
         kk_cte = ""
         s_limit = str(train_sample)
         c0_limit = str(num_clusters)
+    if supercell_size is not None:
+        # two-level quantizer: retrain the SUPERCELLS over the
+        # centroids with the same unrolled trainer (prefix 's_'), map
+        # each centroid to its nearest supercell (ties to lowest scid),
+        # and assign points supercell-first — the IVF rule the Spark
+        # kernel replays (two_level_assign_kernel), exact-integer both
+        # sides.  Only supercells that own a centroid are assignable.
+        if target_cluster_size is None:
+            raise ValueError("two-level oracle requires target mode")
+        sc = supercell_size
+        sup_ctes, sup_prev = kmeans_ctes("cpts", "sc0", "s_")
+        sup_sql = ",\n    ".join(sup_ctes)
+        two_level_block = f"""kk2 AS MATERIALIZED (
+      SELECT (k + {sc - 1}) // {sc} AS m FROM kk),
+    cpts AS MATERIALIZED (SELECT cid AS vec_id, cv AS qv FROM {prev}),
+    sc0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             qv AS cv
+      FROM (SELECT vec_id, qv FROM cpts ORDER BY vec_id
+            LIMIT (SELECT m FROM kk2))),
+    {sup_sql},
+    ca AS MATERIALIZED (
+      SELECT vec_id AS ccid, cid AS scid FROM (
+        SELECT p.vec_id, sc.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {dot('sc.cv', 'sc.cv')}
+                          - 2 * {dot('p.qv', 'sc.cv')},
+                          sc.cid) AS rn
+        FROM cpts p CROSS JOIN {sup_prev} sc) WHERE rn = 1),
+    live AS MATERIALIZED (
+      SELECT sc.cid, sc.cv FROM {sup_prev} sc
+      WHERE sc.cid IN (SELECT scid FROM ca)),
+    psup AS MATERIALIZED (
+      SELECT vec_id, qv, scid FROM (
+        SELECT q.vec_id, q.qv, l.cid AS scid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot('l.cv', 'l.cv')}
+                          - 2 * {dot('q.qv', 'l.cv')},
+                          l.cid) AS rn
+        FROM q CROSS JOIN live l) WHERE rn = 1),
+    """
+        bf_cte = f"""bf AS MATERIALIZED (
+      SELECT vec_id, qv, cid FROM (
+        SELECT psup.vec_id, psup.qv, ca.ccid AS cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY psup.vec_id
+                 ORDER BY {dot('cc.cv', 'cc.cv')}
+                          - 2 * {dot('psup.qv', 'cc.cv')},
+                          ca.ccid) AS rn
+        FROM psup JOIN ca ON ca.scid = psup.scid
+                  JOIN {prev} cc ON cc.cid = ca.ccid) WHERE rn = 1)"""
+    else:
+        two_level_block = ""
+        bf_cte = f"""bf AS MATERIALIZED (
+      SELECT vec_id, qv, cid FROM (
+        SELECT q.vec_id, q.qv, {prev}.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot(f'{prev}.cv', f'{prev}.cv')}
+                          - 2 * {dot('q.qv', f'{prev}.cv')},
+                          {prev}.cid) AS rn
+        FROM q CROSS JOIN {prev}) WHERE rn = 1)"""
     return f"""
     WITH q AS MATERIALIZED (
       SELECT vec_id,
@@ -8249,15 +8327,7 @@ def _semantic_dedup_oracle(
       FROM (SELECT vec_id, qv FROM s ORDER BY vec_id
             LIMIT {c0_limit})),
     {iters_sql},
-    bf AS MATERIALIZED (
-      SELECT vec_id, qv, cid FROM (
-        SELECT q.vec_id, q.qv, {prev}.cid,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {dot(f'{prev}.cv', f'{prev}.cv')}
-                          - 2 * {dot('q.qv', f'{prev}.cv')},
-                          {prev}.cid) AS rn
-        FROM q CROSS JOIN {prev}) WHERE rn = 1),
+    {two_level_block}{bf_cte},
     v AS MATERIALIZED (
       SELECT x.vec_id AS id_a, y.vec_id AS id_b,
              {dot('x.qv', 'y.qv')} AS dot,
@@ -8327,6 +8397,40 @@ def dedup_semantic_autok(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_ppm=300_000,
         kmeans_iters=2,
         target_cluster_size=50,
+        max_cluster_size=None,
+    )
+    return D.materialize_release(out)
+
+
+@query(
+    "dedup_semantic_twolevel",
+    oracle=_semantic_dedup_oracle(
+        target_cluster_size=50, supercell_size=4
+    ),
+)
+def dedup_semantic_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the TWO-LEVEL quantizer (operators/similarity.py:
+    two_level_assign_kernel) — the IVF device that kills auto-k's last
+    superlinear term: assignment drops from k dot products per point to
+    m + k/m (supercells first, then only that supercell's member
+    centroids).  Supercells are trained over the CENTROIDS by the same
+    exact-integer trainer, each centroid maps to its nearest supercell
+    (ties to lowest id), and points in different supercells can never
+    share a dedup cell.  This is a DIFFERENT partition than flat
+    assignment — the honest IVF approximation, not a shortcut — so the
+    ORACLE retrains the supercells too (prefix 's_' CTEs over the
+    retrained centroid relation) and replays the two-hop rule; every
+    quantity stays exact-integer, so the partition is bit-identical
+    cross-engine.  At 100 TB with k in the tens of thousands this is
+    the difference between n·k and n·2√k assignment FLOPs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup_exactint(
+        emb,
+        dim=64,
+        threshold_ppm=300_000,
+        kmeans_iters=2,
+        target_cluster_size=50,
+        supercell_size=4,
         max_cluster_size=None,
     )
     return D.materialize_release(out)
@@ -9058,6 +9162,12 @@ _DEMOTED_TO_TAIL = [
     # every round.
     "dedup_shared_substrings",
     "streaming_kll_quantiles",
+    # Green r6-r9; the metrics-history trend-z device is pytest-pinned
+    # and the profile family keeps profile_fd_discovery +
+    # profile_fd_composite in-window.  Frees the seat for
+    # dedup_semantic_twolevel (the IVF two-level quantizer — the
+    # semantic tier's assignment-cost device).
+    "rule_profile_trend_anomaly",
     # ---- round-5 rotation: entries rested so the entries added since
     # ---- r2 each got a driver-green row (the eleven r4-vintage names
     # ---- originally listed here returned to the window in round 10).

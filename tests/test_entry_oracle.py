@@ -206,7 +206,9 @@ def test_driver_window_is_all_oracled():
         # r9; its validation chain is the same contract rules the
         # in-window rule_* entries run, pytest-pinned)
         # round-6 additions: each must get its driver-green row
-        "rule_profile_trend_anomaly",
+        # (rule_profile_trend_anomaly got green r6-r9 rows and rests
+        # in r10; the trend-z device stays pytest-pinned and both FD
+        # profile entries keep the family seats)
         # (text_bpe_encode got green r6+r7 rows and rests in r8;
         # text_bpe_learn + pipeline_bpe_pack keep the BPE family seats)
         "streaming_attribution_left",
@@ -253,7 +255,7 @@ def test_driver_window_is_all_oracled():
         # round-10 additions: each must get its driver row
         "agg_kll_by_segment", "dedup_semantic_autok",
         "cdc_scd2_history", "multimodal_phash_neardup",
-        "streaming_kll_by_group",
+        "streaming_kll_by_group", "dedup_semantic_twolevel",
         # round-10 re-validation seats (VERDICT r9 item 8): the eleven
         # r4-vintage greens return for fresh driver rows, plus the
         # one-scan-rewritten PSI monitor

@@ -141,3 +141,67 @@ def test_within_cluster_discipline_and_keep_semantics(spark):
         assert any(
             x < y and cell[x] == cell[y] and x not in pruned for x in ids
         )
+
+
+def test_two_level_assignment_matches_two_hop_reference(spark):
+    """Two-level (IVF) assignment: the Arrow kernel's cell must equal
+    an independent two-hop reference — nearest NON-EMPTY supercell
+    (ties to lowest scid), then nearest member centroid (ties to
+    lowest cid) — and points in different supercells never share a
+    cell."""
+    import math as _math
+
+    from big_data_validator_spark.operators.similarity import (
+        semantic_dedup_exactint,
+        train_centroids_exactint,
+        two_level_assign_kernel,
+    )
+
+    rng = random.Random(29)
+    dim = 6
+    rows = [
+        (i, [rng.uniform(-0.5, 0.5) for _ in range(dim)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup_exactint(
+            df,
+            dim=dim,
+            threshold_ppm=990_000,
+            kmeans_iters=2,
+            target_cluster_size=10,
+            supercell_size=3,
+        ).collect()
+    }
+
+    # reference: replay the documented rules from scratch
+    qs = {i: [_math.floor(x * 100_000) for x in v] for i, v in rows}
+    n = len(qs)
+    k0 = (n + 9) // 10
+    sn = min(n, 4 * k0, 65_536)
+    k = min(k0, sn)
+    sample = sorted(qs.items())[:sn]
+    cents = train_centroids_exactint(sample, k, iters=2)
+    m = (len(cents) + 2) // 3
+    sups = train_centroids_exactint(list(enumerate(cents)), m, iters=2)
+    c2s = [
+        min(range(len(sups)), key=lambda s: (_int_d2(cents[j], sups[s]), s))
+        for j in range(len(cents))
+    ]
+    live = sorted(set(c2s))
+    cell_of = {}
+    for i, q in qs.items():
+        s = min(live, key=lambda sc: (_int_d2(q, sups[sc]), sc))
+        mem = sorted(j for j in range(len(cents)) if c2s[j] == s)
+        cell_of[i] = min(mem, key=lambda j: (_int_d2(q, cents[j]), j))
+    assert out == cell_of
+    # kernel object parity too (direct, no pipeline)
+    kern = two_level_assign_kernel(cents, sups, c2s)
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in spark.createDataFrame(
+            [(i, q) for i, q in qs.items()], "vec_id long, qv array<long>"
+        ).select("vec_id", kern(F.col("qv")).alias("cell")).collect()
+    }
+    assert got == cell_of
