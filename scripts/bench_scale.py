@@ -52,6 +52,9 @@ TOP = [
     "dedup_semantic_autok",
     "agg_kll_by_segment",
     "dedup_shared_substrings",
+    "dedup_semantic_twolevel",
+    "multimodal_phash_neardup",
+    "cdc_scd2_history",
 ]
 
 spark = (SparkSession.builder.master("local[32]")
