@@ -221,6 +221,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "streaming_kll_by_group",
     "dedup_semantic_twolevel",
+    "streaming_scd2_history",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

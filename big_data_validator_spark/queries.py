@@ -8528,9 +8528,10 @@ def cdc_schema_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "cdc_scd2_history",
-    oracle="""
+#: Shared by the batch and streaming SCD2 entries — both maintain the
+#: same three planted customer snapshot versions, so one SQL oracle
+#: (the independent LAG/LEAD formulation) checks both.
+_SCD2_CUSTOMER_ORACLE = """
     WITH snaps AS (
       SELECT c_custkey AS k, c_mktsegment AS seg,
              CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents,
@@ -8562,26 +8563,19 @@ def cdc_schema_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAD(valid_from) OVER w2 AS INT) AS valid_to,
            (LEAD(valid_from) OVER w2 IS NULL) AS is_current
     FROM opens WINDOW w2 AS (PARTITION BY k ORDER BY valid_from)
-    """,
-)
-def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-Changing-Dimension TYPE 2 build (operators/cdc.py:
-    scd2_history): three stacked snapshot versions of the customer
-    dimension — v2 migrates every 7th key's segment, v3 bumps every
-    5th key's balance — collapse into validity intervals
-    ``(valid_from, valid_to, is_current)``, the dimension-history
-    table every warehouse maintains on top of CDC feeds.  Unchanged
-    keys keep ONE open interval; changed keys close the old interval
-    at the change version (half-open).  One shuffle on the key: the
-    change-detection lag and the interval-closing lead ride the same
-    window sort.  Balances compare in integer cents (the portable
-    ROUND device), so every interval hashes identically cross-engine."""
-    from big_data_validator_spark.operators.cdc import scd2_history
+    """
 
+
+def _customer_scd2_versions(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    """The three planted customer snapshot versions both SCD2 entries
+    maintain: v2 migrates every 7th key's segment, v3 bumps every 5th
+    key's balance (integer cents, the portable ROUND device)."""
     c = _t(spark, sf_dir, "customer")
-    cents = F.expr(
-        "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
-    ).alias("acct_cents")
+    cents = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias(
+        "acct_cents"
+    )
     migrated = (
         F.when(F.col("c_custkey") % 7 == 0, F.lit("MIGRATED"))
         .otherwise(F.col("c_mktsegment"))
@@ -8602,12 +8596,106 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acct_cents"),
         F.lit(3).alias("v"),
     )
+    return [v1, v2, v3]
+
+
+@query("cdc_scd2_history", oracle=_SCD2_CUSTOMER_ORACLE)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension TYPE 2 build (operators/cdc.py:
+    scd2_history): three stacked snapshot versions of the customer
+    dimension — v2 migrates every 7th key's segment, v3 bumps every
+    5th key's balance — collapse into validity intervals
+    ``(valid_from, valid_to, is_current)``, the dimension-history
+    table every warehouse maintains on top of CDC feeds.  Unchanged
+    keys keep ONE open interval; changed keys close the old interval
+    at the change version (half-open).  One shuffle on the key: the
+    change-detection lag and the interval-closing lead ride the same
+    window sort.  Balances compare in integer cents (the portable
+    ROUND device), so every interval hashes identically cross-engine."""
+    from big_data_validator_spark.operators.cdc import scd2_history
+
+    v1, v2, v3 = _customer_scd2_versions(spark, sf_dir)
     return scd2_history(
         v1.unionByName(v2).unionByName(v3),
         key_cols=["c_custkey"],
         tracked_cols=["c_mktsegment", "acct_cents"],
         version_col="v",
     )
+
+
+_SCD2_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _scd2_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session+sf) the three customer snapshot versions
+    as a 3-run streaming source — one parquet file per version, mtime
+    ordered, so ``maxFilesPerTrigger=1`` delivers exactly one snapshot
+    version per micro-batch in order."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SCD2_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+    root = tempfile.mkdtemp(prefix="bdv_scd2_src_")
+    for r, frame in enumerate(_customer_scd2_versions(spark, sf_dir)):
+        dst = f"{root}/run{r}"
+        frame.coalesce(1).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + r, 1_000_000 + r))
+    _SCD2_SRC_CACHE[key] = root
+    return root
+
+
+@query("streaming_scd2_history", oracle=_SCD2_CUSTOMER_ORACLE)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD Type-2 maintenance (streaming/validate_stream.py:
+    stream_scd2_history): the same three customer snapshot versions
+    arrive as micro-batches (``maxFilesPerTrigger=1``, mtime-ordered),
+    and each batch advances the history table incrementally — one key
+    join between the open-interval slice and the snapshot
+    (operators/cdc.py:scd2_apply_snapshot), chained through committed
+    ``batch_id=N`` state dirs under the ``_SUCCESS`` protocol (replay
+    no-ops on the marker).  Applying versions in arrival order
+    reproduces the batch rebuild EXACTLY, so this entry shares the
+    batch twin's oracle — the strongest possible check that
+    incremental == rebuild across the batch/streaming boundary (the
+    streaming_incremental_mv device, now for dimension history)."""
+    import tempfile
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        _committed_batch_dirs,
+        stream_scd2_history,
+    )
+
+    src = _scd2_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    state = tempfile.mkdtemp(prefix="bdv_scd2_state_")
+    empty_history = spark.createDataFrame(
+        [],
+        "c_custkey long, c_mktsegment string, acct_cents long, "
+        "valid_from int, valid_to int, is_current boolean",
+    )
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_scd2_history(
+            stream,
+            key_cols=["c_custkey"],
+            tracked_cols=["c_mktsegment", "acct_cents"],
+            version_col="v",
+            initial_history=empty_history,
+            state_path=state,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+        )
+        q.awaitTermination()
+    final = spark.read.parquet(_committed_batch_dirs(spark, state)[-1])
+    return final.orderBy("c_custkey", "valid_from")
 
 
 def _label_propagation_oracle(iters: int = 3) -> str:
@@ -9168,6 +9256,13 @@ _DEMOTED_TO_TAIL = [
     # dedup_semantic_twolevel (the IVF two-level quantizer — the
     # semantic tier's assignment-cost device).
     "rule_profile_trend_anomaly",
+    # Green r8+r9; the skew-salting device stays pinned by
+    # tests/test_aqe_skew.py and the default-salt ADVICE-r8 fix by
+    # tests/test_advice_r8.py; the salted-aggregate twin carries the
+    # r1-r4 history.  Frees the seat for streaming_scd2_history (the
+    # incremental==rebuild dimension-history check across the
+    # batch/streaming boundary).
+    "join_salted_skew",
     # ---- round-5 rotation: entries rested so the entries added since
     # ---- r2 each got a driver-green row (the eleven r4-vintage names
     # ---- originally listed here returned to the window in round 10).

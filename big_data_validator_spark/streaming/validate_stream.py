@@ -762,3 +762,68 @@ def stream_kll_group_sketches(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_scd2_history(
+    snapshot_stream: DataFrame,
+    key_cols,
+    tracked_cols,
+    version_col: str,
+    initial_history: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """STREAMING SCD Type-2 maintenance: a stream of dimension snapshot
+    versions advances the history table micro-batch by micro-batch —
+    each batch reads the LATEST COMMITTED prior history
+    (:func:`_resolve_prior_state`) and applies
+    :func:`~big_data_validator_spark.operators.cdc.scd2_apply_snapshot`
+    once per version present in the batch, ascending, writing the new
+    history under the ``_SUCCESS`` commit protocol (a replayed batch
+    sees its marker and no-ops — exactly-once).
+
+    Applying versions in arrival order reproduces the batch
+    :func:`~big_data_validator_spark.operators.cdc.scd2_history` over
+    the stacked versions EXACTLY, so the final committed state is
+    oracle-checkable against the batch twin's SQL.  Per batch the work
+    is one key join between the open-interval slice and the snapshot —
+    never a rescan of closed history logic (this materialized-state
+    formulation rewrites the state file; a MERGE-capable table format
+    turns it into an upsert).
+    """
+    from big_data_validator_spark.operators.cdc import scd2_apply_snapshot
+
+    kcols = list(key_cols)
+    tcols = list(tracked_cols)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        root = state_path.rstrip("/")
+        dst = f"{root}/batch_id={batch_id}"
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        hist = _resolve_prior_state(spark, root, batch_id, initial_history)
+        versions = sorted(
+            r[0]
+            for r in batch_df.select(version_col).distinct().collect()
+            if r[0] is not None
+        )
+        for v in versions:
+            snap = batch_df.filter(F.col(version_col) == v).select(
+                *kcols, *tcols
+            )
+            hist = scd2_apply_snapshot(hist, snap, kcols, tcols, int(v))
+        hist.write.mode("overwrite").parquet(dst)
+
+    writer = (
+        snapshot_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -662,3 +662,57 @@ def test_scd2_history_single_shuffle(spark):
     assert shuffle_count(res) == 1, shuffle_count(res)
     plan = res._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_scd2_apply_snapshot_incremental_equals_rebuild(spark):
+    """The incremental form (scd2_apply_snapshot per version, in order)
+    must reproduce the batch rebuild (scd2_history over the stacked
+    versions) EXACTLY — on a randomized grid with NULL transitions,
+    late-appearing keys, and keys that stop arriving."""
+    import random as _random
+
+    from big_data_validator_spark.operators.cdc import (
+        scd2_apply_snapshot,
+        scd2_history,
+    )
+
+    rng = _random.Random(41)
+    segs = ["A", "B", None]
+    versions = [1, 2, 3, 4]
+    stacked = []
+    per_version = {v: [] for v in versions}
+    for k in range(30):
+        first = rng.choice(versions[:2])       # some keys appear late
+        last = rng.choice(versions[1:])        # some keys stop arriving
+        seg, amt = rng.choice(segs), rng.randrange(5)
+        for v in versions:
+            if v < first or v > last:
+                continue
+            if rng.random() < 0.4:
+                seg, amt = rng.choice(segs), rng.randrange(5)
+            stacked.append((k, seg, amt, v))
+            per_version[v].append((k, seg, amt))
+    sdf = spark.createDataFrame(
+        stacked, "k long, seg string, amt long, v int"
+    )
+    def norm(rows):
+        return sorted(
+            (tuple((x is None, x) for x in r) for r in rows),
+        )
+
+    want = norm(
+        tuple(r)
+        for r in scd2_history(sdf, ["k"], ["seg", "amt"], "v").collect()
+    )
+    hist = spark.createDataFrame(
+        [],
+        "k long, seg string, amt long, valid_from int, valid_to int, "
+        "is_current boolean",
+    )
+    for v in versions:
+        snap = spark.createDataFrame(
+            per_version[v], "k long, seg string, amt long"
+        )
+        hist = scd2_apply_snapshot(hist, snap, ["k"], ["seg", "amt"], v)
+    got = norm(tuple(r) for r in hist.collect())
+    assert got == want

@@ -238,7 +238,10 @@ def test_driver_window_is_all_oracled():
         # records and leave the window in r9 — _SEATED_ROWS_ONLY is
         # empty; oracled twins keep their families covered)
         "agg_incremental_minmax", "profile_fd_composite",
-        "sample_cluster_split", "join_salted_skew",
+        "sample_cluster_split",
+        # (join_salted_skew got green r8+r9 rows and rests in r10; the
+        # salting device stays pinned by tests/test_aqe_skew.py and
+        # tests/test_advice_r8.py)
         # round-8 second-wave additions
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
         "ts_rollup_cascade", "topk_pareto_frontier",
@@ -256,6 +259,7 @@ def test_driver_window_is_all_oracled():
         "agg_kll_by_segment", "dedup_semantic_autok",
         "cdc_scd2_history", "multimodal_phash_neardup",
         "streaming_kll_by_group", "dedup_semantic_twolevel",
+        "streaming_scd2_history",
         # round-10 re-validation seats (VERDICT r9 item 8): the eleven
         # r4-vintage greens return for fresh driver rows, plus the
         # one-scan-rewritten PSI monitor
