@@ -55,6 +55,8 @@ TOP = [
     "dedup_semantic_twolevel",
     "multimodal_phash_neardup",
     "cdc_scd2_history",
+    "streaming_kll_by_group",
+    "streaming_scd2_history",
 ]
 
 spark = (SparkSession.builder.master("local[32]")
