@@ -689,7 +689,7 @@ def scd2_apply_snapshot(
     snapshot: DataFrame,
     key_cols: Sequence[str],
     tracked_cols: Sequence[str],
-    version: int,
+    version,
 ) -> DataFrame:
     """Advance an SCD2 history table by ONE incoming snapshot version —
     the incremental form of :func:`scd2_history` (which rebuilds from
@@ -718,10 +718,16 @@ def scd2_apply_snapshot(
     """
     kcols = list(key_cols)
     tcols = list(tracked_cols)
+    # the version/valid_to type follows the history's valid_from — a
+    # bigint/date/timestamp-versioned history must not be coerced
+    # through a hardcoded INT (ADVICE r10: 'incremental == rebuild
+    # EXACTLY' requires the incremental path to ship the same types
+    # scd2_history left in place)
+    vtype = history.schema["valid_from"].dataType
     snap = snapshot.select(
         *kcols,
         *[F.col(c).alias(f"_n_{c}") for c in tcols],
-        F.lit(int(version)).cast("int").alias("_v"),
+        F.lit(version).cast(vtype).alias("_v"),
     )
     closed = history.filter(~F.col("is_current"))
     open_ = history.filter(F.col("is_current"))
@@ -744,7 +750,7 @@ def scd2_apply_snapshot(
         *kcols,
         *[F.col(f"_n_{c}").alias(c) for c in tcols],
         F.col("_v").alias("valid_from"),
-        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(None).cast(vtype).alias("valid_to"),
         F.lit(True).alias("is_current"),
     )
     return (

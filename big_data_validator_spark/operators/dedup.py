@@ -1341,8 +1341,11 @@ def shared_substring_pairs(
     per-gram collect — pairs expand from each gram's id-sorted
     (doc, count) list with higher-order array functions map-side, and
     a final exchange aggregates pairs on 16-byte keys.  TWO shuffles
-    total, no cache, no self-join; gram text crosses the wire exactly
-    once (measured 1.35× faster end-to-end at sf1.0, with the pinned
+    inside this operator (gram repartition + pair aggregation) — a
+    consumer's orderBy adds its own range exchange on top, which is
+    the three-exchange shape the registry entry audits — no cache, no
+    self-join; gram text crosses the wire exactly once (measured
+    1.35× faster end-to-end at sf1.0, with the pinned
     eligible-relation cache gone entirely).
 
     Returns ``(doc_a, doc_b, n_shared_positions, n_shared_grams)``
@@ -1350,6 +1353,17 @@ def shared_substring_pairs(
     """
     if gram_len < 1:
         raise ValueError(f"gram_len must be >= 1, got {gram_len}")
+    if max_gram_docs is None:
+        # The per-gram collect below is bounded ONLY by the df cap: a
+        # corpus-wide boilerplate gram would otherwise collect every
+        # (doc, count) into one task's array and expand its quadratic
+        # pairs there.  The cap is the explicit guard, as everywhere
+        # else in this module (capped_bucket_pairs): require it.
+        raise ValueError(
+            "max_gram_docs is required: the single-exchange plan "
+            "bounds per-gram work by the document-frequency cap; "
+            "an uncapped gram list is a single-task OOM risk"
+        )
     t = F.col(text_col)
     grams = (
         df.filter(F.length(t) >= gram_len)

@@ -476,9 +476,12 @@ def phash_near_dup_pairs(
         raise ValueError(f"max_hamming must be in [0, 16], got {max_hamming}")
     n_bands = max_hamming + 1
     hashes = phash_hashes(assets, id_col=id_col, payload_col=payload_col)
-    # 64 bits into n_bands contiguous spans (16-bit at the default);
-    # band b covers bits [b*w, (b+1)*w) with w = ceil(64 / n_bands)
-    w = -(-64 // n_bands)
+    # 64 bits into n_bands BALANCED contiguous spans: band b covers
+    # 0-based bits [b*64//n_bands, (b+1)*64//n_bands).  Balanced
+    # boundaries keep every band non-empty for any n_bands <= 64 —
+    # the ceil-width split left phantom (empty) trailing bands for
+    # n_bands in {9, 12, 14, 15, 17}, which silently broke the
+    # pigeonhole losslessness at those thresholds.
     full = F.concat(
         F.expr("transform(sequence(0, 31), j -> shiftright(lo, j) & 1)"),
         F.expr("transform(sequence(0, 31), j -> shiftright(hi, j) & 1)"),
@@ -492,10 +495,12 @@ def phash_near_dup_pairs(
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, {n_bands - 1}), b -> "
-                    f"aggregate(transform(sequence(b * {w} + 1, "
-                    f"least((b + 1) * {w}, 64)), "
-                    "j -> element_at(_full, j) * shiftleft(1L, (j - 1) "
-                    f"% {w})), 0L, (a, x) -> a + x))"
+                    f"aggregate(transform(sequence("
+                    f"CAST(b * 64 div {n_bands} + 1 AS INT), "
+                    f"CAST((b + 1) * 64 div {n_bands} AS INT)), "
+                    "j -> element_at(_full, j) * shiftleft(1L, "
+                    f"CAST(j - b * 64 div {n_bands} - 1 AS INT))), "
+                    "0L, (a, x) -> a + x))"
                 )
             ).alias("_band_idx", "_band_val"),
         )

@@ -926,6 +926,24 @@ def _int_d2(qv: Sequence[int], cv: Sequence[int]) -> int:
     return cc - 2 * qc
 
 
+def _assert_int64_matmul_exact(max_x: int, max_c: int, dim: int) -> None:
+    """Fail LOUDLY if the rank-free distance ``|c|² − 2·q·c`` could
+    exceed int64 — np.int64 wraps silently on overflow, and the whole
+    exact-integer contract (Spark kernel == overflow-checked DuckDB
+    oracle) rests on every intermediate staying below 2**63 (ADVICE
+    r10: the |component| <= quant_scale assumption was stated in a
+    comment but never validated, so an unnormalized embedding could
+    produce silently-wrong centroids)."""
+    bound = dim * max_c * (max_c + 2 * max_x)
+    if bound >= 2**62:
+        raise ValueError(
+            "int64 distance kernel would overflow: dim * maxC * "
+            f"(maxC + 2*maxX) = {bound} >= 2**62 (dim={dim}, "
+            f"max|x|={max_x}, max|c|={max_c}); normalize or use a "
+            "smaller quant_scale"
+        )
+
+
 def train_centroids_exactint(
     sample: Sequence, num_centroids: int, iters: int = 2
 ) -> list:
@@ -963,6 +981,16 @@ def train_centroids_exactint(
     # ops, and tests/test_semantic_dedup.py pins parity with the
     # from-scratch reference rules).
     X = np.asarray(pts, dtype=np.int64)
+    # centroids are truncated means of sample points, so |c| <= max|x|
+    # for every iteration — one guard covers the whole loop; the
+    # per-cluster sums are bounded by n * max|x| and checked too
+    mx = int(np.abs(X).max()) if X.size else 0
+    _assert_int64_matmul_exact(mx, mx, dim)
+    if len(pts) * mx >= 2**62:
+        raise ValueError(
+            f"int64 centroid-sum would overflow: n*max|x| = "
+            f"{len(pts) * mx} >= 2**62"
+        )
     cents = [list(p) for p in pts[:k]]
     for _ in range(iters):
         C = np.asarray(cents, dtype=np.int64)
@@ -993,6 +1021,7 @@ def int_assign_kernel(centroids: Sequence[Sequence[int]]):
 
     C = np.asarray(centroids, dtype=np.int64)
     cn2 = (C * C).sum(axis=1)
+    mc = int(np.abs(C).max()) if C.size else 0
 
     @pandas_udf("int")
     def kernel(qvs):
@@ -1003,9 +1032,12 @@ def int_assign_kernel(centroids: Sequence[Sequence[int]]):
         if mask.any():
             # one batched int64 matmul per Arrow batch instead of a
             # per-row loop — auto-k runs k in the hundreds, and the
-            # batch matmul keeps assignment a BLAS call (exact: int64,
-            # |dot| <= dim * quant_scale^2 << 2**63)
+            # batch matmul keeps assignment a BLAS call; exactness is
+            # ASSERTED per batch, not assumed (np.int64 wraps silently)
             X = np.asarray(list(qvs[mask]), dtype=np.int64)
+            _assert_int64_matmul_exact(
+                int(np.abs(X).max()), mc, X.shape[1]
+            )
             d2 = cn2[None, :] - 2 * (X @ C.T)
             out[mask] = d2.argmin(axis=1).astype("int32")
         return out
@@ -1044,6 +1076,10 @@ def two_level_assign_kernel(
         pos: np.asarray(sorted(members[s]), dtype=np.int64)
         for pos, s in enumerate(live)
     }
+    mc = max(
+        int(np.abs(C).max()) if C.size else 0,
+        int(np.abs(S).max()) if S.size else 0,
+    )
 
     @pandas_udf("int")
     def kernel(qvs):
@@ -1053,6 +1089,9 @@ def two_level_assign_kernel(
         out = pd.Series([None] * len(qvs), dtype="Int32")
         if mask.any():
             X = np.asarray(list(qvs[mask]), dtype=np.int64)
+            _assert_int64_matmul_exact(
+                int(np.abs(X).max()), mc, X.shape[1]
+            )
             sup = (sn2[None, :] - 2 * (X @ S.T)).argmin(axis=1)
             cells = np.empty(len(X), dtype=np.int64)
             for pos in np.unique(sup):

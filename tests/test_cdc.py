@@ -716,3 +716,46 @@ def test_scd2_apply_snapshot_incremental_equals_rebuild(spark):
         hist = scd2_apply_snapshot(hist, snap, ["k"], ["seg", "amt"], v)
     got = norm(tuple(r) for r in hist.collect())
     assert got == want
+
+
+def test_scd2_apply_snapshot_date_versions(spark):
+    """ADVICE-r10 regression: the incremental path derives the
+    version/valid_to type from history.valid_from instead of a
+    hardcoded INT — a DATE-versioned dimension (load-date snapshots,
+    the common real shape) must round-trip incremental == rebuild
+    with the SAME schema, no coercion."""
+    import datetime as _dt
+
+    from big_data_validator_spark.operators.cdc import (
+        scd2_apply_snapshot,
+        scd2_history,
+    )
+
+    d = lambda day: _dt.date(2024, 1, day)  # noqa: E731
+    per_version = {
+        d(1): [(1, "A"), (2, "B")],
+        d(2): [(1, "A"), (2, "C"), (3, None)],
+        d(3): [(1, "X"), (3, "Z")],
+    }
+    stacked = [
+        (k, seg, v)
+        for v, rows in per_version.items()
+        for k, seg in rows
+    ]
+    sdf = spark.createDataFrame(stacked, "k long, seg string, v date")
+    rebuilt = scd2_history(sdf, ["k"], ["seg"], "v")
+    hist = spark.createDataFrame(
+        [], "k long, seg string, valid_from date, valid_to date, "
+        "is_current boolean"
+    )
+    for v in sorted(per_version):
+        snap = spark.createDataFrame(per_version[v], "k long, seg string")
+        hist = scd2_apply_snapshot(hist, snap, ["k"], ["seg"], v)
+    assert [(f.name, f.dataType) for f in hist.schema] == [
+        (f.name, f.dataType) for f in rebuilt.schema
+    ]
+    def norm(rows):
+        return sorted(tuple((x is None, str(x)) for x in r) for r in rows)
+    assert norm(
+        tuple(r) for r in hist.collect()
+    ) == norm(tuple(r) for r in rebuilt.collect())

@@ -80,6 +80,34 @@ def test_trainer_empty_cluster_carry_and_bounds():
         train_centroids_exactint([], 2)
 
 
+def test_trainer_overflow_guard_fails_loudly():
+    """ADVICE-r10: np.int64 wraps silently, so the exactness bound
+    (|component| small enough that |c|² − 2·q·c stays below 2**62)
+    must be ASSERTED — an unnormalized embedding (components far
+    beyond quant_scale) must raise, never produce wrong centroids."""
+    big = 2**31  # dim * maxC * (maxC + 2 maxX) = 2*2^31*3*2^31 >> 2^62
+    pts = [(0, [big, big]), (1, [-big, big]), (2, [big, -big])]
+    with pytest.raises(ValueError, match="overflow"):
+        train_centroids_exactint(pts, 2, iters=1)
+
+
+def test_assign_kernel_overflow_guard_fails_loudly(spark):
+    from big_data_validator_spark.operators.similarity import (
+        int_assign_kernel,
+    )
+
+    big = 2**31
+    kern = int_assign_kernel([[big, big], [-big, big]])
+    df = spark.createDataFrame(
+        [(0, [big, big])], "vec_id long, qv array<long>"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="overflow"):
+        df.select(kern("qv").alias("cell")).collect()
+
+
 def test_within_cluster_discipline_and_keep_semantics(spark):
     """Drive the full operator on a constructed corpus with known
     duplicate structure and verify against a brute-force reference."""

@@ -560,6 +560,63 @@ def test_phash_banding_lossless_and_verdict_exact(spark):
     assert (0, 1) in got and d02 > 3 and (0, 2) not in got
 
 
+def _payload_for_bits(bits: int) -> bytes:
+    """65-byte payload whose dHash is exactly `bits` (bit i = byte i <
+    byte i+1): walk up for a 1-bit, down for a 0-bit, from 128."""
+    out = [128]
+    for i in range(64):
+        out.append(out[-1] + (1 if (bits >> i) & 1 else -1))
+    assert all(0 <= b <= 255 for b in out)
+    return bytes(out)
+
+
+def test_phash_banding_lossless_at_nondefault_threshold(spark):
+    """ADVICE-r10 regression: with ceil-width bands, max_hamming=8 made
+    9 bands of width 8 where band 8 was a PHANTOM (bits 65+, value
+    NULL) — a pair differing by exactly 8 bits, one per real band,
+    shared no band and was silently missed.  Balanced boundaries
+    (band b = bits [b*64//n_bands, (b+1)*64//n_bands)) keep every band
+    non-empty, so the pigeonhole guarantee holds at EVERY threshold.
+    Pin banded == brute force at max_hamming=8 including the
+    adversarial one-bit-per-old-band pair."""
+    import itertools
+    import random
+
+    from big_data_validator_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    rng = random.Random(29)
+    h0 = rng.getrandbits(64)
+    # flip exactly one bit in each of the OLD scheme's 8 real
+    # width-8 bands: under the old layout the pair agreed only on the
+    # phantom band and was dropped; balanced bands must find it.
+    adversarial = 0
+    for b in range(8):
+        adversarial |= 1 << (8 * b + 1)
+    h1 = h0 ^ adversarial
+    rows = [(0, _payload_for_bits(h0)), (1, _payload_for_bits(h1))]
+    rows += [
+        (10 + k, _payload_for_bits(rng.getrandbits(64))) for k in range(20)
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {
+        (r["asset_a"], r["asset_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df, max_hamming=8).collect()
+    }
+    hs = {i: _py_dhash(p) for i, p in rows}
+    assert hs[0][0] ^ hs[1][0] == adversarial & 0xFFFFFFFF
+    want = {}
+    for x, y in itertools.combinations(sorted(hs), 2):
+        d = bin(hs[x][0] ^ hs[y][0]).count("1") + bin(
+            hs[x][1] ^ hs[y][1]
+        ).count("1")
+        if d <= 8:
+            want[(x, y)] = d
+    assert got == want
+    assert got[(0, 1)] == 8
+
+
 def test_phash_max_hamming_bounds(spark):
     from big_data_validator_spark.operators.multimodal import (
         phash_near_dup_pairs,

@@ -746,3 +746,21 @@ def test_shared_substring_plan_two_shuffles_no_join(spark):
     # the single gram exchange feeds agg + window + collect: exactly
     # one RepartitionByExpression and no other gram-keyed exchange
     assert plan.count("RepartitionByExpression") == 1
+
+
+def test_shared_substrings_uncapped_rejected(spark):
+    """ADVICE-r10: the single-exchange plan bounds per-gram work by
+    the df cap — with max_gram_docs=None a corpus-wide boilerplate
+    gram would collect every doc into ONE task's array; the cap is
+    the explicit guard, so None must raise."""
+    import pytest as _pytest
+
+    from big_data_validator_spark.operators.dedup import (
+        shared_substring_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x" * 50)], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="max_gram_docs"):
+        shared_substring_pairs(df, max_gram_docs=None)
