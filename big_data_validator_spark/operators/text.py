@@ -433,3 +433,175 @@ def bpe_learn_merges(
             "cnt",
         ).localCheckpoint(eager=True)
     return merges
+
+
+# ------------------------------------------------- unigram-LM tokenizer
+
+def unigram_seed_pieces(
+    words: "DataFrame",
+    num_pieces: int = 48,
+    max_piece_len: int = 4,
+    word_col: str = "w",
+    count_col: str = "_n",
+) -> "DataFrame":
+    """Seed vocabulary for unigram-LM training: every substring of
+    length 1..``max_piece_len`` of every word, weighted by the word's
+    corpus count and occurrence multiplicity — the standard "substring
+    seed" SentencePiece starts from.  Returns ``(piece, freq)``.
+
+    Pure expression explode (flatten of per-length transforms, guarded
+    for words shorter than the piece length) + one aggregation; the
+    shuffle carries (piece, partial count) rows only.
+    """
+    subs = F.expr(
+        f"flatten(transform(sequence(1, {max_piece_len}), l -> "
+        f"CASE WHEN length({word_col}) >= l THEN "
+        f"transform(sequence(1, length({word_col}) - l + 1), "
+        f"s -> substring({word_col}, s, l)) "
+        "ELSE array() END))"
+    )
+    return (
+        words.select(
+            F.explode(subs).alias("piece"),
+            F.col(count_col).cast("long").alias("cnt"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+
+
+def viterbi_pieces_kernel(probs: dict):
+    """Arrow kernel segmenting each word into its max-likelihood piece
+    sequence under a unigram LM — the Viterbi E-step of hard-EM
+    tokenizer training.  The DP order is PINNED so a SQL engine
+    replays it bit-for-bit: ``best[0] = 1.0``; for each end position
+    ``j`` ascending, candidates are ``best[j-l] * p(piece)`` for piece
+    lengths ``l`` ascending, replacing only on STRICTLY greater — so
+    the winner is the shortest length among max-score candidates,
+    which is exactly ``MIN(l)`` over the SQL argmax.  Every score is a
+    chain of correctly-rounded IEEE ops (one division per probability,
+    one multiplication per DP edge) over exact integers, so Python
+    floats and engine DOUBLEs agree bit-for-bit — no logs, no sums of
+    floats anywhere (the hash discipline's float rule).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    max_len = max(len(p) for p in probs) if probs else 1
+
+    @pandas_udf("array<string>")
+    def kernel(ws):
+        import pandas as pd
+
+        out = []
+        for w in ws:
+            if w is None:
+                out.append(None)
+                continue
+            n = len(w)
+            best = [0.0] * (n + 1)
+            best[0] = 1.0
+            back = [0] * (n + 1)
+            for j in range(1, n + 1):
+                bs, bl = -1.0, 0
+                for l in range(1, min(max_len, j) + 1):
+                    p = probs.get(w[j - l : j])
+                    if p is None:
+                        continue
+                    cand = best[j - l] * p
+                    if cand > bs:
+                        bs, bl = cand, l
+                best[j], back[j] = bs, bl
+            if back[n] == 0:
+                out.append(None)  # unsegmentable (char not in vocab)
+                continue
+            pieces, j = [], n
+            while j > 0:
+                l = back[j]
+                pieces.append(w[j - l : j])
+                j -= l
+            out.append(pieces[::-1])
+        return pd.Series(out)
+
+    return kernel
+
+
+def unigram_learn_vocab(
+    words: "DataFrame",
+    num_pieces: int = 48,
+    max_piece_len: int = 4,
+    em_iters: int = 2,
+    max_word_len: int = 12,
+    word_col: str = "w",
+    count_col: str = "_n",
+) -> "list[tuple[str, int]]":
+    """LEARN a unigram-LM tokenizer vocabulary from the corpus — the
+    SentencePiece-family trainer next to :func:`bpe_learn_merges`
+    (Kudo 2018, hard-EM variant): seed with the ``num_pieces`` most
+    frequent substrings (ties count-desc then piece-lexicographic)
+    plus every single character (coverage guarantee), then repeat
+    ``em_iters`` times: E-step = Viterbi-segment every vocabulary word
+    under current piece probabilities (:func:`viterbi_pieces_kernel`);
+    M-step = integer re-count of pieces over the best paths, with a
+    count floor of 1 for single characters (coverage smoothing).
+
+    Exactness contract: counts are INTEGERS end-to-end (order-free
+    sums), probabilities exist only inside the Viterbi scores as
+    ``count / total`` — one correctly-rounded division each — and are
+    never shipped; the oracle replays the identical EM rounds as
+    unrolled materialized CTEs (the ``text_bpe_learn`` device) with
+    per-position DP stages, so the learned (piece, count) table
+    matches bit-for-bit cross-engine.
+
+    Scale contract (the BPE discipline): the corpus reduces to
+    DISTINCT weighted words first, words longer than ``max_word_len``
+    are excluded from training (SentencePiece's max-sentencepiece
+    guard), every EM round is ONE Arrow pass over the vocabulary plus
+    one piece-count aggregation, and every ``collect()`` is bounded by
+    the piece-vocabulary size, never the corpus.
+
+    Returns ``[(piece, count), ...]`` for pieces with final count > 0,
+    ordered count-desc then piece-asc.
+    """
+    work = (
+        words.filter(F.length(F.col(word_col)) <= max_word_len)
+        .select(
+            F.col(word_col).alias("w"),
+            F.col(count_col).cast("long").alias("cnt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = unigram_seed_pieces(
+        work, num_pieces, max_piece_len, "w", "cnt"
+    )
+    top = (
+        cand.orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(num_pieces)
+        .collect()
+    )
+    chars = cand.filter(F.length("piece") == 1).collect()
+    counts: dict[str, int] = {r["piece"]: int(r["freq"]) for r in top}
+    for r in chars:
+        counts.setdefault(r["piece"], int(r["freq"]))
+    for _ in range(em_iters):
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items() if c > 0}
+        segmented = work.select(
+            F.explode(
+                viterbi_pieces_kernel(probs)(F.col("w"))
+            ).alias("piece"),
+            "cnt",
+        )
+        used = {
+            r["piece"]: int(r["c"])
+            for r in segmented.groupBy("piece")
+            .agg(F.sum("cnt").alias("c"))
+            .collect()
+        }
+        counts = {
+            p: max(used.get(p, 0), 1) if len(p) == 1 else used.get(p, 0)
+            for p in counts
+        }
+    return sorted(
+        ((p, c) for p, c in counts.items() if c > 0),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
