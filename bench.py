@@ -222,6 +222,7 @@ HEADLINE = [
     "streaming_kll_by_group",
     "dedup_semantic_twolevel",
     "streaming_scd2_history",
+    "text_unigram_learn",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

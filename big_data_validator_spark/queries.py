@@ -9320,6 +9320,32 @@ def text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CORRECTNESS_r*.json or a seat in the current window.
 _DRIVER_WINDOW_SIZE = 50
 _DEMOTED_TO_TAIL = [
+    # ---- round-11 rotation (VERDICT r10 item 2): the TEN r5-vintage
+    # ---- resting greens — the oldest un-revalidated records, green
+    # ---- r1-r4 and resting since r4/r5 — return to the window
+    # ---- (agg_pricing_summary, supplier_acctbal_by_nation,
+    # ---- pivot_priority_status, window_dedup_rank,
+    # ---- join_full_outer_reconcile, join_semi_returned_orders,
+    # ---- agg_salted_skew_counts, topk_order_values, rule_domain_range,
+    # ---- events_json_extract — all removed from this list), plus
+    # ---- dedup_shared_substrings (rewritten this round to the
+    # ---- fingerprint-keyed exchange — the rewrite earns a fresh
+    # ---- driver record) and a seat for text_unigram_learn (NEW: the
+    # ---- unigram-LM tokenizer trainer).  The twelve round-10
+    # ---- re-validation seats did their job (fresh r10 greens) and
+    # ---- rest again:
+    "agg_distribution_stats",
+    "rule_outlier_zscore",
+    "agg_cube_segment_status",
+    "window_running_total",
+    "join_range_value_buckets",
+    "events_hourly_windows",
+    "text_top_bigrams",
+    "emb_norm_stats",
+    "multimodal_payload_stats",
+    "corpus_mixture_plan",
+    "pack_sequences_docs",
+    "drift_psi_totalprice",
     # ---- round-10 re-validation seats (VERDICT r9 item 8): the eleven
     # ---- r4-vintage greens — the oldest unrefreshed records — return
     # ---- to the window (agg_distribution_stats, rule_outlier_zscore,
@@ -9387,13 +9413,11 @@ _DEMOTED_TO_TAIL = [
     # streaming_kll_by_group (the per-group streaming percentile
     # monitor — the live twin of agg_kll_by_segment).
     "ts_twap_daily",
-    # First greens in r9; both rest for the r10 additions (the window
-    # fills in definition order, so resting them is what seats the new
-    # entries).  The substring tier's brute-force parity + 2-exchange
-    # plan pins stay, and the global streaming KLL twin's repository
-    # protocol is re-exercised in-window by streaming_kll_by_group
-    # every round.
-    "dedup_shared_substrings",
+    # First green in r9; rests since r10 for the r10 additions.  The
+    # global streaming KLL twin's repository protocol is re-exercised
+    # in-window by streaming_kll_by_group every round.
+    # (dedup_shared_substrings rested here r10; re-seated in round 11
+    # after its fingerprint-key rewrite.)
     "streaming_kll_quantiles",
     # Green r6-r9; the metrics-history trend-z device is pytest-pinned
     # and the profile family keeps profile_fd_discovery +
@@ -9414,38 +9438,15 @@ _DEMOTED_TO_TAIL = [
     # Star-join + agg + top-k shape stays via join_region_revenue and
     # topk_order_values.
     "join_shipping_priority",
-    # ---- round-5 second rotation: eight more r1-r4-green entries rest so
-    # ---- the eight queries added this round (funnel, retention, anomaly
-    # ---- z-score, fuzzy levenshtein, weighted sampling, FD rule, Benford
-    # ---- rule, stream-static enrich) each get a driver-green row.
-    # Single-pass lineitem Q1 aggregation stays via
-    # validation_summary_lineitem (same scan + agg shape, green r1-r4).
-    "agg_pricing_summary",
-    # Plain group-agg shape stays via agg_rollup_region_nation.
-    "supplier_acctbal_by_nation",
-    # Pivot is grouping-sets sugar; agg_rollup_region_nation keeps the
-    # family in-window.
-    "pivot_priority_status",
-    # Ranked-window shape stays via events_sessionize (lag window); exact
-    # dedup semantics via dedup_exact_keep_first.
-    "window_dedup_rank",
-    # Full-outer reconcile rests after four green rounds; null-extension
-    # join semantics stay exercised via rule_referential_integrity.
-    "join_full_outer_reconcile",
-    # Left-semi twin of the in-window anti-join (rule_referential_integrity).
-    "join_semi_returned_orders",
-    # Skew salting is pinned by tests/test_aqe_skew.py; the aggregate
-    # itself is twinned by validation_summary_lineitem.
-    "agg_salted_skew_counts",
-    # TakeOrderedAndProject stays in-window via sample_weighted_orders
-    # (the same physical top-k shape, newly seated).
-    "topk_order_values",
-    # Range-domain rule twinned by rule_type_enforcement + the profiler's
-    # min/max bounds; green r1-r4.
-    "rule_domain_range",
-    # JSON extraction stays in-window via scan_permissive_roundtrip's
-    # JSON leg; green r1-r4.
-    "events_json_extract",
+    # ---- round-5 second rotation: eight more r1-r4-green entries rested
+    # ---- so the eight queries added that round each got a driver-green
+    # ---- row.  (The ten r5-vintage names that rested here —
+    # ---- agg_pricing_summary, supplier_acctbal_by_nation,
+    # ---- pivot_priority_status, window_dedup_rank,
+    # ---- join_full_outer_reconcile, join_semi_returned_orders,
+    # ---- agg_salted_skew_counts, topk_order_values, rule_domain_range,
+    # ---- events_json_extract — returned to the window in round 11 as
+    # ---- the oldest un-revalidated greens, VERDICT r10 item 2.)
     # ---- round-5 third rotation: nine r1-r4-green entries rest so the
     # ---- nine operators added this session (CDC changeset, shuffle
     # ---- shards, key gaps, Gopher gates, PII scan, contamination,

@@ -260,15 +260,24 @@ def test_driver_window_is_all_oracled():
         "cdc_scd2_history", "multimodal_phash_neardup",
         "streaming_kll_by_group", "dedup_semantic_twolevel",
         "streaming_scd2_history",
-        # round-10 re-validation seats (VERDICT r9 item 8): the eleven
-        # r4-vintage greens return for fresh driver rows, plus the
-        # one-scan-rewritten PSI monitor
-        "agg_distribution_stats", "rule_outlier_zscore",
-        "agg_cube_segment_status", "window_running_total",
-        "join_range_value_buckets", "events_hourly_windows",
-        "text_top_bigrams", "emb_norm_stats",
-        "multimodal_payload_stats", "corpus_mixture_plan",
-        "pack_sequences_docs", "drift_psi_totalprice",
+        # (round-10 re-validation seats got their fresh r10 greens and
+        # rest in r11: agg_distribution_stats, rule_outlier_zscore,
+        # agg_cube_segment_status, window_running_total,
+        # join_range_value_buckets, events_hourly_windows,
+        # text_top_bigrams, emb_norm_stats, multimodal_payload_stats,
+        # corpus_mixture_plan, pack_sequences_docs,
+        # drift_psi_totalprice)
+        # round-11 re-validation seats (VERDICT r10 item 2): the ten
+        # r5-vintage greens — the oldest un-revalidated records —
+        # return for fresh driver rows
+        "agg_pricing_summary", "supplier_acctbal_by_nation",
+        "pivot_priority_status", "window_dedup_rank",
+        "join_full_outer_reconcile", "join_semi_returned_orders",
+        "agg_salted_skew_counts", "topk_order_values",
+        "rule_domain_range", "events_json_extract",
+        # round-11 additions: the fingerprint-key substring rewrite
+        # earns a fresh record; the unigram-LM trainer is new
+        "dedup_shared_substrings", "text_unigram_learn",
     ]:
         assert required in window, required
 
