@@ -223,6 +223,8 @@ HEADLINE = [
     "dedup_semantic_twolevel",
     "streaming_scd2_history",
     "text_unigram_learn",
+    "text_unigram_encode",
+    "link_fs_em",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

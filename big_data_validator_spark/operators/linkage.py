@@ -127,3 +127,110 @@ def link_entity_pairs(
     )
     out._bdv_pinned = pinned_caches(raw_pairs)
     return out
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    agree_cols: Sequence[str],
+    iters: int = 3,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.5,
+) -> "list[tuple[str, int]]":
+    """LEARN Fellegi–Sunter match/non-match weights by EM over the
+    candidate pairs' agreement patterns — the probabilistic-linkage
+    trainer (Fellegi & Sunter 1969; the Splink/RecordLinkage estimation
+    step) that replaces :func:`link_entity_pairs`' fixed integer
+    weights with data-estimated ``m_i = P(agree_i | match)``,
+    ``u_i = P(agree_i | non-match)`` and the match prevalence ``λ``.
+
+    The classical formulation is EXACTLY pattern-count-sufficient: the
+    distributed work is ONE aggregation of the candidate pairs into
+    their ≤ 2^k agreement-pattern counts, and the EM loop runs over
+    those counts alone — bounded driver arithmetic, like the BPE
+    argmax and the IVF training sample.  At 100 TB the shuffle carries
+    k-bit patterns, nothing else.
+
+    Exactness contract (the unigram-trainer float discipline): pattern
+    counts are exact integers; every EM quantity is a chain of
+    correctly-rounded IEEE double ops in PINNED order (per-pattern
+    class likelihoods multiply fields ascending, the E-step
+    responsibility is one division, M-step sums fold patterns
+    ascending), so a SQL engine replaying the same expressions gets
+    bit-identical parameters; shipped values are floor-quantized ppm
+    BIGINTs (floor of a double is engine-portable, round is not).
+
+    Returns ``[('lambda', ppm), ('m_<col>', ppm), ('u_<col>', ppm),
+    ...]``.
+    """
+    import math
+
+    cols = list(agree_cols)
+    k = len(cols)
+    if not 1 <= k <= 8:
+        raise ValueError(f"need 1..8 agreement columns, got {k}")
+    rows = (
+        pairs.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_pat = {
+        tuple(int(r[c]) for c in cols): int(r["n"]) for r in rows
+    }
+    ns = [
+        by_pat.get(tuple((g >> i) & 1 for i in range(k)), 0)
+        for g in range(2**k)
+    ]
+    n_total = 0
+    for x in ns:
+        n_total += x
+    if n_total == 0:
+        raise ValueError("no candidate pairs — nothing to estimate")
+    nf = float(n_total)
+    lam = float(init_lambda)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+    for _ in range(iters):
+        w = []
+        for g in range(2**k):
+            pm = lam
+            pu = 1.0 - lam
+            for i in range(k):
+                if (g >> i) & 1:
+                    pm = pm * m[i]
+                    pu = pu * u[i]
+                else:
+                    pm = pm * (1.0 - m[i])
+                    pu = pu * (1.0 - u[i])
+            w.append(pm / (pm + pu))
+        sm = 0.0
+        for g in range(2**k):
+            sm = sm + ns[g] * w[g]
+        su = nf - sm
+        if sm == 0.0 or su == 0.0:
+            raise ValueError(
+                "EM collapsed to a single class — the candidate "
+                "pattern counts carry no match/non-match signal"
+            )
+        # clamp every probability away from {0, 1} (the standard EM
+        # regularization — an exact-0 parameter zeroes both class
+        # likelihoods for some pattern next round).  min/max against
+        # double literals is engine-portable (comparisons are exact).
+        lo = 0.000001
+        hi = 1.0 - 0.000001
+        new_m, new_u = [], []
+        for i in range(k):
+            smi = 0.0
+            sui = 0.0
+            for g in range(2**k):
+                if (g >> i) & 1:
+                    smi = smi + ns[g] * w[g]
+                    sui = sui + ns[g] * (1.0 - w[g])
+            new_m.append(min(max(smi / sm, lo), hi))
+            new_u.append(min(max(sui / su, lo), hi))
+        lam, m, u = min(max(sm / nf, lo), hi), new_m, new_u
+    out = [("lambda", int(math.floor(lam * 1000000.0)))]
+    for i, c in enumerate(cols):
+        out.append((f"m_{c}", int(math.floor(m[i] * 1000000.0))))
+        out.append((f"u_{c}", int(math.floor(u[i] * 1000000.0))))
+    return out

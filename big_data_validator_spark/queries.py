@@ -9160,23 +9160,79 @@ def streaming_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.materialize_release(out)
 
 
-def _unigram_learn_oracle_sql(
+def _unigram_viterbi_ctes(
+    r: str, probs_cte: str, words_cte: str, W: int, L: int
+) -> list:
+    """Shared Viterbi-segmentation CTE block, prefix ``r``: DP stages
+    over ``words_cte`` under ``probs_cte``'s (piece, p) rows — per
+    stage a per-length candidate union → windowed argmax with MIN(l)
+    tie-break (exactly the kernel's ascending-l strictly-greater
+    rule) — then backtrace stages emitting one piece per step, and a
+    ``u{r}`` integer piece recount.  Reused by the learn oracle's EM
+    rounds AND the encode oracle's final segmentation."""
+    parts = [f"""
+    d{r}_0 AS MATERIALIZED (
+      SELECT w, cnt, CAST(1.0 AS DOUBLE) AS score FROM {words_cte})"""]
+    for j in range(1, W + 1):
+        branches = []
+        for l in range(1, min(L, j) + 1):
+            branches.append(
+                f"""SELECT d.w, d.cnt, {l} AS l, d.score * p.p AS cand
+        FROM d{r}_{j - l} d JOIN {probs_cte} p
+          ON p.piece = substr(d.w, {j - l + 1}, {l})
+        WHERE len(d.w) >= {j}"""
+            )
+        union = "\n        UNION ALL\n        ".join(branches)
+        parts.append(f"""
+    c{r}_{j} AS MATERIALIZED (
+        {union}),
+    d{r}_{j} AS MATERIALIZED (
+      SELECT w, cnt, score, MIN(l) AS bl FROM (
+        SELECT w, cnt, l, cand,
+               MAX(cand) OVER (PARTITION BY w) AS score
+        FROM c{r}_{j})
+      WHERE cand = score GROUP BY w, cnt, score)""")
+    dd = "\n      UNION ALL\n      ".join(
+        f"SELECT w, {j} AS pos, bl FROM d{r}_{j}" for j in range(1, W + 1)
+    )
+    parts.append(f"""
+    dd{r} AS MATERIALIZED (
+      {dd}),
+    t{r}_0 AS MATERIALIZED (
+      SELECT w, cnt, len(w) AS pos FROM {words_cte})""")
+    for s in range(1, W + 1):
+        parts.append(f"""
+    t{r}_{s} AS MATERIALIZED (
+      SELECT t.w, t.cnt, t.pos - d.bl AS pos,
+             substr(t.w, t.pos - d.bl + 1, d.bl) AS piece
+      FROM t{r}_{s - 1} t JOIN dd{r} d
+        ON d.w = t.w AND d.pos = t.pos
+      WHERE t.pos > 0)""")
+    uu = "\n        UNION ALL\n        ".join(
+        f"SELECT piece, cnt FROM t{r}_{s}" for s in range(1, W + 1)
+    )
+    parts.append(f"""
+    u{r} AS MATERIALIZED (
+      SELECT piece, SUM(cnt) AS uc FROM (
+        {uu}) GROUP BY piece)""")
+    return parts
+
+
+def _unigram_learn_ctes(
     num_pieces: int = 48,
     max_piece_len: int = 4,
     em_iters: int = 2,
     max_word_len: int = 12,
-) -> str:
-    """GENERATE the unrolled unigram-LM TRAINING oracle (the
+) -> list:
+    """GENERATE the unrolled unigram-LM TRAINING CTE chain (the
     ``_bpe_learn_oracle_sql`` device applied to hard-EM): seed CTEs,
     then per EM round a probability CTE (one exact-int-to-DOUBLE
-    division per piece), ``max_word_len`` Viterbi DP stages (each
-    stage = per-length candidate union → windowed argmax with MIN(l)
-    tie-break — exactly the kernel's ascending-l strictly-greater
-    rule), ``max_word_len`` backtrace stages, and the integer
-    recount with the single-char floor.  Every float is a chain of
-    correctly-rounded IEEE ops over exact integers in pinned order, so
-    DuckDB DOUBLEs equal the kernel's Python floats bit-for-bit; only
-    INTEGER counts are shipped."""
+    division per piece), the shared Viterbi block
+    (:func:`_unigram_viterbi_ctes`), and the integer recount with the
+    single-char floor.  Every float is a chain of correctly-rounded
+    IEEE ops over exact integers in pinned order, so DuckDB DOUBLEs
+    equal the kernel's Python floats bit-for-bit; only INTEGER counts
+    are shipped.  Ends at CTE ``v{em_iters}``."""
     W, L = max_word_len, max_piece_len
     parts = [f"""
     WITH toks AS MATERIALIZED (
@@ -9208,63 +9264,55 @@ def _unigram_learn_oracle_sql(
       SELECT CAST(SUM(c) AS DOUBLE) AS total FROM v{r}),
     p{r} AS MATERIALIZED (
       SELECT piece, CAST(c AS DOUBLE) / total AS p
-      FROM v{r}, tt{r} WHERE c > 0),
-    d{r}_0 AS MATERIALIZED (
-      SELECT w, cnt, CAST(1.0 AS DOUBLE) AS score FROM w0)""")
-        for j in range(1, W + 1):
-            branches = []
-            for l in range(1, min(L, j) + 1):
-                branches.append(
-                    f"""SELECT d.w, d.cnt, {l} AS l, d.score * p.p AS cand
-        FROM d{r}_{j - l} d JOIN p{r} p
-          ON p.piece = substr(d.w, {j - l + 1}, {l})
-        WHERE len(d.w) >= {j}"""
-                )
-            union = "\n        UNION ALL\n        ".join(branches)
-            parts.append(f"""
-    c{r}_{j} AS MATERIALIZED (
-        {union}),
-    d{r}_{j} AS MATERIALIZED (
-      SELECT w, cnt, score, MIN(l) AS bl FROM (
-        SELECT w, cnt, l, cand,
-               MAX(cand) OVER (PARTITION BY w) AS score
-        FROM c{r}_{j})
-      WHERE cand = score GROUP BY w, cnt, score)""")
-        dd = "\n      UNION ALL\n      ".join(
-            f"SELECT w, {j} AS pos, bl FROM d{r}_{j}"
-            for j in range(1, W + 1)
-        )
+      FROM v{r}, tt{r} WHERE c > 0)""")
+        parts.extend(_unigram_viterbi_ctes(str(r), f"p{r}", "w0", W, L))
         parts.append(f"""
-    dd{r} AS MATERIALIZED (
-      {dd}),
-    t{r}_0 AS MATERIALIZED (
-      SELECT w, cnt, len(w) AS pos FROM w0)""")
-        for s in range(1, W + 1):
-            parts.append(f"""
-    t{r}_{s} AS MATERIALIZED (
-      SELECT t.w, t.cnt, t.pos - d.bl AS pos,
-             substr(t.w, t.pos - d.bl + 1, d.bl) AS piece
-      FROM t{r}_{s - 1} t JOIN dd{r} d
-        ON d.w = t.w AND d.pos = t.pos
-      WHERE t.pos > 0)""")
-        uu = "\n        UNION ALL\n        ".join(
-            f"SELECT piece, cnt FROM t{r}_{s}" for s in range(1, W + 1)
-        )
-        parts.append(f"""
-    u{r} AS MATERIALIZED (
-      SELECT piece, SUM(cnt) AS uc FROM (
-        {uu}) GROUP BY piece),
     v{r + 1} AS MATERIALIZED (
       SELECT v.piece,
              CASE WHEN len(v.piece) = 1
                   THEN GREATEST(COALESCE(u.uc, 0), 1)
                   ELSE COALESCE(u.uc, 0) END AS c
       FROM v{r} v LEFT JOIN u{r} u ON u.piece = v.piece)""")
+    return parts
+
+
+def _unigram_learn_oracle_sql(em_iters: int = 2) -> str:
+    parts = _unigram_learn_ctes(em_iters=em_iters)
     return (
         ",".join(parts)
         + f"""
     SELECT piece, CAST(c AS BIGINT) AS piece_count
     FROM v{em_iters} WHERE c > 0"""
+    )
+
+
+def _unigram_encode_oracle_sql(em_iters: int = 2) -> str:
+    """GENERATE the unigram ENCODE oracle: the full learn chain up to
+    ``v{T}``, then one more probability CTE over the FINAL counts and
+    one more shared Viterbi block segmenting the weighted vocabulary
+    under them (exactly a further E-step), with deterministic piece
+    ids assigned by final-count-desc / piece-asc row number — the same
+    rule the Spark entry's literal id map encodes."""
+    parts = _unigram_learn_ctes(em_iters=em_iters)
+    T = em_iters
+    parts.append(f"""
+    tte AS MATERIALIZED (
+      SELECT CAST(SUM(c) AS DOUBLE) AS total FROM v{T}),
+    pe AS MATERIALIZED (
+      SELECT piece, CAST(c AS DOUBLE) / total AS p
+      FROM v{T}, tte WHERE c > 0)""")
+    parts.extend(_unigram_viterbi_ctes("e", "pe", "w0", 12, 4))
+    parts.append(f"""
+    ids AS MATERIALIZED (
+      SELECT piece,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece ASC) - 1
+               AS INT) AS piece_id
+      FROM v{T} WHERE c > 0)""")
+    return (
+        ",".join(parts)
+        + """
+    SELECT u.piece, i.piece_id, CAST(u.uc AS BIGINT) AS n_occurrences
+    FROM ue u JOIN ids i ON i.piece = u.piece"""
     )
 
 
@@ -9300,6 +9348,230 @@ def text_unigram_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc, num_pieces=48, max_piece_len=4, em_iters=2, max_word_len=12
     )
     return spark.createDataFrame(vocab, "piece string, piece_count long")
+
+
+@query("text_unigram_encode", oracle=_unigram_encode_oracle_sql())
+def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization of the corpus (the APPLY half of the
+    tokenizer family's second member, closing the learn→encode loop
+    like text_bpe_learn→text_bpe_encode): retrain the vocabulary
+    (deterministic, so both halves agree without a side channel), then
+    Viterbi-segment the weighted vocabulary under the FINAL piece
+    probabilities — one more Arrow pass, the same pinned-order DP —
+    and histogram the emitted pieces with deterministic ids
+    (final-count-desc, piece-asc).  The oracle extends the learn
+    chain's unrolled CTEs by one probability CTE + one shared Viterbi
+    block; token counts are integers end-to-end.  Scale: encoding cost
+    is vocabulary-bounded (distinct words), never corpus-bounded; ids
+    come from a literal map, zero extra joins Spark-side."""
+    from big_data_validator_spark.operators.text import (
+        unigram_learn_vocab,
+        viterbi_pieces_kernel,
+        word_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(word_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    vocab = unigram_learn_vocab(
+        wc, num_pieces=48, max_piece_len=4, em_iters=2, max_word_len=12
+    )
+    total = sum(c for _, c in vocab)
+    probs = {p: c / total for p, c in vocab}
+    id_map = F.create_map(
+        *[
+            F.lit(x)
+            for i, (p, _) in enumerate(vocab)
+            for x in (p, i)
+        ]
+    )
+    enc = wc.filter(F.length("w") <= 12).select(
+        F.explode(viterbi_pieces_kernel(probs)(F.col("w"))).alias(
+            "piece"
+        ),
+        "_n",
+    )
+    return (
+        enc.groupBy("piece")
+        .agg(F.sum("_n").cast("long").alias("n_occurrences"))
+        .select(
+            "piece",
+            F.element_at(id_map, F.col("piece")).alias("piece_id"),
+            "n_occurrences",
+        )
+    )
+
+
+def _fs_em_oracle_sql(iters: int = 3) -> str:
+    """GENERATE the Fellegi–Sunter EM oracle: candidate pairs via the
+    same (name-token × size) blocking SQL as the linkage entry, the
+    8-pattern agreement pivot, then ``iters`` EM iterations UNROLLED —
+    per iteration one class-likelihood CTE (products ascending field),
+    one responsibility CTE (single divisions), one parameter CTE
+    (pattern sums folded ascending g, exactly the operator's pinned
+    loop order) — finishing with floor-quantized ppm BIGINTs.  Every
+    float expression mirrors operators/linkage.py:fs_em_weights
+    op-for-op, so DuckDB DOUBLEs equal the driver's Python floats."""
+    k = 3
+    # pattern g bit i = agreement of field i (brand, type, container)
+    parts = ["""
+    WITH p AS MATERIALIZED (
+      SELECT p_partkey AS id, p_brand, p_type,
+             CAST(FLOOR(p_retailprice / 10) AS BIGINT) AS band,
+             list_distinct(string_split(p_name, ' ')) AS toks, p_size
+      FROM part),
+    b AS MATERIALIZED (
+      SELECT id, unnest(toks) AS tok, p_size FROM p),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM b a JOIN b c ON a.tok = c.tok AND a.p_size = c.p_size
+                        AND a.id < c.id),
+    pat AS MATERIALIZED (
+      SELECT CAST(pa.p_brand = pb.p_brand AS INT) AS g1,
+             CAST(pa.p_type = pb.p_type AS INT) AS g2,
+             CAST(pa.band = pb.band AS INT) AS g3,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM cand JOIN p pa ON cand.id_a = pa.id
+                JOIN p pb ON cand.id_b = pb.id
+      GROUP BY 1, 2, 3),
+    pv AS MATERIALIZED (
+      SELECT """ + ",\n             ".join(
+        f"COALESCE(MAX(CASE WHEN g1 = {g & 1} AND g2 = {(g >> 1) & 1} "
+        f"AND g3 = {(g >> 2) & 1} THEN n END), 0) AS n{g}"
+        for g in range(8)
+    ) + """,
+             CAST(""" + " + ".join(
+        f"COALESCE(MAX(CASE WHEN g1 = {g & 1} AND g2 = {(g >> 1) & 1} "
+        f"AND g3 = {(g >> 2) & 1} THEN n END), 0)"
+        for g in range(8)
+    ) + """ AS DOUBLE) AS nf
+      FROM pat),
+    it0 AS MATERIALIZED (
+      SELECT CAST(0.5 AS DOUBLE) AS lam,
+             CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+             CAST(0.9 AS DOUBLE) AS m3,
+             CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+             CAST(0.1 AS DOUBLE) AS u3)"""]
+
+    def like(g: int, cls: str) -> str:
+        base = "lam" if cls == "m" else "(1.0 - lam)"
+        fac = [base]
+        for i in range(k):
+            v = f"{cls}{i + 1}"
+            fac.append(v if (g >> i) & 1 else f"(1.0 - {v})")
+        return " * ".join(fac)
+
+    for t in range(1, iters + 1):
+        pm = ",\n             ".join(
+            f"{like(g, 'm')} AS pm{g}" for g in range(8)
+        )
+        pu = ",\n             ".join(
+            f"{like(g, 'u')} AS pu{g}" for g in range(8)
+        )
+        ws = ",\n             ".join(
+            f"pm{g} / (pm{g} + pu{g}) AS w{g}" for g in range(8)
+        )
+        sm = " + ".join(f"n{g} * w{g}" for g in range(8))
+        mnum = [
+            " + ".join(
+                f"n{g} * w{g}" for g in range(8) if (g >> i) & 1
+            )
+            for i in range(k)
+        ]
+        unum = [
+            " + ".join(
+                f"n{g} * (1.0 - w{g})" for g in range(8) if (g >> i) & 1
+            )
+            for i in range(k)
+        ]
+        clamp = (
+            "LEAST(GREATEST({}, CAST(0.000001 AS DOUBLE)), "
+            "1.0 - CAST(0.000001 AS DOUBLE))"
+        )
+        mu = ",\n             ".join(
+            clamp.format(f"({mnum[i]}) / sm") + f" AS m{i + 1}"
+            for i in range(k)
+        ) + ",\n             " + ",\n             ".join(
+            clamp.format(f"({unum[i]}) / su") + f" AS u{i + 1}"
+            for i in range(k)
+        )
+        parts.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT {pm},
+             {pu}
+      FROM it{t - 1}),
+    w{t} AS MATERIALIZED (
+      SELECT {ws}
+      FROM a{t}),
+    s{t} AS MATERIALIZED (
+      SELECT sm, nf - sm AS su FROM (
+        SELECT {sm} AS sm, nf FROM w{t}, pv)),
+    it{t} AS MATERIALIZED (
+      SELECT LEAST(GREATEST(sm / nf, CAST(0.000001 AS DOUBLE)),
+                  1.0 - CAST(0.000001 AS DOUBLE)) AS lam,
+             {mu}
+      FROM w{t}, s{t}, pv)""")
+    fin = [
+        "SELECT 'lambda' AS param, CAST(FLOOR(lam * 1000000.0) AS "
+        f"BIGINT) AS value_ppm FROM it{iters}"
+    ]
+    for i, c in enumerate(["p_brand_eq", "p_type_eq", "band_eq"]):
+        fin.append(
+            f"SELECT 'm_{c}', CAST(FLOOR(m{i + 1} * 1000000.0) AS "
+            f"BIGINT) FROM it{iters}"
+        )
+        fin.append(
+            f"SELECT 'u_{c}', CAST(FLOOR(u{i + 1} * 1000000.0) AS "
+            f"BIGINT) FROM it{iters}"
+        )
+    return ",".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(fin)
+
+
+@query("link_fs_em", oracle=_fs_em_oracle_sql())
+def link_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record-linkage weight ESTIMATION (operators/
+    linkage.py:fs_em_weights — Fellegi–Sunter EM, the Splink-style
+    trainer that turns link_part_entities' fixed weights into
+    data-estimated m/u probabilities + match prevalence λ): candidates
+    blocked on (name token × size) — brand deliberately NOT blocked so
+    non-match patterns exist for the u-side — agreement patterns over
+    (brand, type, retail-price band) aggregate to ≤ 2³ integer counts, and 3
+    EM iterations run over those counts alone (the classical
+    sufficient statistic; bounded driver arithmetic like the BPE
+    argmax).  The oracle replays the same blocking SQL and the EM
+    unrolled with op-for-op pinned float order; shipped values are
+    floor-quantized ppm BIGINTs.  Scale: the only join is the blocking
+    equi-join through the capped bucket guard; the shuffle carries
+    3-bit patterns."""
+    from big_data_validator_spark.operators.dedup import release_pinned
+    from big_data_validator_spark.operators.linkage import (
+        fs_em_weights,
+        link_entity_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").withColumn(
+        "band", F.floor(F.col("p_retailprice") / 10).cast("long")
+    )
+    pairs = link_entity_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_size"],
+        eq_cols=["p_brand", "p_type", "band"],
+        threshold=0,
+    )
+    try:
+        params = fs_em_weights(
+            pairs,
+            ["p_brand_eq", "p_type_eq", "band_eq"],
+            iters=3,
+        )
+    finally:
+        release_pinned(pairs)
+    return spark.createDataFrame(params, "param string, value_ppm long")
 
 
 # =====================================================================
@@ -9346,6 +9618,23 @@ _DEMOTED_TO_TAIL = [
     "corpus_mixture_plan",
     "pack_sequences_docs",
     "drift_psi_totalprice",
+    # ---- round-11 second rotation: one more seat for
+    # ---- text_unigram_encode (the apply half of the unigram-LM
+    # ---- tokenizer — the learn→encode loop like BPE's).  Green
+    # ---- r7-r10; the CCNet LM-score entry's wordcount shuffle +
+    # ---- bounded-vocabulary device is recomputed in-window every
+    # ---- round by the two tokenizer-trainer entries' seed stage, and
+    # ---- the scoring semantics stay pytest-pinned
+    # ---- (tests/test_curation.py: known distribution, OOV smoothing,
+    # ---- empty docs).
+    "text_unigram_lm_score",
+    # ---- round-11 third rotation: a seat for link_fs_em (probabilistic
+    # ---- linkage weight estimation — the EM trainer behind the fixed
+    # ---- integer weights link_part_entities ships).  Green r5-r10 (six
+    # ---- driver rounds, the longest active streak in-window); the
+    # ---- curation family keeps rule_k_anonymity in-window and the PII
+    # ---- regex semantics stay fixture-pinned (tests/test_curation.py).
+    "pii_redaction_scan",
     # ---- round-10 re-validation seats (VERDICT r9 item 8): the eleven
     # ---- r4-vintage greens — the oldest unrefreshed records — return
     # ---- to the window (agg_distribution_stats, rule_outlier_zscore,

@@ -189,10 +189,14 @@ def test_driver_window_is_all_oracled():
         # streaming_kll_quantiles got their first greens in r9 and
         # yield their seats to the r10 additions.)
         "sim_ann_recall",  # recomputes brute-force cosine as ground truth
-        "text_unigram_lm_score",
+        # (text_unigram_lm_score got green r7-r10 rows and rests in
+        # r11; the tokenizer entries recompute its wordcount/vocab
+        # device and the scoring stays pytest-pinned)
         # (quality_gopher_flags got green r5-r7 rows and rests in r8;
         # the mixture/packing entries recompute the same gates)
-        "pii_redaction_scan",
+        # (pii_redaction_scan got green r5-r10 rows — six driver
+        # rounds — and rests in r11; rule_k_anonymity keeps the
+        # curation-family seat and the PII regexes stay fixture-pinned)
         # (contamination_probes got green r5-r7 rows and rests in r8;
         # the automaton-parity pytest pins its semantics)
         # (cdc_changeset_orders got green r5-r7 rows and rests in r8;
@@ -276,8 +280,9 @@ def test_driver_window_is_all_oracled():
         "agg_salted_skew_counts", "topk_order_values",
         "rule_domain_range", "events_json_extract",
         # round-11 additions: the fingerprint-key substring rewrite
-        # earns a fresh record; the unigram-LM trainer is new
+        # earns a fresh record; the unigram-LM trainer + encoder are new
         "dedup_shared_substrings", "text_unigram_learn",
+        "text_unigram_encode", "link_fs_em",
     ]:
         assert required in window, required
 

@@ -153,3 +153,90 @@ def test_link_entity_pairs_cap_inert_when_blocks_small(spark):
     )
     # all four size-5 entities share the "red" token → C(4,2) pairs
     assert got_capped == got_uncapped and len(got_capped) == 6
+
+
+def test_fs_em_matches_textbook_reference(spark):
+    """Fellegi–Sunter EM over pattern counts == an independently
+    written textbook EM on the same agreement vectors, on a corpus
+    with a planted match class (duplicated entities agree on both
+    fields; random pairs mostly disagree)."""
+    import math
+    import random
+
+    from big_data_validator_spark.operators.linkage import fs_em_weights
+
+    rng = random.Random(11)
+    rows = []
+    # 40 planted duplicate pairs: agree on f1 and usually f2
+    for i in range(40):
+        rows.append((2 * i, 2 * i + 1, 1, 1 if rng.random() < 0.8 else 0))
+    # 400 random non-match pairs: rarely agree
+    for i in range(400):
+        rows.append(
+            (1000 + 2 * i, 1001 + 2 * i,
+             1 if rng.random() < 0.1 else 0,
+             1 if rng.random() < 0.2 else 0)
+        )
+    df = spark.createDataFrame(rows, "id_a long, id_b long, f1 int, f2 int")
+    got = dict(fs_em_weights(df, ["f1", "f2"], iters=4))
+
+    # ---- textbook EM, written independently over the raw vectors
+    vecs = [(r[2], r[3]) for r in rows]
+    lam, m, u = 0.5, [0.9, 0.9], [0.1, 0.1]
+    lo, hi = 0.000001, 1.0 - 0.000001
+    # group into pattern counts g = b0 + 2*b1 like the operator
+    cnt = {}
+    for v in vecs:
+        cnt[v] = cnt.get(v, 0) + 1
+    pats = [(g & 1, (g >> 1) & 1) for g in range(4)]
+    ns = [cnt.get(p, 0) for p in pats]
+    N = float(sum(ns))
+    for _ in range(4):
+        w = []
+        for (b0, b1) in pats:
+            pm = lam * (m[0] if b0 else 1.0 - m[0]) * (m[1] if b1 else 1.0 - m[1])
+            pu = (1.0 - lam) * (u[0] if b0 else 1.0 - u[0]) * (u[1] if b1 else 1.0 - u[1])
+            w.append(pm / (pm + pu))
+        sm = 0.0
+        for g in range(4):
+            sm = sm + ns[g] * w[g]
+        su = N - sm
+        m = [
+            min(max(sum2 / sm, lo), hi)
+            for sum2 in (
+                ns[1] * w[1] + ns[3] * w[3],
+                ns[2] * w[2] + ns[3] * w[3],
+            )
+        ]
+        u = [
+            min(max(sum2 / su, lo), hi)
+            for sum2 in (
+                ns[1] * (1.0 - w[1]) + ns[3] * (1.0 - w[3]),
+                ns[2] * (1.0 - w[2]) + ns[3] * (1.0 - w[3]),
+            )
+        ]
+        lam = min(max(sm / N, lo), hi)
+    want = {
+        "lambda": int(math.floor(lam * 1000000.0)),
+        "m_f1": int(math.floor(m[0] * 1000000.0)),
+        "m_f2": int(math.floor(m[1] * 1000000.0)),
+        "u_f1": int(math.floor(u[0] * 1000000.0)),
+        "u_f2": int(math.floor(u[1] * 1000000.0)),
+    }
+    assert got == want
+    # the planted structure is recovered: a ~9% match class whose
+    # agreement probabilities dominate the non-match class
+    assert got["m_f1"] > got["u_f1"] and got["m_f2"] > got["u_f2"]
+    assert 50_000 < got["lambda"] < 300_000
+
+
+def test_fs_em_input_validation(spark):
+    import pytest as _pytest
+
+    from big_data_validator_spark.operators.linkage import fs_em_weights
+
+    df = spark.createDataFrame([], "id_a long, f1 int")
+    with _pytest.raises(ValueError, match="no candidate pairs"):
+        fs_em_weights(df, ["f1"])
+    with _pytest.raises(ValueError, match="agreement columns"):
+        fs_em_weights(df, [])
