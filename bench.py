@@ -225,6 +225,7 @@ HEADLINE = [
     "text_unigram_learn",
     "text_unigram_encode",
     "link_fs_em",
+    "link_fs_classify",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -186,23 +186,56 @@ def fs_em_weights(
         n_total += x
     if n_total == 0:
         raise ValueError("no candidate pairs — nothing to estimate")
+    lam, m, u = _fs_em_core(ns, k, iters, init_m, init_u, init_lambda)
+    out = [("lambda", int(math.floor(lam * 1000000.0)))]
+    for i, c in enumerate(cols):
+        out.append((f"m_{c}", int(math.floor(m[i] * 1000000.0))))
+        out.append((f"u_{c}", int(math.floor(u[i] * 1000000.0))))
+    return out
+
+
+def _fs_posteriors(
+    k: int, lam: float, m: "list[float]", u: "list[float]"
+) -> "list[float]":
+    """E-step responsibilities per agreement pattern — ``P(match | g)``
+    for every ``g`` in 0..2^k−1 under the given parameters, with the
+    same pinned multiply-ascending-fields order as the EM loop (so a
+    SQL engine's replay is bit-identical)."""
+    w = []
+    for g in range(2**k):
+        pm = lam
+        pu = 1.0 - lam
+        for i in range(k):
+            if (g >> i) & 1:
+                pm = pm * m[i]
+                pu = pu * u[i]
+            else:
+                pm = pm * (1.0 - m[i])
+                pu = pu * (1.0 - u[i])
+        w.append(pm / (pm + pu))
+    return w
+
+
+def _fs_em_core(
+    ns: "list[int]",
+    k: int,
+    iters: int,
+    init_m: float,
+    init_u: float,
+    init_lambda: float,
+) -> "tuple[float, list[float], list[float]]":
+    """The EM loop over pattern counts (see :func:`fs_em_weights` for
+    the exactness contract) — shared by the weight-estimation and the
+    pair-classification entries."""
+    n_total = 0
+    for x in ns:
+        n_total += x
     nf = float(n_total)
     lam = float(init_lambda)
     m = [float(init_m)] * k
     u = [float(init_u)] * k
     for _ in range(iters):
-        w = []
-        for g in range(2**k):
-            pm = lam
-            pu = 1.0 - lam
-            for i in range(k):
-                if (g >> i) & 1:
-                    pm = pm * m[i]
-                    pu = pu * u[i]
-                else:
-                    pm = pm * (1.0 - m[i])
-                    pu = pu * (1.0 - u[i])
-            w.append(pm / (pm + pu))
+        w = _fs_posteriors(k, lam, m, u)
         sm = 0.0
         for g in range(2**k):
             sm = sm + ns[g] * w[g]
@@ -229,8 +262,72 @@ def fs_em_weights(
             new_m.append(min(max(smi / sm, lo), hi))
             new_u.append(min(max(sui / su, lo), hi))
         lam, m, u = min(max(sm / nf, lo), hi), new_m, new_u
-    out = [("lambda", int(math.floor(lam * 1000000.0)))]
-    for i, c in enumerate(cols):
-        out.append((f"m_{c}", int(math.floor(m[i] * 1000000.0))))
-        out.append((f"u_{c}", int(math.floor(u[i] * 1000000.0))))
-    return out
+    return lam, m, u
+
+
+def fs_classify_pairs(
+    pairs: DataFrame,
+    agree_cols: Sequence[str],
+    iters: int = 3,
+    match_ppm: int = 900_000,
+    possible_ppm: int = 100_000,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.5,
+) -> DataFrame:
+    """CLASSIFY candidate pairs by Fellegi–Sunter posterior match
+    probability — the decision step that completes the linkage loop
+    (:func:`fs_em_weights` estimates, this applies): run the same EM
+    over the pattern counts, take ONE more E-step under the final
+    parameters, and stamp every pair with its pattern's posterior and
+    the classical match / possible / non-match verdict.
+
+    The verdict compares the FLOOR-QUANTIZED ppm posterior against
+    integer thresholds — integer comparisons are engine-portable where
+    float-threshold edges are not.  Distributed work: the pattern-count
+    aggregation (bounded collect) plus one map-side stamp of the ≤ 2^k
+    posteriors back onto the pairs via a literal CASE — no second
+    shuffle, no join.
+
+    Returns the pairs with ``(…agree_cols, posterior_ppm, verdict)``.
+    """
+    cols = list(agree_cols)
+    k = len(cols)
+    if not 1 <= k <= 8:
+        raise ValueError(f"need 1..8 agreement columns, got {k}")
+    if not 0 <= possible_ppm <= match_ppm <= 1_000_000:
+        raise ValueError("need 0 <= possible_ppm <= match_ppm <= 1e6")
+    rows = (
+        pairs.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_pat = {
+        tuple(int(r[c]) for c in cols): int(r["n"]) for r in rows
+    }
+    ns = [
+        by_pat.get(tuple((g >> i) & 1 for i in range(k)), 0)
+        for g in range(2**k)
+    ]
+    if sum(ns) == 0:
+        raise ValueError("no candidate pairs — nothing to classify")
+    lam, m, u = _fs_em_core(ns, k, iters, init_m, init_u, init_lambda)
+    w = _fs_posteriors(k, lam, m, u)
+    import math
+
+    ppm = [int(math.floor(x * 1000000.0)) for x in w]
+    post = F.lit(ppm[0])
+    for g in range(1, 2**k):
+        cond = F.lit(True)
+        for i in range(k):
+            cond = cond & (F.col(cols[i]) == ((g >> i) & 1))
+        post = F.when(cond, F.lit(ppm[g])).otherwise(post)
+    out = pairs.withColumn("posterior_ppm", post.cast("long"))
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("posterior_ppm") >= match_ppm, F.lit("match"))
+        .when(
+            F.col("posterior_ppm") >= possible_ppm, F.lit("possible")
+        )
+        .otherwise(F.lit("non_match")),
+    )

@@ -9405,18 +9405,20 @@ def text_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fs_em_oracle_sql(iters: int = 3) -> str:
-    """GENERATE the Fellegi–Sunter EM oracle: candidate pairs via the
-    same (name-token × size) blocking SQL as the linkage entry, the
-    8-pattern agreement pivot, then ``iters`` EM iterations UNROLLED —
-    per iteration one class-likelihood CTE (products ascending field),
-    one responsibility CTE (single divisions), one parameter CTE
-    (pattern sums folded ascending g, exactly the operator's pinned
-    loop order) — finishing with floor-quantized ppm BIGINTs.  Every
-    float expression mirrors operators/linkage.py:fs_em_weights
-    op-for-op, so DuckDB DOUBLEs equal the driver's Python floats."""
+def _fs_em_ctes(iters: int = 3, extra_estep: bool = False) -> list:
+    """GENERATE the Fellegi–Sunter EM CTE chain: candidate pairs via
+    the same (name-token × size) blocking SQL as the linkage entry
+    (per-pair agreements in ``pag``), the 8-pattern pivot, then
+    ``iters`` EM iterations UNROLLED — per iteration one
+    class-likelihood CTE (products ascending field), one
+    responsibility CTE (single divisions), one parameter CTE (pattern
+    sums folded ascending g, exactly the operator's pinned loop
+    order).  With ``extra_estep`` a final responsibility stage
+    ``w{iters+1}`` is appended (the classification posteriors).  Every
+    float expression mirrors operators/linkage.py op-for-op, so DuckDB
+    DOUBLEs equal the driver's Python floats."""
     k = 3
-    # pattern g bit i = agreement of field i (brand, type, container)
+    # pattern g bit i = agreement of field i (brand, type, price band)
     parts = ["""
     WITH p AS MATERIALIZED (
       SELECT p_partkey AS id, p_brand, p_type,
@@ -9429,14 +9431,16 @@ def _fs_em_oracle_sql(iters: int = 3) -> str:
       SELECT DISTINCT a.id AS id_a, c.id AS id_b
       FROM b a JOIN b c ON a.tok = c.tok AND a.p_size = c.p_size
                         AND a.id < c.id),
-    pat AS MATERIALIZED (
-      SELECT CAST(pa.p_brand = pb.p_brand AS INT) AS g1,
+    pag AS MATERIALIZED (
+      SELECT cand.id_a, cand.id_b,
+             CAST(pa.p_brand = pb.p_brand AS INT) AS g1,
              CAST(pa.p_type = pb.p_type AS INT) AS g2,
-             CAST(pa.band = pb.band AS INT) AS g3,
-             CAST(COUNT(*) AS BIGINT) AS n
+             CAST(pa.band = pb.band AS INT) AS g3
       FROM cand JOIN p pa ON cand.id_a = pa.id
-                JOIN p pb ON cand.id_b = pb.id
-      GROUP BY 1, 2, 3),
+                JOIN p pb ON cand.id_b = pb.id),
+    pat AS MATERIALIZED (
+      SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pag GROUP BY 1, 2, 3),
     pv AS MATERIALIZED (
       SELECT """ + ",\n             ".join(
         f"COALESCE(MAX(CASE WHEN g1 = {g & 1} AND g2 = {(g >> 1) & 1} "
@@ -9514,6 +9518,30 @@ def _fs_em_oracle_sql(iters: int = 3) -> str:
                   1.0 - CAST(0.000001 AS DOUBLE)) AS lam,
              {mu}
       FROM w{t}, s{t}, pv)""")
+    if extra_estep:
+        t = iters + 1
+        pm = ",\n             ".join(
+            f"{like(g, 'm')} AS pm{g}" for g in range(8)
+        )
+        pu = ",\n             ".join(
+            f"{like(g, 'u')} AS pu{g}" for g in range(8)
+        )
+        ws = ",\n             ".join(
+            f"pm{g} / (pm{g} + pu{g}) AS w{g}" for g in range(8)
+        )
+        parts.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT {pm},
+             {pu}
+      FROM it{t - 1}),
+    w{t} AS MATERIALIZED (
+      SELECT {ws}
+      FROM a{t})""")
+    return parts
+
+
+def _fs_em_oracle_sql(iters: int = 3) -> str:
+    parts = _fs_em_ctes(iters)
     fin = [
         "SELECT 'lambda' AS param, CAST(FLOOR(lam * 1000000.0) AS "
         f"BIGINT) AS value_ppm FROM it{iters}"
@@ -9528,6 +9556,35 @@ def _fs_em_oracle_sql(iters: int = 3) -> str:
             f"BIGINT) FROM it{iters}"
         )
     return ",".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(fin)
+
+
+def _fs_classify_oracle_sql(iters: int = 3) -> str:
+    """The classify oracle: the EM chain + final E-step, then every
+    pair stamped with its pattern's floor-quantized posterior and the
+    integer-threshold verdict (match >= 900000 ppm > possible >=
+    100000 ppm > non-match)."""
+    parts = _fs_em_ctes(iters, extra_estep=True)
+    t = iters + 1
+    post = "CASE " + " ".join(
+        f"WHEN g1 = {g & 1} AND g2 = {(g >> 1) & 1} "
+        f"AND g3 = {(g >> 2) & 1} THEN w{g}"
+        for g in range(8)
+    ) + " END"
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT id_a, id_b,
+           g1 AS p_brand_eq, g2 AS p_type_eq, g3 AS band_eq,
+           posterior_ppm,
+           CASE WHEN posterior_ppm >= 900000 THEN 'match'
+                WHEN posterior_ppm >= 100000 THEN 'possible'
+                ELSE 'non_match' END AS verdict
+    FROM (
+      SELECT pag.*,
+             CAST(FLOOR(({post}) * 1000000.0) AS BIGINT)
+               AS posterior_ppm
+      FROM pag, w{t})"""
+    )
 
 
 @query("link_fs_em", oracle=_fs_em_oracle_sql())
@@ -9572,6 +9629,56 @@ def link_fs_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release_pinned(pairs)
     return spark.createDataFrame(params, "param string, value_ppm long")
+
+
+@query("link_fs_classify", oracle=_fs_classify_oracle_sql())
+def link_fs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic pair CLASSIFICATION (operators/linkage.py:
+    fs_classify_pairs — the decision step completing the Fellegi–
+    Sunter loop link_fs_em opens): the same blocked candidates and the
+    same EM over pattern counts, then one more E-step under the final
+    parameters stamps every pair with its pattern's posterior match
+    probability and the classical match / possible / non-match
+    verdict.  Posteriors ship floor-quantized to ppm and the verdict
+    compares INTEGERS against integer thresholds, so the three-way
+    decision is engine-portable with no float-edge risk.  Scale: one
+    blocking join + one pattern aggregation (bounded collect); the
+    posterior stamp is a map-side literal CASE — no second shuffle."""
+    from big_data_validator_spark.operators.dedup import release_pinned
+    from big_data_validator_spark.operators.linkage import (
+        fs_classify_pairs,
+        link_entity_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").withColumn(
+        "band", F.floor(F.col("p_retailprice") / 10).cast("long")
+    )
+    pairs = link_entity_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_size"],
+        eq_cols=["p_brand", "p_type", "band"],
+        threshold=0,
+    )
+    try:
+        out = fs_classify_pairs(
+            pairs,
+            ["p_brand_eq", "p_type_eq", "band_eq"],
+            iters=3,
+        ).select(
+            "id_a",
+            "id_b",
+            "p_brand_eq",
+            "p_type_eq",
+            "band_eq",
+            "posterior_ppm",
+            "verdict",
+        )
+        res = D.materialize_release(out, pairs)
+    finally:
+        release_pinned(pairs)
+    return res
 
 
 # =====================================================================
@@ -9635,6 +9742,14 @@ _DEMOTED_TO_TAIL = [
     # ---- curation family keeps rule_k_anonymity in-window and the PII
     # ---- regex semantics stay fixture-pinned (tests/test_curation.py).
     "pii_redaction_scan",
+    # ---- round-11 fourth rotation: a seat for link_fs_classify (the
+    # ---- FS decision step — posterior-stamped pairs under integer
+    # ---- thresholds).  Green r6-r10 (five driver rounds); the
+    # ---- streaming family keeps FOUR in-window seats (per-batch drift
+    # ---- PSI, incremental MV, per-group KLL, streaming SCD2) and the
+    # ---- stream-stream LEFT OUTER null-emission protocol stays
+    # ---- pytest-pinned (tests/test_streaming.py sentinel drains).
+    "streaming_attribution_left",
     # ---- round-10 re-validation seats (VERDICT r9 item 8): the eleven
     # ---- r4-vintage greens — the oldest unrefreshed records — return
     # ---- to the window (agg_distribution_stats, rule_outlier_zscore,

@@ -215,7 +215,10 @@ def test_driver_window_is_all_oracled():
         # profile entries keep the family seats)
         # (text_bpe_encode got green r6+r7 rows and rests in r8;
         # text_bpe_learn + pipeline_bpe_pack keep the BPE family seats)
-        "streaming_attribution_left",
+        # (streaming_attribution_left got green r6-r10 rows — five
+        # driver rounds — and rests in r11; four streaming siblings
+        # keep the family seats and the LEFT OUTER null-emission
+        # protocol stays pytest-pinned)
         # (ts_resample_ffill got green r7+r8 rows and rests in r9;
         # ts_rollup_cascade + ts_twap_daily keep the timeseries seats)
         "pipeline_bpe_pack",
@@ -282,7 +285,7 @@ def test_driver_window_is_all_oracled():
         # round-11 additions: the fingerprint-key substring rewrite
         # earns a fresh record; the unigram-LM trainer + encoder are new
         "dedup_shared_substrings", "text_unigram_learn",
-        "text_unigram_encode", "link_fs_em",
+        "text_unigram_encode", "link_fs_em", "link_fs_classify",
     ]:
         assert required in window, required
 

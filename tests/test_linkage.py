@@ -240,3 +240,50 @@ def test_fs_em_input_validation(spark):
         fs_em_weights(df, ["f1"])
     with _pytest.raises(ValueError, match="agreement columns"):
         fs_em_weights(df, [])
+
+
+def test_fs_classify_posteriors_and_verdicts(spark):
+    """Classification = one more E-step under the final EM parameters;
+    posteriors match the from-scratch computation and the integer
+    thresholds produce all three verdicts on a strongly separated
+    corpus."""
+    import math
+    import random
+
+    from big_data_validator_spark.operators.linkage import (
+        _fs_em_core,
+        _fs_posteriors,
+        fs_classify_pairs,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(60):  # matches agree on both fields
+        rows.append((2 * i, 2 * i + 1, 1, 1))
+    for i in range(600):  # non-matches rarely agree
+        rows.append(
+            (2000 + 2 * i, 2001 + 2 * i,
+             1 if rng.random() < 0.05 else 0,
+             1 if rng.random() < 0.05 else 0)
+        )
+    df = spark.createDataFrame(rows, "id_a long, id_b long, f1 int, f2 int")
+    got = {
+        (r["id_a"], r["id_b"]): (r["posterior_ppm"], r["verdict"])
+        for r in fs_classify_pairs(df, ["f1", "f2"], iters=4).collect()
+    }
+    # reference: pattern counts -> EM -> final E-step
+    cnt = {}
+    for _, _, b0, b1 in rows:
+        cnt[(b0, b1)] = cnt.get((b0, b1), 0) + 1
+    ns = [cnt.get(((g >> 0) & 1, (g >> 1) & 1), 0) for g in range(4)]
+    lam, m, u = _fs_em_core(ns, 2, 4, 0.9, 0.1, 0.5)
+    w = _fs_posteriors(2, lam, m, u)
+    for (a, b, b0, b1) in rows:
+        ppm = int(math.floor(w[b0 + 2 * b1] * 1000000.0))
+        verdict = (
+            "match" if ppm >= 900_000
+            else "possible" if ppm >= 100_000 else "non_match"
+        )
+        assert got[(a, b)] == (ppm, verdict), (a, b)
+    verdicts = {v for _, v in got.values()}
+    assert verdicts == {"match", "possible", "non_match"}
