@@ -226,6 +226,7 @@ HEADLINE = [
     "text_unigram_encode",
     "link_fs_em",
     "link_fs_classify",
+    "ts_theilsen_trend",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

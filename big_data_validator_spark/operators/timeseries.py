@@ -275,3 +275,93 @@ def cascade_rollup_refresh(
     daily_new = untouched_d.unionByName(recomputed_d)
     daily_new._bdv_pinned = [dirty_hours, dirty_days]
     return hourly_new, daily_new
+
+
+def theilsen_trend(
+    daily: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Theil–Sen ROBUST trend over a daily series — the 29%-breakdown
+    slope estimator metric monitors want where least squares follows a
+    single outlier day: the median of all pairwise slopes
+    ``(y_j − y_i) / (x_j − x_i)``, plus the matching median-residual
+    intercept (Sen 1968).
+
+    Exactness contract: inputs are INTEGERS (epoch-day x, integer-unit
+    y); each pairwise slope is the exact rational ``(num, den)`` with
+    ``den > 0``, ordered by the engine-portable composite key
+    ``(CAST(num AS DOUBLE)/den, num, den)`` — one correctly-rounded
+    IEEE division as the primary key (identical in any engine), the
+    exact integers as tie-breaks, so both engines sort identically
+    even where two distinct rationals round to the same double.  The
+    median is the LOWER median (element ``(n+1) div 2``, 1-based) —
+    no averaging, no floats shipped: the slope ships as
+    ``num * scale div den`` (truncating integer division) and the
+    intercept as the lower median of the integer residuals
+    ``y_i * scale − slope_scaled * x_i``.
+
+    Scale: the pair self-join is over the DAILY aggregate — its size
+    grows with the time span, not the data volume (10× rows/day = the
+    same days), so the pair stage is constant across data scale-ups
+    and the cost is dominated by the daily aggregation scan.  Median
+    selection is TakeOrdered (limit k → max), never a global window.
+
+    Returns one row: ``(n_days, n_pairs, slope_scaled, intercept_scaled,
+    scale)``.
+    """
+    d = daily.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xa") < F.col("xb")).select(
+        (F.col("yb") - F.col("ya")).alias("num"),
+        (F.col("xb") - F.col("xa")).alias("den"),
+    )
+    slopes = pairs.select(
+        "num",
+        "den",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "_qd"
+        ),
+    )
+    n_days = d.count()
+    n_pairs = n_days * (n_days - 1) // 2
+    if n_pairs == 0:
+        raise ValueError("need at least two distinct days")
+    k = (n_pairs + 1) // 2
+    med = (
+        slopes.orderBy("_qd", "num", "den")
+        .limit(k)
+        .orderBy(
+            F.col("_qd").desc(), F.col("num").desc(), F.col("den").desc()
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    num, den = int(med["num"]), int(med["den"])
+    # truncating div matching Spark `div` / DuckDB BIGINT `//`
+    q = abs(num * scale) // abs(den)
+    slope_scaled = q if (num >= 0) == (den >= 0) else -q
+    res = d.select(
+        (F.col("y") * F.lit(scale) - F.lit(slope_scaled) * F.col("x"))
+        .cast("long")
+        .alias("r")
+    )
+    kr = (n_days + 1) // 2
+    med_r = (
+        res.orderBy("r")
+        .limit(kr)
+        .orderBy(F.col("r").desc())
+        .limit(1)
+        .collect()[0]["r"]
+    )
+    spark = daily.sparkSession
+    return spark.createDataFrame(
+        [(n_days, n_pairs, slope_scaled, int(med_r), scale)],
+        "n_days long, n_pairs long, slope_scaled long, "
+        "intercept_scaled long, scale long",
+    )

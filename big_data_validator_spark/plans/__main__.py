@@ -148,6 +148,15 @@ PLAN_QUERIES = [
     # cached edge relation is released via materialize_release, so the
     # returned frame is a LocalTableScan); the per-iteration join+agg
     # shape is pinned in tests/test_graph.py.
+    # round-11: text_unigram_learn/encode, link_fs_em, and
+    # ts_theilsen_trend are driver-loop entries like text_bpe_learn
+    # (bounded collects feed a createDataFrame result =
+    # LocalTableScan — nothing to audit); link_fs_classify
+    # materializes eagerly through materialize_release.  Their
+    # distributed stages (vocabulary Viterbi pass, pattern-count
+    # aggregation, pair TakeOrdered median) are pinned in
+    # tests/test_text_dedup.py, tests/test_linkage.py, and
+    # tests/test_timeseries.py.
 ]
 
 

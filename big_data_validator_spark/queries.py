@@ -9583,7 +9583,8 @@ def _fs_classify_oracle_sql(iters: int = 3) -> str:
       SELECT pag.*,
              CAST(FLOOR(({post}) * 1000000.0) AS BIGINT)
                AS posterior_ppm
-      FROM pag, w{t})"""
+      FROM pag, w{t})
+    WHERE posterior_ppm >= 100000"""
     )
 
 
@@ -9641,9 +9642,13 @@ def link_fs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability and the classical match / possible / non-match
     verdict.  Posteriors ship floor-quantized to ppm and the verdict
     compares INTEGERS against integer thresholds, so the three-way
-    decision is engine-portable with no float-edge risk.  Scale: one
+    decision is engine-portable with no float-edge risk.  The entry
+    ships the REVIEWABLE set (match + possible) — the non-match bulk
+    stays distributed, exactly as a clerical-review pipeline consumes
+    it; full three-way classification is pytest-pinned.  Scale: one
     blocking join + one pattern aggregation (bounded collect); the
-    posterior stamp is a map-side literal CASE — no second shuffle."""
+    posterior stamp and threshold filter are map-side — no second
+    shuffle."""
     from big_data_validator_spark.operators.dedup import release_pinned
     from big_data_validator_spark.operators.linkage import (
         fs_classify_pairs,
@@ -9666,7 +9671,7 @@ def link_fs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs,
             ["p_brand_eq", "p_type_eq", "band_eq"],
             iters=3,
-        ).select(
+        ).filter(F.col("verdict") != "non_match").select(
             "id_a",
             "id_b",
             "p_brand_eq",
@@ -9679,6 +9684,70 @@ def link_fs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         release_pinned(pairs)
     return res
+
+
+@query(
+    "ts_theilsen_trend",
+    oracle="""
+    WITH d AS MATERIALIZED (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+    np AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS npr
+      FROM d),
+    p AS MATERIALIZED (
+      SELECT b.y - a.y AS num, b.x - a.x AS den,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+               AS qd
+      FROM d a JOIN d b ON a.x < b.x),
+    med AS MATERIALIZED (
+      SELECT num, den FROM p ORDER BY qd, num, den
+      LIMIT 1 OFFSET (SELECT (npr + 1) // 2 - 1 FROM np)),
+    s AS MATERIALIZED (
+      SELECT CAST(num * 1000000 // den AS BIGINT) AS slope FROM med),
+    medr AS MATERIALIZED (
+      SELECT r FROM (
+        SELECT y * 1000000 - (SELECT slope FROM s) * x AS r FROM d)
+      ORDER BY r
+      LIMIT 1 OFFSET (SELECT (nd + 1) // 2 - 1 FROM np))
+    SELECT nd AS n_days, npr AS n_pairs,
+           (SELECT slope FROM s) AS slope_scaled,
+           (SELECT r FROM medr) AS intercept_scaled,
+           CAST(1000000 AS BIGINT) AS scale
+    FROM np
+    """,
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust trend of daily order revenue (operators/timeseries.py:
+    theilsen_trend — Theil–Sen median-of-pairwise-slopes, the
+    29%-breakdown estimator a metrics monitor wants where least
+    squares chases one outlier day): daily totals in integer cents
+    (floor of the double product — portable) over integer epoch-days,
+    every pairwise slope an exact rational ordered by the portable
+    (double quotient, num, den) composite key, lower-median slope and
+    integer-residual intercept shipped as scaled BIGINTs.  Scale: the
+    pair join is over the DAILY aggregate, so its size tracks the
+    time span, not the data volume — 10× rows/day = the same pair
+    stage; median selection is TakeOrdered, never a global window."""
+    from big_data_validator_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("x")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    return theilsen_trend(daily, "x", "y", scale=1_000_000)
 
 
 # =====================================================================
@@ -9750,6 +9819,14 @@ _DEMOTED_TO_TAIL = [
     # ---- stream-stream LEFT OUTER null-emission protocol stays
     # ---- pytest-pinned (tests/test_streaming.py sentinel drains).
     "streaming_attribution_left",
+    # ---- round-11 fifth rotation: the timeseries seat passes to
+    # ---- ts_theilsen_trend (robust median-slope trend — the
+    # ---- family's monitor-side member).  Green r8-r10; the cascade
+    # ---- refresh shares its _mv_snapshots device and
+    # ---- dirty-bucket semantics with the three in-window IVM
+    # ---- entries, and the cascade grid stays pytest-pinned
+    # ---- (tests/test_timeseries.py).
+    "ts_rollup_cascade",
     # ---- round-10 re-validation seats (VERDICT r9 item 8): the eleven
     # ---- r4-vintage greens — the oldest unrefreshed records — return
     # ---- to the window (agg_distribution_stats, rule_outlier_zscore,

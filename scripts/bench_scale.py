@@ -56,9 +56,13 @@ TOP = [
     "cdc_scd2_history",
     "streaming_kll_by_group",
     "streaming_scd2_history",
-    # round-11: the unigram-LM trainer's vocabulary-bounded EM claim
-    # and the fingerprint-keyed substring exchange rewrite
+    # round-11: the unigram-LM trainer's vocabulary-bounded EM claim,
+    # the fingerprint-keyed substring exchange rewrite (in TOP above),
+    # and the FS-linkage pair (pattern-count-bounded EM + map-side
+    # posterior stamp)
     "text_unigram_learn",
+    "link_fs_em",
+    "link_fs_classify",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

@@ -75,18 +75,23 @@ for t, shifts in SHIFTS.items():
             # every name-token block in entity linkage was 10x denser —
             # candidate pairs grew ~100x for 10x data, an artifact of
             # the copy scheme, not a scale property (r9: 65x measured).
-            # Per-copy character substitution decorrelates the token
-            # vocabulary; cross-copy parts are distinct entities (new
-            # keys), so no planted duplicate rate is wanted here.
+            # THIRD instance of the class (r11): the r9 fix APPENDED a
+            # per-copy " v{i}" tag token — which every part in the copy
+            # shares, so each copy planted 50 degenerate (v-tag, size)
+            # blocks of ~400 members: ~40M of the 46M candidate pairs
+            # measured at sf1 came from the tag alone.  The per-copy
+            # character substitution is the decorrelator; the tag is
+            # dropped.  Letters also now map to a per-copy DIGIT
+            # rotation, so copy vocabularies are provably disjoint
+            # (the old letters-within-letters rotation could map a
+            # color word onto another valid word).
+            digits = "0123456789"
             c = c.withColumn(
                 "p_name",
-                F.concat(
-                    F.translate(
-                        F.col("p_name"),
-                        "etaoinshrl",
-                        "etaoinshrl"[i:] + "etaoinshrl"[:i],
-                    ),
-                    F.lit(f" v{i}"),
+                F.translate(
+                    F.col("p_name"),
+                    "etaoinshrl",
+                    digits[i:] + digits[:i],
                 ),
             )
         if t == "embeddings":

@@ -251,7 +251,10 @@ def test_driver_window_is_all_oracled():
         # tests/test_advice_r8.py)
         # round-8 second-wave additions
         "dedup_ssjoin_prefix", "agg_incremental_join_mv",
-        "ts_rollup_cascade", "topk_pareto_frontier",
+        # (ts_rollup_cascade got green r8-r10 rows and rests in r11;
+        # ts_theilsen_trend takes the timeseries seat and the cascade
+        # grid stays pytest-pinned)
+        "topk_pareto_frontier",
         "graph_pagerank_flow", "rule_outlier_mad",
         "events_rolling_distinct",
         # round-9 additions: each must get its driver row
@@ -286,6 +289,7 @@ def test_driver_window_is_all_oracled():
         # earns a fresh record; the unigram-LM trainer + encoder are new
         "dedup_shared_substrings", "text_unigram_learn",
         "text_unigram_encode", "link_fs_em", "link_fs_classify",
+        "ts_theilsen_trend",
     ]:
         assert required in window, required
 

@@ -252,3 +252,94 @@ def test_cascade_refresh_clean_equals_full_recompute(spark):
     got_d = {(r.day, r.k): (r.n_rows, r.v) for r in daily_new.collect()}
     assert got_h == want_h
     assert got_d == want_d
+
+
+# ----------------------------------------------------- Theil-Sen trend
+
+
+def test_theilsen_matches_bruteforce_rational_median(spark):
+    """Lower-median of pairwise slopes under the (double-quotient,
+    num, den) order == a from-scratch brute force with exact-rational
+    reference ordering on a grid where doubles and rationals agree."""
+    from big_data_validator_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    import random
+
+    rng = random.Random(3)
+    pts = [(x, 7 * x + 100 + rng.randrange(-5, 6)) for x in range(0, 40, 3)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = theilsen_trend(df, "x", "y", scale=1_000_000).collect()[0]
+
+    import fractions
+
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            num = pts[j][1] - pts[i][1]
+            den = pts[j][0] - pts[i][0]
+            slopes.append((num / den, num, den))
+    slopes.sort()
+    n_pairs = len(slopes)
+    _, num, den = slopes[(n_pairs + 1) // 2 - 1]
+    q = abs(num * 1_000_000) // abs(den)
+    slope = q if (num >= 0) == (den >= 0) else -q
+    res = sorted(y * 1_000_000 - slope * x for x, y in pts)
+    want_intercept = res[(len(pts) + 1) // 2 - 1]
+    assert got["n_days"] == len(pts)
+    assert got["n_pairs"] == n_pairs
+    assert got["slope_scaled"] == slope
+    assert got["intercept_scaled"] == want_intercept
+    # sanity: the double-keyed order equals the exact rational order
+    # on this grid (tie-breaks exercised via equal slopes)
+    exact = sorted(slopes, key=lambda t: (fractions.Fraction(t[1], t[2]), t[1], t[2]))
+    assert [s[1:] for s in slopes] == [s[1:] for s in exact]
+
+
+def test_theilsen_robust_to_outlier_day(spark):
+    """One corrupted day must not move the Theil-Sen slope (the
+    least-squares slope moves by construction)."""
+    from big_data_validator_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    clean = [(x, 10 * x + 50) for x in range(30)]
+    spoiled = [(x, y) if x != 15 else (x, y + 10_000_000)
+               for x, y in clean]
+    g1 = theilsen_trend(
+        spark.createDataFrame(clean, "x long, y long"), "x", "y"
+    ).collect()[0]
+    g2 = theilsen_trend(
+        spark.createDataFrame(spoiled, "x long, y long"), "x", "y"
+    ).collect()[0]
+    assert g1["slope_scaled"] == 10_000_000
+    assert g2["slope_scaled"] == 10_000_000  # unmoved by the outlier
+    with __import__("pytest").raises(ValueError, match="two distinct"):
+        theilsen_trend(
+            spark.createDataFrame([(1, 1)], "x long, y long"), "x", "y"
+        )
+
+
+def test_theilsen_negative_slope_truncation_matches_duckdb(spark):
+    """Negative-slope scaled division: the operator truncates toward
+    zero, which must equal DuckDB's BIGINT // semantics used in the
+    oracle."""
+    import duckdb
+
+    from big_data_validator_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    pts = [(x, -7 * x + 3) for x in range(0, 10)]  # slope exactly -7
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = theilsen_trend(df, "x", "y", scale=3).collect()[0]
+    duck = duckdb.connect().execute(
+        "SELECT CAST(-7 * 3 // 1 AS BIGINT)"
+    ).fetchone()[0]
+    assert got["slope_scaled"] == duck == -21
+    # fractional negative: -7/2 at scale 3 -> -10.5 -> trunc -10
+    duck2 = duckdb.connect().execute(
+        "SELECT CAST(-7 * 3 // 2 AS BIGINT)"
+    ).fetchone()[0]
+    assert duck2 == -10, "DuckDB // must truncate toward zero"
