@@ -227,6 +227,10 @@ HEADLINE = [
     "link_fs_em",
     "link_fs_classify",
     "ts_theilsen_trend",
+    "drift_wasserstein",
+    "events_markov_transitions",
+    "rule_monotonic_orderdate",
+    "sim_hybrid_rrf",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in
@@ -238,6 +242,11 @@ EXCLUDED = {
         "deliberately corpus-bounded exact-Jaccard demo (educational "
         "baseline); dedup_minhash_lsh is the benched scale path for "
         "the same similarity"
+    ),
+    "dedup_ngram_containment": (
+        "same corpus-bounded inverted-index demo as dedup_ngram_jaccard "
+        "(the asymmetric subset-duplication variant); the prefix-filter "
+        "device (dedup_ssjoin_prefix, benched) is the scale path"
     ),
 }
 

@@ -246,6 +246,87 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT near-duplicate pairs — the asymmetric
+    complement of :func:`ngram_jaccard_pairs` for SUBSET duplication:
+    ``C(A ⊆ B) = |grams(A) ∩ grams(B)| / |grams(A)|``.  A short document
+    quoted verbatim inside a long one scores containment ≈ 1 while its
+    Jaccard stays tiny (the union is dominated by B), so a
+    Jaccard-thresholded dedup pass ships the quote twice — the failure
+    mode containment screening exists for in training-data curation
+    (RefinedWeb/CCNet-style partial-overlap removal).
+
+    Same inverted-index plan as Jaccard (explode shingles, equi-join on
+    the shingle, count common per pair, join back the two set sizes) —
+    candidates come only from shared shingles, never a cross join, and
+    ``max_doc_freq`` applies the identical stop-shingle skew cap (with
+    it on, reported containment is a lower bound).  A pair is emitted
+    when EITHER direction clears ``threshold``.  At 100 TB, prefix
+    filtering also transfers: if ``|∩|/|A| ≥ t`` then any
+    ``⌊(1−t)·|A|⌋+1`` shingles of A must hit B, so the
+    ``dedup_ssjoin_prefix`` device bounds candidates here too.
+
+    Returns ``(id_a, id_b, cont_a_in_b, cont_b_in_a)`` with
+    ``id_a < id_b``, containments rounded to 6.
+    """
+    sets_df = _shingle_sets(df, text_col, id_col, n).cache()
+    sizes = sets_df.select("id", F.size("shingles").alias("set_size"))
+    inv = sets_df.select("id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        inv = inv.join(rare, "shingle")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "id_b",
+        )
+        .withColumn("_cab", F.col("common") / F.col("size_a"))
+        .withColumn("_cba", F.col("common") / F.col("size_b"))
+        .filter(
+            F.greatest(F.col("_cab"), F.col("_cba")) >= F.lit(threshold)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("_cab", 6).alias("cont_a_in_b"),
+            F.round("_cba", 6).alias("cont_b_in_a"),
+        )
+    )
+    out._bdv_pinned = [sets_df]
+    return out
+
+
 # -------------------------------------------------------------- minhash lsh
 
 _MERSENNE_31 = (1 << 31) - 1

@@ -289,3 +289,46 @@ def rolling_distinct_counts(
             F.countDistinct("_e").cast("long").alias("distinct_entities")
         )
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered adjacent pair of events a user emits,
+    count the ``src → dst`` transition and report its row-conditional
+    probability ``P(dst | src)`` — the behavioral fingerprint that
+    drift/anomaly monitors compare release-over-release (a checkout flow
+    whose ``click → purchase`` probability halves overnight is broken
+    even if every per-event count looks normal).
+
+    One ``lead`` window partitioned by the user key (fully parallel —
+    the per-user sequence is the unit of work, exactly the funnel's
+    partitioning), then a groupBy on ``(src, dst)`` whose cardinality is
+    |event types|² — a few dozen rows at any data scale, so the
+    conditional-probability window over ``src`` is a no-op frame.
+    Ordering inside a user is ``(ts, tiebreak)`` — the registry's
+    deterministic tie-break convention.  Returns
+    ``(src, dst, n_trans, p)`` with ``p`` rounded to 6.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    seq = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = seq.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    row = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(row), 6
+        ).alias("p"),
+    ).orderBy("src", "dst")

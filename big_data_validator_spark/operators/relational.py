@@ -1048,6 +1048,186 @@ def ks_two_sample(
     )
 
 
+def wasserstein_1d(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bin_width: int,
+    unit_scale: float = 1.0,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between the
+    ``value_col`` distributions of ``a`` and ``b`` — the drift measure
+    that, unlike KS (:func:`ks_two_sample`, max CDF gap), weighs HOW FAR
+    the mass moved, not just the largest displacement: a fat tail that
+    shifts by 10% of the range moves W1 but barely moves D.
+
+    ``W1 = ∫ |F_a(v) − F_b(v)| dv``, which over empirical CDFs is the
+    exact finite sum ``Σ_i |F_a(v_i) − F_b(v_i)| · (v_{i+1} − v_i)``
+    over consecutive observed values.  ``value_col`` must be INTEGRAL
+    (pass cents, not dollars) so every term is exact: with integer
+    cumulative counts the summand is ``|cuma·n_b − cumb·n_a| · gap``,
+    accumulated in DECIMAL(38,0) — no float ever enters until the final
+    division, so the statistic hash-matches any engine that sums exact
+    integers (the emb_near_dup DECIMAL(38,0) discipline).
+
+    The prefix sums use the same two-pass block scan as
+    :func:`ks_two_sample` — per-block cumulative windows plus a tiny
+    broadcast per-block prefix frame, NEVER a single-task global window.
+    W1 additionally needs each value's SUCCESSOR in global value order:
+    within a block that is ``lead(v)``; across block boundaries the
+    successor of a block's max is the NEXT block's min, which rides the
+    same tiny per-block frame (one ``lead`` over block order).  The
+    global maximum has no successor and contributes 0 by definition
+    (both CDFs are 1 there), so dropping its row is exact.
+
+    ``bin_width`` only sets block granularity — any positive value
+    yields the identical statistic (pinned in tests).  ``unit_scale``
+    divides the final value (100.0 turns cents back into dollars).
+    Returns one row ``(w1_stat, n_a, n_b)``, ``w1_stat`` rounded to 6.
+    Nulls are excluded (no position in either CDF).
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    v = F.col(value_col)
+    pooled = a.filter(v.isNotNull()).select(
+        v.cast("long").alias("_v"),
+        F.lit(1).alias("_ca"),
+        F.lit(0).alias("_cb"),
+    ).unionAll(
+        b.filter(v.isNotNull()).select(
+            v.cast("long").alias("_v"),
+            F.lit(0).alias("_ca"),
+            F.lit(1).alias("_cb"),
+        )
+    )
+    cnts = pooled.groupBy("_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    keyed = cnts.withColumn(
+        "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
+    )
+    bw = Window.partitionBy("_blk").orderBy("_v")
+    local = keyed.select(
+        "_v",
+        "_blk",
+        F.sum("_na")
+        .over(bw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_la"),
+        F.sum("_nb")
+        .over(bw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_lb"),
+        F.lead("_v").over(bw).alias("_nextv_local"),
+    )
+    gw = Window.orderBy("_blk")
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(
+            F.sum("_na").alias("_ta"),
+            F.sum("_nb").alias("_tb"),
+            F.min("_v").alias("_minv"),
+        )
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_ta").over(
+                    gw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_pa"),
+            F.coalesce(
+                F.sum("_tb").over(
+                    gw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_pb"),
+            F.lead("_minv").over(gw).alias("_next_blk_minv"),
+        )
+    )
+    cum = (
+        local.join(F.broadcast(totals), "_blk")
+        .select(
+            (F.col("_la") + F.col("_pa")).alias("_cuma"),
+            (F.col("_lb") + F.col("_pb")).alias("_cumb"),
+            F.col("_v"),
+            F.coalesce(
+                F.col("_nextv_local"), F.col("_next_blk_minv")
+            ).alias("_nextv"),
+        )
+        .filter(F.col("_nextv").isNotNull())
+    )
+    grand = keyed.agg(
+        F.sum("_na").alias("_n_a"), F.sum("_nb").alias("_n_b")
+    )
+    dec = "decimal(38,0)"
+    term = F.abs(
+        F.col("_cuma").cast(dec) * F.col("_n_b")
+        - F.col("_cumb").cast(dec) * F.col("_n_a")
+    ) * (F.col("_nextv") - F.col("_v")).cast(dec)
+    return (
+        cum.join(F.broadcast(grand))
+        .agg(
+            F.round(
+                F.sum(term).cast("double")
+                / (
+                    F.first("_n_a").cast("double")
+                    * F.first("_n_b").cast("double")
+                    * F.lit(float(unit_scale))
+                ),
+                6,
+            ).alias("w1_stat"),
+            F.first("_n_a").alias("n_a"),
+            F.first("_n_b").alias("n_b"),
+        )
+    )
+
+
+def order_inversions(
+    df: DataFrame,
+    part_col: str,
+    seq_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Sequence-monotonicity rule: within each ``part_col`` group,
+    ordered by ``seq_col``, count the adjacent pairs where ``value_col``
+    strictly DECREASES — the "surrogate keys must respect event time"
+    sanity check a CDC/ingest pipeline runs (an inversion means the
+    write order disagrees with the domain order, i.e. late or
+    out-of-order ingestion).
+
+    One ``lag`` window partitioned by the group key — fully parallel,
+    no global sort; the aggregate then collapses to one row per group,
+    and only violating groups are returned (the violations-only
+    convention every rule_* operator here follows).  Null values and
+    the first row of each group carry no pair.  Returns
+    ``(part, n_rows, n_pairs, n_inversions)`` for groups with
+    ``n_inversions > 0``.
+    """
+    w = Window.partitionBy(part_col).orderBy(seq_col)
+    prev = F.lag(value_col).over(w)
+    flagged = df.select(
+        F.col(part_col).alias("part"),
+        F.when(
+            prev.isNotNull() & F.col(value_col).isNotNull(), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_pair"),
+        F.when(
+            prev.isNotNull() & (prev > F.col(value_col)), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_inv"),
+    )
+    return (
+        flagged.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_pair").alias("n_pairs"),
+            F.sum("_inv").alias("n_inversions"),
+        )
+        .filter(F.col("n_inversions") > 0)
+    )
+
+
 def key_gaps(
     df: DataFrame, key_col: str, block_size: int = 1 << 20
 ) -> DataFrame:

@@ -1294,3 +1294,138 @@ def semantic_dedup_exactint(
     )
     out._bdv_pinned = pinned_caches(pairs)
     return out
+
+
+# ------------------------------------------------------------ rank fusion
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_a_col: str = "rank_a",
+    rank_b_col: str = "rank_b",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR 2009) of
+    two per-query rankings: ``RRF(d) = Σ_r 1/(rrf_k + rank_r(d))``,
+    summing only over the rankings that actually list ``d`` — the
+    standard missing-member convention, which is what lets truncated
+    candidate lists fuse without a full cross-product.
+
+    Inputs are ``(query, id, rank)`` relations.  The full outer join and
+    the fused-rank window both partition by the query key, so one
+    Exchange serves both; per-query frame size is bounded by the UNION
+    of the two lists (at scale, feed top-M lists, not full rankings).
+    ``rrf_score`` is a sum of at most two exact small-int reciprocals —
+    deterministic across engines — rounded to 6; ties break by id.
+    Returns ``(query, id, rank_a, rank_b, rrf_score, fused_rank)`` for
+    ``fused_rank <= k``; absent-list ranks ship as NULL.
+    """
+    a = ranked_a.select(query_col, id_col, rank_a_col)
+    b = ranked_b.select(query_col, id_col, rank_b_col)
+    fused = a.join(b, [query_col, id_col], "full_outer").withColumn(
+        "rrf_score",
+        F.round(
+            F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col(rank_a_col)), F.lit(0.0)
+            )
+            + F.coalesce(
+                1.0 / (F.lit(rrf_k) + F.col(rank_b_col)), F.lit(0.0)
+            ),
+            6,
+        ),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+    )
+
+
+def hybrid_lexical_dense_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_pred,
+    n: int = 5,
+    k: int = 10,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: fuse a LEXICAL ranking (shared character
+    ``n``-gram count between query text and candidate text — exact
+    integers, the BM25-shaped signal without corpus statistics) with a
+    DENSE ranking (embedding cosine) via :func:`rrf_fuse`.  This is the
+    configuration RRF exists for — two signals with disjoint failure
+    modes (lexical misses paraphrase, dense misses rare exact tokens:
+    ids, code, numbers), fused without training a reranker.
+
+    ``query_pred`` selects the query documents (evaluated against BOTH
+    tables' id columns — doc ids and vec ids must identify the same
+    corpus).  The query side of every join is broadcast:
+
+    - lexical: the corpus inverted shingle index streams ONCE against
+      the broadcast query shingles — candidates are docs sharing ≥1
+      shingle with a query, postings-bounded, never pairwise in the
+      corpus;
+    - dense: the corpus embeddings stream ONCE against the broadcast
+      query vectors (:func:`brute_force_topk` with ``k`` = corpus, the
+      exact baseline; swap in the IVF/LSH rankers for ANN at scale).
+
+    Ranks are deterministic: lexical by (common DESC, id), dense by the
+    round-6 cosine with id tie-break.  Self-matches are excluded on both
+    sides.  Returns ``(query_id, vec_id, rank_lex, rank_dense,
+    rrf_score, fused_rank)``, top ``k`` fused per query.
+    """
+    from big_data_validator_spark.operators.dedup import _shingle_sets
+
+    corpus_sh = _shingle_sets(docs, text_col, doc_id_col, n)
+    q_ids = docs.filter(query_pred(F.col(doc_id_col)))
+    q_sh = _shingle_sets(q_ids, text_col, doc_id_col, n)
+    inv = corpus_sh.select("id", F.explode("shingles").alias("_sh"))
+    qinv = F.broadcast(
+        q_sh.select(
+            F.col("id").alias("query_id"), F.explode("shingles").alias("_sh")
+        )
+    )
+    ci = inv.alias("ci")
+    qi = qinv.alias("qi")
+    lex = (
+        ci.join(
+            qi,
+            (F.col("ci._sh") == F.col("qi._sh"))
+            & (F.col("ci.id") != F.col("qi.query_id")),
+        )
+        .groupBy(F.col("qi.query_id").alias("query_id"), F.col("ci.id"))
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .select(
+            "query_id",
+            F.col("id").alias(vec_id_col),
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_common").desc(), F.col("id").asc()
+                )
+            )
+            .alias("rank_lex"),
+        )
+    )
+    queries = emb.filter(query_pred(F.col(vec_id_col)))
+    dense = brute_force_topk(
+        emb, queries, k=(1 << 31) - 1, id_col=vec_id_col, vec_col=vec_col
+    ).select("query_id", vec_id_col, F.col("rank").alias("rank_dense"))
+    return rrf_fuse(
+        lex,
+        dense,
+        k=k,
+        rrf_k=rrf_k,
+        id_col=vec_id_col,
+        rank_a_col="rank_lex",
+        rank_b_col="rank_dense",
+    )

@@ -9750,6 +9750,256 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theilsen_trend(daily, "x", "y", scale=1_000_000)
 
 
+@query(
+    "drift_wasserstein",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS ca,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 0 ELSE 1 END AS cb
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    cnts AS (SELECT v, SUM(ca) AS na, SUM(cb) AS nb
+             FROM pooled GROUP BY v),
+    cum AS (SELECT v, SUM(na) OVER w AS cuma, SUM(nb) OVER w AS cumb,
+                   LEAD(v) OVER w AS nextv
+            FROM cnts WINDOW w AS (ORDER BY v)),
+    tot AS (SELECT SUM(na) AS n_a, SUM(nb) AS n_b FROM cnts),
+    joined AS (SELECT c.*, t.n_a, t.n_b FROM cum c, tot t
+               WHERE c.nextv IS NOT NULL)
+    SELECT ROUND(CAST(SUM(ABS(CAST(cuma AS HUGEINT) * n_b
+                              - CAST(cumb AS HUGEINT) * n_a)
+                          * (nextv - v)) AS DOUBLE)
+                 / (CAST(ANY_VALUE(n_a) AS DOUBLE)
+                    * CAST(ANY_VALUE(n_b) AS DOUBLE) * 100.0), 6)
+             AS w1_stat,
+           CAST(ANY_VALUE(n_a) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b
+    FROM joined
+    """,
+)
+def drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 1-D Wasserstein-1 (earth mover's) drift between urgent- and
+    normal-priority order amounts (operators/relational.py:
+    wasserstein_1d) — the drift measure that weighs HOW FAR the mass
+    moved where KS only sees the largest CDF gap.  Values enter as
+    integer cents, so every CDF-gap term ``|cuma·n_b − cumb·n_a| · gap``
+    is an exact integer accumulated in DECIMAL(38,0) (the emb_near_dup
+    discipline); no float exists until the single final division.  The
+    prefix sums ride the same two-pass block scan as drift_ks_totalprice
+    — per-block windows + a tiny broadcast block-prefix frame, and each
+    value's global successor comes from lead-within-block plus the next
+    block's min on that same tiny frame — never a single-task global
+    window; bin_width only sets block granularity (pytest-pinned
+    invariant)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = o.withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    return R.wasserstein_1d(
+        cents.filter(urgent),
+        cents.filter(~urgent),
+        "cents",
+        bin_width=1_000_000,
+        unit_scale=100.0,
+    )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    t AS (SELECT src, dst, COUNT(*) AS n FROM seq
+          WHERE dst IS NOT NULL GROUP BY 1, 2)
+    SELECT src, dst, CAST(n AS BIGINT) AS n_trans,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src), 6)
+             AS p
+    FROM t ORDER BY src, dst
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/events_analytics.py: markov_transitions):
+    every adjacent ``src → dst`` pair a user emits, with the
+    row-conditional probability P(dst | src) — the behavioral
+    fingerprint a release-over-release drift monitor compares (a
+    checkout flow whose click→purchase rate halves is broken even when
+    every per-event count looks normal).  One lead window partitioned
+    by user (the funnel family's partitioning, fully parallel), then a
+    groupBy whose cardinality is |event types|² — the conditional
+    window runs over a few dozen rows at ANY data scale.  Ordering
+    inside a user is (ts, event_id), the registry's tie-break
+    convention."""
+    from big_data_validator_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
+@query(
+    "rule_monotonic_orderdate",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS prev_d,
+             o_orderdate AS d
+      FROM orders)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (WHERE prev_d IS NOT NULL
+                                 AND d IS NOT NULL) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (WHERE prev_d > d) AS BIGINT)
+             AS n_inversions
+    FROM seq GROUP BY 1
+    HAVING COUNT(*) FILTER (WHERE prev_d > d) > 0
+    """,
+)
+def rule_monotonic_orderdate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-monotonicity rule (operators/relational.py:
+    order_inversions): per customer, ordered by the surrogate key
+    ``o_orderkey``, count adjacent pairs where ``o_orderdate`` DECREASES
+    — the "key order must respect event time" CDC/ingest sanity check
+    (an inversion is a late or out-of-order write).  One lag window
+    partitioned by the customer key — fully parallel, no global sort —
+    then a per-group aggregate; only violating groups return (the
+    violations-only rule_* convention)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.order_inversions(
+        o, "o_custkey", "o_orderkey", "o_orderdate"
+    ).select(
+        F.col("part").alias("o_custkey"),
+        "n_rows",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_inversions").cast("long").alias("n_inversions"),
+    )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 150
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, substr(t, s, 5) AS sh
+      FROM d, (SELECT unnest(generate_series(1, 4000)) AS s) g
+      WHERE s <= len(t) - 4
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(common AS DOUBLE) / sa.sz, 6) AS cont_a_in_b,
+           ROUND(CAST(common AS DOUBLE) / sb.sz, 6) AS cont_b_in_a
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST(CAST(common AS DOUBLE) / sa.sz,
+                   CAST(common AS DOUBLE) / sb.sz) >= 0.5
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs (operators/dedup.py:
+    ngram_containment_pairs) on the same bounded sub-corpus as
+    dedup_ngram_jaccard — the asymmetric subset-duplication screen:
+    ``|∩|/|A|`` ≈ 1 flags a short document quoted verbatim inside a
+    long one, exactly the pair a Jaccard threshold ships twice because
+    the union is dominated by the long side.  Same inverted-index plan
+    (shared-shingle candidates only, never pairwise in the corpus);
+    the ``max_doc_freq`` stop-shingle cap and the prefix-filter device
+    (any ⌊(1−t)·|A|⌋+1 shingles of A must hit B) carry it to corpus
+    scale."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.materialize_release(
+        D.ngram_containment_pairs(docs, n=5, threshold=0.5)
+    )
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    shingles AS (
+      SELECT DISTINCT doc_id, substr(t, s, 5) AS sh
+      FROM d, (SELECT unnest(generate_series(1, 4000)) AS s) g
+      WHERE s <= len(t) - 4),
+    qsh AS (SELECT * FROM shingles WHERE doc_id < 5),
+    lex AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS vec_id, COUNT(*) AS common
+      FROM shingles c JOIN qsh q ON c.sh = q.sh AND c.doc_id <> q.doc_id
+      GROUP BY 1, 2),
+    lexr AS (
+      SELECT query_id, vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY common DESC, vec_id ASC) AS INT) AS rank_lex
+      FROM lex),
+    qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id < 5),
+    dense AS (
+      SELECT query_id, vec_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY ROUND(list_cosine_similarity(
+                             CAST(e.embedding AS DOUBLE[]), qvec), 6) DESC,
+                           vec_id ASC) AS INT) AS rank_dense
+      FROM embeddings e, qv WHERE e.vec_id <> query_id),
+    fused AS (
+      SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
+             COALESCE(l.vec_id, dn.vec_id) AS vec_id,
+             l.rank_lex, dn.rank_dense,
+             ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0)
+                   + COALESCE(1.0 / (60 + dn.rank_dense), 0), 6)
+               AS rrf_score
+      FROM lexr l FULL OUTER JOIN dense dn
+        ON l.query_id = dn.query_id AND l.vec_id = dn.vec_id)
+    SELECT query_id, vec_id, rank_lex, rank_dense, rrf_score,
+           CAST(fr AS INT) AS fused_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, vec_id ASC) AS fr
+      FROM fused) WHERE fr <= 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+lexical retrieval via reciprocal-rank fusion
+    (operators/similarity.py: hybrid_lexical_dense_rrf + rrf_fuse):
+    the shared-5-gram lexical ranking and the embedding-cosine dense
+    ranking fused as ``Σ 1/(60 + rank)`` over the lists containing the
+    candidate — the SIGIR-2009 combiner hybrid search deploys because
+    the two signals fail differently (lexical misses paraphrase, dense
+    misses rare exact tokens).  Both scoring passes broadcast the tiny
+    query side and stream the corpus ONCE; lexical candidates are
+    postings-bounded (docs sharing ≥1 shingle), never corpus-pairwise;
+    the fusion join and every rank window share one query-key
+    partitioning.  Ranks are exact integers on round-6 scores with id
+    tie-breaks — the cross-engine rank-determinism device."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.hybrid_lexical_dense_rrf(
+        docs, emb, lambda c: c < 5, n=5, k=10, rrf_k=60
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        "rank_lex",
+        "rank_dense",
+        "rrf_score",
+        "fused_rank",
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -10355,6 +10605,29 @@ _DEMOTED_TO_TAIL = [
     # streaming_kll_quantiles — the streaming producer of the round's
     # mergeable-sketch architecture.
     "gen_synthetic_validated",
+    # ---- round-11 sixth rotation: five seats for the round's new
+    # ---- operators (drift_wasserstein, events_markov_transitions,
+    # ---- rule_monotonic_orderdate, dedup_ngram_containment,
+    # ---- sim_hybrid_rrf).  Each rester holds a fresh r10 green and
+    # ---- leaves its family covered in-window:
+    # IVM family keeps streaming_incremental_mv + agg_incremental_join_mv
+    # (green r7-r10; the per-bucket merge device is recomputed by both
+    # in-window siblings every round)
+    "agg_incremental_totals",
+    # (green r8-r10; min/max refresh semantics pytest-pinned,
+    # tests/test_incremental.py)
+    "agg_incremental_minmax",
+    # FD family keeps profile_fd_composite (green r7-r10; the
+    # violation-count device is shared)
+    "profile_fd_discovery",
+    # exact-integer embedding coverage stays via the three in-window
+    # semantic-dedup entries + sim_ann_recall (green r7-r10; the
+    # quantized-kernel parity stays pytest-pinned)
+    "sim_ann_exactint",
+    # events family gains events_markov_transitions (same lead-window
+    # partitioning); green r8-r10, sliding-window distinct semantics
+    # pytest-pinned (tests/test_events_analytics.py)
+    "events_rolling_distinct",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

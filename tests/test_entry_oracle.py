@@ -229,11 +229,18 @@ def test_driver_window_is_all_oracled():
         # r10; three streaming siblings keep the family seats and the
         # repository protocol stays pytest-pinned)
         "layout_compaction_plan",
-        "sim_ann_exactint",
+        # (sim_ann_exactint got green r7-r10 rows and rests in r11;
+        # the three in-window semantic-dedup entries + sim_ann_recall
+        # keep exact-integer embedding coverage)
         "join_point_in_time", "streaming_drift_psi",
         "text_bpe_learn", "rule_k_anonymity",
-        "link_part_entities", "agg_incremental_totals",
-        "streaming_incremental_mv", "profile_fd_discovery",
+        # (agg_incremental_totals got green r7-r10 rows and rests in
+        # r11; streaming_incremental_mv + agg_incremental_join_mv keep
+        # the IVM family seats)
+        "link_part_entities",
+        # (profile_fd_discovery got green r7-r10 rows and rests in
+        # r11; profile_fd_composite keeps the FD family seat)
+        "streaming_incremental_mv",
         # (ts_twap_daily got green r7-r9 rows and rests in r10; the
         # TWAP integer-accumulation device stays pytest-pinned and
         # ts_rollup_cascade keeps the timeseries seat)
@@ -244,7 +251,9 @@ def test_driver_window_is_all_oracled():
         # (the seven rows-only sketch kernels got their CORRECTNESS_r08
         # records and leave the window in r9 — _SEATED_ROWS_ONLY is
         # empty; oracled twins keep their families covered)
-        "agg_incremental_minmax", "profile_fd_composite",
+        # (agg_incremental_minmax got green r8-r10 rows and rests in
+        # r11; the refresh device stays pytest-pinned)
+        "profile_fd_composite",
         "sample_cluster_split",
         # (join_salted_skew got green r8+r9 rows and rests in r10; the
         # salting device stays pinned by tests/test_aqe_skew.py and
@@ -256,7 +265,8 @@ def test_driver_window_is_all_oracled():
         # grid stays pytest-pinned)
         "topk_pareto_frontier",
         "graph_pagerank_flow", "rule_outlier_mad",
-        "events_rolling_distinct",
+        # (events_rolling_distinct got green r8-r10 rows and rests in
+        # r11; events_markov_transitions takes the events seat)
         # round-9 additions: each must get its driver row
         "agg_kll_mergeable", "dedup_semantic_clusters",
         "cdc_schema_changeset", "graph_label_propagation",
@@ -290,6 +300,10 @@ def test_driver_window_is_all_oracled():
         "dedup_shared_substrings", "text_unigram_learn",
         "text_unigram_encode", "link_fs_em", "link_fs_classify",
         "ts_theilsen_trend",
+        # round-11 second-wave additions: each must get its driver row
+        "drift_wasserstein", "events_markov_transitions",
+        "rule_monotonic_orderdate", "dedup_ngram_containment",
+        "sim_hybrid_rrf",
     ]:
         assert required in window, required
 

@@ -254,3 +254,76 @@ def test_rolling_distinct_rejects_bad_window(spark):
     df = spark.createDataFrame([], "ts timestamp, user_id bigint")
     with _pytest.raises(ValueError):
         rolling_distinct_counts(df, "user_id", window_days=0)
+
+
+# ------------------------------------------------------ markov transitions
+
+def test_markov_transitions_counts_and_probabilities(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    # user 1: a -> b -> a ; user 2: a -> b  (ordered by ts, then id)
+    df = spark.createDataFrame(
+        [
+            (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"),
+            (4, 2, 10, "a"), (5, 2, 20, "b"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_trans"], r["p"])
+        for r in markov_transitions(df).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_markov_transitions_tiebreak_within_equal_ts(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    # equal ts: order falls back to event_id, so the sequence is a,b,c
+    df = spark.createDataFrame(
+        [(1, 1, 10, "a"), (2, 1, 10, "b"), (3, 1, 10, "c")],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    got = {
+        (r["src"], r["dst"]) for r in markov_transitions(df).collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}
+
+
+def test_markov_transitions_never_cross_users(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 10, "a"), (2, 2, 20, "b")],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    assert markov_transitions(df).count() == 0
+
+
+def test_markov_row_probabilities_sum_to_one(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        markov_transitions,
+    )
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (i, i % 7, i, rng.choice(["x", "y", "z"]))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    out = markov_transitions(df).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], 0.0)
+        by_src[r["src"]] += r["p"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)

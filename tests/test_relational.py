@@ -843,3 +843,104 @@ def test_pareto_prefilter_is_superset_reducing(spark):
         (r.c, r.g) for r in pareto_frontier_2d(df, "c", "g", 16).collect()
     )
     assert pre == full
+
+
+# ------------------------------------------------------ wasserstein drift
+
+def _w1_brute(a_vals, b_vals, unit_scale=1.0):
+    """Textbook W1 between empirical distributions of integer samples."""
+    support = sorted(set(a_vals) | set(b_vals))
+    na, nb = len(a_vals), len(b_vals)
+    total = 0
+    for v, nxt in zip(support, support[1:]):
+        cuma = sum(1 for x in a_vals if x <= v)
+        cumb = sum(1 for x in b_vals if x <= v)
+        total += abs(cuma * nb - cumb * na) * (nxt - v)
+    return round(total / (na * nb * unit_scale), 6)
+
+
+def test_wasserstein_hand_example(spark):
+    # a = {0, 100}, b = {50, 150}: every unit of mass moves 50 → W1 = 50
+    a = spark.createDataFrame([(0,), (100,)], ["v"])
+    b = spark.createDataFrame([(50,), (150,)], ["v"])
+    row = R.wasserstein_1d(a, b, "v", bin_width=10).first()
+    assert row["w1_stat"] == 50.0
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+
+
+def test_wasserstein_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    av = [rng.randrange(0, 500) for _ in range(80)]
+    bv = [rng.randrange(100, 700) for _ in range(120)]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v,) for v in bv], ["v"])
+    row = R.wasserstein_1d(a, b, "v", bin_width=37).first()
+    assert row["w1_stat"] == _w1_brute(av, bv)
+
+
+def test_wasserstein_block_width_invariance(spark):
+    import random
+
+    rng = random.Random(11)
+    av = [rng.randrange(0, 1000) for _ in range(60)]
+    bv = [rng.randrange(0, 1000) for _ in range(60)]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v,) for v in bv], ["v"])
+    stats = {
+        R.wasserstein_1d(a, b, "v", bin_width=w).first()["w1_stat"]
+        for w in (1, 13, 100, 10_000)
+    }
+    assert len(stats) == 1  # bin_width sets granularity, never the value
+
+
+def test_wasserstein_excludes_nulls_and_scales_units(spark):
+    a = spark.createDataFrame([(0,), (None,), (100,)], ["v"])
+    b = spark.createDataFrame([(50,), (150,), (None,)], ["v"])
+    row = R.wasserstein_1d(a, b, "v", bin_width=10, unit_scale=100.0).first()
+    assert row["w1_stat"] == 0.5  # 50 cents = 0.5 dollars
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+
+
+def test_wasserstein_identical_distributions_zero(spark):
+    a = spark.createDataFrame([(i,) for i in range(50)], ["v"])
+    row = R.wasserstein_1d(a, a, "v", bin_width=7).first()
+    assert row["w1_stat"] == 0.0
+
+
+def test_wasserstein_rejects_bad_bin_width(spark):
+    a = spark.createDataFrame([(1,)], ["v"])
+    with pytest.raises(ValueError):
+        R.wasserstein_1d(a, a, "v", bin_width=0)
+
+
+# ------------------------------------------------------ order inversions
+
+def test_order_inversions_counts_adjacent_decreases(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10), ("a", 2, 20), ("a", 3, 15),  # one inversion
+            ("b", 1, 5), ("b", 2, 5), ("b", 3, 6),     # monotone (ties ok)
+            ("c", 1, 9), ("c", 2, 3), ("c", 3, 1),     # two inversions
+        ],
+        ["g", "seq", "val"],
+    )
+    got = {
+        r["part"]: (r["n_rows"], r["n_pairs"], r["n_inversions"])
+        for r in R.order_inversions(df, "g", "seq", "val").collect()
+    }
+    # only violating groups are returned; ties are NOT inversions
+    assert got == {"a": (3, 2, 1), "c": (3, 2, 2)}
+
+
+def test_order_inversions_null_values_break_no_pairs(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None), ("a", 3, 5), ("a", 4, 2)],
+        ["g", "seq", "val"],
+    )
+    row = R.order_inversions(df, "g", "seq", "val").first()
+    # pairs: (10,None) no pair, (None,5) no pair... lag sees the previous
+    # ROW's value, so (5 after None) has null prev → not a pair; (2 after
+    # 5) is the only countable pair and it inverts.
+    assert (row["n_pairs"], row["n_inversions"]) == (1, 1)

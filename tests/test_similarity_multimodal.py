@@ -629,3 +629,82 @@ def test_phash_max_hamming_bounds(spark):
 
     with _pytest.raises(ValueError, match="max_hamming"):
         phash_near_dup_pairs(df, max_hamming=17)
+
+
+# -------------------------------------------------------------- RRF fusion
+
+def test_rrf_fuse_hand_example(spark):
+    from big_data_validator_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        ["query_id", "vec_id", "rank_a"],
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 13, 3)],
+        ["query_id", "vec_id", "rank_b"],
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in rrf_fuse(a, b, k=10, rrf_k=60).collect()
+    }
+    # doc 11: 1/62 + 1/61 ; doc 10: 1/61 + 1/62 → tie broken by id
+    assert rows[10]["fused_rank"] == 1
+    assert rows[11]["fused_rank"] == 2
+    assert rows[10]["rrf_score"] == rows[11]["rrf_score"]
+    # single-list members carry a NULL rank on the absent side
+    assert rows[12]["rank_b"] is None
+    assert rows[13]["rank_a"] is None
+    assert rows[12]["rrf_score"] == round(1 / 63, 6)
+
+
+def test_rrf_fuse_respects_k(spark):
+    from big_data_validator_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, i, i) for i in range(1, 30)], ["query_id", "vec_id", "rank_a"]
+    )
+    b = spark.createDataFrame(
+        [(1, i, i) for i in range(1, 30)], ["query_id", "vec_id", "rank_b"]
+    )
+    out = rrf_fuse(a, b, k=5, rrf_k=60).collect()
+    assert len(out) == 5
+    assert sorted(r["fused_rank"] for r in out) == [1, 2, 3, 4, 5]
+
+
+def test_hybrid_rrf_finds_lexical_match_dense_misses(spark):
+    from big_data_validator_spark.operators.similarity import (
+        hybrid_lexical_dense_rrf,
+    )
+
+    # doc 0 is the query.  doc 1 shares its text verbatim (lexical hit)
+    # but has an orthogonal embedding; doc 2 has the closest embedding
+    # but unrelated text.  Fusion must surface BOTH above doc 3.
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "completely different words here entirely"),
+            (3, "nothing shared with anything else at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in hybrid_lexical_dense_rrf(
+            docs, emb, lambda c: c < 1, n=5, k=3
+        ).collect()
+    }
+    assert rows[1]["rank_lex"] == 1
+    assert rows[2]["rank_dense"] == 1
+    assert rows[1]["fused_rank"] <= 2 and rows[2]["fused_rank"] <= 2
+    assert rows[3]["fused_rank"] == 3

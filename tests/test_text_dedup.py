@@ -894,3 +894,76 @@ def test_shared_substrings_fingerprint_equals_text_mode(spark):
 
     with _pytest.raises(ValueError, match="gram_keys"):
         shared_substring_pairs(df, gram_keys="bogus")
+
+
+# --------------------------------------------------- containment pairs
+
+def test_containment_flags_subset_that_jaccard_misses(spark):
+    from big_data_validator_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("prefix text before the quote " + short +
+            " and a lot of trailing commentary that dilutes the union " +
+            "with many additional unrelated shingles of filler prose")
+    df = spark.createDataFrame(
+        [(1, short), (2, long)], ["doc_id", "text"]
+    )
+    cont = ngram_containment_pairs(df, n=5, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["cont_a_in_b"] >= 0.9  # the short doc is fully quoted
+    assert row["cont_b_in_a"] < 0.5   # asymmetric by construction
+    # the same pair is invisible to a Jaccard threshold
+    jac = ngram_jaccard_pairs(df, n=5, threshold=0.9).collect()
+    assert jac == []
+
+
+def test_containment_matches_set_arithmetic(spark):
+    from big_data_validator_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    def grams(t, n=4):
+        t = t.lower()
+        return {t[i:i + n] for i in range(len(t) - n + 1)}
+
+    t1 = "abcdefghij"
+    t2 = "abcdefxyzuvw"
+    g1, g2 = grams(t1), grams(t2)
+    expect_ab = round(len(g1 & g2) / len(g1), 6)
+    expect_ba = round(len(g1 & g2) / len(g2), 6)
+    df = spark.createDataFrame([(1, t1), (2, t2)], ["doc_id", "text"])
+    rows = ngram_containment_pairs(df, n=4, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0]["cont_a_in_b"] == expect_ab
+    assert rows[0]["cont_b_in_a"] == expect_ba
+
+
+def test_containment_doc_freq_cap_lower_bounds(spark):
+    from big_data_validator_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # a boilerplate shingle shared by all docs is dropped by the cap;
+    # the reported containment becomes a lower bound of the exact one
+    boiler = "common header line "
+    df = spark.createDataFrame(
+        [(i, boiler + f"unique body {i} " + boiler) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cont_a_in_b"]
+        for r in ngram_containment_pairs(df, n=5, threshold=0.01).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["cont_a_in_b"]
+        for r in ngram_containment_pairs(
+            df, n=5, threshold=0.01, max_doc_freq=2
+        ).collect()
+    }
+    for pair, c in capped.items():
+        assert c <= exact[pair] + 1e-9
