@@ -231,6 +231,10 @@ HEADLINE = [
     "events_markov_transitions",
     "rule_monotonic_orderdate",
     "sim_hybrid_rrf",
+    "events_survival_km",
+    "agg_time_decayed_value",
+    "rule_conversion_ztest",
+    "events_attribution_removal",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

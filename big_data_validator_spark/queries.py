@@ -10000,6 +10000,305 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id,
+             MIN(ts) AS first_ts,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase,
+             MAX(ts) AS last_ts
+      FROM events GROUP BY 1),
+    durs AS (
+      SELECT CASE WHEN first_purchase IS NOT NULL
+                  THEN CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(first_purchase AS DATE)) AS INT)
+                  ELSE CAST(date_diff('day', CAST(first_ts AS DATE),
+                            CAST(last_ts AS DATE)) AS INT) END AS t,
+             first_purchase IS NOT NULL AS obs
+      FROM ud),
+    per_t AS (SELECT t, SUM(CASE WHEN obs THEN 1 ELSE 0 END) AS d,
+                     COUNT(*) AS alln
+              FROM durs GROUP BY t),
+    ar AS (SELECT t, d,
+                  SUM(alln) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                  AND UNBOUNDED FOLLOWING) AS n
+           FROM per_t),
+    steps AS (SELECT t, n, d FROM ar WHERE d > 0),
+    km AS (SELECT t, n, d,
+           MAX(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER w AS deadflag,
+           SUM(CASE WHEN d < n
+               THEN LN(1 - CAST(d AS DOUBLE)/n) END) OVER w AS lsum
+           FROM steps WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW))
+    SELECT t, CAST(n AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           CASE WHEN deadflag = 1 THEN 0.0
+                ELSE ROUND(EXP(lsum), 6) END AS survival
+    FROM km ORDER BY t
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier time-to-first-purchase survival
+    (operators/events_analytics.py: survival_km): per user, the days
+    from first activity to first purchase, right-censored at the last
+    observed event for users who never purchase — the estimator that
+    answers "what fraction converts within t days?" correctly when
+    subjects are still live (a naive churn cut can't).  One aggregate
+    collapses users to per-duration (deaths, totals) rows; the at-risk
+    reverse cumsum and the exp(Σ ln) survival product run over that
+    duration-span-bounded tiny frame (the rolling-anomaly family's
+    deliberate single-partition window), never over raw events.  The
+    terminal d == n step is exact (survival 0, no ln(0))."""
+    from big_data_validator_spark.operators.events_analytics import (
+        survival_km,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+        F.max("ts").alias("last_ts"),
+    )
+    durs = ud.select(
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            F.datediff(F.to_date("first_purchase"), F.to_date("first_ts")),
+        )
+        .otherwise(
+            F.datediff(F.to_date("last_ts"), F.to_date("first_ts"))
+        )
+        .alias("t"),
+        F.col("first_purchase").isNotNull().alias("obs"),
+    )
+    return survival_km(durs, "t", "obs")
+
+
+@query(
+    "agg_time_decayed_value",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS md FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CAST(date_diff('day', o_orderdate,
+                  (SELECT md FROM maxd)) // 365 AS INT) AS age
+      FROM orders)
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST((SUM(CAST(cents AS HUGEINT)
+                     * (CAST(1 AS HUGEINT) << (32 - LEAST(age, 32))))
+                 * 2000000 + 429496729600) // 858993459200 AS DOUBLE)
+             / 1000000.0 AS decayed_value
+    FROM base GROUP BY 1
+    """,
+)
+def agg_time_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT recency-decayed customer value (operators/relational.py:
+    time_decayed_group_value): Σ order-cents · 2^−age_years with a
+    one-year half-life — each weight an exact binary rational applied
+    as a long shift into DECIMAL(38,0), so the scaled aggregate is an
+    exact integer on any engine; the float ``pow(0.5, age)`` a naive
+    scorer uses never appears.  Row-local weights (the reference date
+    is a broadcast 1-row aggregate), then ONE map-side-combined groupBy
+    — the only shuffle carries (custkey, decimal) partials."""
+    o = _t(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("_md"))
+    base = o.crossJoin(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.floor(
+            F.datediff(F.col("_md"), F.col("o_orderdate")) / 365
+        ).alias("age"),
+    )
+    return R.time_decayed_group_value(
+        base, "o_custkey", "cents", "age", max_shift=32
+    )
+
+
+@query(
+    "rule_conversion_ztest",
+    oracle="""
+    WITH uw AS (
+      SELECT user_id, date_trunc('week', ts) AS wk,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS err,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY 1, 2),
+    agg AS (
+      SELECT SUM(err) AS n1, SUM(err * conv) AS x1,
+             SUM(1 - err) AS n0, SUM((1 - err) * conv) AS x0
+      FROM uw)
+    SELECT CAST(n1 AS BIGINT) AS n_error_weeks,
+           CAST(x1 AS BIGINT) AS conv_error_weeks,
+           CAST(n0 AS BIGINT) AS n_clean_weeks,
+           CAST(x0 AS BIGINT) AS conv_clean_weeks,
+           ROUND(CAST(x1 AS DOUBLE) / n1, 6) AS p_error,
+           ROUND(CAST(x0 AS DOUBLE) / n0, 6) AS p_clean,
+           ROUND((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / SQRT((CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                        * (1 - CAST(x1 + x0 AS DOUBLE) / (n1 + n0))
+                        * (1.0 / n1 + 1.0 / n0)), 6) AS z_stat
+    FROM agg
+    """,
+)
+def rule_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: does a user-week containing an error
+    event convert (purchase that week) at a different rate than a
+    clean user-week?  The monitoring rule that turns "errors seem to
+    depress checkout" into a significance statement — all counts exact
+    integers from ONE (user, week) aggregate + one global fold; the
+    z statistic is pure IEEE arithmetic on those exact counts, round-6
+    (cross-engine deterministic).  Per-user-week units keep both arms
+    populated where per-user flags degenerate (every long-lived user
+    eventually sees one error)."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    agg = uw.agg(
+        F.sum("err").alias("n1"),
+        F.sum(F.col("err") * F.col("conv")).alias("x1"),
+        F.sum(1 - F.col("err")).alias("n0"),
+        F.sum((1 - F.col("err")) * F.col("conv")).alias("x0"),
+    )
+    n1, x1, n0, x0 = (F.col(c).cast("double") for c in ("n1", "x1", "n0", "x0"))
+    pooled = (x1 + x0) / (n1 + n0)
+    return agg.select(
+        F.col("n1").cast("long").alias("n_error_weeks"),
+        F.col("x1").cast("long").alias("conv_error_weeks"),
+        F.col("n0").cast("long").alias("n_clean_weeks"),
+        F.col("x0").cast("long").alias("conv_clean_weeks"),
+        F.round(x1 / n1, 6).alias("p_error"),
+        F.round(x0 / n0, 6).alias("p_clean"),
+        F.round(
+            (x1 / n1 - x0 / n0)
+            / F.sqrt(
+                pooled * (1 - pooled) * (1.0 / n1 + 1.0 / n0)
+            ),
+            6,
+        ).alias("z_stat"),
+    )
+
+
+def _attribution_oracle(
+    channels: tuple = ("click", "error", "signup", "view"),
+    conversion: str = "purchase",
+    horizon: int = 8,
+) -> str:
+    """Generate the removal-attribution oracle: the same fixed-horizon
+    value iteration the Spark operator runs, UNROLLED as one CTE per
+    step (the text_bpe_learn oracle-generation device) — identical
+    arithmetic on identical transition probabilities, so the two
+    engines agree to float noise far below round-6."""
+    scen_vals = ", ".join(
+        f"('{c}')" for c in ("__FULL__",) + tuple(channels)
+    )
+    iters = []
+    prev = "it0"
+    for k in range(1, horizon + 1):
+        iters.append(f"""
+    it{k} AS (
+      SELECT t.scenario, t.src AS state, SUM(t.p * v.vp) AS vp
+      FROM t JOIN {prev} v ON v.scenario = t.scenario
+                          AND v.state = t.dst
+      GROUP BY 1, 2
+      UNION ALL SELECT scenario, '{conversion}' AS state, 1.0 AS vp
+      FROM scen)""")
+        prev = f"it{k}"
+    return f"""
+    WITH seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos,
+             event_type AS e
+      FROM events),
+    j AS (
+      SELECT s.user_id, s.pos, s.e
+      FROM seq s LEFT JOIN (
+        SELECT user_id, MIN(pos) AS ppos FROM seq
+        WHERE e = '{conversion}' GROUP BY 1) f USING (user_id)
+      WHERE f.ppos IS NULL OR s.pos <= f.ppos),
+    trans AS (
+      SELECT e AS src,
+             LEAD(e) OVER (PARTITION BY user_id ORDER BY pos) AS dst
+      FROM j),
+    edges AS (
+      SELECT 'START' AS src, e AS dst FROM j WHERE pos = 1
+      UNION ALL
+      SELECT src, dst FROM trans WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT src, 'END' AS dst FROM trans
+      WHERE dst IS NULL AND src <> '{conversion}'),
+    counts AS (SELECT src, dst, COUNT(*) AS n FROM edges GROUP BY 1, 2),
+    scen AS (SELECT * FROM (VALUES {scen_vals}) AS sv(scenario)),
+    scc AS (
+      SELECT scenario, src,
+             CASE WHEN dst = scenario THEN 'END' ELSE dst END AS dst,
+             SUM(n) AS n
+      FROM counts, scen WHERE src <> scenario
+      GROUP BY 1, 2, 3),
+    t AS (SELECT scenario, src, dst,
+                 CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY scenario, src) AS p
+          FROM scc),
+    it0 AS (SELECT scenario, '{conversion}' AS state, 1.0 AS vp
+            FROM scen),{",".join(iters)[1:]},
+    final AS (
+      SELECT s.scenario, COALESCE(f.vp, 0.0) AS p
+      FROM scen s LEFT JOIN (
+        SELECT scenario, vp FROM it{horizon} WHERE state = 'START') f
+      USING (scenario)),
+    eff AS (
+      SELECT f.scenario AS channel,
+             (SELECT p FROM final WHERE scenario = '__FULL__') AS pf,
+             f.p AS pr
+      FROM final f WHERE f.scenario <> '__FULL__')
+    SELECT channel, ROUND(pf, 6) AS p_full, ROUND(pr, 6) AS p_removed,
+           ROUND(1 - pr / pf, 6) AS removal_effect,
+           ROUND((1 - pr / pf) / SUM(1 - pr / pf) OVER (), 6)
+             AS attribution_share
+    FROM eff ORDER BY channel
+    """
+
+
+@query("events_attribution_removal", oracle=_attribution_oracle())
+def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect channel attribution
+    (operators/events_analytics.py: removal_attribution): per-user
+    journeys truncated at first purchase feed a first-order absorbing
+    chain; each channel's causal share is how much the START→purchase
+    absorption probability drops when that channel's inbound edges
+    redirect to the null sink — last-touch attribution's principled
+    replacement (Anderl et al. 2014).  Absorption runs as a FIXED
+    8-step value iteration so the DuckDB oracle is the SAME unrolled
+    arithmetic (one CTE per step, the text_bpe_learn device), never a
+    matrix solve two engines would do differently.  One events pass
+    (user-key window + aggregate to ≤(channels+2)² transition counts);
+    scenarios × iterations are joins over that broadcast-sized frame —
+    data-volume-independent."""
+    from big_data_validator_spark.operators.events_analytics import (
+        removal_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return removal_attribution(
+        ev, channels=["click", "error", "signup", "view"], horizon=8
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -10628,6 +10927,28 @@ _DEMOTED_TO_TAIL = [
     # partitioning); green r8-r10, sliding-window distinct semantics
     # pytest-pinned (tests/test_events_analytics.py)
     "events_rolling_distinct",
+    # ---- round-11 seventh rotation: three seats for the survival /
+    # ---- decayed-value / conversion-z-test wave.  Each rester holds a
+    # ---- fresh r10 green and leaves its family covered:
+    # linkage family keeps link_fs_em + link_fs_classify in-window (the
+    # EM trainer subsumes the fixed-weight scorer's device); green
+    # r5-r10, the longest streak in the registry
+    "link_part_entities",
+    # tokenizer-training family keeps text_unigram_learn +
+    # text_unigram_encode + pipeline_bpe_pack in-window (the pack
+    # pipeline re-runs BPE encode end-to-end); green r7-r10, the
+    # learn-loop CTE oracle stays pytest-pinned
+    "text_bpe_learn",
+    # top-k family keeps topk_order_values in-window (re-seated this
+    # round); green r8-r10, the dominance-window device pytest-pinned
+    "topk_pareto_frontier",
+    # ---- round-11 eighth rotation: one seat for
+    # ---- events_attribution_removal (Markov removal-effect channel
+    # ---- attribution).  streaming family keeps THREE in-window seats
+    # ---- (incremental MV, per-group KLL, streaming SCD2) and the
+    # ---- per-batch PSI protocol stays pytest-pinned
+    # ---- (tests/test_streaming.py); green r7-r10.
+    "streaming_drift_psi",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -63,6 +63,12 @@ TOP = [
     "text_unigram_learn",
     "link_fs_em",
     "link_fs_classify",
+    # round-11 second wave: the exact-integer Wasserstein drift (same
+    # block-scan scaling claim as KS) and the hybrid RRF retrieval
+    # entry (corpus streamed once per signal, postings-bounded lexical
+    # candidates — the claim worth measuring at 10x)
+    "drift_wasserstein",
+    "sim_hybrid_rrf",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

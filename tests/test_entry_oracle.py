@@ -232,14 +232,22 @@ def test_driver_window_is_all_oracled():
         # (sim_ann_exactint got green r7-r10 rows and rests in r11;
         # the three in-window semantic-dedup entries + sim_ann_recall
         # keep exact-integer embedding coverage)
-        "join_point_in_time", "streaming_drift_psi",
-        "text_bpe_learn", "rule_k_anonymity",
+        "join_point_in_time",
+        # (streaming_drift_psi got green r7-r10 rows and rests in r11;
+        # three streaming siblings keep the family seats and the
+        # per-batch PSI protocol stays pytest-pinned)
+        # (text_bpe_learn got green r7-r10 rows and rests in r11; the
+        # unigram trainer/encoder + pipeline_bpe_pack keep the
+        # tokenizer family seats)
+        "rule_k_anonymity",
         # (agg_incremental_totals got green r7-r10 rows and rests in
         # r11; streaming_incremental_mv + agg_incremental_join_mv keep
         # the IVM family seats)
-        "link_part_entities",
         # (profile_fd_discovery got green r7-r10 rows and rests in
         # r11; profile_fd_composite keeps the FD family seat)
+        # (link_part_entities got green r5-r10 rows — six driver
+        # rounds — and rests in r11; link_fs_em + link_fs_classify
+        # keep the linkage family seats)
         "streaming_incremental_mv",
         # (ts_twap_daily got green r7-r9 rows and rests in r10; the
         # TWAP integer-accumulation device stays pytest-pinned and
@@ -263,7 +271,8 @@ def test_driver_window_is_all_oracled():
         # (ts_rollup_cascade got green r8-r10 rows and rests in r11;
         # ts_theilsen_trend takes the timeseries seat and the cascade
         # grid stays pytest-pinned)
-        "topk_pareto_frontier",
+        # (topk_pareto_frontier got green r8-r10 rows and rests in
+        # r11; topk_order_values keeps the top-k family seat)
         "graph_pagerank_flow", "rule_outlier_mad",
         # (events_rolling_distinct got green r8-r10 rows and rests in
         # r11; events_markov_transitions takes the events seat)
@@ -304,6 +313,9 @@ def test_driver_window_is_all_oracled():
         "drift_wasserstein", "events_markov_transitions",
         "rule_monotonic_orderdate", "dedup_ngram_containment",
         "sim_hybrid_rrf",
+        # round-11 third-wave additions: each must get its driver row
+        "events_survival_km", "agg_time_decayed_value",
+        "rule_conversion_ztest", "events_attribution_removal",
     ]:
         assert required in window, required
 

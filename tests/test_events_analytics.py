@@ -327,3 +327,142 @@ def test_markov_row_probabilities_sum_to_one(spark):
         by_src[r["src"]] += r["p"]
     for src, total in by_src.items():
         assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+# ------------------------------------------------------ Kaplan-Meier
+
+def test_survival_km_hand_example_with_censoring(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        survival_km,
+    )
+
+    # deaths at t=1 (2 of 5 at risk) and t=3 (2 of 2 at risk);
+    # one censored subject at t=2 leaves the risk set silently
+    df = spark.createDataFrame(
+        [(1, True), (1, True), (2, False), (3, True), (3, True)],
+        ["t", "obs"],
+    )
+    rows = {r["t"]: r for r in survival_km(df, "t", "obs").collect()}
+    assert set(rows) == {1, 3}  # censor-only times emit no step
+    assert (rows[1]["n_at_risk"], rows[1]["n_deaths"]) == (5, 2)
+    assert rows[1]["survival"] == 0.6
+    # terminal step: everyone at risk dies -> exact 0, no ln(0)
+    assert (rows[3]["n_at_risk"], rows[3]["n_deaths"]) == (2, 2)
+    assert rows[3]["survival"] == 0.0
+
+
+def _km_brute(samples):
+    """Textbook product-limit estimator over (duration, observed)."""
+    times = sorted({t for t, o in samples if o})
+    out, s = {}, 1.0
+    for t in times:
+        n = sum(1 for u, _ in samples if u >= t)
+        d = sum(1 for u, o in samples if u == t and o)
+        s *= 1 - d / n
+        out[t] = (n, d, round(s, 6))
+    return out
+
+
+def test_survival_km_matches_brute_force(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        survival_km,
+    )
+    import random
+
+    rng = random.Random(5)
+    samples = [
+        (rng.randrange(0, 15), rng.random() < 0.7) for _ in range(200)
+    ]
+    df = spark.createDataFrame(samples, ["t", "obs"])
+    got = {
+        r["t"]: (r["n_at_risk"], r["n_deaths"], r["survival"])
+        for r in survival_km(df, "t", "obs").collect()
+    }
+    assert got == _km_brute(samples)
+
+
+def test_survival_km_no_censoring_equals_empirical(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        survival_km,
+    )
+
+    samples = [(t, True) for t in [0, 0, 1, 2, 2, 2, 5, 9]]
+    df = spark.createDataFrame(samples, ["t", "obs"])
+    n = len(samples)
+    for r in survival_km(df, "t", "obs").collect():
+        empirical = sum(1 for t, _ in samples if t > r["t"]) / n
+        assert abs(r["survival"] - empirical) < 1e-6
+
+
+# ------------------------------------------------- removal attribution
+
+def _attr_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, i, e) for i, (u, e) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+
+
+def test_removal_attribution_driver_channel_gets_the_credit(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        removal_attribution,
+    )
+
+    # channel a ALWAYS precedes purchase; channel b always dead-ends.
+    rows = []
+    for u in range(10):
+        rows += [(u, "a"), (u, "purchase")]
+    for u in range(10, 15):
+        rows += [(u, "b")]
+    out = {
+        r["channel"]: r
+        for r in removal_attribution(
+            _attr_events(spark, rows), channels=["a", "b"], horizon=8
+        ).collect()
+    }
+    # removing a: START->a edges redirect to END, no path to purchase
+    assert out["a"]["p_removed"] == 0.0
+    assert out["a"]["removal_effect"] == 1.0
+    # removing b: b never reached purchase, conversion unchanged
+    assert out["b"]["p_removed"] == out["b"]["p_full"]
+    assert out["b"]["removal_effect"] == 0.0
+    assert out["a"]["attribution_share"] == 1.0
+
+
+def test_removal_attribution_truncates_at_first_conversion(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        removal_attribution,
+    )
+
+    # post-purchase activity (u0's trailing b events) must NOT enter
+    # the chain: with truncation, b is never observed before purchase,
+    # so removing b changes nothing
+    rows = [(0, "a"), (0, "purchase"), (0, "b"), (0, "b"),
+            (1, "a"), (1, "purchase")]
+    out = {
+        r["channel"]: r
+        for r in removal_attribution(
+            _attr_events(spark, rows), channels=["a", "b"], horizon=8
+        ).collect()
+    }
+    assert out["b"]["removal_effect"] == 0.0
+    assert out["a"]["removal_effect"] == 1.0
+
+
+def test_removal_attribution_shares_sum_to_one(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        removal_attribution,
+    )
+    import random
+
+    rng = random.Random(9)
+    rows = []
+    for u in range(40):
+        for _ in range(rng.randrange(1, 8)):
+            rows.append((u, rng.choice(["a", "b", "c", "purchase"])))
+    out = removal_attribution(
+        _attr_events(spark, rows), channels=["a", "b", "c"], horizon=8
+    ).collect()
+    assert abs(sum(r["attribution_share"] for r in out) - 1.0) < 5e-6
+    for r in out:
+        assert 0.0 <= r["p_removed"] <= r["p_full"] + 1e-9

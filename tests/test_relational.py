@@ -944,3 +944,44 @@ def test_order_inversions_null_values_break_no_pairs(spark):
     # ROW's value, so (5 after None) has null prev → not a pair; (2 after
     # 5) is the only countable pair and it inverts.
     assert (row["n_pairs"], row["n_inversions"]) == (1, 1)
+
+
+# ------------------------------------------------------ time-decayed value
+
+def test_time_decayed_value_hand_example(spark):
+    df = spark.createDataFrame(
+        [("g", 100, 0), ("g", 200, 1)], ["k", "cents", "age"]
+    )
+    row = R.time_decayed_group_value(df, "k", "cents", "age").first()
+    # 100·2^0 + 200·2^-1 = 200 cents = 2.0 units
+    assert row["decayed_value"] == 2.0
+    assert row["n_rows"] == 2
+
+
+def test_time_decayed_value_old_rows_round_to_zero(spark):
+    df = spark.createDataFrame([("g", 500, 40)], ["k", "cents", "age"])
+    row = R.time_decayed_group_value(
+        df, "k", "cents", "age", max_shift=32
+    ).first()
+    # beyond max_shift half-lives the exact weight is below the
+    # round-6 quantum: 500·2^-32 cents ≈ 1.2e-9 units
+    assert row["decayed_value"] == 0.0
+
+
+def test_time_decayed_value_rejects_bad_shift(spark):
+    df = spark.createDataFrame([("g", 1, 0)], ["k", "cents", "age"])
+    with pytest.raises(ValueError):
+        R.time_decayed_group_value(df, "k", "cents", "age", max_shift=63)
+    with pytest.raises(ValueError):
+        R.time_decayed_group_value(df, "k", "cents", "age", max_shift=0)
+
+
+def test_time_decayed_value_halfway_tie_rounds_half_up(spark):
+    # cents=1, age=5, max_shift=32 -> scaled = 2^27, whose unit value
+    # 0.0003125 is a TRUE decimal halfway case at 6 decimals (power-of-2
+    # denominators make these common).  The integer half-up device must
+    # yield 0.000313 — round(double) half-even would give 0.000312 and
+    # diverge from engines that round half-up.
+    df = spark.createDataFrame([("g", 1, 5)], ["k", "cents", "age"])
+    row = R.time_decayed_group_value(df, "k", "cents", "age").first()
+    assert row["decayed_value"] == 0.000313
