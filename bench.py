@@ -235,6 +235,8 @@ HEADLINE = [
     "agg_time_decayed_value",
     "rule_conversion_ztest",
     "events_attribution_removal",
+    "text_pmi_collocations",
+    "streaming_markov_drift",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

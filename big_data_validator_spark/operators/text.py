@@ -8,7 +8,7 @@ columns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets for the n-gram/stopword language
@@ -604,4 +604,93 @@ def unigram_learn_vocab(
     return sorted(
         ((p, c) for p, c in counts.items() if c > 0),
         key=lambda pc: (-pc[1], pc[0]),
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 10,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-``top_k`` word collocations by pointwise mutual information:
+    ``PMI(x,y) = ln( c(x,y)·N / (c_l(x)·c_r(y)) )`` over adjacent word
+    pairs, with marginals taken over bigram LEFT and RIGHT positions —
+    the classic collocation extractor (Church & Hanks 1990) that
+    surfaces "los angeles" over "of the" where raw bigram counts
+    cannot.  ``min_count`` drops rare pairs whose PMI is pure noise
+    (a hapax pair maxes PMI by construction).
+
+    The ranking NEVER depends on float log precision: candidates order
+    by the exact integer cross-ratio ``c(x,y)·N / (c_l(x)·c_r(y))``
+    under the portable (double-quotient, numerator, denominator,
+    bigram) composite key — the Theil–Sen ordering device — so the
+    top-k cut is engine-exact; the shipped ``pmi`` value is then the
+    round-6 ln of that exact rational.
+
+    Scale shape: one tokenize+explode pass to (left, right) pairs, one
+    count aggregate (the shuffle carries distinct bigrams), marginals
+    as window sums partitioned by token over that SAME aggregated
+    relation (no second corpus pass), TakeOrderedAndProject for the
+    cut.  Returns ``(bigram, pair_count, left_count, right_count,
+    pmi)``.
+    """
+    toked = docs.select(word_tokens(F.col(text_col)).alias("_t"))
+    pairs = toked.select(
+        F.explode(
+            F.when(
+                F.size("_t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_t"), i.cast("int")).alias(
+                            "l"
+                        ),
+                        F.element_at(
+                            F.col("_t"), (i + 1).cast("int")
+                        ).alias("r"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<l:string,r:string>>")
+            )
+        ).alias("p")
+    ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    counts = pairs.groupBy("l", "r").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    scored = counts.select(
+        "l",
+        "r",
+        "c",
+        F.sum("c").over(Window.partitionBy("l")).alias("cl"),
+        F.sum("c").over(Window.partitionBy("r")).alias("cr"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    ).filter(F.col("c") >= min_count)
+    num = F.col("c") * F.col("n")
+    den = F.col("cl") * F.col("cr")
+    return (
+        scored.select(
+            F.concat_ws(" ", "l", "r").alias("bigram"),
+            F.col("c").alias("pair_count"),
+            F.col("cl").alias("left_count"),
+            F.col("cr").alias("right_count"),
+            num.alias("_num"),
+            den.alias("_den"),
+            (num.cast("double") / den.cast("double")).alias("_qd"),
+        )
+        .orderBy(
+            F.col("_qd").desc(),
+            F.col("_num").desc(),
+            F.col("_den").asc(),
+            F.col("bigram").asc(),
+        )
+        .limit(top_k)
+        .select(
+            "bigram",
+            "pair_count",
+            "left_count",
+            "right_count",
+            F.round(F.log(F.col("_qd")), 6).alias("pmi"),
+        )
     )

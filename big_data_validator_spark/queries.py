@@ -10299,6 +10299,200 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    pairs AS (
+      SELECT t[i] AS l, t[i + 1] AS r
+      FROM toks, (SELECT unnest(generate_series(1, 100000)) AS i) g
+      WHERE i <= len(t) - 1),
+    counts AS (SELECT l, r, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+    marg AS (
+      SELECT l, r, c,
+             SUM(c) OVER (PARTITION BY l) AS cl,
+             SUM(c) OVER (PARTITION BY r) AS cr,
+             SUM(c) OVER () AS n
+      FROM counts),
+    cand AS (
+      SELECT l || ' ' || r AS bigram,
+             CAST(c AS BIGINT) AS pair_count,
+             CAST(cl AS BIGINT) AS left_count,
+             CAST(cr AS BIGINT) AS right_count,
+             c * n AS num, cl * cr AS den,
+             CAST(c * n AS DOUBLE) / CAST(cl * cr AS DOUBLE) AS qd
+      FROM marg WHERE c >= 10)
+    SELECT bigram, pair_count, left_count, right_count,
+           ROUND(LN(qd), 6) AS pmi
+    FROM cand
+    ORDER BY qd DESC, num DESC, den ASC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information
+    (operators/text.py: pmi_collocations — Church & Hanks 1990):
+    PMI = ln(c(x,y)·N / (c_l(x)·c_r(y))) over adjacent word pairs with
+    a min-count floor, the extractor that surfaces "los angeles" over
+    "of the" where raw bigram counts cannot.  The top-k cut orders by
+    the EXACT integer cross-ratio under the portable (double-quotient,
+    num, den, bigram) composite key — the ts_theilsen_trend ordering
+    device — so no float-log precision ever decides the cut; ln enters
+    only the shipped round-6 value.  One tokenize pass, one
+    distinct-bigram shuffle, marginals as window sums over that same
+    aggregated relation, TakeOrderedAndProject."""
+    from big_data_validator_spark.operators.text import pmi_collocations
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return pmi_collocations(docs, min_count=10, top_k=20)
+
+
+_MARKOV_SRC_CACHE: dict = {}
+
+
+def _markov_stream_source(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session+sf) the 4-run streaming source for the
+    Markov-drift drain: runs 0/1 are untouched user cohorts (calm,
+    TV ≈ 0.03), run 2 remaps click→error, run 3 drops purchases — the
+    two transition-level regime shifts a behavioral monitor exists to
+    catch.  Same mtime+name ordering device as _drift_stream_source so
+    ``maxFilesPerTrigger=1`` maps batch_id == run_id."""
+    import os
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MARKOV_SRC_CACHE.get(key)
+    if hit and os.path.isdir(hit):
+        return hit
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.col("user_id") % 4).alias("_run"),
+    )
+    staged = ev.filter(
+        ~((F.col("_run") == 3) & (F.col("event_type") == "purchase"))
+    ).withColumn(
+        "event_type",
+        F.when(
+            (F.col("_run") == 2) & (F.col("event_type") == "click"),
+            F.lit("error"),
+        ).otherwise(F.col("event_type")),
+    )
+    root = tempfile.mkdtemp(prefix="bdv_markov_src_")
+    for r in range(4):
+        dst = f"{root}/run{r}"
+        staged.filter(F.col("_run") == r).drop("_run").coalesce(
+            1
+        ).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + r, 1_000_000 + r))
+    _MARKOV_SRC_CACHE[key] = root
+    return root
+
+
+@query(
+    "streaming_markov_drift",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id % 4 AS run_id, user_id, ts, event_id,
+             CASE WHEN user_id % 4 = 2 AND event_type = 'click'
+                  THEN 'error' ELSE event_type END AS e
+      FROM events
+      WHERE NOT (user_id % 4 = 3 AND event_type = 'purchase')),
+    rtrans AS (
+      SELECT run_id, e AS src,
+             LEAD(e) OVER (PARTITION BY run_id, user_id
+                           ORDER BY ts, event_id) AS dst
+      FROM runs),
+    rcnt AS (SELECT run_id, src, dst, COUNT(*) AS n FROM rtrans
+             WHERE dst IS NOT NULL GROUP BY 1, 2, 3),
+    rtot AS (SELECT run_id, SUM(n) AS t FROM rcnt GROUP BY 1),
+    btrans AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events),
+    bcnt AS (SELECT src, dst, COUNT(*) AS n FROM btrans
+             WHERE dst IS NOT NULL GROUP BY 1, 2),
+    base AS (SELECT src, dst,
+                    n / (SELECT CAST(SUM(n) AS DOUBLE) FROM bcnt)
+                      AS p_base
+             FROM bcnt),
+    runids(rid) AS (VALUES (0), (1), (2), (3)),
+    bgrid AS (SELECT rid AS run_id, src, dst, p_base FROM base, runids),
+    runp AS (SELECT r.run_id, r.src, r.dst,
+                    r.n / CAST(t.t AS DOUBLE) AS p_run
+             FROM rcnt r JOIN rtot t USING (run_id)),
+    cells AS (
+      SELECT COALESCE(b.run_id, r.run_id) AS run_id,
+             COALESCE(b.src, r.src) AS src,
+             COALESCE(b.dst, r.dst) AS dst,
+             COALESCE(b.p_base, 0) AS p_base,
+             COALESCE(r.p_run, 0) AS p_run
+      FROM bgrid b FULL OUTER JOIN runp r
+        ON b.run_id = r.run_id AND b.src = r.src AND b.dst = r.dst)
+    SELECT CAST(run_id AS BIGINT) AS run_id, src, dst,
+           ROUND(p_base, 6) AS p_base, ROUND(p_run, 6) AS p_run,
+           ROUND(0.5 * ABS(p_run - p_base), 6) AS tv_term
+    FROM cells ORDER BY run_id, src, dst
+    """,
+)
+def streaming_markov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING behavioral-drift monitor, oracle-checked end-to-end
+    (streaming/validate_stream.py: stream_markov_drift): each
+    micro-batch's first-order transition matrix scores cell-by-cell
+    against the static healthy-traffic matrix as total-variation terms,
+    appended under the exactly-once batch-id commit protocol with
+    batch_id == run_id.  Runs 0/1 are untouched cohorts (TV ≈ 0.03);
+    run 2 remaps click→error and run 3 drops purchases — transition-
+    level regime shifts per-event-count monitors cannot see (TV ≈
+    0.38/0.36).  The baseline matrix folds into each batch plan as a
+    ≤|types|²-row literal grid (the stream_drift_psi histogram device);
+    each batch is one user-key window pass + one (src,dst) aggregate."""
+    import tempfile
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_markov_drift,
+    )
+
+    src = _markov_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    repo = tempfile.mkdtemp(prefix="bdv_markov_repo_")
+    baseline = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_markov_drift(
+            stream,
+            baseline,
+            repo,
+            tempfile.mkdtemp(prefix="bdv_ckpt_"),
+        )
+        q.awaitTermination()
+    rep = read_metrics_repository(spark, repo)
+    return rep.select(
+        "run_id",
+        "src",
+        "dst",
+        F.round("p_base", 6).alias("p_base"),
+        F.round("p_run", 6).alias("p_run"),
+        F.round("tv_term", 6).alias("tv_term"),
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -10949,6 +11143,18 @@ _DEMOTED_TO_TAIL = [
     # ---- per-batch PSI protocol stays pytest-pinned
     # ---- (tests/test_streaming.py); green r7-r10.
     "streaming_drift_psi",
+    # ---- round-11 ninth rotation: one seat for text_pmi_collocations
+    # ---- (PMI collocation extraction).  KLL family keeps
+    # ---- agg_kll_mergeable + agg_kll_by_segment +
+    # ---- streaming_kll_by_group in-window; green r9-r10, the rolling
+    # ---- merge-reuse device pytest-pinned (tests/test_sketches.py).
+    "agg_kll_rolling",
+    # ---- round-11 tenth rotation: one seat for streaming_markov_drift
+    # ---- (per-batch transition-matrix TV monitor).  Graph family
+    # ---- keeps graph_pagerank_flow + graph_triangle_count in-window;
+    # ---- green r9-r10, the large-star/small-star convergence stays
+    # ---- pytest-pinned (tests/test_graph.py).
+    "graph_label_propagation",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -827,3 +827,104 @@ def stream_scd2_history(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_markov_drift(
+    stream: DataFrame,
+    baseline: DataFrame,
+    repo_path: str,
+    checkpoint_path: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    run_col: str = "run_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """STREAMING behavioral-drift monitor: every micro-batch's
+    first-order event-transition matrix is compared cell-by-cell
+    against a STATIC baseline (the healthy traffic's matrix), emitting
+    per-``(src, dst)`` total-variation terms — the serving-side
+    complement of the batch
+    :func:`~big_data_validator_spark.operators.events_analytics
+    .markov_transitions`: a release that halves click→purchase moves
+    this monitor even when every per-event count is flat.
+
+    The baseline matrix is computed ONCE up front and folded into each
+    batch's plan as a literal grid — at most |event types|² rows,
+    bounded driver work by construction (the stream_drift_psi
+    histogram device).  Each micro-batch costs one user-key window
+    pass + one (src, dst) aggregate; per-batch cells FULL-OUTER-join
+    the baseline grid so both novel transitions (p_base = 0) and
+    vanished ones (p_run = 0) surface.  Exactly-once by the batch-id
+    ``_SUCCESS`` commit protocol shared with the other repositories.
+
+    Emits ``(run_id, src, dst, p_base, p_run, tv_term)`` rows with
+    ``tv_term = ½·|p_run − p_base|``; sum per run for the headline
+    total-variation distance (0 calm, 1 disjoint).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+
+    def transitions(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(type_col).alias("src"),
+                F.lead(type_col).over(w).alias("dst"),
+            )
+            .filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    base_rows = transitions(baseline).collect()
+    base_total = sum(r["n"] for r in base_rows)
+    if base_total == 0:
+        raise ValueError(
+            "baseline has no transitions — no matrix to drift from"
+        )
+    base_grid = [
+        (r["src"], r["dst"], r["n"] / base_total) for r in base_rows
+    ]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dst = f"{repo_path.rstrip('/')}/batch_id={batch_id}"
+        jvm = batch_df.sparkSession._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(f"{dst}/_SUCCESS")
+        fs = marker.getFileSystem(
+            batch_df.sparkSession._jsc.hadoopConfiguration()
+        )
+        if fs.exists(marker):
+            return
+        spark = batch_df.sparkSession
+        grid = spark.createDataFrame(
+            base_grid, "src string, dst string, p_base double"
+        )
+        cnt = transitions(batch_df)
+        total = F.sum("n").over(Window.partitionBy(F.lit(1)))
+        p_run = cnt.select(
+            "src", "dst", (F.col("n") / total).alias("p_run")
+        )
+        out = (
+            grid.join(p_run, ["src", "dst"], "full_outer")
+            .select(
+                F.lit(int(batch_id)).cast("long").alias(run_col),
+                "src",
+                "dst",
+                F.coalesce("p_base", F.lit(0.0)).alias("p_base"),
+                F.coalesce("p_run", F.lit(0.0)).alias("p_run"),
+            )
+            .withColumn(
+                "tv_term",
+                0.5 * F.abs(F.col("p_run") - F.col("p_base")),
+            )
+        )
+        out.write.mode("overwrite").parquet(dst)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

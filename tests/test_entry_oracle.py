@@ -278,12 +278,16 @@ def test_driver_window_is_all_oracled():
         # r11; events_markov_transitions takes the events seat)
         # round-9 additions: each must get its driver row
         "agg_kll_mergeable", "dedup_semantic_clusters",
-        "cdc_schema_changeset", "graph_label_propagation",
+        # (graph_label_propagation got green r9+r10 rows and rests in
+        # r11; pagerank + triangle keep the graph family seats)
+        "cdc_schema_changeset",
         # (the five round-9 r1-vintage re-validation seats got their
         # fresh r9 records and rest in r10)
         # round-9 second wave: the rolling-percentile payoff query
         # and the graph-motif member
-        "agg_kll_rolling", "graph_triangle_count",
+        # (agg_kll_rolling got green r9+r10 rows and rests in r11;
+        # three KLL siblings keep the family seats)
+        "graph_triangle_count",
         # round-10 additions: each must get its driver row
         "agg_kll_by_segment", "dedup_semantic_autok",
         "cdc_scd2_history", "multimodal_phash_neardup",
@@ -316,6 +320,7 @@ def test_driver_window_is_all_oracled():
         # round-11 third-wave additions: each must get its driver row
         "events_survival_km", "agg_time_decayed_value",
         "rule_conversion_ztest", "events_attribution_removal",
+        "text_pmi_collocations", "streaming_markov_drift",
     ]:
         assert required in window, required
 

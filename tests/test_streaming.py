@@ -624,3 +624,105 @@ def test_resolve_prior_state_tolerates_id_gaps(spark, tmp_path):
     assert tag(_resolve_prior_state(spark, root, 3, initial)) == 0
     # gap: batch 7 follows 3 (ids 4-6 never committed; 5 is torn)
     assert tag(_resolve_prior_state(spark, root, 7, initial)) == 3
+
+
+def test_stream_markov_drift_flags_transition_shift(spark, tmp_path):
+    """Streaming Markov TV monitor: a batch drawn from the baseline's
+    own behavior scores ~0; a batch whose a->b flow reroutes to a->c
+    scores large; novel transitions surface with p_base=0 and vanished
+    ones with p_run=0; replay is a no-op."""
+    import os
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_markov_drift,
+    )
+
+    # baseline: every user emits a -> b -> a -> b ...
+    base_rows = [
+        (u * 100 + i, u, i, "a" if i % 2 == 0 else "b")
+        for u in range(20)
+        for i in range(6)
+    ]
+    baseline = spark.createDataFrame(
+        base_rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    calm = baseline  # identical behavior
+    shifted = spark.createDataFrame(
+        [
+            (u * 100 + i, u, i, "a" if i % 2 == 0 else "c")
+            for u in range(20)
+            for i in range(6)
+        ],
+        "event_id long, user_id long, ts long, event_type string",
+    )
+    src = tmp_path / "src"
+    for i, part in enumerate([calm, shifted]):
+        dst = str(src / f"run{i}")
+        part.coalesce(1).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(str(src / "run0")).schema
+    repo = str(tmp_path / "repo")
+    q = stream_markov_drift(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*"),
+        baseline=baseline,
+        repo_path=repo,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    hist = read_metrics_repository(spark, repo)
+    tv = {
+        r["run_id"]: r["tv"]
+        for r in hist.groupBy("run_id")
+        .agg(F.sum("tv_term").alias("tv"))
+        .collect()
+    }
+    assert tv[0] == 0.0                 # identical behavior: calm
+    assert tv[1] > 0.4                  # rerouted flow flagged
+    cells_run1 = {
+        (r["src"], r["dst"]): (r["p_base"], r["p_run"])
+        for r in hist.filter("run_id = 1").collect()
+    }
+    assert cells_run1[("a", "c")][0] == 0.0  # novel transition
+    assert cells_run1[("a", "b")][1] == 0.0  # vanished transition
+    # replay with a fresh checkpoint: committed batches skip
+    before = sorted(map(tuple, hist.collect()))
+    q2 = stream_markov_drift(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/*"),
+        baseline=baseline,
+        repo_path=repo,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    after = sorted(
+        map(tuple, read_metrics_repository(spark, repo).collect())
+    )
+    assert before == after
+
+
+def test_stream_markov_drift_rejects_empty_baseline(spark, tmp_path):
+    import pytest as _pytest
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        stream_markov_drift,
+    )
+
+    empty = spark.createDataFrame(
+        [], "event_id long, user_id long, ts long, event_type string"
+    )
+    src = str(tmp_path / "src")
+    empty.write.parquet(src)  # a real (empty) source path
+    with _pytest.raises(ValueError, match="no transitions"):
+        stream_markov_drift(
+            spark.readStream.schema(empty.schema).parquet(src),
+            baseline=empty,
+            repo_path=str(tmp_path / "repo"),
+            checkpoint_path=str(tmp_path / "ckpt"),
+        )

@@ -967,3 +967,71 @@ def test_containment_doc_freq_cap_lower_bounds(spark):
     }
     for pair, c in capped.items():
         assert c <= exact[pair] + 1e-9
+
+
+# --------------------------------------------------- PMI collocations
+
+def test_pmi_collocations_surfaces_collocation_over_frequency(spark):
+    from big_data_validator_spark.operators.text import pmi_collocations
+
+    # "los angeles" always co-occur (perfect association, low count);
+    # "of the" is frequent but independent (each also pairs elsewhere)
+    rows = []
+    rows += [("los angeles",)] * 12
+    rows += [("of the",)] * 30
+    rows += [("of cats",)] * 30
+    rows += [("for the",)] * 30
+    out = pmi_collocations(
+        spark.createDataFrame(rows, ["text"]), min_count=10, top_k=4
+    ).collect()
+    assert out[0]["bigram"] == "los angeles"
+    # perfect association: PMI = ln(N / c) = ln(102/12)
+    import math
+
+    assert out[0]["pmi"] == round(math.log(102 / 12), 6)
+    by = {r["bigram"]: r["pmi"] for r in out}
+    assert by["los angeles"] > by["of the"]
+
+
+def test_pmi_collocations_min_count_floor(spark):
+    from big_data_validator_spark.operators.text import pmi_collocations
+
+    rows = [("rare pair",)] * 3 + [("common stuff",)] * 20
+    out = pmi_collocations(
+        spark.createDataFrame(rows, ["text"]), min_count=10, top_k=10
+    ).collect()
+    bigrams = {r["bigram"] for r in out}
+    assert "rare pair" not in bigrams  # hapax-ish pair suppressed
+    assert "common stuff" in bigrams
+
+
+def test_pmi_collocations_matches_hand_computation(spark):
+    from big_data_validator_spark.operators.text import pmi_collocations
+    import math
+    from collections import Counter
+
+    docs = [
+        "a b a b c", "b a b", "c a b c a", "a c b a", "b c a b c b",
+    ] * 4
+    pair_counts = Counter()
+    for d in docs:
+        t = d.split()
+        for i in range(len(t) - 1):
+            pair_counts[(t[i], t[i + 1])] += 1
+    n = sum(pair_counts.values())
+    cl, cr = Counter(), Counter()
+    for (l, r), c in pair_counts.items():
+        cl[l] += c
+        cr[r] += c
+    expect = {
+        f"{l} {r}": round(math.log(c * n / (cl[l] * cr[r])), 6)
+        for (l, r), c in pair_counts.items()
+        if c >= 4
+    }
+    out = pmi_collocations(
+        spark.createDataFrame([(d,) for d in docs], ["text"]),
+        min_count=4,
+        top_k=50,
+    ).collect()
+    got = {r["bigram"]: r["pmi"] for r in out}
+    assert got == expect
