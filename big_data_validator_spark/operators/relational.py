@@ -977,9 +977,15 @@ def ks_two_sample(
             v.alias("_v"), F.lit(0).alias("_ca"), F.lit(1).alias("_cb")
         )
     )
+    # The per-distinct-value counts feed the local windows, the
+    # per-block totals AND the grand total — three consumers; without a
+    # pin the pooled scan recomputes for each (6 base-table scans in
+    # the physical plan).  The frame is the value domain (already
+    # shrunken), so the pin is cheap; entries release it via
+    # materialize_release (the result is one row).
     cnts = pooled.groupBy("_v").agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
-    )
+    ).cache()
     blk = F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
     keyed = cnts.withColumn("_blk", blk)
     local = keyed.select(
@@ -1030,7 +1036,7 @@ def ks_two_sample(
     grand = keyed.agg(
         F.sum("_na").alias("_n_a"), F.sum("_nb").alias("_n_b")
     )
-    return (
+    out = (
         cum.join(F.broadcast(grand))
         .agg(
             F.round(
@@ -1046,6 +1052,8 @@ def ks_two_sample(
             F.first("_n_b").alias("n_b"),
         )
     )
+    out._bdv_pinned = [cnts]
+    return out
 
 
 def wasserstein_1d(
@@ -1100,9 +1108,11 @@ def wasserstein_1d(
             F.lit(1).alias("_cb"),
         )
     )
+    # Same three-consumer shape as ks_two_sample: pin the shrunken
+    # per-value counts so the base relation is scanned once.
     cnts = pooled.groupBy("_v").agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
-    )
+    ).cache()
     keyed = cnts.withColumn(
         "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
     )
@@ -1163,7 +1173,7 @@ def wasserstein_1d(
         F.col("_cuma").cast(dec) * F.col("_n_b")
         - F.col("_cumb").cast(dec) * F.col("_n_a")
     ) * (F.col("_nextv") - F.col("_v")).cast(dec)
-    return (
+    out = (
         cum.join(F.broadcast(grand))
         .agg(
             F.round(
@@ -1179,6 +1189,8 @@ def wasserstein_1d(
             F.first("_n_b").alias("n_b"),
         )
     )
+    out._bdv_pinned = [cnts]
+    return out
 
 
 def order_inversions(

@@ -3718,11 +3718,13 @@ def drift_ks_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     any choice (pytest-pinned)."""
     o = _t(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return R.ks_two_sample(
-        o.filter(urgent),
-        o.filter(~urgent),
-        "o_totalprice",
-        bin_width=10000.0,
+    return D.materialize_release(
+        R.ks_two_sample(
+            o.filter(urgent),
+            o.filter(~urgent),
+            "o_totalprice",
+            bin_width=10000.0,
+        )
     )
 
 
@@ -9800,12 +9802,14 @@ def drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = o.withColumn(
         "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
     )
-    return R.wasserstein_1d(
-        cents.filter(urgent),
-        cents.filter(~urgent),
-        "cents",
-        bin_width=1_000_000,
-        unit_scale=100.0,
+    return D.materialize_release(
+        R.wasserstein_1d(
+            cents.filter(urgent),
+            cents.filter(~urgent),
+            "cents",
+            bin_width=1_000_000,
+            unit_scale=100.0,
+        )
     )
 
 
