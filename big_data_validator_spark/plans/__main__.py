@@ -157,6 +157,23 @@ PLAN_QUERIES = [
     # aggregation, pair TakeOrdered median) are pinned in
     # tests/test_text_dedup.py, tests/test_linkage.py, and
     # tests/test_timeseries.py.
+    # round-11 second/third wave:
+    "events_markov_transitions",
+    "rule_monotonic_orderdate",
+    "events_survival_km",
+    "agg_time_decayed_value",
+    "rule_conversion_ztest",
+    "events_attribution_removal",
+    "text_pmi_collocations",
+    "sim_hybrid_rrf",
+    # drift_wasserstein and drift_ks_totalprice now materialize
+    # eagerly (materialize_release frees the pinned per-value counts
+    # frame), so the returned frame is a LocalTableScan; the block-scan
+    # shape and block-width invariance stay pinned in
+    # tests/test_relational.py.  dedup_ngram_containment shares
+    # dedup_ngram_jaccard's audited inverted-index plan;
+    # streaming_markov_drift's per-batch plan is sink scaffolding
+    # (audited end-to-end in tests/test_streaming.py).
 ]
 
 
