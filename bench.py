@@ -237,6 +237,8 @@ HEADLINE = [
     "events_attribution_removal",
     "text_pmi_collocations",
     "streaming_markov_drift",
+    "drift_wasserstein_by_year",
+    "sim_matryoshka_recall",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

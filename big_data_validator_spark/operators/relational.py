@@ -1667,3 +1667,98 @@ def time_decayed_group_value(
             ),
         )
     )
+
+
+def wasserstein_by_group(
+    a: DataFrame,
+    b: DataFrame,
+    group_col: str,
+    value_col: str,
+    unit_scale: float = 1.0,
+) -> DataFrame:
+    """Per-group exact 1-D Wasserstein-1 drift — :func:`wasserstein_1d`
+    computed independently for every ``group_col`` value in ONE pass:
+    the per-segment drift monitor (which region's price distribution
+    moved?) the same way ``agg_kll_by_segment`` segments the quantile
+    sketch.
+
+    Because the group key joins every window's partitioning, the global
+    block machinery of the ungrouped operator is unnecessary: the
+    cumulative sums and successor lookups run in windows partitioned BY
+    GROUP — embarrassingly parallel across segments, each segment's
+    frame bounded by its own value domain.  (For a single monster
+    segment, fall back to :func:`wasserstein_1d` on that segment's
+    slice — same statistic, block-decomposed.)  Arithmetic is the same
+    exact-integer DECIMAL(38,0) contract: ``value_col`` must be
+    integral.  Returns one row per group present in EITHER side:
+    ``(group, w1_stat, n_a, n_b)``; groups missing a side entirely
+    yield NULL ``w1_stat`` (no distance between a distribution and
+    nothing), with the counts still reported.
+    """
+    g = F.col(group_col)
+    v = F.col(value_col)
+    pooled = a.filter(v.isNotNull()).select(
+        g.alias("_g"),
+        v.cast("long").alias("_v"),
+        F.lit(1).alias("_ca"),
+        F.lit(0).alias("_cb"),
+    ).unionAll(
+        b.filter(v.isNotNull()).select(
+            g.alias("_g"),
+            v.cast("long").alias("_v"),
+            F.lit(0).alias("_ca"),
+            F.lit(1).alias("_cb"),
+        )
+    )
+    cnts = pooled.groupBy("_g", "_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = cnts.select(
+        "_g",
+        "_v",
+        F.sum("_na")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cuma"),
+        F.sum("_nb")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cumb"),
+        F.lead("_v").over(w).alias("_nextv"),
+        F.sum("_na")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n_a"),
+        F.sum("_nb")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n_b"),
+    )
+    dec = "decimal(38,0)"
+    term = F.when(
+        F.col("_nextv").isNotNull(),
+        F.abs(
+            F.col("_cuma").cast(dec) * F.col("_n_b")
+            - F.col("_cumb").cast(dec) * F.col("_n_a")
+        )
+        * (F.col("_nextv") - F.col("_v")).cast(dec),
+    )
+    return (
+        cum.groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.round(
+                F.try_divide(
+                    # a group with ONE distinct pooled value has no gap
+                    # terms but a well-defined W1 of 0 (all mass at the
+                    # same point) — coalesce before the divide so only
+                    # a missing SIDE (n=0 -> try_divide NULL) nulls out
+                    F.coalesce(
+                        F.sum(term), F.lit(0).cast("decimal(38,0)")
+                    ).cast("double"),
+                    F.first("_n_a").cast("double")
+                    * F.first("_n_b").cast("double")
+                    * F.lit(float(unit_scale)),
+                ),
+                6,
+            ).alias("w1_stat"),
+            F.first("_n_a").alias("n_a"),
+            F.first("_n_b").alias("n_b"),
+        )
+    )

@@ -1429,3 +1429,103 @@ def hybrid_lexical_dense_rrf(
         rank_a_col="rank_lex",
         rank_b_col="rank_dense",
     )
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    query_pred,
+    prefix_dims: Sequence[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) prefix-dimension audit: for each prefix length
+    d, rank the corpus by the dot product of the FIRST d components
+    only and measure recall@k against the full-dimension ranking — the
+    measurement that decides how many dimensions a production index
+    actually needs (Kusupati et al. 2022: MRL-trained embeddings keep
+    most recall at small prefixes; this operator tells you whether
+    YOURS do before you cut the index size 8×).
+
+    ONE broadcast-join scoring pass computes every prefix's dot product
+    per (query, candidate) — ``slice`` + the same fold, so the corpus
+    streams ONCE for all prefixes, not once per prefix; each prefix's
+    rank window partitions by the same query key.  Rankings use round-6
+    scores with id tie-breaks (the cross-engine rank-determinism
+    device).  Returns ``(prefix_dim, query_id, n_hits, recall)`` with
+    ``recall = |top-k(prefix) ∩ top-k(full)| / k``, one row per
+    (prefix, query), ordered.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    corpus = rebalance_for_compute(emb)
+    q = F.broadcast(
+        emb.filter(query_pred(F.col(id_col))).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+        )
+    )
+    dot_prefix = {
+        d: F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("_cvec"), 1, int(d)),
+                    F.slice(F.col("_qvec"), 1, int(d)),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"_dot_{d}")
+        for d in prefix_dims
+    }
+    full_dot = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cvec"), F.col("_qvec"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("_dot_full")
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_cvec"),
+        )
+        .join(q, F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, full_dot, *dot_prefix.values())
+    )
+    def topk(score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("query_id", id_col)
+        )
+
+    truth = topk("_dot_full")
+    out = None
+    for d in prefix_dims:
+        hits = (
+            topk(f"_dot_{d}")
+            .join(truth, ["query_id", id_col], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        row = truth.select("query_id").distinct().join(
+            hits, "query_id", "left"
+        ).select(
+            F.lit(int(d)).alias("prefix_dim"),
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("prefix_dim", "query_id")

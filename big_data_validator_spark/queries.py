@@ -10497,6 +10497,145 @@ def streaming_markov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "drift_wasserstein_by_year",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS ca,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 0 ELSE 1 END AS cb
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    cnts AS (SELECT order_year, v, SUM(ca) AS na, SUM(cb) AS nb
+             FROM pooled GROUP BY 1, 2),
+    cum AS (SELECT order_year, v,
+              SUM(na) OVER w AS cuma, SUM(nb) OVER w AS cumb,
+              LEAD(v) OVER w AS nextv,
+              SUM(na) OVER (PARTITION BY order_year) AS n_a,
+              SUM(nb) OVER (PARTITION BY order_year) AS n_b
+            FROM cnts WINDOW w AS (PARTITION BY order_year ORDER BY v)),
+    terms AS (SELECT order_year, n_a, n_b,
+                CASE WHEN nextv IS NOT NULL THEN
+                  ABS(CAST(cuma AS HUGEINT) * n_b
+                      - CAST(cumb AS HUGEINT) * n_a) * (nextv - v) END
+                  AS t
+              FROM cum)
+    SELECT order_year,
+           ROUND(CAST(COALESCE(SUM(t), 0) AS DOUBLE)
+                 / NULLIF(CAST(ANY_VALUE(n_a) AS DOUBLE)
+                          * CAST(ANY_VALUE(n_b) AS DOUBLE) * 100.0, 0), 6)
+             AS w1_stat,
+           CAST(ANY_VALUE(n_a) AS BIGINT) AS n_a,
+           CAST(ANY_VALUE(n_b) AS BIGINT) AS n_b
+    FROM terms GROUP BY 1
+    """,
+)
+def drift_wasserstein_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEGMENT exact Wasserstein-1 drift (operators/relational.py:
+    wasserstein_by_group): the urgent-vs-normal price distance computed
+    independently per order year in ONE pass — "which year's
+    distribution moved?", the same segmentation step agg_kll_by_segment
+    applies to the quantile sketch.  The group key joins every window's
+    partitioning, so the computation is embarrassingly parallel across
+    segments (each segment's frame is its own value domain); arithmetic
+    keeps the ungrouped operator's exact-integer DECIMAL(38,0)
+    contract, and a group missing one side yields NULL via try_divide
+    (SQL NULLIF parity), never an ANSI abort."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    base = o.select(
+        F.year("o_orderdate").alias("order_year"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        urgent.alias("_u"),
+    )
+    return R.wasserstein_by_group(
+        base.filter(F.col("_u")),
+        base.filter(~F.col("_u")),
+        "order_year",
+        "cents",
+        unit_scale=100.0,
+    )
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), qv),
+                   6) AS dfull,
+             ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[])[1:8],
+                   qv[1:8]), 6) AS d8,
+             ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[])[1:16],
+                   qv[1:16]), 6) AS d16,
+             ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[])[1:32],
+                   qv[1:32]), 6) AS d32
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dfull DESC, vec_id) AS r
+        FROM scored) WHERE r <= 10),
+    pre AS (
+      SELECT 8 AS prefix_dim, query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d8 DESC, vec_id) AS r
+        FROM scored) WHERE r <= 10
+      UNION ALL
+      SELECT 16, query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d16 DESC, vec_id) AS r
+        FROM scored) WHERE r <= 10
+      UNION ALL
+      SELECT 32, query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d32 DESC, vec_id) AS r
+        FROM scored) WHERE r <= 10),
+    hits AS (
+      SELECT p.prefix_dim, p.query_id, COUNT(*) AS n_hits
+      FROM pre p JOIN truth t ON t.query_id = p.query_id
+                             AND t.vec_id = p.vec_id
+      GROUP BY 1, 2),
+    grid AS (SELECT d.prefix_dim, qq.query_id
+             FROM (VALUES (8), (16), (32)) d(prefix_dim),
+                  (SELECT DISTINCT query_id FROM truth) qq)
+    SELECT g.prefix_dim, g.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM grid g LEFT JOIN hits h
+      ON h.prefix_dim = g.prefix_dim AND h.query_id = g.query_id
+    ORDER BY 1, 2
+    """,
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-dimension recall audit
+    (operators/similarity.py: matryoshka_recall — Kusupati et al.
+    2022): recall@10 of the first-8/16/32-component dot-product
+    rankings against the full 64-d ranking, the measurement that
+    decides how many dimensions a production index actually needs —
+    and, for THIS corpus (not MRL-trained), honestly reports that
+    small prefixes lose most recall.  One broadcast-join pass scores
+    EVERY prefix per (query, candidate) via slice+fold, so the corpus
+    streams once for all prefixes; each ranking is round-6 with id
+    tie-breaks (the rank-determinism device)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.matryoshka_recall(
+        emb, lambda c: c < 5, prefix_dims=[8, 16, 32], k=10
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -11159,6 +11298,18 @@ _DEMOTED_TO_TAIL = [
     # ---- green r9-r10, the large-star/small-star convergence stays
     # ---- pytest-pinned (tests/test_graph.py).
     "graph_label_propagation",
+    # ---- round-11 eleventh rotation: two seats for the per-segment
+    # ---- Wasserstein drift (drift_wasserstein_by_year) and the
+    # ---- Matryoshka prefix-recall audit (sim_matryoshka_recall).
+    # outlier-rule semantics stay pytest-pinned (tests/test_profile.py:
+    # MAD grids); the rule family keeps rule_domain_range,
+    # rule_k_anonymity, rule_monotonic_orderdate, rule_conversion_ztest
+    # in-window; green r8-r10
+    "rule_outlier_mad",
+    # CDC family keeps cdc_scd2_history + streaming_scd2_history
+    # in-window (the schema-changeset device shares the fingerprint
+    # diff); green r9-r10
+    "cdc_schema_changeset",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -273,14 +273,18 @@ def test_driver_window_is_all_oracled():
         # grid stays pytest-pinned)
         # (topk_pareto_frontier got green r8-r10 rows and rests in
         # r11; topk_order_values keeps the top-k family seat)
-        "graph_pagerank_flow", "rule_outlier_mad",
+        # (rule_outlier_mad got green r8-r10 rows and rests in r11;
+        # the rule family keeps four in-window seats and the MAD
+        # device stays pytest-pinned)
+        "graph_pagerank_flow",
         # (events_rolling_distinct got green r8-r10 rows and rests in
         # r11; events_markov_transitions takes the events seat)
         # round-9 additions: each must get its driver row
         "agg_kll_mergeable", "dedup_semantic_clusters",
         # (graph_label_propagation got green r9+r10 rows and rests in
         # r11; pagerank + triangle keep the graph family seats)
-        "cdc_schema_changeset",
+        # (cdc_schema_changeset got green r9+r10 rows and rests in
+        # r11; both SCD2 entries keep the CDC family seats)
         # (the five round-9 r1-vintage re-validation seats got their
         # fresh r9 records and rest in r10)
         # round-9 second wave: the rolling-percentile payoff query
@@ -321,6 +325,7 @@ def test_driver_window_is_all_oracled():
         "events_survival_km", "agg_time_decayed_value",
         "rule_conversion_ztest", "events_attribution_removal",
         "text_pmi_collocations", "streaming_markov_drift",
+        "drift_wasserstein_by_year", "sim_matryoshka_recall",
     ]:
         assert required in window, required
 

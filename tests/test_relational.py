@@ -985,3 +985,42 @@ def test_time_decayed_value_halfway_tie_rounds_half_up(spark):
     df = spark.createDataFrame([("g", 1, 5)], ["k", "cents", "age"])
     row = R.time_decayed_group_value(df, "k", "cents", "age").first()
     assert row["decayed_value"] == 0.000313
+
+
+# ------------------------------------------------ grouped wasserstein
+
+def test_wasserstein_by_group_matches_ungrouped_per_segment(spark):
+    import random
+
+    rng = random.Random(17)
+    rows_a = [(g, rng.randrange(0, 300)) for g in ("x", "y") for _ in range(50)]
+    rows_b = [(g, rng.randrange(50, 400)) for g in ("x", "y") for _ in range(70)]
+    a = spark.createDataFrame(rows_a, ["g", "v"])
+    b = spark.createDataFrame(rows_b, ["g", "v"])
+    grouped = {
+        r["g"]: (r["w1_stat"], r["n_a"], r["n_b"])
+        for r in R.wasserstein_by_group(a, b, "g", "v").collect()
+    }
+    for g in ("x", "y"):
+        solo = R.wasserstein_1d(
+            a.filter(F.col("g") == g),
+            b.filter(F.col("g") == g),
+            "v",
+            bin_width=13,
+        ).first()
+        assert grouped[g] == (solo["w1_stat"], solo["n_a"], solo["n_b"])
+
+
+def test_wasserstein_by_group_missing_side_and_point_mass(spark):
+    a = spark.createDataFrame(
+        [("only_a", 5), ("point", 7)], ["g", "v"]
+    )
+    b = spark.createDataFrame([("point", 7)], ["g", "v"])
+    got = {
+        r["g"]: r for r in R.wasserstein_by_group(a, b, "g", "v").collect()
+    }
+    # one-sided group: NULL distance, counts still reported
+    assert got["only_a"]["w1_stat"] is None
+    assert (got["only_a"]["n_a"], got["only_a"]["n_b"]) == (1, 0)
+    # both sides at the same single point: exactly 0, not NULL
+    assert got["point"]["w1_stat"] == 0.0

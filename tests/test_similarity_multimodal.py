@@ -708,3 +708,55 @@ def test_hybrid_rrf_finds_lexical_match_dense_misses(spark):
     assert rows[2]["rank_dense"] == 1
     assert rows[1]["fused_rank"] <= 2 and rows[2]["fused_rank"] <= 2
     assert rows[3]["fused_rank"] == 3
+
+
+# ------------------------------------------------- matryoshka recall
+
+def test_matryoshka_full_prefix_is_perfect_recall(spark):
+    from big_data_validator_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    import random
+
+    rng = random.Random(21)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    out = matryoshka_recall(
+        emb, lambda c: c < 3, prefix_dims=[16], k=5
+    ).collect()
+    # prefix == full dimension -> identical ranking -> recall 1.0
+    assert all(r["recall"] == 1.0 for r in out)
+    assert len(out) == 3
+
+
+def test_matryoshka_informative_prefix_beats_noise_prefix(spark):
+    from big_data_validator_spark.operators.similarity import (
+        matryoshka_recall,
+    )
+    import random
+
+    rng = random.Random(23)
+    # signal lives in the FIRST 4 dims; dims 5-16 are tiny noise, so
+    # the 4-dim prefix nearly reproduces the full ranking while a
+    # hypothetical noise-only prefix could not
+    emb = spark.createDataFrame(
+        [
+            (
+                i,
+                [rng.gauss(0, 1) for _ in range(4)]
+                + [rng.gauss(0, 0.01) for _ in range(12)],
+            )
+            for i in range(80)
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        (r["prefix_dim"], r["query_id"]): r["recall"]
+        for r in matryoshka_recall(
+            emb, lambda c: c < 3, prefix_dims=[4], k=8
+        ).collect()
+    }
+    avg = sum(out.values()) / len(out)
+    assert avg >= 0.75  # dominant-prefix recall stays high
