@@ -362,6 +362,12 @@ def survival_km(
     (``d > 0``) only.
     """
     obs = F.col(observed_col)
+    # A NULL duration has no position on the time axis — and Spark's
+    # nulls-first ordering would otherwise seat it as the FIRST step
+    # with the whole population at risk, poisoning every later survival
+    # value through the cumulative product.  NULL observed flags count
+    # as censored (the conservative reading).
+    df = df.filter(F.col(duration_col).isNotNull())
     per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(F.when(obs, 1).otherwise(0)).alias("d"),
         F.count(F.lit(1)).alias("_all"),
@@ -463,9 +469,14 @@ def removal_attribution(
             ).select("src", F.lit("END").alias("dst"))
         )
     )
+    # The (src, dst) counts frame is tiny but every scenario, every
+    # value-iteration step, and the final selects all derive from it —
+    # unpinned, Spark embeds the full events scan + per-user window
+    # once per reference (~18 copies at horizon 8).  Pin it; callers
+    # release via materialize_release (the result is |channels| rows).
     counts = edges.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).cache()
     scen = F.array(
         F.lit("__FULL__"), *[F.lit(c) for c in channels]
     )
@@ -494,7 +505,11 @@ def removal_attribution(
             / F.sum("n").over(Window.partitionBy("scenario", "src"))
         ).alias("p"),
     )
-    scenarios = t.select("scenario").distinct()
+    # scenarios are known from the ARGUMENT — deriving them from the
+    # data via distinct() would re-trigger the transition pipeline
+    scenarios = t.sparkSession.createDataFrame(
+        [(c,) for c in ("__FULL__", *channels)], "scenario string"
+    )
     absorbing = scenarios.select(
         "scenario",
         F.lit(conversion).alias("state"),
@@ -542,7 +557,7 @@ def removal_attribution(
             (1 - F.try_divide(F.col("p"), F.col("_pf"))).alias("_effect"),
         )
     )
-    return eff.select(
+    out = eff.select(
         "channel",
         F.round("_p_full", 6).alias("p_full"),
         F.round("_p_removed", 6).alias("p_removed"),
@@ -555,3 +570,5 @@ def removal_attribution(
             6,
         ).alias("attribution_share"),
     ).orderBy("channel")
+    out._bdv_pinned = [counts]
+    return out

@@ -1644,9 +1644,15 @@ def time_decayed_group_value(
     """
     if not 0 < max_shift <= 62:
         raise ValueError(f"max_shift must be in (0, 62], got {max_shift}")
+    # Clamp age on BOTH ends: ages beyond max_shift half-lives floor to
+    # weight 1 in scaled space (exact 0 at the shipped rounding), and a
+    # NEGATIVE age (future-dated row — clock skew, bad ingest: exactly
+    # what a validator sees) clamps to 0 rather than pushing the shift
+    # past 63, where shiftleft silently wraps and flips the sign of the
+    # whole group's value.
     weight = F.expr(
-        f"cast(shiftleft(1L, {max_shift} - least(cast({age_periods_col}"
-        f" as int), {max_shift})) as decimal(38,0))"
+        f"cast(shiftleft(1L, {max_shift} - greatest(least(cast("
+        f"{age_periods_col} as int), {max_shift}), 0)) as decimal(38,0))"
     )
     scaled = (
         F.col(amount_cents_col).cast("decimal(38,0)") * weight

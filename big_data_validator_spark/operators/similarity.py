@@ -1490,6 +1490,11 @@ def matryoshka_recall(
         ),
         6,
     ).alias("_dot_full")
+    # scored feeds the truth ranking plus one window per prefix, and
+    # truth is consumed twice per prefix — unpinned, Spark re-executes
+    # the corpus-scoring join once per reference (the ks_two_sample
+    # recompute shape).  Both frames are pinned; callers release via
+    # materialize_release (the result is |prefixes|x|queries| rows).
     scored = (
         corpus.select(
             F.col(id_col),
@@ -1497,7 +1502,8 @@ def matryoshka_recall(
         )
         .join(q, F.col(id_col) != F.col("query_id"))
         .select("query_id", id_col, full_dot, *dot_prefix.values())
-    )
+    ).cache()
+
     def topk(score_col):
         w = Window.partitionBy("query_id").orderBy(
             F.col(score_col).desc(), F.col(id_col).asc()
@@ -1508,7 +1514,7 @@ def matryoshka_recall(
             .select("query_id", id_col)
         )
 
-    truth = topk("_dot_full")
+    truth = topk("_dot_full").cache()
     out = None
     for d in prefix_dims:
         hits = (
@@ -1528,4 +1534,6 @@ def matryoshka_recall(
             ).alias("recall"),
         )
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("prefix_dim", "query_id")
+    result = out.orderBy("prefix_dim", "query_id")
+    result._bdv_pinned = [scored, truth]
+    return result

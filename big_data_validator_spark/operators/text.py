@@ -659,16 +659,31 @@ def pmi_collocations(
     counts = pairs.groupBy("l", "r").agg(
         F.count(F.lit(1)).alias("c")
     )
-    scored = counts.select(
-        "l",
-        "r",
-        "c",
-        F.sum("c").over(Window.partitionBy("l")).alias("cl"),
-        F.sum("c").over(Window.partitionBy("r")).alias("cr"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
-    ).filter(F.col("c") >= min_count)
-    num = F.col("c") * F.col("n")
-    den = F.col("cl") * F.col("cr")
+    # N as a broadcast 1-row aggregate, NOT Window.partitionBy(): an
+    # empty-partition window funnels every distinct bigram through one
+    # task — the single-task-global-window hazard this module's other
+    # operators exist to avoid.  The token-marginal windows stay: they
+    # partition by token, distributed.
+    grand = counts.agg(F.sum("c").alias("n"))
+    scored = (
+        counts.select(
+            "l",
+            "r",
+            "c",
+            F.sum("c").over(Window.partitionBy("l")).alias("cl"),
+            F.sum("c").over(Window.partitionBy("r")).alias("cr"),
+        )
+        .crossJoin(F.broadcast(grand))
+        .filter(F.col("c") >= min_count)
+    )
+    # DECIMAL(38,0) before multiplying: raw long products wrap past
+    # ~9.2e18 (a 3e9-bigram corpus with a 1e8-count stopword pair),
+    # corrupting the ordering key, the cut, AND the ln value with no
+    # error.  DuckDB's SUM already promotes to HUGEINT, so the decimal
+    # side restores the cross-engine "exact integer cross-ratio" claim.
+    dec = "decimal(38,0)"
+    num = F.col("c").cast(dec) * F.col("n")
+    den = F.col("cl").cast(dec) * F.col("cr")
     return (
         scored.select(
             F.concat_ws(" ", "l", "r").alias("bigram"),

@@ -10298,8 +10298,10 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    return removal_attribution(
-        ev, channels=["click", "error", "signup", "view"], horizon=8
+    return D.materialize_release(
+        removal_attribution(
+            ev, channels=["click", "error", "signup", "view"], horizon=8
+        )
     )
 
 
@@ -10631,8 +10633,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     streams once for all prefixes; each ranking is round-6 with id
     tie-breaks (the rank-determinism device)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.matryoshka_recall(
-        emb, lambda c: c < 5, prefix_dims=[8, 16, 32], k=10
+    return D.materialize_release(
+        S.matryoshka_recall(
+            emb, lambda c: c < 5, prefix_dims=[8, 16, 32], k=10
+        )
     )
 
 

@@ -859,6 +859,14 @@ def stream_markov_drift(
     vanished ones (p_run = 0) surface.  Exactly-once by the batch-id
     ``_SUCCESS`` commit protocol shared with the other repositories.
 
+    SEMANTIC PRECONDITION: transitions are computed WITHIN each
+    micro-batch — a per-user sequence that straddles a batch boundary
+    loses its boundary transition, so calm traffic can show nonzero TV
+    purely from batching.  Align batch boundaries with journey
+    boundaries (session files, per-cohort triggers — what the shipped
+    entry stages) or treat per-batch sequences as the monitored unit
+    and calibrate the alert threshold at the chosen trigger size.
+
     Emits ``(run_id, src, dst, p_base, p_run, tv_term)`` rows with
     ``tv_term = ½·|p_run − p_base|``; sum per run for the headline
     total-variation distance (0 calm, 1 disjoint).

@@ -466,3 +466,20 @@ def test_removal_attribution_shares_sum_to_one(spark):
     assert abs(sum(r["attribution_share"] for r in out) - 1.0) < 5e-6
     for r in out:
         assert 0.0 <= r["p_removed"] <= r["p_full"] + 1e-9
+
+
+def test_survival_km_excludes_null_durations(spark):
+    from big_data_validator_spark.operators.events_analytics import (
+        survival_km,
+    )
+
+    # the NULL-duration death must NOT become a first step with the
+    # whole population at risk (Spark orders nulls first)
+    df = spark.createDataFrame(
+        [(None, True), (1, True), (1, False)],
+        "t int, obs boolean",
+    )
+    rows = survival_km(df, "t", "obs").collect()
+    assert [r["t"] for r in rows] == [1]
+    assert rows[0]["n_at_risk"] == 2
+    assert rows[0]["survival"] == 0.5

@@ -1024,3 +1024,14 @@ def test_wasserstein_by_group_missing_side_and_point_mass(spark):
     assert (got["only_a"]["n_a"], got["only_a"]["n_b"]) == (1, 0)
     # both sides at the same single point: exactly 0, not NULL
     assert got["point"]["w1_stat"] == 0.0
+
+
+def test_time_decayed_value_clamps_negative_ages(spark):
+    # a future-dated row (negative age) must weigh like age 0 — not
+    # push the shift past 63 where shiftleft wraps and flips the sign
+    df = spark.createDataFrame(
+        [("g", 100, -31), ("g", 100, -40), ("g", 100, 0)],
+        ["k", "cents", "age"],
+    )
+    row = R.time_decayed_group_value(df, "k", "cents", "age").first()
+    assert row["decayed_value"] == 3.0  # three full-weight rows
