@@ -69,6 +69,15 @@ TOP = [
     # candidates — the claim worth measuring at 10x)
     "drift_wasserstein",
     "sim_hybrid_rrf",
+    # round-11 third wave: the per-segment W1 (embarrassingly parallel
+    # across segments — the claim worth measuring), the Matryoshka
+    # prefix audit (one corpus pass for all prefixes), the Markov
+    # attribution (events pass + data-independent iteration joins),
+    # and the streaming TV monitor (micro-batch harness floor)
+    "drift_wasserstein_by_year",
+    "sim_matryoshka_recall",
+    "events_attribution_removal",
+    "streaming_markov_drift",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
