@@ -239,6 +239,7 @@ HEADLINE = [
     "streaming_markov_drift",
     "drift_wasserstein_by_year",
     "sim_matryoshka_recall",
+    "contamination_ngram_overlap",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

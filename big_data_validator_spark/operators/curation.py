@@ -432,3 +432,80 @@ def k_anonymity_violations(
         ),
     )
     return out.filter(F.size("violations") > 0)
+
+
+def contamination_ngram_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n_words: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    flag_threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark-contamination screen by word-n-gram COLLISION RATE —
+    the GPT-3/PaLM "dirty document" method (Brown et al. 2020, App. C):
+    a training document is dirty in proportion to how many of its
+    ``n_words``-grams also appear in the evaluation benchmark.  This
+    catches paraphrased-layout and partial overlaps the exact-substring
+    probe screen (:func:`contamination_probe_counts`) misses, because
+    ANY shared 13-gram counts — not only whole probes.
+
+    The benchmark's distinct n-gram set is the small side by
+    construction (benchmarks are thousands of items, corpora are
+    billions), so the collision join BROADCASTS it and the corpus
+    streams ONCE: explode each doc's distinct n-grams (lowercase
+    alnum-run tokens, the text-family rule), inner-join the broadcast
+    set, count per doc, and join counts back to per-doc gram totals.
+    At 10^6+ benchmark grams, swap the broadcast for a Bloom filter on
+    the gram hash — the join stays one-sided either way.
+
+    Returns ``(id, n_grams, n_dirty, dirty_frac, flagged)`` for every
+    document with at least one n-gram (docs shorter than ``n_words``
+    words have no grams and are trivially clean — they are excluded,
+    matching the published method's defined-only denominator).
+    ``dirty_frac`` rounds to 6; ``flagged`` is the ``>= flag_threshold``
+    verdict.
+    """
+    from big_data_validator_spark.operators.text import word_tokens
+
+    def word_grams(col):
+        toks = word_tokens(col)
+        return F.when(
+            F.size(toks) >= n_words,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n_words - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i, n_words)
+                    ),
+                )
+            ),
+        )
+
+    bench_grams = F.broadcast(
+        benchmark.select(
+            F.explode(word_grams(F.col(bench_text_col))).alias("_g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        word_grams(F.col(text_col)).alias("_grams"),
+    ).filter(F.col("_grams").isNotNull())
+    sizes = doc_grams.select("id", F.size("_grams").alias("n_grams"))
+    hits = (
+        doc_grams.select("id", F.explode("_grams").alias("_g"))
+        .join(bench_grams, "_g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dirty"))
+    )
+    frac = F.coalesce(F.col("n_dirty"), F.lit(0)) / F.col("n_grams")
+    return sizes.join(hits, "id", "left").select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dirty"), F.lit(0))
+        .cast("long")
+        .alias("n_dirty"),
+        F.round(frac, 6).alias("dirty_frac"),
+        (frac >= F.lit(float(flag_threshold))).alias("flagged"),
+    )

@@ -10640,6 +10640,62 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "contamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 12),
+               i -> array_to_string(t[i:i+12], ' '))) AS g
+      FROM toks WHERE len(t) >= 13),
+    bench AS (SELECT DISTINCT unnest(g) AS bg FROM grams
+              WHERE doc_id < 20),
+    corpus AS (SELECT doc_id AS id, g FROM grams WHERE doc_id >= 20),
+    sizes AS (SELECT id, len(g) AS n_grams FROM corpus),
+    hits AS (
+      SELECT c.id, COUNT(*) AS n_dirty
+      FROM (SELECT id, unnest(g) AS cg FROM corpus) c
+      JOIN bench b ON b.bg = c.cg
+      GROUP BY 1)
+    SELECT s.id, CAST(s.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_dirty, 0) AS BIGINT) AS n_dirty,
+           ROUND(COALESCE(h.n_dirty, 0)
+                 / CAST(s.n_grams AS DOUBLE), 6) AS dirty_frac,
+           COALESCE(h.n_dirty, 0) / CAST(s.n_grams AS DOUBLE) >= 0.1
+             AS flagged
+    FROM sizes s LEFT JOIN hits h ON h.id = s.id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination by 13-gram collision rate
+    (operators/curation.py: contamination_ngram_overlap — the
+    GPT-3/PaLM dirty-document method): each training document scored by
+    the fraction of its word-13-grams that also appear in the
+    benchmark slice (docs 0-19 here), catching partial and
+    paraphrased-layout overlaps the exact-substring probe screen
+    (contamination_probes) cannot — the planted near-dup crossing the
+    benchmark boundary surfaces at dirty_frac 1.0.  The benchmark gram
+    set broadcasts (benchmarks are small by construction) and the
+    corpus streams ONCE through a one-sided join."""
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_overlap,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return contamination_ngram_overlap(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n_words=13,
+        flag_threshold=0.1,
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -11314,6 +11370,12 @@ _DEMOTED_TO_TAIL = [
     # in-window (the schema-changeset device shares the fingerprint
     # diff); green r9-r10
     "cdc_schema_changeset",
+    # ---- round-11 twelfth rotation: one seat for the 13-gram
+    # ---- collision contamination screen.  IVM family keeps
+    # ---- agg_incremental_join_mv in-window (the delta-apply device is
+    # ---- shared) and the streaming family keeps three seats; green
+    # ---- r7-r10 (four driver rounds).
+    "streaming_incremental_mv",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

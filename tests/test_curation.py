@@ -252,3 +252,72 @@ def test_k_anonymity_and_l_diversity_violations(spark):
         for r in k_anonymity_violations(df, ["region", "band"], k=5).collect()
     }
     assert konly == {("uk", 1), ("de", 3)}
+
+
+# -------------------------------------------- n-gram overlap contamination
+
+def test_contamination_ngram_overlap_catches_partial_quote(spark):
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_overlap,
+    )
+
+    bench_text = "what is the capital of france the answer is paris"
+    bench = spark.createDataFrame([(0, bench_text)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark question verbatim inside prose
+            (1, "some preamble " + bench_text + " trailing words " +
+                "going on and on with fresh content here"),
+            # clean doc of the same length
+            (2, "totally unrelated text about weather patterns and "
+                "their effect on regional agriculture in the north"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r
+        for r in contamination_ngram_overlap(
+            docs, bench, n_words=5, flag_threshold=0.1
+        ).collect()
+    }
+    assert got[1]["n_dirty"] > 0 and got[1]["flagged"]
+    assert got[2]["n_dirty"] == 0 and not got[2]["flagged"]
+    assert got[2]["dirty_frac"] == 0.0
+
+
+def test_contamination_ngram_overlap_matches_set_arithmetic(spark):
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_overlap,
+    )
+    import re
+
+    def grams(t, n):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_t = "a b c d e f g h"
+    doc_t = "x y a b c d q r s t u v w"
+    expect_hits = len(grams(doc_t, 4) & grams(bench_t, 4))
+    expect_total = len(grams(doc_t, 4))
+    bench = spark.createDataFrame([(0, bench_t)], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, doc_t)], ["doc_id", "text"])
+    [row] = contamination_ngram_overlap(
+        docs, bench, n_words=4, flag_threshold=0.5
+    ).collect()
+    assert (row["n_grams"], row["n_dirty"]) == (expect_total, expect_hits)
+
+
+def test_contamination_ngram_overlap_short_docs_excluded(spark):
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_overlap,
+    )
+
+    bench = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c d e plus more words")],
+        ["doc_id", "text"],
+    )
+    rows = contamination_ngram_overlap(
+        docs, bench, n_words=5
+    ).collect()
+    assert [r["id"] for r in rows] == [2]  # sub-n docs have no grams

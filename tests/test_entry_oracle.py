@@ -248,7 +248,9 @@ def test_driver_window_is_all_oracled():
         # (link_part_entities got green r5-r10 rows — six driver
         # rounds — and rests in r11; link_fs_em + link_fs_classify
         # keep the linkage family seats)
-        "streaming_incremental_mv",
+        # (streaming_incremental_mv got green r7-r10 rows and rests in
+        # r11; agg_incremental_join_mv keeps the IVM family seat and
+        # the streaming family keeps three seats)
         # (ts_twap_daily got green r7-r9 rows and rests in r10; the
         # TWAP integer-accumulation device stays pytest-pinned and
         # ts_rollup_cascade keeps the timeseries seat)
@@ -326,6 +328,7 @@ def test_driver_window_is_all_oracled():
         "rule_conversion_ztest", "events_attribution_removal",
         "text_pmi_collocations", "streaming_markov_drift",
         "drift_wasserstein_by_year", "sim_matryoshka_recall",
+        "contamination_ngram_overlap",
     ]:
         assert required in window, required
 
