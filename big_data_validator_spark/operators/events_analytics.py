@@ -423,13 +423,18 @@ def removal_attribution(
     with a handful of states the truncation error after 8 steps is far
     below the round-6 quantum for chains that convert at these rates.
 
-    Scale shape: everything heavy happens in ONE pass over events (a
+    Scale shape: ALL data-proportional work is ONE pass over events (a
     per-user window + an aggregate down to (src, dst) counts — at most
-    (|channels|+2)² rows).  Scenarios (full + one per removed channel)
-    and the ``horizon`` value-iteration steps are joins over that tiny
-    broadcast-sized frame — work independent of data volume.  Returns
-    ``(channel, p_full, p_removed, removal_effect, attribution_share)``
-    rounded to 6, ordered by channel.
+    (|channels|+2)² rows, a bounded sufficient statistic).  That tiny
+    frame is collected and the scenarios × horizon value iteration
+    runs driver-side (the Theil–Sen / FS-EM driver-loop regime:
+    iterating 5 scenarios × 8 steps over ≤49 numbers as Spark jobs
+    would serialize ~40 tiny stages for no distribution benefit — an
+    earlier Spark-side loop measured 5-7 s of pure stage latency).
+    Returns a local frame ``(channel, p_full, p_removed,
+    removal_effect, attribution_share)`` rounded to 6, ordered by
+    channel; degenerate chains (no conversion path, zero total effect)
+    yield NULLs, matching SQL null-on-zero-division.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     seq = events.select(
@@ -469,106 +474,70 @@ def removal_attribution(
             ).select("src", F.lit("END").alias("dst"))
         )
     )
-    # The (src, dst) counts frame is tiny but every scenario, every
-    # value-iteration step, and the final selects all derive from it —
-    # unpinned, Spark embeds the full events scan + per-user window
-    # once per reference (~18 copies at horizon 8).  Pin it; callers
-    # release via materialize_release (the result is |channels| rows).
-    counts = edges.groupBy("src", "dst").agg(
-        F.count(F.lit(1)).alias("n")
-    ).cache()
-    scen = F.array(
-        F.lit("__FULL__"), *[F.lit(c) for c in channels]
+    counts = {
+        (r["src"], r["dst"]): r["n"]
+        for r in edges.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def absorption(removed) -> float | None:
+        # redirect edges INTO the removed channel to END, drop edges
+        # FROM it (row sums are preserved by the redirect)
+        cells: dict = {}
+        for (s, d), n in counts.items():
+            if s == removed:
+                continue
+            d2 = "END" if d == removed else d
+            cells[(s, d2)] = cells.get((s, d2), 0) + n
+        row_tot: dict = {}
+        for (s, _), n in cells.items():
+            row_tot[s] = row_tot.get(s, 0) + n
+        # fixed-horizon value iteration; deterministic summation order
+        v = {conversion: 1.0}
+        for _ in range(horizon):
+            nxt = {conversion: 1.0}
+            for s in sorted(row_tot):
+                total = 0.0
+                for d in sorted(v):
+                    n = cells.get((s, d))
+                    if n:
+                        total += (n / row_tot[s]) * v[d]
+                nxt[s] = total
+            v = nxt
+        return v.get("START", 0.0)
+
+    p_full = absorption(None)
+    removed_p = {c: absorption(c) for c in channels}
+    effects = {
+        c: (1.0 - p_rm / p_full if p_full and p_full > 0 else None)
+        for c, p_rm in removed_p.items()
+    }
+    eff_sum = (
+        sum(e for e in effects.values() if e is not None)
+        if any(e is not None for e in effects.values())
+        else None
     )
-    sc = (
-        counts.select(
-            F.explode(scen).alias("scenario"), "src", "dst", "n"
+    rows = []
+    for c in sorted(channels):
+        e = effects[c]
+        share = (
+            round(e / eff_sum, 6)
+            if e is not None and eff_sum
+            else None
         )
-        .filter(F.col("src") != F.col("scenario"))
-        .select(
-            "scenario",
-            "src",
-            F.when(F.col("dst") == F.col("scenario"), F.lit("END"))
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "n",
-        )
-        .groupBy("scenario", "src", "dst")
-        .agg(F.sum("n").alias("n"))
-    )
-    t = sc.select(
-        "scenario",
-        "src",
-        "dst",
-        (
-            F.col("n").cast("double")
-            / F.sum("n").over(Window.partitionBy("scenario", "src"))
-        ).alias("p"),
-    )
-    # scenarios are known from the ARGUMENT — deriving them from the
-    # data via distinct() would re-trigger the transition pipeline
-    scenarios = t.sparkSession.createDataFrame(
-        [(c,) for c in ("__FULL__", *channels)], "scenario string"
-    )
-    absorbing = scenarios.select(
-        "scenario",
-        F.lit(conversion).alias("state"),
-        F.lit(1.0).alias("vp"),
-    )
-    v = absorbing
-    for _ in range(horizon):
-        stepped = (
-            t.alias("t")
-            .join(
-                v.alias("v"),
-                (F.col("v.scenario") == F.col("t.scenario"))
-                & (F.col("v.state") == F.col("t.dst")),
+        rows.append(
+            (
+                c,
+                round(p_full, 6) if p_full is not None else None,
+                round(removed_p[c], 6),
+                round(e, 6) if e is not None else None,
+                share,
             )
-            .groupBy(
-                F.col("t.scenario").alias("scenario"),
-                F.col("t.src").alias("state"),
-            )
-            .agg(F.sum(F.col("t.p") * F.col("v.vp")).alias("vp"))
         )
-        v = stepped.unionByName(absorbing)
-    # A scenario whose chain never reaches the conversion state drops
-    # out of the inner-join iteration entirely — that IS probability 0,
-    # so restore it explicitly (a removed channel can kill conversion).
-    final = scenarios.join(
-        v.filter(F.col("state") == "START").select("scenario", "vp"),
-        "scenario",
-        "left",
-    ).select(
-        "scenario", F.coalesce("vp", F.lit(0.0)).alias("p")
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel string, p_full double, p_removed double, "
+        "removal_effect double, attribution_share double",
     )
-    full = final.filter(F.col("scenario") == "__FULL__").select(
-        F.col("p").alias("_pf")
-    )
-    # try_divide: a corpus with zero full-path conversions (or zero
-    # total effect) yields NULLs, matching SQL null-on-zero-division —
-    # never an ANSI DIVIDE_BY_ZERO abort.
-    eff = (
-        final.filter(F.col("scenario") != "__FULL__")
-        .crossJoin(F.broadcast(full))
-        .select(
-            F.col("scenario").alias("channel"),
-            F.col("_pf").alias("_p_full"),
-            F.col("p").alias("_p_removed"),
-            (1 - F.try_divide(F.col("p"), F.col("_pf"))).alias("_effect"),
-        )
-    )
-    out = eff.select(
-        "channel",
-        F.round("_p_full", 6).alias("p_full"),
-        F.round("_p_removed", 6).alias("p_removed"),
-        F.round("_effect", 6).alias("removal_effect"),
-        F.round(
-            F.try_divide(
-                F.col("_effect"),
-                F.sum("_effect").over(Window.partitionBy()),
-            ),
-            6,
-        ).alias("attribution_share"),
-    ).orderBy("channel")
-    out._bdv_pinned = [counts]
-    return out
+

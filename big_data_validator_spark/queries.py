@@ -10290,18 +10290,19 @@ def events_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-step value iteration so the DuckDB oracle is the SAME unrolled
     arithmetic (one CTE per step, the text_bpe_learn device), never a
     matrix solve two engines would do differently.  One events pass
-    (user-key window + aggregate to ≤(channels+2)² transition counts);
-    scenarios × iterations are joins over that broadcast-sized frame —
-    data-volume-independent."""
+    (user-key window + aggregate to ≤(channels+2)² transition counts —
+    the bounded sufficient statistic); the scenarios × iterations run
+    driver-side over that collected frame (the Theil–Sen/FS-EM
+    driver-loop regime — ~40 tiny Spark stages bought nothing but
+    latency), so the entry is data-volume-independent past the one
+    pass."""
     from big_data_validator_spark.operators.events_analytics import (
         removal_attribution,
     )
 
     ev = _t(spark, sf_dir, "events")
-    return D.materialize_release(
-        removal_attribution(
-            ev, channels=["click", "error", "signup", "view"], horizon=8
-        )
+    return removal_attribution(
+        ev, channels=["click", "error", "signup", "view"], horizon=8
     )
 
 
