@@ -163,7 +163,12 @@ PLAN_QUERIES = [
     "events_survival_km",
     "agg_time_decayed_value",
     "rule_conversion_ztest",
-    "events_attribution_removal",
+    # events_attribution_removal joined the driver-loop class (the
+    # bounded (src,dst) sufficient statistic collects and the value
+    # iteration runs driver-side -> LocalTableScan result); its one
+    # distributed pass is the same window+aggregate shape audited via
+    # events_markov_transitions, and its semantics are pinned in
+    # tests/test_events_analytics.py.
     "text_pmi_collocations",
     "sim_hybrid_rrf",
     # drift_wasserstein and drift_ks_totalprice now materialize
