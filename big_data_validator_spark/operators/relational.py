@@ -1173,21 +1173,26 @@ def wasserstein_1d(
         F.col("_cuma").cast(dec) * F.col("_n_b")
         - F.col("_cumb").cast(dec) * F.col("_n_a")
     ) * (F.col("_nextv") - F.col("_v")).cast(dec)
-    out = (
-        cum.join(F.broadcast(grand))
-        .agg(
-            F.round(
-                F.sum(term).cast("double")
-                / (
-                    F.first("_n_a").cast("double")
-                    * F.first("_n_b").cast("double")
-                    * F.lit(float(unit_scale))
-                ),
-                6,
-            ).alias("w1_stat"),
-            F.first("_n_a").alias("n_a"),
-            F.first("_n_b").alias("n_b"),
-        )
+    # Counts come from the UN-FILTERED keyed frame and the gap-term sum
+    # coalesces to 0, so a pooled input with a single distinct value
+    # (empty gap frame — true W1 is 0.0) yields (0.0, n_a, n_b) instead
+    # of an all-NULL row, matching :func:`wasserstein_by_group`'s
+    # handling of the same edge.
+    termsum = cum.join(F.broadcast(grand)).agg(
+        F.coalesce(F.sum(term), F.lit(0).cast(dec)).alias("_ts")
+    )
+    out = grand.join(F.broadcast(termsum)).select(
+        F.round(
+            F.col("_ts").cast("double")
+            / (
+                F.col("_n_a").cast("double")
+                * F.col("_n_b").cast("double")
+                * F.lit(float(unit_scale))
+            ),
+            6,
+        ).alias("w1_stat"),
+        F.col("_n_a").alias("n_a"),
+        F.col("_n_b").alias("n_b"),
     )
     out._bdv_pinned = [cnts]
     return out
@@ -1658,7 +1663,14 @@ def time_decayed_group_value(
         F.col(amount_cents_col).cast("decimal(38,0)") * weight
     )
     den = (1 << max_shift) * 100  # scaled space -> cents -> units
-    quantized = F.expr(f"(_scaled * 2000000 + {den}) div {2 * den}")
+    # Floor-consistent half-up quantization: DuckDB's ``//`` floors
+    # while Spark's ``div`` truncates toward zero, so a NEGATIVE
+    # decayed sum (refund/credit-heavy group) would quantize one unit
+    # apart across engines.  ``pmod`` is non-negative for a positive
+    # modulus, so subtracting it makes the numerator exactly divisible
+    # and ``div`` becomes true floor division on both signs.
+    num = f"(_scaled * 2000000 + {den})"
+    quantized = F.expr(f"({num} - pmod({num}, {2 * den})) div {2 * den}")
     return (
         df.groupBy(group_col)
         .agg(

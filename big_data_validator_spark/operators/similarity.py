@@ -1357,6 +1357,7 @@ def hybrid_lexical_dense_rrf(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dense_top_m: Optional[int] = None,
 ) -> DataFrame:
     """Hybrid retrieval: fuse a LEXICAL ranking (shared character
     ``n``-gram count between query text and candidate text — exact
@@ -1375,13 +1376,21 @@ def hybrid_lexical_dense_rrf(
       shingle with a query, postings-bounded, never pairwise in the
       corpus;
     - dense: the corpus embeddings stream ONCE against the broadcast
-      query vectors (:func:`brute_force_topk` with ``k`` = corpus, the
-      exact baseline; swap in the IVF/LSH rankers for ANN at scale).
+      query vectors, TRUNCATED to the top ``dense_top_m`` per query
+      (default ``max(k*10, 100)``) — RRF's missing-member convention is
+      exactly what makes truncated candidate lists fusable, so the rank
+      window and the fusion join carry |queries|·M rows, not
+      |queries|·|corpus|.  Pass an explicit huge ``dense_top_m`` for
+      the full-ranking exact baseline (the pytest twin pins that the
+      bounded plan loses nothing at the fused cutoff); swap in the
+      IVF/LSH rankers for ANN at scale.
 
     Ranks are deterministic: lexical by (common DESC, id), dense by the
     round-6 cosine with id tie-break.  Self-matches are excluded on both
-    sides.  Returns ``(query_id, vec_id, rank_lex, rank_dense,
-    rrf_score, fused_rank)``, top ``k`` fused per query.
+    sides.  Candidates outside the dense top-M ship ``rank_dense``
+    NULL (absent from that list).  Returns ``(query_id, vec_id,
+    rank_lex, rank_dense, rrf_score, fused_rank)``, top ``k`` fused
+    per query.
     """
     from big_data_validator_spark.operators.dedup import _shingle_sets
 
@@ -1416,9 +1425,11 @@ def hybrid_lexical_dense_rrf(
             .alias("rank_lex"),
         )
     )
+    if dense_top_m is None:
+        dense_top_m = max(k * 10, 100)
     queries = emb.filter(query_pred(F.col(vec_id_col)))
     dense = brute_force_topk(
-        emb, queries, k=(1 << 31) - 1, id_col=vec_id_col, vec_col=vec_col
+        emb, queries, k=dense_top_m, id_col=vec_id_col, vec_col=vec_col
     ).select("query_id", vec_id_col, F.col("rank").alias("rank_dense"))
     return rrf_fuse(
         lex,

@@ -9954,12 +9954,14 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
            FROM embeddings WHERE vec_id < 5),
     dense AS (
-      SELECT query_id, vec_id,
-             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                  ORDER BY ROUND(list_cosine_similarity(
-                             CAST(e.embedding AS DOUBLE[]), qvec), 6) DESC,
-                           vec_id ASC) AS INT) AS rank_dense
-      FROM embeddings e, qv WHERE e.vec_id <> query_id),
+      SELECT * FROM (
+        SELECT query_id, vec_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY ROUND(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), qvec), 6) DESC,
+                             vec_id ASC) AS INT) AS rank_dense
+        FROM embeddings e, qv WHERE e.vec_id <> query_id)
+      WHERE rank_dense <= 100),
     fused AS (
       SELECT COALESCE(l.query_id, dn.query_id) AS query_id,
              COALESCE(l.vec_id, dn.vec_id) AS vec_id,
@@ -9986,9 +9988,15 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses rare exact tokens).  Both scoring passes broadcast the tiny
     query side and stream the corpus ONCE; lexical candidates are
     postings-bounded (docs sharing ≥1 shingle), never corpus-pairwise;
-    the fusion join and every rank window share one query-key
-    partitioning.  Ranks are exact integers on round-6 scores with id
-    tie-breaks — the cross-engine rank-determinism device."""
+    the DENSE list is truncated to the top-100 per query (the
+    missing-member convention makes truncated lists fusable — the
+    downstream fusion/rank frames carry |queries|·100 rows, not
+    |queries|·|corpus|; the oracle applies the identical bound, and
+    tests/test_similarity_multimodal.py pins that the bounded plan
+    matches the full ranking at the fused cutoff); the fusion join and
+    every rank window share one query-key partitioning.  Ranks are
+    exact integers on round-6 scores with id tie-breaks — the
+    cross-engine rank-determinism device."""
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     out = S.hybrid_lexical_dense_rrf(

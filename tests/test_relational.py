@@ -915,6 +915,18 @@ def test_wasserstein_rejects_bad_bin_width(spark):
         R.wasserstein_1d(a, a, "v", bin_width=0)
 
 
+def test_wasserstein_point_mass_edge_is_zero_with_counts(spark):
+    # Two point masses at the SAME value: the gap frame is empty, the
+    # true W1 is 0.0 — the stat must coalesce to 0 and the counts must
+    # come from the unfiltered frame, matching wasserstein_by_group's
+    # handling of the identical edge (ADVICE r11).
+    a = spark.createDataFrame([(42,), (42,), (42,)], ["v"])
+    b = spark.createDataFrame([(42,), (42,)], ["v"])
+    row = R.wasserstein_1d(a, b, "v", bin_width=10).first()
+    assert row["w1_stat"] == 0.0
+    assert (row["n_a"], row["n_b"]) == (3, 2)
+
+
 # ------------------------------------------------------ order inversions
 
 def test_order_inversions_counts_adjacent_decreases(spark):
@@ -1035,3 +1047,34 @@ def test_time_decayed_value_clamps_negative_ages(spark):
     )
     row = R.time_decayed_group_value(df, "k", "cents", "age").first()
     assert row["decayed_value"] == 3.0  # three full-weight rows
+
+
+def test_time_decayed_value_negative_sum_floors_like_duckdb(spark):
+    # A refund-heavy group with a NEGATIVE decayed sum must quantize
+    # identically to engines using FLOOR division (DuckDB's `//`):
+    # Spark's `div` truncates toward zero, which for a negative halfway
+    # numerator lands one rounding unit higher (ADVICE r11).  cents=-1,
+    # age=5 mirrors the positive halfway tie above with the sign
+    # flipped: floor-based half-up on a negative tie yields -0.000312
+    # (round toward +inf at the .5), and plain truncation would too —
+    # the distinguishing case is the NON-tie: cents=-3, age=7 ->
+    # -0.0000234375 at 6dp: floor(numerator/den) gives -0.000023
+    # (half-up of ...4375 -> toward zero is fine)...  Pin BOTH against
+    # a pure-Python floor-division twin of the oracle arithmetic.
+    def duck_twin(rows, max_shift=32):
+        den = (1 << max_shift) * 100
+        s = sum(c * (1 << (max_shift - min(max(a, 0), max_shift)))
+                for c, a in rows)
+        return ((s * 2000000 + den) // (2 * den)) / 1e6
+
+    for rows in (
+        [(-1, 5)],                      # negative true halfway tie
+        [(-3, 7)],                      # negative non-tie
+        [(-7, 3), (5, 9)],              # mixed-sign group, net negative
+        [(-100, 0), (99, 0)],           # net -1 cent at full weight
+    ):
+        df = spark.createDataFrame(
+            [("g", c, a) for c, a in rows], ["k", "cents", "age"]
+        )
+        row = R.time_decayed_group_value(df, "k", "cents", "age").first()
+        assert row["decayed_value"] == duck_twin(rows), rows

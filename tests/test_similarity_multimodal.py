@@ -710,6 +710,80 @@ def test_hybrid_rrf_finds_lexical_match_dense_misses(spark):
     assert rows[3]["fused_rank"] == 3
 
 
+def test_hybrid_rrf_bounded_dense_matches_full_at_cutoff(spark):
+    """The default dense_top_m = max(k*10, 100) truncation (the scale
+    path: |queries|·M downstream rows, not |queries|·|corpus|) loses
+    nothing at the fused cutoff — same members, same order, same
+    scores for every candidate the bounded dense list still covers —
+    on a corpus LARGER than the bound, so the truncation is real."""
+    from big_data_validator_spark.operators.similarity import (
+        hybrid_lexical_dense_rrf,
+    )
+    import random
+
+    rng = random.Random(97)
+    # 150 docs: 3 text families of 5 docs each (lexical signal) whose
+    # embeddings CLUSTER around a family base vector — duplicated text
+    # with near-duplicate embeddings, the correlated-signal shape real
+    # hybrid corpora have.  Every lexical candidate is then inside the
+    # dense top-M, and no dense-only candidate past rank M can reach
+    # the fused top-k (its score < 1/(60+M) while k dense candidates
+    # already score >= 1/(60+k)), so bounded == full EXACTLY at the
+    # cutoff.  (With anti-correlated signals — a lexical twin whose
+    # embedding ranks past M — truncated-list RRF diverges by design:
+    # that is the documented missing-member convention.)
+    fam = {
+        0: "alpha beta gamma delta epsilon zeta eta theta",
+        1: "one two three four five six seven eight nine",
+        2: "red orange yellow green blue indigo violet shade",
+    }
+    base = {
+        f: [rng.gauss(0, 1) for _ in range(8)] for f in range(3)
+    }
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                fam[i % 3]
+                if i < 15
+                else f"unique{i}filler{i * 7919}text{i * 104729}end",
+            )
+            for i in range(150)
+        ],
+        ["doc_id", "text"],
+    )
+    emb = spark.createDataFrame(
+        [
+            (
+                i,
+                [
+                    base[i % 3][d] + rng.gauss(0, 0.01)
+                    for d in range(8)
+                ]
+                if i < 15
+                else [rng.gauss(0, 1) for _ in range(8)],
+            )
+            for i in range(150)
+        ],
+        ["vec_id", "embedding"],
+    )
+
+    def fused(m):
+        return [
+            (r["query_id"], r["vec_id"], r["fused_rank"], r["rrf_score"],
+             r["rank_dense"])
+            for r in hybrid_lexical_dense_rrf(
+                docs, emb, lambda c: c < 2, n=5, k=10, dense_top_m=m
+            )
+            .orderBy("query_id", "fused_rank")
+            .collect()
+        ]
+
+    bounded = fused(None)  # default: max(k*10, 100) = 100 < corpus
+    full = fused((1 << 31) - 1)
+    assert bounded == full
+
+
 # ------------------------------------------------- matryoshka recall
 
 def test_matryoshka_full_prefix_is_perfect_recall(spark):
