@@ -305,8 +305,16 @@ def theilsen_trend(
     Scale: the pair self-join is over the DAILY aggregate — its size
     grows with the time span, not the data volume (10× rows/day = the
     same days), so the pair stage is constant across data scale-ups
-    and the cost is dominated by the daily aggregation scan.  Median
-    selection is TakeOrdered (limit k → max), never a global window.
+    and the cost is dominated by the daily aggregation scan.  SLOPE
+    median selection is the two-pass distributed device
+    (equidepth_histogram's): per-block counts over ≤4096 value blocks
+    (a bounded driver histogram), then the k-th element selected
+    INSIDE the one straddling block — TakeOrdered only ever sees one
+    block's rows (~n_pairs/4096), never k ≈ n_pairs/2 rows in a single
+    task, so a decade-long daily series (n_pairs ≈ 6.6M) selects its
+    median without materializing 3.3M rows on one node.  The residual
+    median is over n_days rows (one per day) — TakeOrdered is exact
+    and bounded there by construction.
 
     Returns one row: ``(n_days, n_pairs, slope_scaled, intercept_scaled,
     scale)``.
@@ -333,15 +341,42 @@ def theilsen_trend(
     if n_pairs == 0:
         raise ValueError("need at least two distinct days")
     k = (n_pairs + 1) // 2
+    # Two-pass distributed k-th selection on the composite order
+    # (_qd, num, den): block on _qd (any monotone quantization keeps
+    # the composite order block-aligned — equal keys share a block),
+    # collect the <=4096-row block histogram, then TakeOrdered only
+    # within the straddling block.
+    stats = slopes.agg(
+        F.min("_qd").alias("_lo"), F.max("_qd").alias("_hi")
+    ).first()
+    lo, hi = float(stats["_lo"]), float(stats["_hi"])
+    if lo == hi:
+        blk = F.lit(0)
+    else:
+        blk = F.least(
+            F.floor((F.col("_qd") - F.lit(lo)) / F.lit((hi - lo) / 4096)),
+            F.lit(4095),
+        ).cast("int")
+    blocked = slopes.withColumn("_blk", blk).persist()
+    hist = blocked.groupBy("_blk").count().orderBy("_blk").collect()
+    before = 0
+    target = None
+    for r in hist:
+        if before + r["count"] >= k:
+            target = r["_blk"]
+            break
+        before += r["count"]
     med = (
-        slopes.orderBy("_qd", "num", "den")
-        .limit(k)
+        blocked.filter(F.col("_blk") == target)
+        .orderBy("_qd", "num", "den")
+        .limit(k - before)
         .orderBy(
             F.col("_qd").desc(), F.col("num").desc(), F.col("den").desc()
         )
         .limit(1)
         .collect()[0]
     )
+    blocked.unpersist()
     num, den = int(med["num"]), int(med["den"])
     # truncating div matching Spark `div` / DuckDB BIGINT `//`
     q = abs(num * scale) // abs(den)

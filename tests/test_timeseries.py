@@ -297,6 +297,39 @@ def test_theilsen_matches_bruteforce_rational_median(spark):
     assert [s[1:] for s in slopes] == [s[1:] for s in exact]
 
 
+def test_theilsen_distributed_median_parity_wide_series(spark):
+    """The two-pass per-block selection (VERDICT r11 item 5: never
+    TakeOrdered k ≈ n_pairs/2 rows into one task) returns EXACTLY the
+    brute-force lower median on a wide noisy series — thousands of
+    pairs spread over many value blocks, so the straddling-block
+    offset arithmetic (k - cum_before) is genuinely exercised."""
+    from big_data_validator_spark.operators.timeseries import (
+        theilsen_trend,
+    )
+
+    import random
+
+    rng = random.Random(41)
+    pts = [
+        (x, 3 * x + rng.randrange(-500, 501)) for x in range(0, 300, 2)
+    ]  # 150 days -> 11_175 pairs
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = theilsen_trend(df, "x", "y", scale=1_000_000).collect()[0]
+
+    slopes = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            num = pts[j][1] - pts[i][1]
+            den = pts[j][0] - pts[i][0]
+            slopes.append((num / den, num, den))
+    slopes.sort()
+    _, num, den = slopes[(len(slopes) + 1) // 2 - 1]
+    q = abs(num * 1_000_000) // abs(den)
+    want = q if (num >= 0) == (den >= 0) else -q
+    assert got["n_pairs"] == len(slopes)
+    assert got["slope_scaled"] == want
+
+
 def test_theilsen_robust_to_outlier_day(spark):
     """One corrupted day must not move the Theil-Sen slope (the
     least-squares slope moves by construction)."""
