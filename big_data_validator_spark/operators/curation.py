@@ -457,8 +457,9 @@ def contamination_ngram_overlap(
     streams ONCE: explode each doc's distinct n-grams (lowercase
     alnum-run tokens, the text-family rule), inner-join the broadcast
     set, count per doc, and join counts back to per-doc gram totals.
-    At 10^6+ benchmark grams, swap the broadcast for a Bloom filter on
-    the gram hash — the join stays one-sided either way.
+    At 10^6+ benchmark grams, use :func:`contamination_ngram_bloom` —
+    the Bloom-prefilter + exact-confirm sibling that computes the
+    identical result without broadcasting the gram set.
 
     Returns ``(id, n_grams, n_dirty, dirty_frac, flagged)`` for every
     document with at least one n-gram (docs shorter than ``n_words``
@@ -467,30 +468,16 @@ def contamination_ngram_overlap(
     ``dirty_frac`` rounds to 6; ``flagged`` is the ``>= flag_threshold``
     verdict.
     """
-    from big_data_validator_spark.operators.text import word_tokens
-
-    def word_grams(col):
-        toks = word_tokens(col)
-        return F.when(
-            F.size(toks) >= n_words,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - (n_words - 1)),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(toks, i, n_words)
-                    ),
-                )
-            ),
-        )
-
     bench_grams = F.broadcast(
         benchmark.select(
-            F.explode(word_grams(F.col(bench_text_col))).alias("_g")
+            F.explode(
+                _word_ngrams_expr(F.col(bench_text_col), n_words)
+            ).alias("_g")
         ).distinct()
     )
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
-        word_grams(F.col(text_col)).alias("_grams"),
+        _word_ngrams_expr(F.col(text_col), n_words).alias("_grams"),
     ).filter(F.col("_grams").isNotNull())
     sizes = doc_grams.select("id", F.size("_grams").alias("n_grams"))
     hits = (
@@ -509,3 +496,174 @@ def contamination_ngram_overlap(
         F.round(frac, 6).alias("dirty_frac"),
         (frac >= F.lit(float(flag_threshold))).alias("flagged"),
     )
+
+
+def _word_ngrams_expr(col, n_words: int):
+    """Distinct lowercase word ``n_words``-grams of a text column (the
+    text-family tokenization), NULL for docs shorter than ``n_words``
+    words — shared by the exact and Bloom contamination screens."""
+    from big_data_validator_spark.operators.text import word_tokens
+
+    toks = word_tokens(col)
+    return F.when(
+        F.size(toks) >= n_words,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n_words - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n_words)),
+            )
+        ),
+    )
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Textbook Bloom sizing: ``m = -n·ln(fpp)/ln(2)²`` bits,
+    ``k = (m/n)·ln 2`` hash functions."""
+    import math
+
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_hashes(gram_col: str, m: int):
+    """The Kirsch–Mitzenmacher double-hash pair over ``xxhash64``,
+    pre-reduced mod m so ``h1 + i·h2`` stays ≤ (k+1)·m — ANSI overflow
+    can never fire."""
+    h1 = F.pmod(F.xxhash64(gram_col), F.lit(m))
+    h2 = F.pmod(F.xxhash64(gram_col, F.lit(0x9E3779B9)), F.lit(m))
+    return h1, h2
+
+
+def _bloom_bitmap_df(grams: DataFrame, gram_col: str, m: int, k: int):
+    """Fold a gram relation into its Bloom bitmap, DISTRIBUTED: each
+    gram emits its k bit positions, a groupBy ORs them into 64-bit
+    words, and only the ≤m/64-word bitmap is collected and reshipped
+    as a one-row ``array<long>`` DataFrame (bounded by m, never by the
+    gram count)."""
+    h1, h2 = _bloom_hashes(gram_col, m)
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i * h2, F.lit(m)),
+    )
+    words = (
+        grams.select(F.explode(positions).alias("_pos"))
+        .groupBy((F.col("_pos") / 64).cast("long").alias("_w"))
+        .agg(
+            F.bit_or(
+                # pyspark's shiftleft wrapper takes a literal bit
+                # count; the SQL form accepts the column
+                F.expr("shiftleft(1L, cast(_pos % 64 as int))")
+            ).alias("_bits")
+        )
+        .collect()
+    )
+    bitmap = [0] * ((m + 63) // 64)
+    for r in words:
+        bitmap[r["_w"]] = r["_bits"]
+    return grams.sparkSession.createDataFrame(
+        [(bitmap,)], "_bitmap array<long>"
+    )
+
+
+def _bloom_member_expr(gram_col: str, m: int, k: int):
+    """Pure-expression Bloom membership against a ``_bitmap`` column:
+    all k bits set.  Emitted as SQL text (the pyspark shift wrappers
+    take literal bit counts only); the ``2654435769L`` seed literal is
+    LONG to match the build side's ``F.lit`` type — xxhash64 hashes
+    differ by input type.  ``element_at`` is 1-based; arithmetic
+    shiftright only perturbs bits ABOVE the extracted one, so ``&1``
+    stays exact at bit 63."""
+    h1 = f"pmod(xxhash64({gram_col}), {m}L)"
+    h2 = f"pmod(xxhash64({gram_col}, 2654435769L), {m}L)"
+    conds = []
+    for i in range(k):
+        pos = f"pmod({h1} + {i}L * {h2}, {m}L)"
+        word = f"element_at(_bitmap, cast({pos} div 64 as int) + 1)"
+        conds.append(
+            f"(shiftright({word}, cast({pos} % 64 as int)) & 1L) = 1L"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def contamination_ngram_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n_words: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    flag_threshold: float = 0.1,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`contamination_ngram_overlap` for 10⁶+-gram benchmarks —
+    the Bloom-prefilter + exact-confirm architecture the broadcast join
+    can't reach once the benchmark gram set outgrows a broadcast:
+
+    1. The benchmark's distinct grams fold into a Bloom bitmap built
+       DISTRIBUTED — each gram emits its k bit positions (double
+       hashing: ``pos_i = (h1 + i·h2) mod m`` over ``xxhash64``, the
+       textbook Kirsch–Mitzenmacher device, every step pmod-guarded so
+       ANSI overflow never fires), a groupBy ORs them into 64-bit
+       words, and only the ≤m/64-word bitmap is collected (1.2 MB per
+       10⁶ grams at the default fpp — bounded, unlike the gram set).
+    2. The corpus gram explode filters through the bitmap as PURE
+       EXPRESSION arithmetic against one broadcast bitmap row — no
+       shuffle, no Python; ~``fpp`` of clean grams survive.
+    3. The tiny survivor set joins the benchmark gram relation EXACTLY
+       (a shuffle join whose left side is hits+false-positives, not
+       the corpus) — Bloom guarantees zero false negatives, the
+       confirm join removes the false positives, so the output is
+       IDENTICAL to the exact broadcast path and shares its oracle.
+
+    Same return contract as :func:`contamination_ngram_overlap`.
+    ``fpp`` only moves the prefilter's survivor volume (cost), never
+    the result.  Cite: Brown et al. 2020 App. C for the screen; Bloom
+    1970 / Kirsch–Mitzenmacher 2006 for the filter.
+    """
+    bench_grams = benchmark.select(
+        F.explode(_word_ngrams_expr(F.col(bench_text_col), n_words)).alias(
+            "_g"
+        )
+    ).distinct()
+    bench_grams.persist()
+    n_bench = bench_grams.count()
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        _word_ngrams_expr(F.col(text_col), n_words).alias("_grams"),
+    ).filter(F.col("_grams").isNotNull())
+    sizes = doc_grams.select("id", F.size("_grams").alias("n_grams"))
+    if n_bench == 0:
+        bench_grams.unpersist()
+        return sizes.select(
+            "id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_dirty"),
+            F.lit(0.0).alias("dirty_frac"),
+            F.lit(False).alias("flagged"),
+        )
+    m, k = _bloom_params(n_bench, fpp)
+    bitmap_df = _bloom_bitmap_df(bench_grams, "_g", m, k)
+    survivors = (
+        doc_grams.select("id", F.explode("_grams").alias("_g"))
+        .crossJoin(F.broadcast(bitmap_df))
+        .filter(_bloom_member_expr("_g", m, k))
+        .select("id", "_g")
+    )
+    hits = (
+        survivors.join(bench_grams, "_g")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_dirty"))
+    )
+    frac = F.coalesce(F.col("n_dirty"), F.lit(0)) / F.col("n_grams")
+    out = sizes.join(hits, "id", "left").select(
+        "id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_dirty"), F.lit(0))
+        .cast("long")
+        .alias("n_dirty"),
+        F.round(frac, 6).alias("dirty_frac"),
+        (frac >= F.lit(float(flag_threshold))).alias("flagged"),
+    )
+    out._bdv_pinned = [bench_grams]
+    return out

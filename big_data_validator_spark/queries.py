@@ -10649,9 +10649,10 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "contamination_ngram_overlap",
-    oracle="""
+#: Shared by the broadcast-exact and Bloom-prefilter contamination
+#: entries: the Bloom path's confirm join removes every false positive,
+#: so both compute the identical relation and share one oracle.
+_CONTAMINATION_13GRAM_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -10679,7 +10680,12 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(h.n_dirty, 0) / CAST(s.n_grams AS DOUBLE) >= 0.1
              AS flagged
     FROM sizes s LEFT JOIN hits h ON h.id = s.id
-    """,
+    """
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=_CONTAMINATION_13GRAM_ORACLE,
 )
 def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination by 13-gram collision rate
@@ -10702,6 +10708,38 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 20),
         n_words=13,
         flag_threshold=0.1,
+    )
+
+
+@query(
+    "contamination_ngram_bloom",
+    oracle=_CONTAMINATION_13GRAM_ORACLE,
+)
+def contamination_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 13-gram contamination screen's 10⁶+-gram-benchmark path
+    (operators/curation.py: contamination_ngram_bloom): the benchmark
+    grams fold DISTRIBUTED into a Bloom bitmap (k bit positions per
+    gram via xxhash64 double hashing, OR-folded into 64-bit words —
+    only the bounded bitmap is ever collected, ~1.2 MB per million
+    grams), the corpus gram explode prefilters through the bitmap as
+    pure expression arithmetic against one broadcast row, and the tiny
+    survivor set (hits + ~fpp false positives) joins the benchmark
+    gram relation exactly.  Zero false negatives by Bloom
+    construction, false positives removed by the confirm join — so
+    the result is IDENTICAL to contamination_ngram_overlap's broadcast
+    path and shares its oracle; what changes at scale is the join
+    input: survivors, not the corpus."""
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_bloom,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return contamination_ngram_bloom(
+        docs.filter(F.col("doc_id") >= 20),
+        docs.filter(F.col("doc_id") < 20),
+        n_words=13,
+        flag_threshold=0.1,
+        fpp=0.01,
     )
 
 

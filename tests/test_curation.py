@@ -321,3 +321,107 @@ def test_contamination_ngram_overlap_short_docs_excluded(spark):
         docs, bench, n_words=5
     ).collect()
     assert [r["id"] for r in rows] == [2]  # sub-n docs have no grams
+
+
+def test_contamination_bloom_equals_exact_path(spark):
+    """The Bloom prefilter + exact-confirm variant returns IDENTICAL
+    rows to the broadcast-join path — zero false negatives by Bloom
+    construction, false positives removed by the confirm join — on a
+    corpus with planted verbatim overlaps, at BOTH a tight and a loose
+    fpp (fpp moves survivor volume, never the result)."""
+    import random
+
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_bloom,
+        contamination_ngram_overlap,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(300)]
+    bench_rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30)))
+        for i in range(10)
+    ]
+    docs_rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(80))
+        if i % 4 == 0:  # plant a verbatim benchmark span
+            body = body + " " + bench_rows[i % 10][1]
+        docs_rows.append((i, body))
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    docs = spark.createDataFrame(docs_rows, ["doc_id", "text"])
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    exact = rows(
+        contamination_ngram_overlap(docs, bench, n_words=5)
+    )
+    assert any(t[2] > 0 for t in exact)  # planted overlaps found
+    for fpp in (0.01, 0.5):
+        got = rows(
+            contamination_ngram_bloom(docs, bench, n_words=5, fpp=fpp)
+        )
+        assert got == exact, fpp
+
+
+def test_contamination_bloom_prefilter_fp_rate_bounded(spark):
+    """The expression-arithmetic Bloom bitmap achieves roughly its
+    design fpp: with a benchmark DISJOINT from the corpus vocabulary,
+    the survivor fraction of the exact-clean corpus grams stays within
+    a slack factor of the requested rate (the k/m sizing is live, not
+    decorative), and zero survivors pass the exact confirm."""
+    import random
+
+    from big_data_validator_spark.operators.curation import (
+        contamination_ngram_bloom,
+    )
+
+    rng = random.Random(29)
+    bench = spark.createDataFrame(
+        [
+            (i, " ".join(f"b{rng.randrange(2000)}" for _ in range(40)))
+            for i in range(25)
+        ],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"c{rng.randrange(2000)}" for _ in range(120)))
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+    out = contamination_ngram_bloom(
+        docs, bench, n_words=5, fpp=0.01
+    ).collect()
+    # disjoint vocabularies -> the exact result is all-clean
+    assert all(r["n_dirty"] == 0 for r in out)
+    # measure the prefilter directly via the operator's own helpers
+    from big_data_validator_spark.operators.curation import (
+        _bloom_bitmap_df,
+        _bloom_member_expr,
+        _bloom_params,
+        _word_ngrams_expr,
+    )
+    from pyspark.sql import functions as F
+
+    bench_grams = bench.select(
+        F.explode(_word_ngrams_expr(F.col("text"), 5)).alias("_g")
+    ).distinct()
+    m, k = _bloom_params(bench_grams.count(), 0.01)
+    bitmap = _bloom_bitmap_df(bench_grams, "_g", m, k)
+    doc_grams = docs.select(
+        F.explode(_word_ngrams_expr(F.col("text"), 5)).alias("_g")
+    )
+    n_doc_grams = doc_grams.count()
+    assert n_doc_grams > 3000  # the rate below is measured, not vacuous
+    survivors = (
+        doc_grams.crossJoin(F.broadcast(bitmap))
+        .filter(_bloom_member_expr("_g", m, k))
+        .count()
+    )
+    # every survivor is a Bloom false positive here (disjoint vocabs);
+    # 5x slack absorbs hash variance at this sample size
+    assert survivors / n_doc_grams <= 5 * 0.01
+    assert survivors < n_doc_grams * 0.5  # the filter actually filters
