@@ -516,6 +516,104 @@ def _word_ngrams_expr(col, n_words: int):
     )
 
 
+def linear_quality_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_ppm: int = 0,
+    bucket_col: str = "bucket",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """fastText-style LINEAR quality-classifier inference (Joulin et
+    al. 2016 — the bag-of-hashed-ngrams linear model; CCNet, Wenzek et
+    al. 2020, pairs exactly this classifier with the unigram-LM
+    perplexity score for corpus curation): each token hashes into one
+    of ``n_buckets`` feature buckets, the document's score is the MEAN
+    bucket weight — the linear layer's logit, monotone in the sigmoid,
+    so a ppm threshold on it IS a probability cut.
+
+    Engine-exact by construction: the bucket hash is the portable md5
+    device (first 8 md5 hex digits as an integer, mod ``n_buckets`` —
+    the sampling family's digest, reproducible in any engine), weights
+    are INTEGERS, and the mean ships as ``score_ppm = (Σw · 10⁶) div
+    n_tokens`` — Spark ``div`` and DuckDB integer ``//`` both truncate
+    toward zero, so negative means quantize identically.
+
+    The plan is ZERO-SHUFFLE: the weight table (≤ ``n_buckets`` rows —
+    2M buckets = one 16 MB array, fastText's own default) collapses
+    into ONE broadcast array row, and scoring is a row-local
+    ``transform``+``aggregate`` fold over the token array — no explode,
+    no join per token, no Python; inference is pure whole-stage
+    codegen over the corpus scan.  Docs with zero tokens are excluded
+    (defined-only denominator, the contamination-screen convention).
+
+    ``weights``: ``(bucket, weight)`` integer relation; missing buckets
+    weigh 0.  Returns ``(id, n_tokens, score_ppm, flagged)`` with
+    ``flagged = score_ppm >= threshold_ppm``.
+    """
+    from big_data_validator_spark.operators.text import word_tokens
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    wrows = weights.select(
+        F.col(bucket_col).cast("long").alias("_b"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).collect()
+    wvec = [0] * n_buckets
+    for r in wrows:
+        if not 0 <= r["_b"] < n_buckets:
+            raise ValueError(
+                f"bucket {r['_b']} outside [0, {n_buckets})"
+            )
+        wvec[r["_b"]] = r["_w"]
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame([(wvec,)], "_wvec array<long>")
+
+    def bucket(tok):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    toks = word_tokens(F.col(text_col))
+    sum_w = F.aggregate(
+        F.transform(
+            F.col("_toks"),
+            lambda t: F.element_at(
+                F.col("_wvec"), bucket(t).cast("int") + 1
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"), toks.alias("_toks")
+        )
+        .filter(F.size("_toks") > 0)
+        .crossJoin(F.broadcast(wdf))
+        .select(
+            "id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            sum_w.alias("_sw"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            # Spark `div` and DuckDB integer `//` both truncate toward
+            # zero, so negative mean weights quantize identically
+            F.expr("(_sw * 1000000L) div n_tokens").alias("score_ppm"),
+        )
+        .withColumn(
+            "flagged", F.col("score_ppm") >= F.lit(int(threshold_ppm))
+        )
+    )
+
+
 def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
     """Textbook Bloom sizing: ``m = -n·ln(fpp)/ln(2)²`` bits,
     ``k = (m/n)·ln 2`` hash functions."""

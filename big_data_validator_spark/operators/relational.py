@@ -1663,14 +1663,13 @@ def time_decayed_group_value(
         F.col(amount_cents_col).cast("decimal(38,0)") * weight
     )
     den = (1 << max_shift) * 100  # scaled space -> cents -> units
-    # Floor-consistent half-up quantization: DuckDB's ``//`` floors
-    # while Spark's ``div`` truncates toward zero, so a NEGATIVE
-    # decayed sum (refund/credit-heavy group) would quantize one unit
-    # apart across engines.  ``pmod`` is non-negative for a positive
-    # modulus, so subtracting it makes the numerator exactly divisible
-    # and ``div`` becomes true floor division on both signs.
-    num = f"(_scaled * 2000000 + {den})"
-    quantized = F.expr(f"({num} - pmod({num}, {2 * den})) div {2 * den}")
+    # Sign audit (ADVICE r11 raised a floor-vs-truncate alarm): Spark's
+    # ``div`` and DuckDB's integer ``//`` BOTH truncate toward zero
+    # (duckdb: SELECT (-7)//2 = -3, incl. HUGEINT), so a NEGATIVE
+    # decayed sum (refund/credit-heavy group) quantizes identically on
+    # both engines with the plain form — pinned against live DuckDB in
+    # tests/test_relational.py::test_time_decayed_value_negative_sum.
+    quantized = F.expr(f"(_scaled * 2000000 + {den}) div {2 * den}")
     return (
         df.groupBy(group_col)
         .agg(

@@ -10743,6 +10743,55 @@ def contamination_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_linear_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    scored AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(t, tok ->
+               (CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+                     % 4096 AS BIGINT) * 2654435761) % 1999 - 999))
+                  AS BIGINT) AS sw
+      FROM toks WHERE len(t) > 0)
+    SELECT doc_id AS id, n_tokens,
+           CAST((sw * 1000000) // n_tokens AS BIGINT) AS score_ppm,
+           (sw * 1000000) // n_tokens >= 0 AS flagged
+    FROM scored
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier inference
+    (operators/curation.py: linear_quality_scores): mean hashed-token
+    bucket weight per document in exact ppm — the CCNet pairing with
+    the unigram-LM perplexity score (quality_* + text_unigram_* cover
+    both halves of that public curation recipe).  The 4096-bucket
+    integer weight table here is a deterministic Weyl-sequence stand-in
+    for trained weights (both engines recompute it exactly;
+    bucket·2654435761 mod 1999 − 999), the bucket hash is the portable
+    md5 device, and the plan is ZERO-SHUFFLE: one broadcast array row
+    + a row-local transform/aggregate fold inside whole-stage codegen —
+    no explode, no per-token join, no Python workers."""
+    from big_data_validator_spark.operators.curation import (
+        linear_quality_scores,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (
+            (F.col("id") * F.lit(2654435761)) % F.lit(1999) - F.lit(999)
+        ).alias("weight"),
+    )
+    return linear_quality_scores(
+        docs, weights, n_buckets=4096, threshold_ppm=0
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================

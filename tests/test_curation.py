@@ -323,6 +323,89 @@ def test_contamination_ngram_overlap_short_docs_excluded(spark):
     assert [r["id"] for r in rows] == [2]  # sub-n docs have no grams
 
 
+def test_linear_quality_scores_matches_python_reference(spark):
+    """fastText-style linear inference == a from-scratch Python
+    reference (hashlib md5 buckets, integer mean, truncating div) on
+    mixed-sign weights — the exactness contract the oracle relies on."""
+    import hashlib
+
+    from big_data_validator_spark.operators.curation import (
+        linear_quality_scores,
+    )
+
+    B = 64
+    wmap = {b: ((b * 31) % 21) - 10 for b in range(0, B, 3)}  # sparse
+    weights = spark.createDataFrame(
+        list(wmap.items()), ["bucket", "weight"]
+    )
+    texts = [
+        (0, "Hello world, hello AGAIN world!"),
+        (1, "a b c d e f g"),
+        (2, "   "),              # zero tokens -> excluded
+        (3, "numbers 123 and mixed42tokens too"),
+    ]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"])
+
+    import re
+
+    def py_score(t):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        if not toks:
+            return None
+        sw = sum(
+            wmap.get(
+                int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B, 0
+            )
+            for w in toks
+        )
+        n = len(toks)
+        q = abs(sw * 1_000_000) // n  # truncating div, both engines
+        return (n, q if sw >= 0 else -q)
+
+    got = {
+        r["id"]: (r["n_tokens"], r["score_ppm"], r["flagged"])
+        for r in linear_quality_scores(
+            docs, weights, n_buckets=B, threshold_ppm=5
+        ).collect()
+    }
+    assert set(got) == {0, 1, 3}  # doc 2 excluded
+    for i, t in texts:
+        ref = py_score(t)
+        if ref is None:
+            continue
+        n, s = ref
+        assert got[i] == (n, s, s >= 5), (i, got[i], ref)
+
+
+def test_linear_quality_scores_plan_and_guards(spark):
+    """Inference must stay shuffle-free (one broadcast array row, no
+    Exchange from scoring) and reject out-of-range buckets."""
+    import pytest
+
+    from big_data_validator_spark.operators.curation import (
+        linear_quality_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    weights = spark.createDataFrame([(0, 5)], ["bucket", "weight"])
+    out = linear_quality_scores(docs, weights, n_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # zero-SHUFFLE scoring: the only Exchange is the one-row weight
+    # vector's BroadcastExchange; the corpus never repartitions
+    assert plan.count("Exchange") == plan.count("BroadcastExchange")
+    assert plan.count("BroadcastExchange") == 1
+    with pytest.raises(ValueError, match="outside"):
+        linear_quality_scores(
+            docs,
+            spark.createDataFrame([(99, 1)], ["bucket", "weight"]),
+            n_buckets=16,
+        )
+    with pytest.raises(ValueError, match="positive"):
+        linear_quality_scores(docs, weights, n_buckets=0)
+
+
 def test_contamination_bloom_equals_exact_path(spark):
     """The Bloom prefilter + exact-confirm variant returns IDENTICAL
     rows to the broadcast-join path — zero false negatives by Bloom

@@ -1049,24 +1049,16 @@ def test_time_decayed_value_clamps_negative_ages(spark):
     assert row["decayed_value"] == 3.0  # three full-weight rows
 
 
-def test_time_decayed_value_negative_sum_floors_like_duckdb(spark):
+def test_time_decayed_value_negative_sum(spark):
     # A refund-heavy group with a NEGATIVE decayed sum must quantize
-    # identically to engines using FLOOR division (DuckDB's `//`):
-    # Spark's `div` truncates toward zero, which for a negative halfway
-    # numerator lands one rounding unit higher (ADVICE r11).  cents=-1,
-    # age=5 mirrors the positive halfway tie above with the sign
-    # flipped: floor-based half-up on a negative tie yields -0.000312
-    # (round toward +inf at the .5), and plain truncation would too —
-    # the distinguishing case is the NON-tie: cents=-3, age=7 ->
-    # -0.0000234375 at 6dp: floor(numerator/den) gives -0.000023
-    # (half-up of ...4375 -> toward zero is fine)...  Pin BOTH against
-    # a pure-Python floor-division twin of the oracle arithmetic.
-    def duck_twin(rows, max_shift=32):
-        den = (1 << max_shift) * 100
-        s = sum(c * (1 << (max_shift - min(max(a, 0), max_shift)))
-                for c, a in rows)
-        return ((s * 2000000 + den) // (2 * den)) / 1e6
+    # identically to the DuckDB oracle arithmetic.  ADVICE r11 claimed
+    # DuckDB's `//` floors while Spark's `div` truncates; in fact BOTH
+    # truncate toward zero on integers (SELECT (-7)//2 = -3), so the
+    # plain form agrees on every sign — pinned here against LIVE
+    # DuckDB, not a Python `//` twin (Python floors and would lie).
+    import duckdb
 
+    con = duckdb.connect()
     for rows in (
         [(-1, 5)],                      # negative true halfway tie
         [(-3, 7)],                      # negative non-tie
@@ -1076,5 +1068,17 @@ def test_time_decayed_value_negative_sum_floors_like_duckdb(spark):
         df = spark.createDataFrame(
             [("g", c, a) for c, a in rows], ["k", "cents", "age"]
         )
-        row = R.time_decayed_group_value(df, "k", "cents", "age").first()
-        assert row["decayed_value"] == duck_twin(rows), rows
+        got = R.time_decayed_group_value(df, "k", "cents", "age").first()
+        vals = ", ".join(f"({c}, {a})" for c, a in rows)
+        want = con.execute(
+            f"""
+            WITH base(cents, age) AS (VALUES {vals})
+            SELECT CAST((SUM(CAST(cents AS HUGEINT)
+                             * (CAST(1 AS HUGEINT)
+                                << (32 - LEAST(GREATEST(age, 0), 32))))
+                         * 2000000 + 429496729600) // 858993459200
+                        AS DOUBLE) / 1000000.0
+            FROM base
+            """
+        ).fetchone()[0]
+        assert got["decayed_value"] == want, rows
