@@ -614,6 +614,105 @@ def linear_quality_scores(
     )
 
 
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_pred,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR; Xie et al. 2023)
+    importance weights over HASHED n-gram features — the public recipe
+    for selecting raw-corpus documents that look like a target domain
+    without training a model: fit unigram feature distributions on the
+    target slice and on the raw pool, then weight each raw document by
+    its mean per-feature log-likelihood ratio
+    ``avg_f [ln p_target(f) − ln p_raw(f)]`` (the paper resamples by
+    the summed ratio; the mean is the length-normalized form, which
+    keeps the score comparable across document lengths — the same
+    normalization the unigram-LM score ships).
+
+    Features are word UNIGRAMS AND BIGRAMS hashed into ``n_buckets``
+    via the portable md5 device (the paper's hashed n-gram
+    parameterization, engine-reproducible here), built ROW-LOCALLY as
+    array transforms — no per-token shuffle for featurization.  Two
+    aggregations: one (bucket)-keyed count frame over both sides (a
+    ≤``n_buckets``-row result that BROADCASTS back), one per-document
+    mean.  Probabilities smooth as ``(cnt + 0.5) / side_total``; the
+    score rounds to 4 (the float-sum-order tolerance every log-family
+    entry uses).
+
+    Returns ``(id, n_feats, dsir_score)`` for RAW (non-target) docs
+    with ≥1 feature; higher = more target-like.
+    """
+    from big_data_validator_spark.operators.text import word_tokens
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    toks = word_tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i),
+                F.element_at(F.col("_toks"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("_f"), "UTF-8")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    feats = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            target_pred(F.col(id_col)).alias("_is_target"),
+            toks.alias("_toks"),
+        )
+        .withColumn("_feats", F.concat(F.col("_toks"), bigrams))
+        .filter(F.size("_feats") > 0)
+        .select(
+            "id",
+            "_is_target",
+            F.explode("_feats").alias("_f"),
+        )
+        .withColumn("_b", bucket)
+        .drop("_f")
+    )
+    feats.persist()
+    counts = feats.groupBy("_b").agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("_cr"),
+    )
+    totals = feats.agg(
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_nt"),
+        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("_nr"),
+    )
+    ratio = F.log(
+        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(0.5)) / F.col("_nt")
+    ) - F.log(
+        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(0.5)) / F.col("_nr")
+    )
+    out = (
+        feats.filter(~F.col("_is_target"))
+        .join(F.broadcast(counts), "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(F.avg(ratio), 4).alias("dsir_score"),
+        )
+    )
+    out._bdv_pinned = [feats]
+    return out
+
+
 def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
     """Textbook Bloom sizing: ``m = -n·ln(fpp)/ln(2)²`` bits,
     ``k = (m/n)·ln 2`` hash functions."""

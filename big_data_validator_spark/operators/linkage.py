@@ -331,3 +331,80 @@ def fs_classify_pairs(
         )
         .otherwise(F.lit("non_match")),
     )
+
+
+def golden_records(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship: the GOLDEN RECORD per entity cluster — after
+    linkage/dedup groups records, pick each attribute's canonical
+    value by the standard most-frequent-non-null rule (ties break to
+    the smallest value; both choices deterministic, so the golden
+    record is engine-portable).  This is the merge step every MDM /
+    entity-resolution pipeline runs after clustering: N conflicting
+    source records in, one survivor field-set out.
+
+    Long-format output — one row per (cluster, attribute) — so the
+    schema is stable for any attribute list and the oracle compares
+    values, not a pivot: ``(cluster_key, n_members, canonical_id,
+    attr, value, support)`` where ``canonical_id = min(id)`` (the
+    keep-first dedup convention), ``support`` counts the records
+    voting for the winning value, and only clusters with ≥2 members
+    ship (singletons are already golden).  Attributes compare as
+    strings (heterogeneous attr types share one column).
+
+    Shuffle story: the melt is a row-local ``stack``; one aggregation
+    keyed (cluster, attr, value) shrinks to the vote table, the
+    winner window re-keys (cluster, attr) on the SHRUNKEN frame, and
+    the member stats aggregate the (cluster, id) projection — nothing
+    ever joins record-by-record.
+    """
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
+    base = df.select(
+        F.col(cluster_col).alias("_ck"),
+        F.col(id_col).alias("_id"),
+        *[F.col(a).cast("string").alias(a) for a in attr_cols],
+    )
+    members = (
+        base.groupBy("_ck")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    stack_args = ", ".join(f"'{a}', {a}" for a in attr_cols)
+    melted = base.select(
+        "_ck",
+        F.expr(
+            f"stack({len(attr_cols)}, {stack_args}) AS (attr, value)"
+        ),
+    ).filter(F.col("value").isNotNull())
+    votes = melted.groupBy("_ck", "attr", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_ck", "attr").orderBy(
+        F.col("support").desc(), F.col("value").asc()
+    )
+    best = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )
+    return (
+        members.join(best, "_ck")
+        .select(
+            F.col("_ck").alias("cluster_key"),
+            "n_members",
+            "canonical_id",
+            "attr",
+            "value",
+            "support",
+        )
+    )

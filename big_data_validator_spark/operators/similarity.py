@@ -1442,6 +1442,147 @@ def hybrid_lexical_dense_rrf(
     )
 
 
+def sq8_recall(
+    emb: DataFrame,
+    query_pred,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization (SQ8) audit: quantize every embedding to
+    8-bit per dimension with per-dimension min/max scaling — the FAISS
+    ``SQ8`` / vector-DB "int8 compression" recipe that cuts index
+    bytes 4× vs float32 — rank by the EXACT INTEGER dot product of the
+    quantized vectors, and measure recall@k against the full-precision
+    dot ranking.  This is the measurement that decides whether a
+    production index can take the 4× memory cut (the Matryoshka audit
+    answers the same question for DIMENSION cuts; this one for WIDTH).
+    The ranking scores raw code dots — the symmetric-int8 kernel SIMD
+    inference paths actually execute — so the audit measures BOTH loss
+    sources: code rounding and the affine-offset geometry shift (the
+    int-code dot is not rank-equivalent to the float dot even with
+    exact codes; only a zero-offset uniform-scale corpus is lossless,
+    pinned in tests).
+
+    Two corpus passes, nothing pairwise-unbounded: (1) one aggregation
+    computes per-dimension min/max (2·dim partial-agg expressions, no
+    shuffle of rows); (2) one broadcast-join scoring pass computes BOTH
+    the int8 dot and the float dot per (query, candidate) — the corpus
+    streams once for both rankings.  Quantization is row-local
+    ``transform`` arithmetic: ``q_i = clamp(round((x_i − lo_i) ·
+    255/(hi_i − lo_i)), 0, 255)`` (constant dims pin to 0), the
+    quantized dot is exact-integer so ranks are engine-portable with
+    id tie-breaks; the float ranking uses the round-6 device.  Returns
+    ``(query_id, n_hits, recall)``, one row per query.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    stats = emb.agg(
+        *[
+            f
+            for i in range(dim)
+            for f in (
+                F.min(F.col(vec_col)[i]).alias(f"_lo{i}"),
+                F.max(F.col(vec_col)[i]).alias(f"_hi{i}"),
+            )
+        ]
+    ).first()
+    lo = [float(stats[f"_lo{i}"]) for i in range(dim)]
+    hi = [float(stats[f"_hi{i}"]) for i in range(dim)]
+    scale = [
+        (255.0 / (h - l)) if h > l else 0.0 for l, h in zip(lo, hi)
+    ]
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    sc_arr = F.array(*[F.lit(s) for s in scale])
+
+    def quantize(vec):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: F.least(
+                F.greatest(
+                    F.round(
+                        (F.element_at(vec, i) - F.element_at(lo_arr, i))
+                        * F.element_at(sc_arr, i),
+                        0,
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            ).cast("long"),
+        )
+
+    corpus = rebalance_for_compute(emb)
+    q = F.broadcast(
+        emb.filter(query_pred(F.col(id_col))).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+        )
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            quantize(F.col("_cvec")),
+            quantize(F.col("_qvec")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).alias("_dot_sq")
+    full_dot = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("_cvec"), F.col("_qvec"), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).alias("_dot_full")
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_cvec"),
+        )
+        .join(q, F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, full_dot, int_dot)
+    ).cache()
+
+    def topk(score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k)
+            .select("query_id", id_col)
+        )
+
+    truth = topk("_dot_full").cache()
+    hits = (
+        topk("_dot_sq")
+        .join(truth, ["query_id", id_col], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+    out._bdv_pinned = [scored, truth]
+    return out
+
+
 def matryoshka_recall(
     emb: DataFrame,
     query_pred,

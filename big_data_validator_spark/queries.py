@@ -10649,6 +10649,178 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "link_golden_record",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS id, p_brand, p_type, p_size, p_name,
+             list_distinct(string_split(p_name, ' ')) AS toks
+      FROM part),
+    b AS (SELECT id, unnest(toks) AS tok, p_size, p_brand FROM p),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, c.id AS id_b
+      FROM b a JOIN b c ON a.tok = c.tok AND a.p_size = c.p_size
+                        AND a.p_brand = c.p_brand AND a.id < c.id),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(len(list_intersect(pa.toks, pb.toks)) AS BIGINT)
+               AS inter,
+             CAST(len(list_distinct(list_concat(pa.toks, pb.toks)))
+                  AS BIGINT) AS uni,
+             CAST(pa.p_brand = pb.p_brand AS INT) AS be,
+             CAST(pa.p_type = pb.p_type AS INT) AS te
+      FROM cand JOIN p pa ON cand.id_a = pa.id
+                JOIN p pb ON cand.id_b = pb.id),
+    pairs AS (SELECT id_a, id_b FROM scored
+              WHERE (50 * inter) // uni + 25 * be + 25 * te >= 80),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+    v AS (SELECT DISTINCT src AS id FROM e),
+    reach(id, r) AS (
+      SELECT id, id FROM v
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN e ON reach.r = e.src),
+    cl AS (SELECT id, MIN(r) AS ck FROM reach GROUP BY id),
+    base AS (
+      SELECT cl.ck, cl.id, p.p_name, p.p_type
+      FROM cl JOIN p ON p.id = cl.id),
+    mem AS (
+      SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_members,
+             MIN(id) AS canonical_id
+      FROM base GROUP BY 1 HAVING COUNT(*) >= 2),
+    melt AS (
+      SELECT ck, 'p_name' AS attr, p_name AS value FROM base
+      WHERE p_name IS NOT NULL
+      UNION ALL
+      SELECT ck, 'p_type', p_type FROM base
+      WHERE p_type IS NOT NULL),
+    votes AS (
+      SELECT ck, attr, value, CAST(COUNT(*) AS BIGINT) AS support
+      FROM melt GROUP BY 1, 2, 3),
+    best AS (
+      SELECT ck, attr, value, support FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ck, attr
+                  ORDER BY support DESC, value ASC) AS r
+        FROM votes) WHERE r = 1)
+    SELECT m.ck AS cluster_key, m.n_members, m.canonical_id,
+           b2.attr, b2.value, b2.support
+    FROM mem m JOIN best b2 ON b2.ck = m.ck
+    """,
+)
+def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden record (operators/linkage.py:
+    golden_records): the merge step after entity resolution — the
+    part-catalog matches from link_part_entities close transitively
+    into clusters (operators/dedup.py duplicate_clusters, the same
+    oracled CC device emb_near_dup_clusters ships), then each cluster
+    merges to one canonical field-set: most-frequent-non-null per
+    attribute with smallest-value tie-break, keep-first canonical id,
+    member count.  Long-format (cluster, attr) rows keep the schema
+    stable for any attribute list; the melt is a row-local stack,
+    voting aggregates the shrunken (cluster, attr, value) frame, and
+    the winner window re-keys that shrunken frame — record rows
+    shuffle exactly once.  Oracle: the linkage SQL + recursive
+    transitive-closure CTE + the same vote/tie-break windows."""
+    from big_data_validator_spark.operators.linkage import (
+        golden_records,
+        link_entity_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    pairs = link_entity_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_size", "p_brand"],
+        eq_cols=["p_brand", "p_type"],
+        threshold=80,
+    ).select("id_a", "id_b")
+    clusters = D.duplicate_clusters(pairs)
+    clustered = clusters.join(
+        part.select(
+            F.col("p_partkey").alias("id"), "p_name", "p_type"
+        ),
+        "id",
+    )
+    return D.materialize_release(
+        golden_records(
+            clustered, "cluster_id", "id", ["p_name", "p_type"]
+        ),
+        pairs,
+    )
+
+
+@query(
+    "sim_sq8_recall",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS d),
+    stat1 AS (
+      SELECT d, MIN(v[d]) AS lo,
+             CASE WHEN MAX(v[d]) > MIN(v[d])
+                  THEN 255.0 / (MAX(v[d]) - MIN(v[d])) ELSE 0.0 END AS s
+      FROM c CROSS JOIN dims GROUP BY 1),
+    stats AS (
+      SELECT list(lo ORDER BY d) AS lo, list(s ORDER BY d) AS s
+      FROM stat1),
+    qz AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, 64), i ->
+               CAST(LEAST(GREATEST(
+                 ROUND((v[i] - st.lo[i]) * st.s[i]), 0), 255)
+                    AS BIGINT)) AS qv8,
+             v
+      FROM c, stats st),
+    q AS (SELECT vec_id AS query_id, qv8 AS qq8, v AS qv FROM qz
+          WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND(list_inner_product(e.v, qv), 6) AS dfull,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> e.qv8[i] * qq8[i])) AS BIGINT) AS dsq
+      FROM qz e, q WHERE e.vec_id <> q.query_id),
+    truth AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dfull DESC, vec_id) AS r
+        FROM scored) WHERE r <= 10),
+    sq AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dsq DESC, vec_id) AS r
+        FROM scored) WHERE r <= 10),
+    hits AS (
+      SELECT s.query_id, COUNT(*) AS n_hits
+      FROM sq s JOIN truth t ON t.query_id = s.query_id
+                            AND t.vec_id = s.vec_id
+      GROUP BY 1)
+    SELECT g.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM truth) g
+    LEFT JOIN hits h ON h.query_id = g.query_id
+    ORDER BY 1
+    """,
+)
+def sim_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization (int8) recall audit (operators/similarity.py:
+    sq8_recall — the FAISS SQ8 recipe): per-dimension min/max 8-bit
+    quantization, EXACT-INTEGER quantized-dot ranking, recall@10
+    against the full-precision round-6 dot ranking — the measurement
+    that decides whether the index can take the 4× memory cut, the
+    width-axis sibling of sim_matryoshka_recall's dimension-axis
+    audit.  One aggregation for the 2·dim min/max stats (no row
+    shuffle), then one broadcast-join pass scores both rankings — the
+    corpus streams once; integer dots make the quantized ranks
+    engine-portable with id tie-breaks."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.materialize_release(
+        S.sq8_recall(emb, lambda c: c < 5, dim=64, k=10)
+    )
+
+
 #: Shared by the broadcast-exact and Bloom-prefilter contamination
 #: entries: the Bloom path's confirm join removes every false positive,
 #: so both compute the identical relation and share one oracle.
@@ -10789,6 +10961,63 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return linear_quality_scores(
         docs, weights, n_buckets=4096, threshold_ppm=0
+    )
+
+
+@query(
+    "curation_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, doc_id < 20 AS is_t,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, is_t,
+             list_concat(t,
+               CASE WHEN len(t) >= 2 THEN
+                 list_transform(generate_series(1, len(t) - 1),
+                                i -> t[i] || ' ' || t[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END) AS f
+      FROM toks),
+    fx AS (
+      SELECT doc_id, is_t,
+             CAST(CAST('0x' || substr(md5(unnest(f)), 1, 8) AS UBIGINT)
+                  % 4096 AS BIGINT) AS b
+      FROM feats WHERE len(f) > 0),
+    counts AS (
+      SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM fx GROUP BY 1),
+    tot AS (
+      SELECT SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS nr
+      FROM fx)
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(AVG(ln((ct + 0.5) / nt) - ln((cr + 0.5) / nr)), 4)
+             AS dsir_score
+    FROM fx JOIN counts USING (b), tot
+    WHERE NOT is_t
+    GROUP BY 1
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/curation.py:
+    dsir_importance_weights — Xie et al. 2023): every raw document
+    scored by its mean hashed-ngram log-likelihood ratio against the
+    target slice (docs 0-19 here), the public train-data selection
+    recipe that needs only two count tables, no model.  Featurization
+    (unigrams + bigrams → 4096 md5 buckets) is ROW-LOCAL array
+    arithmetic; the only shuffles are the bucket-count aggregation
+    (≤4096 rows, broadcast back) and the per-document mean — at 100 TB
+    the corpus streams twice and nothing else moves."""
+    from big_data_validator_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return dsir_importance_weights(
+        docs, lambda c: c < 20, n_buckets=4096
     )
 
 

@@ -323,6 +323,37 @@ def test_contamination_ngram_overlap_short_docs_excluded(spark):
     assert [r["id"] for r in rows] == [2]  # sub-n docs have no grams
 
 
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR importance weights must rank a raw document drawn from the
+    target vocabulary above one drawn from a disjoint vocabulary, count
+    features as unigrams+bigrams, and exclude target docs and empty
+    docs from the output."""
+    from big_data_validator_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+
+    target_text = "solar panels convert sunlight into electric power"
+    docs = spark.createDataFrame(
+        [
+            (0, target_text),
+            (1, "solar power systems and sunlight panels efficiency"),
+            (2, "medieval castles siege warfare trebuchet tactics"),
+            (3, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r
+        for r in dsir_importance_weights(
+            docs, lambda c: c < 1, n_buckets=512
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # target + empty excluded
+    assert got[1]["dsir_score"] > got[2]["dsir_score"]
+    # n_feats = unigrams + bigrams = 7 + 6 for doc 1
+    assert got[1]["n_feats"] == 13
+
+
 def test_linear_quality_scores_matches_python_reference(spark):
     """fastText-style linear inference == a from-scratch Python
     reference (hashlib md5 buckets, integer mean, truncating div) on

@@ -287,3 +287,45 @@ def test_fs_classify_posteriors_and_verdicts(spark):
         assert got[(a, b)] == (ppm, verdict), (a, b)
     verdicts = {v for _, v in got.values()}
     assert verdicts == {"match", "possible", "non_match"}
+
+
+# ------------------------------------------------------ golden records
+
+def test_golden_records_survivorship_rules(spark):
+    """Most-frequent-non-null wins; ties break to the smallest value;
+    nulls never vote; singleton clusters are excluded; canonical_id is
+    the cluster's min id."""
+    import pytest
+
+    from big_data_validator_spark.operators.linkage import golden_records
+
+    df = spark.createDataFrame(
+        [
+            # cluster A: lang 'en' x2 beats 'de' x1; source tie 's1'/'s2'
+            ("A", 7, "en", "s2"),
+            ("A", 3, "en", "s1"),
+            ("A", 9, "de", None),
+            # cluster B: singleton -> excluded
+            ("B", 1, "fr", "s9"),
+            # cluster C: all-null lang -> no lang row; source votes
+            ("C", 5, None, "s3"),
+            ("C", 6, None, "s3"),
+        ],
+        ["fp", "doc_id", "lang", "source"],
+    )
+    rows = {
+        (r["cluster_key"], r["attr"]): r
+        for r in golden_records(
+            df, "fp", "doc_id", ["lang", "source"]
+        ).collect()
+    }
+    assert set(rows) == {("A", "lang"), ("A", "source"), ("C", "source")}
+    a_lang = rows[("A", "lang")]
+    assert (a_lang["value"], a_lang["support"]) == ("en", 2)
+    assert (a_lang["n_members"], a_lang["canonical_id"]) == (3, 3)
+    # source tie 1-1 between s1 and s2 -> smallest value wins
+    assert rows[("A", "source")]["value"] == "s1"
+    assert rows[("C", "source")]["value"] == "s3"
+    assert rows[("C", "source")]["support"] == 2
+    with pytest.raises(ValueError, match="non-empty"):
+        golden_records(df, "fp", "doc_id", [])

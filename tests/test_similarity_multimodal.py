@@ -784,6 +784,54 @@ def test_hybrid_rrf_bounded_dense_matches_full_at_cutoff(spark):
     assert bounded == full
 
 
+# ------------------------------------------------------- SQ8 recall
+
+def test_sq8_lossless_grid_gives_perfect_recall(spark):
+    """On the one configuration where the symmetric int8 dot IS the
+    float dot — integer coordinates 0..255 with both range endpoints
+    present in every dimension (lo=0, hi=255, scale=1, so codes equal
+    coordinates exactly) — recall@k must be 1.0 for every query.
+    (With per-dim affine offsets the int-code dot is NOT
+    rank-equivalent to the float dot even when codes are exact; that
+    geometry loss is precisely what the audit measures.)"""
+    from big_data_validator_spark.operators.similarity import sq8_recall
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (i, [float(rng.randrange(0, 256)) for _ in range(6)])
+        for i in range(48)
+    ]
+    rows.append((48, [0.0] * 6))    # anchor lo = 0 in every dim
+    rows.append((49, [255.0] * 6))  # anchor hi = 255 in every dim
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sq8_recall(emb, lambda c: c < 3, dim=6, k=5).collect()
+    assert len(out) == 3
+    assert all(r["recall"] == 1.0 for r in out)
+
+
+def test_sq8_degrades_under_coarse_quantization_and_guards(spark):
+    """With signal packed into a range tiny relative to a huge
+    outlier-stretched min/max span, whole clusters collapse onto one
+    int8 code and recall must drop below 1 — the audit MEASURES loss,
+    not vacuously reports success.  Also pins the dim guard."""
+    from big_data_validator_spark.operators.similarity import sq8_recall
+    import random
+
+    import pytest
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(0, 0.001) for _ in range(4)]) for i in range(40)
+    ]
+    rows.append((40, [1000.0, 1000.0, 1000.0, 1000.0]))  # span stretcher
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sq8_recall(emb, lambda c: c < 2, dim=4, k=5).collect()
+    assert any(r["recall"] < 1.0 for r in out)
+    with pytest.raises(ValueError, match="positive"):
+        sq8_recall(emb, lambda c: c < 2, dim=0)
+
+
 # ------------------------------------------------- matryoshka recall
 
 def test_matryoshka_full_prefix_is_perfect_recall(spark):
