@@ -240,6 +240,12 @@ HEADLINE = [
     "drift_wasserstein_by_year",
     "sim_matryoshka_recall",
     "contamination_ngram_overlap",
+    # round-12 additions
+    "contamination_ngram_bloom",
+    "quality_linear_score",
+    "curation_dsir_weights",
+    "sim_sq8_recall",
+    "link_golden_record",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

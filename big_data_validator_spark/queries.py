@@ -11189,7 +11189,6 @@ _DEMOTED_TO_TAIL = [
     # ---- originally listed here returned to the window in round 10).
     # Star-join + agg + top-k shape stays via join_region_revenue and
     # topk_order_values.
-    "join_shipping_priority",
     # ---- round-5 second rotation: eight more r1-r4-green entries rested
     # ---- so the eight queries added that round each got a driver-green
     # ---- row.  (The ten r5-vintage names that rested here —
@@ -11206,99 +11205,74 @@ _DEMOTED_TO_TAIL = [
     # ---- driver-green row.  Per-entry twin rationale:
     # Exact-percentile single-buffer agg twinned by the profiler's
     # numeric summary + agg_distribution_stats' r1-r4 history.
-    "agg_percentiles",
     # INTERSECT is left-semi sugar; rule_referential_integrity's
     # anti-join keeps existence-join semantics in-window.
-    "set_intersect_priority_profiles",
     # (drift_psi_totalprice rested here r5-r9; re-seated in round 10
     # after its one-scan rewrite.)
     # As-of is the backward range join; join_range_binned +
     # join_interval_overlap keep range-join semantics in-window.
-    "join_asof_orders_events",
     # Chunk/window segmentation stays via pipeline_curate_pack (ends in
     # the same segmentation + packer) and pack_sequences history.
-    "text_chunk_windows",
     # Pairwise-similarity dedup stays via dedup_fuzzy_levenshtein; the
     # n-gram Jaccard demo (deliberately bounded) rests.
-    "dedup_ngram_jaccard",
     # Brute-force cosine top-k is recomputed INSIDE sim_ann_recall as
     # the ground truth every round; the standalone view rests.
-    "sim_bruteforce_topk",
     # Batch sessionization twinned by streaming_sessionize_stateful
     # (same gap semantics, stateful path) — both were driver-green r4.
-    "events_sessionize",
     # Column-name contract rule twinned by rule_type_enforcement (same
     # contract object, stricter check); green r1-r4.
-    "rule_column_names",
     # ROLLUP is GROUPING SETS sugar; agg_grouping_sets (newly seated)
     # pins the same Expand-node plan with explicit sets; green r1-r4.
-    "agg_rollup_region_nation",
     # Text quality ratios twinned by quality_gopher_flags (newly
     # seated); token/fingerprint legs by text_tfidf_top_terms +
     # dedup_exact_keep_first; green r1-r4.
-    "text_profile",
     # Uniqueness metrics twinned by rule_candidate_keys (newly seated:
     # exact distinct counts + the unique-and-never-null verdict per
     # column in one pass); green r1-r4.
-    "rule_uniqueness_metrics",
     # Null-count completeness twinned by profile_orders_columns
     # (per-column null_count, newly in-window) and rule_candidate_keys'
     # n_nulls leg; green r1-r4.
-    "rule_completeness",
     # Pushdown/pruning are pinned plan-side by tests/test_plans and
     # exercised driver-side by scan_orc (pushdown roundtrip, newly
     # seated) + scan_parquet_evolving; green r1-r4.
-    "scan_pushdown_projection",
     # try_cast type enforcement pinned by test_runner's reference
     # fixtures; the corrupt-row leg stays driver-checked via
     # scan_permissive_roundtrip; green r1-r4.
-    "rule_type_enforcement",
     # Parquet write→read roundtrips stay driver-checked via
     # scan_parquet_evolving and scan_partition_pruned (both write at
     # query time); streaming sink coverage stays via the five other
     # in-window streaming queries; green r1-r4.
-    "streaming_failure_sink",
     # Broadcast star-join shape pinned by tests/test_plans; dim
     # broadcasts stay exercised under contamination_probes and
     # agg_hll_mergeable's broadcast legs; green r1-r4.
-    "join_region_revenue",
     # Tumbling-window streaming agg twinned by streaming_static_enrich's
     # windowed-aggregation leg; the streaming family keeps five other
     # in-window seats (exactly-once sink, stateful sessionize, dedup,
     # static enrich, stream-stream attribution); green r1-r4.
-    "streaming_windowed_violations",
     # Fused curate pipeline twinned by pipeline_curate_pack (in-window,
     # required-family pinned — the strictly longer chain ending in the
     # packer); green r1-r4.
-    "pipeline_curate_corpus",
     # PERMISSIVE corrupt-record semantics pinned by test_runner /
     # test_sources fixture replays; scan-family driver coverage stays
     # via scan_orc, scan_parquet_evolving, scan_partition_pruned;
     # green r1-r4.
-    "scan_permissive_roundtrip",
     # The reference's naive field-count rule: property-based parity with
     # Python split in test_field_count + fixture replay in test_runner;
     # the quote-stripped oracled variant has a green r2 row; green r1-r4.
-    "rule_field_count_naive",
     # Anti-join plan pinned in tests/test_plans; orphan-detection
     # semantics recur in cdc_changeset_orders' delete leg (keys present
     # in current, absent from incoming); green r1-r4.
-    "rule_referential_integrity",
     # Token-aggregation family stays via text_unigram_lm_score (newly
     # seated: the same wordcount shuffle + bounded top-k vocabulary) and
     # text_top_bigrams' r1-r2 history; green r1-r4.
-    "text_tfidf_top_terms",
     # Multimodal family keeps multimodal_resize_stats in-window (same
     # mapInPandas kernel family, byte-exact stub decode); green r1-r4.
-    "multimodal_frame_sample",
     # Sampling family keeps sample_weighted_orders in-window (the same
     # md5-order device and WindowGroupLimit/TakeOrdered plan shape);
     # green r1-r4.
-    "sample_stratified_orders",
     # Exact-dedup semantics pinned by test_text_dedup planted-duplicate
     # fixtures; dedup family keeps dedup_fuzzy_levenshtein in-window;
     # green r1-r4.
-    "dedup_exact_keep_first",
     # ---- round-6 rotation: four r5-green entries rest so the four
     # ---- operators added this round (CDC apply/MERGE, metrics-repo
     # ---- trend rule, real BPE encode, stream-stream LEFT OUTER) each
@@ -11701,6 +11675,121 @@ _DEMOTED_TO_TAIL = [
     # ---- shared) and the streaming family keeps three seats; green
     # ---- r7-r10 (four driver rounds).
     "streaming_incremental_mv",
+    # ---- round-12 rotation (VERDICT r11 item 3): the 26 r4-vintage
+    # ---- resting greens — the oldest un-revalidated records, green
+    # ---- r1-r4 and resting 7 rounds — return to the window
+    # ---- (join_shipping_priority, agg_percentiles,
+    # ---- set_intersect_priority_profiles, join_asof_orders_events,
+    # ---- text_chunk_windows, dedup_ngram_jaccard, sim_bruteforce_topk,
+    # ---- events_sessionize, rule_column_names,
+    # ---- agg_rollup_region_nation, text_profile,
+    # ---- rule_uniqueness_metrics, rule_completeness,
+    # ---- scan_pushdown_projection, rule_type_enforcement,
+    # ---- streaming_failure_sink, join_region_revenue,
+    # ---- streaming_windowed_violations, pipeline_curate_corpus,
+    # ---- scan_permissive_roundtrip, rule_field_count_naive,
+    # ---- rule_referential_integrity, text_tfidf_top_terms,
+    # ---- multimodal_frame_sample, sample_stratified_orders,
+    # ---- dedup_exact_keep_first — all removed from this list), and
+    # ---- five seats go to the round-12 additions
+    # ---- (contamination_ngram_bloom, quality_linear_score,
+    # ---- curation_dsir_weights, sim_sq8_recall, link_golden_record).
+    # ---- THIRTY-ONE fresh r11 greens rest to make room.  The three
+    # ---- operators REWRITTEN this round (ts_theilsen_trend's
+    # ---- distributed median, drift_wasserstein's point-mass fix,
+    # ---- sim_hybrid_rrf's bounded dense leg) and the refactored
+    # ---- contamination_ngram_overlap STAY SEATED — a rewrite earns a
+    # ---- fresh driver record.  Per-entry twin rationale:
+    # The ten r5-vintage seats re-validated in r11 did their job and
+    # rest again (each green r1-r4 + r11); their plan shapes stay
+    # covered by the 26 re-seated r4-vintage twins (star-join + agg +
+    # top-k via join_shipping_priority / join_region_revenue /
+    # topk re-seats, rollup via agg_rollup_region_nation, window-dedup
+    # via the re-seated rules, JSON extraction pytest-pinned):
+    "agg_pricing_summary",
+    "rule_domain_range",
+    "agg_salted_skew_counts",
+    "topk_order_values",
+    "window_dedup_rank",
+    "join_full_outer_reconcile",
+    "join_semi_returned_orders",
+    "pivot_priority_status",
+    "supplier_acctbal_by_nation",
+    "events_json_extract",
+    # Green r10+r11; the semantic-dedup family keeps
+    # dedup_semantic_clusters in-window and the auto-k/IVF assignment
+    # devices stay pytest-pinned (tests/test_semantic_dedup.py).
+    "dedup_semantic_autok",
+    "dedup_semantic_twolevel",
+    # Green r9+r11 (fingerprint-key rewrite re-validated in r11); the
+    # exact-pairs family keeps dedup_ssjoin_prefix in-window and the
+    # re-seated dedup_exact_keep_first carries the fingerprint device.
+    "dedup_shared_substrings",
+    # Green r10+r11; KLL keeps agg_kll_mergeable +
+    # streaming_kll_by_group in-window (the per-segment merge is the
+    # same device, pytest-pinned in tests/test_sketches.py).
+    "agg_kll_by_segment",
+    # Green r11 (first exposure); the tokenizer-training family keeps
+    # pipeline_bpe_pack in-window (token-exact encode+pack) and the
+    # hard-EM/Viterbi semantics stay pytest-pinned
+    # (tests/test_unigram_tokenizer.py).
+    "text_unigram_learn",
+    "text_unigram_encode",
+    # Green r11 (first exposure); the linkage family keeps
+    # link_golden_record in-window, which RUNS link_entity_pairs
+    # end-to-end (the FS agreement-vector device), and the EM fixtures
+    # stay pytest-pinned (tests/test_linkage.py).
+    "link_fs_em",
+    "link_fs_classify",
+    # Green r11 (first exposure); the events family keeps
+    # events_sessionize (re-seated) in-window and the lead-window
+    # transition/survival/attribution semantics stay pytest-pinned
+    # (tests/test_events_analytics.py).
+    "events_markov_transitions",
+    "events_survival_km",
+    "events_attribution_removal",
+    # Green r11 (first exposure); the rule family keeps FIVE re-seated
+    # rule_* seats plus rule_k_anonymity in-window; the lag-window
+    # inversion count and the two-proportion z-grid stay pytest-pinned.
+    "rule_monotonic_orderdate",
+    "rule_conversion_ztest",
+    # Green r11 (first exposure); the dedup family keeps
+    # dedup_ssjoin_prefix + the re-seated dedup_ngram_jaccard and
+    # dedup_exact_keep_first in-window; the containment inverted-index
+    # device stays pytest-pinned (tests/test_text_dedup.py).
+    "dedup_ngram_containment",
+    # Green r11 (first exposure); rests with its quantization
+    # unchanged from r11 (the round-12 floor-division alarm proved
+    # false: Spark div == DuckDB // on both signs, pinned against live
+    # DuckDB in tests/test_relational.py).
+    "agg_time_decayed_value",
+    # Green r11 (first exposure); the text-stats family keeps the
+    # re-seated text_profile/text_tfidf_top_terms in-window and the
+    # integer cross-ratio ordering stays pytest-pinned.
+    "text_pmi_collocations",
+    # Green r11 (first exposure); the streaming family keeps
+    # streaming_scd2_history + streaming_kll_by_group + the re-seated
+    # streaming_failure_sink and streaming_windowed_violations
+    # in-window; the per-batch TV-drift protocol stays pytest-pinned
+    # (tests/test_streaming.py).
+    "streaming_markov_drift",
+    # Green r11 (first exposure); the drift family keeps
+    # drift_wasserstein in-window (same W1 kernel, re-validated after
+    # the point-mass fix) and the per-group variant edge handling is
+    # pytest-pinned (tests/test_relational.py).
+    "drift_wasserstein_by_year",
+    # Green r11 (first exposure); the embedding-audit family keeps
+    # sim_ann_recall + the NEW sim_sq8_recall in-window (the same
+    # truth-ranking/recall device, width axis instead of dimension).
+    "sim_matryoshka_recall",
+    # Green r10+r11; the as-of family keeps the re-seated
+    # join_asof_orders_events in-window and the TTL/age grid stays
+    # pytest-pinned (tests/test_relational.py).
+    "join_point_in_time",
+    # Green r10+r11; the sampling family keeps the re-seated
+    # sample_stratified_orders in-window and the group-leakage split
+    # determinism stays pytest-pinned (tests/test_sampling.py).
+    "sample_cluster_split",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -230,9 +230,11 @@ def test_driver_window_is_all_oracled():
         # repository protocol stays pytest-pinned)
         "layout_compaction_plan",
         # (sim_ann_exactint got green r7-r10 rows and rests in r11;
-        # the three in-window semantic-dedup entries + sim_ann_recall
-        # keep exact-integer embedding coverage)
-        "join_point_in_time",
+        # the in-window semantic-dedup entry + sim_ann_recall keep
+        # exact-integer embedding coverage)
+        # (join_point_in_time got green r7-r11 rows and rests in r12;
+        # the re-seated join_asof_orders_events keeps the as-of family
+        # seat and the TTL/age grid stays pytest-pinned)
         # (streaming_drift_psi got green r7-r10 rows and rests in r11;
         # three streaming siblings keep the family seats and the
         # per-batch PSI protocol stays pytest-pinned)
@@ -264,7 +266,10 @@ def test_driver_window_is_all_oracled():
         # (agg_incremental_minmax got green r8-r10 rows and rests in
         # r11; the refresh device stays pytest-pinned)
         "profile_fd_composite",
-        "sample_cluster_split",
+        # (sample_cluster_split got green r7-r11 rows and rests in
+        # r12; the re-seated sample_stratified_orders keeps the
+        # sampling family seat and the group-leakage determinism stays
+        # pytest-pinned)
         # (join_salted_skew got green r8+r9 rows and rests in r10; the
         # salting device stays pinned by tests/test_aqe_skew.py and
         # tests/test_advice_r8.py)
@@ -294,41 +299,56 @@ def test_driver_window_is_all_oracled():
         # (agg_kll_rolling got green r9+r10 rows and rests in r11;
         # three KLL siblings keep the family seats)
         "graph_triangle_count",
-        # round-10 additions: each must get its driver row
-        "agg_kll_by_segment", "dedup_semantic_autok",
+        # round-10 additions: each got its driver row r10+r11;
+        # agg_kll_by_segment, dedup_semantic_autok and
+        # dedup_semantic_twolevel rest in r12 (agg_kll_mergeable +
+        # streaming_kll_by_group keep KLL; dedup_semantic_clusters
+        # keeps the semantic tier)
         "cdc_scd2_history", "multimodal_phash_neardup",
-        "streaming_kll_by_group", "dedup_semantic_twolevel",
+        "streaming_kll_by_group",
         "streaming_scd2_history",
-        # (round-10 re-validation seats got their fresh r10 greens and
-        # rest in r11: agg_distribution_stats, rule_outlier_zscore,
-        # agg_cube_segment_status, window_running_total,
-        # join_range_value_buckets, events_hourly_windows,
-        # text_top_bigrams, emb_norm_stats, multimodal_payload_stats,
-        # corpus_mixture_plan, pack_sequences_docs,
-        # drift_psi_totalprice)
-        # round-11 re-validation seats (VERDICT r10 item 2): the ten
-        # r5-vintage greens — the oldest un-revalidated records —
-        # return for fresh driver rows
-        "agg_pricing_summary", "supplier_acctbal_by_nation",
-        "pivot_priority_status", "window_dedup_rank",
-        "join_full_outer_reconcile", "join_semi_returned_orders",
-        "agg_salted_skew_counts", "topk_order_values",
-        "rule_domain_range", "events_json_extract",
-        # round-11 additions: the fingerprint-key substring rewrite
-        # earns a fresh record; the unigram-LM trainer + encoder are new
-        "dedup_shared_substrings", "text_unigram_learn",
-        "text_unigram_encode", "link_fs_em", "link_fs_classify",
-        "ts_theilsen_trend",
-        # round-11 second-wave additions: each must get its driver row
-        "drift_wasserstein", "events_markov_transitions",
-        "rule_monotonic_orderdate", "dedup_ngram_containment",
-        "sim_hybrid_rrf",
-        # round-11 third-wave additions: each must get its driver row
-        "events_survival_km", "agg_time_decayed_value",
-        "rule_conversion_ztest", "events_attribution_removal",
-        "text_pmi_collocations", "streaming_markov_drift",
-        "drift_wasserstein_by_year", "sim_matryoshka_recall",
+        # (the r5-vintage block re-validated in r11 — agg_pricing_
+        # summary, supplier_acctbal_by_nation, pivot_priority_status,
+        # window_dedup_rank, join_full_outer_reconcile,
+        # join_semi_returned_orders, agg_salted_skew_counts,
+        # topk_order_values, rule_domain_range, events_json_extract —
+        # rests in r12 with fresh r11 greens; the re-seated r4-vintage
+        # block keeps the star-join/agg/top-k/pivot shapes in-window)
+        # (round-11 first exposures each got their r11 green and rest
+        # in r12: dedup_shared_substrings, text_unigram_learn/encode,
+        # link_fs_em/classify, events_markov_transitions,
+        # rule_monotonic_orderdate, dedup_ngram_containment,
+        # events_survival_km, agg_time_decayed_value,
+        # rule_conversion_ztest, events_attribution_removal,
+        # text_pmi_collocations, streaming_markov_drift,
+        # drift_wasserstein_by_year, sim_matryoshka_recall — family
+        # seats per the _DEMOTED_TO_TAIL rationale block)
+        # operators REWRITTEN in round 12 stay seated for a fresh
+        # record: the distributed-median Theil-Sen, the point-mass W1
+        # fix, the bounded-dense-leg hybrid RRF, and the refactored
+        # contamination screen
+        "ts_theilsen_trend", "drift_wasserstein", "sim_hybrid_rrf",
         "contamination_ngram_overlap",
+        # round-12 re-validation seats (VERDICT r11 item 3): the 26
+        # r4-vintage greens — the oldest un-revalidated records —
+        # return for fresh driver rows
+        "join_shipping_priority", "agg_percentiles",
+        "set_intersect_priority_profiles", "join_asof_orders_events",
+        "text_chunk_windows", "dedup_ngram_jaccard",
+        "sim_bruteforce_topk", "events_sessionize",
+        "rule_column_names", "agg_rollup_region_nation",
+        "text_profile", "rule_uniqueness_metrics", "rule_completeness",
+        "scan_pushdown_projection", "rule_type_enforcement",
+        "streaming_failure_sink", "join_region_revenue",
+        "streaming_windowed_violations", "pipeline_curate_corpus",
+        "scan_permissive_roundtrip", "rule_field_count_naive",
+        "rule_referential_integrity", "text_tfidf_top_terms",
+        "multimodal_frame_sample", "sample_stratified_orders",
+        "dedup_exact_keep_first",
+        # round-12 additions: each must get its driver row
+        "contamination_ngram_bloom", "quality_linear_score",
+        "curation_dsir_weights", "sim_sq8_recall",
+        "link_golden_record",
     ]:
         assert required in window, required
 
