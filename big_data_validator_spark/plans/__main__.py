@@ -179,6 +179,19 @@ PLAN_QUERIES = [
     # dedup_ngram_jaccard's audited inverted-index plan;
     # streaming_markov_drift's per-batch plan is sink scaffolding
     # (audited end-to-end in tests/test_streaming.py).
+    # round-12 additions.  quality_linear_score: the zero-shuffle
+    # claim — the only Exchange must be the weight-vector broadcast
+    # (also pinned in tests/test_curation.py).  curation_dsir_weights:
+    # the two-aggregation shape over the pinned feature frame.
+    # contamination_ngram_bloom collects the bitmap at plan-build time
+    # (bounded by m, documented) and its survivor-join shape is
+    # pytest-pinned equal to the exact path; link_golden_record and
+    # sim_sq8_recall are in the eager-materialization /
+    # driver-stat classes (CC labels / min-max stats collect), their
+    # vote-window and dual-ranking shapes pinned in
+    # tests/test_linkage.py and tests/test_similarity_multimodal.py.
+    "quality_linear_score",
+    "curation_dsir_weights",
 ]
 
 

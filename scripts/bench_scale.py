@@ -78,6 +78,27 @@ TOP = [
     "sim_matryoshka_recall",
     "events_attribution_removal",
     "streaming_markov_drift",
+    # round-12 (VERDICT r11 item 4): the remaining r11 third wave —
+    # contamination FIRST (the most expensive sf0.1 query at 11 s: its
+    # 13-gram explode volume is the thing to measure at 10x), the
+    # survival/trend/collocation/encode entries, and the containment
+    # dedup's inverted-index claim
+    "contamination_ngram_overlap",
+    "events_survival_km",
+    "ts_theilsen_trend",
+    "text_pmi_collocations",
+    "text_unigram_encode",
+    "dedup_ngram_containment",
+    "events_markov_transitions",
+    "agg_time_decayed_value",
+    # round-12 additions: the Bloom prefilter's survivor-volume claim,
+    # the zero-shuffle classifier, DSIR's bounded count frame, the SQ8
+    # one-pass dual ranking, and survivorship's shrunken vote frame
+    "contamination_ngram_bloom",
+    "quality_linear_score",
+    "curation_dsir_weights",
+    "sim_sq8_recall",
+    "link_golden_record",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
