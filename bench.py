@@ -246,6 +246,8 @@ HEADLINE = [
     "curation_dsir_weights",
     "sim_sq8_recall",
     "link_golden_record",
+    "drift_mannwhitney",
+    "link_sorted_neighborhood",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

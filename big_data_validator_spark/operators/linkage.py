@@ -408,3 +408,92 @@ def golden_records(
             "support",
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int,
+    block_chars: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate generation — the classic
+    complement to token blocking (Hernández & Stolfo 1995): sort
+    records by a fuzzy key and pair each record with its ``window−1``
+    successors in sort order, so near-misses that share NO exact token
+    or block key (truncations, prefixes, typos past the first chars)
+    still meet.  Multi-pass linkage unions this with
+    :func:`link_entity_pairs`' token blocks.
+
+    Distributed, no global single-task sort: the global rank comes
+    from the two-pass block device generalized to STRING keys —
+    ``block = first block_chars of key`` partitions the lexicographic
+    order contiguously, so per-block ``row_number`` plus a broadcast
+    block-prefix count frame is the exact global rank.  Neighbor pairs
+    (0 < rank_b − rank_a ≤ window−1) come from an equi-join on
+    ``rank div (window−1)`` buckets (each left row probes its own and
+    the next bucket — any in-range pair shares one of the two), so
+    the shuffle carries ~2n bucket-keyed rows and the output is
+    exactly n·(window−1) bounded — never a cross join.  Ties order by
+    (key, id): deterministic and engine-portable.
+
+    Returns ``(id_a, id_b, gap)`` with ``id_a``'s rank below
+    ``id_b``'s and ``gap`` their rank distance in [1, window−1].
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    if block_chars <= 0:
+        raise ValueError(
+            f"block_chars must be positive, got {block_chars}"
+        )
+    s = window - 1
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).cast("string").alias("_k"),
+    ).withColumn("_blk", F.substring("_k", 1, block_chars))
+    from pyspark.sql import Window as W
+
+    bw = W.partitionBy("_blk").orderBy("_k", "_id")
+    local = base.withColumn("_lr", F.row_number().over(bw))
+    gw = W.orderBy("_blk")
+    totals = (
+        base.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_n").over(
+                    gw.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_before"),
+        )
+    )
+    ranked = local.join(F.broadcast(totals), "_blk").select(
+        "_id", (F.col("_lr") + F.col("_before")).alias("_rn")
+    )
+    left = ranked.select(
+        F.col("_id").alias("id_a"),
+        F.col("_rn").alias("_ra"),
+        F.explode(
+            F.array(
+                (F.col("_rn") / s).cast("long"),
+                (F.col("_rn") / s).cast("long") + 1,
+            )
+        ).alias("_bkt"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_rn").alias("_rb"),
+        (F.col("_rn") / s).cast("long").alias("_bkt"),
+    )
+    return (
+        left.join(right, "_bkt")
+        .filter(
+            (F.col("_rb") > F.col("_ra"))
+            & (F.col("_rb") <= F.col("_ra") + s)
+        )
+        .select(
+            "id_a", "id_b", (F.col("_rb") - F.col("_ra")).alias("gap")
+        )
+    )

@@ -1198,6 +1198,137 @@ def wasserstein_1d(
     return out
 
 
+def mannwhitney_u(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bin_width: int = 1 << 20,
+) -> DataFrame:
+    """Exact two-sample Mann–Whitney U (Wilcoxon rank-sum) — the
+    rank-based drift test that completes the KS/W1 family: KS sees the
+    largest CDF gap, W1 the total mass displacement, U the stochastic
+    ORDERING (P[X > Y] shifted from ½) — robust to any monotone
+    transform of the values, which neither KS distance scaling nor W1
+    units are.
+
+    Exactness contract: with per-value counts ``(na_v, nb_v)`` and
+    ``C_v`` = pooled count strictly below v, the midrank of the tie
+    group at v doubles to the INTEGER ``2·C_v + t_v + 1``, so
+    ``2·R_a = Σ na_v · (2·C_v + t_v + 1)`` and ``2·U_a = 2·R_a −
+    n_a(n_a+1)`` are exact integers accumulated in DECIMAL(38,0) —
+    ties need no float midranks, the classic cross-engine hazard.  The
+    tie-corrected normal z uses ``σ² = n_a·n_b/12 · ((N+1) −
+    Σ(t³−t)/(N(N−1)))`` (floats only in this final scalar, rounded 6).
+
+    Same scale shape as :func:`ks_two_sample`/:func:`wasserstein_1d`:
+    one shuffle to per-value counts, per-block cumulative windows plus
+    a broadcast per-block prefix frame — never a single-task global
+    window; ``bin_width`` moves block granularity only (identical
+    statistic at any positive value, pinned in tests).  Returns one
+    row ``(n_a, n_b, u_a_x2, u_b_x2, z)``; nulls are excluded.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    v = F.col(value_col)
+    pooled = a.filter(v.isNotNull()).select(
+        v.cast("long").alias("_v"),
+        F.lit(1).alias("_ca"),
+        F.lit(0).alias("_cb"),
+    ).unionAll(
+        b.filter(v.isNotNull()).select(
+            v.cast("long").alias("_v"),
+            F.lit(0).alias("_ca"),
+            F.lit(1).alias("_cb"),
+        )
+    )
+    cnts = pooled.groupBy("_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    ).cache()
+    keyed = cnts.withColumn(
+        "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
+    ).withColumn("_t", F.col("_na") + F.col("_nb"))
+    bw = Window.partitionBy("_blk").orderBy("_v")
+    local = keyed.withColumn(
+        "_before_local",
+        F.coalesce(
+            F.sum("_t").over(bw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    gw = Window.orderBy("_blk")
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_t").alias("_tt"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_tt").over(
+                    gw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_before_blk"),
+        )
+    )
+    dec = "decimal(38,0)"
+    c = (F.col("_before_local") + F.col("_before_blk")).cast(dec)
+    terms = local.join(F.broadcast(totals), "_blk").select(
+        (
+            F.col("_na").cast(dec)
+            * (F.lit(2).cast(dec) * c + F.col("_t") + F.lit(1))
+        ).alias("_r2a_term"),
+        (
+            F.col("_t").cast(dec) * F.col("_t") * F.col("_t")
+            - F.col("_t")
+        ).alias("_tie_term"),
+        F.col("_na"),
+        F.col("_nb"),
+    )
+    agg = terms.agg(
+        F.sum("_na").alias("n_a"),
+        F.sum("_nb").alias("n_b"),
+        F.sum("_r2a_term").alias("_r2a"),
+        F.sum("_tie_term").alias("_ties"),
+    )
+    n_a = F.col("n_a").cast(dec)
+    n_b = F.col("n_b").cast(dec)
+    n = n_a + n_b
+    u2a = (F.col("_r2a") - n_a * (n_a + F.lit(1))).cast("long")
+    u2b = (F.lit(2).cast(dec) * n_a * n_b).cast("long") - F.col("u_a_x2")
+    var = (
+        n_a.cast("double")
+        * n_b.cast("double")
+        / F.lit(12.0)
+        * (
+            (n + F.lit(1)).cast("double")
+            - F.col("_ties").cast("double")
+            / (n.cast("double") * (n - F.lit(1)).cast("double"))
+        )
+    )
+    out = (
+        agg.withColumn("u_a_x2", u2a)
+        .withColumn("u_b_x2", u2b)
+        .withColumn(
+            "z",
+            # degenerate pools (N<2 or all values tied) have zero
+            # rank variance — z undefined, shipped NULL on both engines
+            F.when(
+                (n > F.lit(1)) & (var > F.lit(0.0)),
+                F.round(
+                    (
+                        F.col("u_a_x2").cast("double")
+                        - n_a.cast("double") * n_b.cast("double")
+                    )
+                    / (F.lit(2.0) * F.sqrt(var)),
+                    6,
+                ),
+            ),
+        )
+        .select("n_a", "n_b", "u_a_x2", "u_b_x2", "z")
+    )
+    out._bdv_pinned = [cnts]
+    return out
+
+
 def order_inversions(
     df: DataFrame,
     part_col: str,

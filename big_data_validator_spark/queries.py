@@ -9814,6 +9814,85 @@ def drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_mannwhitney",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 1 ELSE 0 END AS ca,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                  THEN 0 ELSE 1 END AS cb
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    cnts AS (SELECT v, SUM(ca) AS na, SUM(cb) AS nb
+             FROM pooled GROUP BY v),
+    ord AS (
+      SELECT v, na, nb, na + nb AS t,
+             COALESCE(SUM(na + nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c
+      FROM cnts),
+    agg AS (
+      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(CAST(na AS HUGEINT)
+                 * (2 * CAST(c AS HUGEINT) + t + 1)) AS r2a,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+      FROM ord),
+    fin AS (
+      SELECT n_a, n_b, ties,
+             CAST(r2a - CAST(n_a AS HUGEINT)
+                        * (CAST(n_a AS HUGEINT) + 1) AS BIGINT)
+               AS u_a_x2
+      FROM agg),
+    vr AS (
+      SELECT *,
+             CAST(n_a AS DOUBLE) * n_b / 12.0
+             * ((n_a + n_b + 1)
+                - CAST(ties AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+               AS var
+      FROM fin)
+    SELECT n_a, n_b, u_a_x2,
+           CAST(2 * CAST(n_a AS HUGEINT) * n_b AS BIGINT) - u_a_x2
+             AS u_b_x2,
+           CASE WHEN n_a + n_b > 1 AND var > 0 THEN
+             ROUND((CAST(u_a_x2 AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * n_b)
+                   / (2.0 * SQRT(var)), 6)
+           END AS z
+    FROM vr
+    """,
+)
+def drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Mann–Whitney U rank-sum drift between urgent- and
+    normal-priority order amounts (operators/relational.py:
+    mannwhitney_u) — the rank-based member completing the drift family:
+    KS sees the largest CDF gap, W1 the mass displacement, U the
+    stochastic ordering (P[urgent > normal] shifted from ½), robust to
+    any monotone value transform.  Doubled midranks make every tie
+    group an exact integer (2C+t+1), so 2·R_a and 2·U accumulate in
+    DECIMAL(38,0) with no float midranks; the tie-corrected normal z
+    is the only float, round-6.  Same two-pass block scan as the KS/W1
+    siblings — per-value counts, per-block windows, broadcast block
+    prefixes; never a single-task global window."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    cents = o.withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    return D.materialize_release(
+        R.mannwhitney_u(
+            cents.filter(urgent),
+            cents.filter(~urgent),
+            "cents",
+            bin_width=1_000_000,
+        )
+    )
+
+
+@query(
     "events_markov_transitions",
     oracle="""
     WITH seq AS (
@@ -10747,6 +10826,44 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             clustered, "cluster_id", "id", ["p_name", "p_type"]
         ),
         pairs,
+    )
+
+
+@query(
+    "link_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey AS id, lower(p_name) AS k,
+             ROW_NUMBER() OVER (ORDER BY lower(p_name), p_partkey)
+               AS rn
+      FROM part)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(b.rn - a.rn AS BIGINT) AS gap
+    FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
+    """,
+)
+def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation over the part catalog
+    (operators/linkage.py: sorted_neighborhood_pairs — Hernández &
+    Stolfo 1995): each part pairs with its 4 successors in
+    lowercase-name order, catching the near-misses token blocking
+    cannot (truncations/typos sharing no exact token); multi-pass
+    linkage unions these with link_part_entities' token blocks.  The
+    global rank is the two-pass block device generalized to STRING
+    keys (prefix blocks partition the lexicographic order
+    contiguously; per-block row_number + a broadcast block-prefix
+    frame), and neighbors meet through a rank-div-bucket equi-join —
+    ~2n bucket-keyed shuffle rows, output exactly n·(window−1), never
+    a global single-task sort or a cross join."""
+    from big_data_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("k")
+    )
+    return sorted_neighborhood_pairs(
+        part, id_col="p_partkey", key_col="k", window=5
     )
 
 
@@ -11790,6 +11907,20 @@ _DEMOTED_TO_TAIL = [
     # sample_stratified_orders in-window and the group-leakage split
     # determinism stays pytest-pinned (tests/test_sampling.py).
     "sample_cluster_split",
+    # ---- round-12 second rotation: two seats for the session's
+    # ---- second wave (drift_mannwhitney — the rank-based member
+    # ---- completing the KS/W1 drift family — and
+    # ---- link_sorted_neighborhood — SNM candidate generation, the
+    # ---- classic complement to token blocking).  Twin rationale:
+    # Green r9-r11 (three driver rounds); the graph family keeps
+    # graph_pagerank_flow in-window and the triangle support-counting
+    # device stays pytest-pinned (tests/test_graph.py).
+    "graph_triangle_count",
+    # Green r10+r11; the CDC/SCD2 family keeps streaming_scd2_history
+    # in-window (the incremental==rebuild check subsumes the batch
+    # build) and the interval semantics stay pytest-pinned
+    # (tests/test_cdc.py).
+    "cdc_scd2_history",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

@@ -99,6 +99,10 @@ TOP = [
     "curation_dsir_weights",
     "sim_sq8_recall",
     "link_golden_record",
+    # round-12 second wave: the rank-drift block scan and SNM's
+    # bucket-join neighbor claim
+    "drift_mannwhitney",
+    "link_sorted_neighborhood",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

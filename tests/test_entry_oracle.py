@@ -297,14 +297,19 @@ def test_driver_window_is_all_oracled():
         # round-9 second wave: the rolling-percentile payoff query
         # and the graph-motif member
         # (agg_kll_rolling got green r9+r10 rows and rests in r11;
-        # three KLL siblings keep the family seats)
-        "graph_triangle_count",
+        # three KLL siblings keep the family seats.
+        # graph_triangle_count got green r9-r11 rows and rests in r12;
+        # graph_pagerank_flow keeps the graph family seat and the
+        # support-counting device stays pytest-pinned)
         # round-10 additions: each got its driver row r10+r11;
         # agg_kll_by_segment, dedup_semantic_autok and
         # dedup_semantic_twolevel rest in r12 (agg_kll_mergeable +
         # streaming_kll_by_group keep KLL; dedup_semantic_clusters
         # keeps the semantic tier)
-        "cdc_scd2_history", "multimodal_phash_neardup",
+        # (cdc_scd2_history and graph_triangle_count rest in r12 with
+        # green r9/r10+r11 rows; streaming_scd2_history keeps CDC/SCD2
+        # and graph_pagerank_flow keeps the graph family)
+        "multimodal_phash_neardup",
         "streaming_kll_by_group",
         "streaming_scd2_history",
         # (the r5-vintage block re-validated in r11 — agg_pricing_
@@ -349,6 +354,8 @@ def test_driver_window_is_all_oracled():
         "contamination_ngram_bloom", "quality_linear_score",
         "curation_dsir_weights", "sim_sq8_recall",
         "link_golden_record",
+        # round-12 second wave
+        "drift_mannwhitney", "link_sorted_neighborhood",
     ]:
         assert required in window, required
 

@@ -329,3 +329,70 @@ def test_golden_records_survivorship_rules(spark):
     assert rows[("C", "source")]["support"] == 2
     with pytest.raises(ValueError, match="non-empty"):
         golden_records(df, "fp", "doc_id", [])
+
+
+# ------------------------------------------- sorted-neighborhood blocking
+
+def test_sorted_neighborhood_matches_window_definition(spark):
+    """Pairs == the textbook definition (each record with its w-1
+    successors in (key, id) order) on a key set with duplicate keys
+    spanning prefix-block boundaries; rank device == global sort."""
+    import pytest
+
+    from big_data_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "apple"), (2, "apricot"), (3, "apple"),  # dup key, tie by id
+        (4, "banana"), (5, "blueberry"), (6, "cherry"),
+        (7, "aa"), (8, "ba"), (9, "bz"), (10, "ca"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    w = 3
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=w, block_chars=2
+        ).collect()
+    )
+    ordered = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    want = sorted(
+        (ordered[i], ordered[j], j - i)
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + w, len(ordered)))
+    )
+    assert got == want
+    assert len(got) == sum(
+        min(w - 1, len(rows) - 1 - i) for i in range(len(rows))
+    )
+    with pytest.raises(ValueError, match=">= 2"):
+        sorted_neighborhood_pairs(df, "id", "k", window=1)
+    with pytest.raises(ValueError, match="positive"):
+        sorted_neighborhood_pairs(df, "id", "k", window=3, block_chars=0)
+
+
+def test_sorted_neighborhood_catches_prefix_near_miss(spark):
+    """The capability claim: a truncated name sharing NO exact token
+    with its source still pairs (they sort adjacently), which token
+    blocking provably cannot produce."""
+    from big_data_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "chocolate fudge swirl"),
+            (2, "chocolate fudge swirlx"),   # corrupted suffix token
+            (3, "vanilla bean"),
+            (4, "strawberry ripple"),
+        ],
+        ["id", "k"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=2
+        ).collect()
+    }
+    assert (1, 2) in pairs  # adjacent in sort order despite no shared token

@@ -915,6 +915,73 @@ def test_wasserstein_rejects_bad_bin_width(spark):
         R.wasserstein_1d(a, a, "v", bin_width=0)
 
 
+def _mwu_brute(a_vals, b_vals):
+    """Textbook Mann–Whitney with midranks, in doubled-rank integers."""
+    pooled = sorted(a_vals + b_vals)
+    # doubled midrank per value: 2*C_v + t_v + 1
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank2 = {}
+    c = 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * c + cnt[v] + 1
+        c += cnt[v]
+    r2a = sum(rank2[v] for v in a_vals)
+    n_a, n_b = len(a_vals), len(b_vals)
+    u2a = r2a - n_a * (n_a + 1)
+    ties = sum(t**3 - t for t in cnt.values())
+    n = n_a + n_b
+    var = n_a * n_b / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+    z = (
+        round((u2a - n_a * n_b) / (2.0 * var**0.5), 6)
+        if n > 1 and var > 0
+        else None
+    )
+    return n_a, n_b, u2a, 2 * n_a * n_b - u2a, z
+
+
+def test_mannwhitney_matches_brute_force_with_ties(spark):
+    import random
+
+    rng = random.Random(19)
+    av = [rng.randrange(0, 40) for _ in range(70)]   # heavy ties
+    bv = [rng.randrange(10, 60) for _ in range(90)]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v,) for v in bv], ["v"])
+    row = R.mannwhitney_u(a, b, "v", bin_width=7).first()
+    assert tuple(row) == _mwu_brute(av, bv)
+
+
+def test_mannwhitney_block_width_invariance_and_extremes(spark):
+    import random
+
+    rng = random.Random(23)
+    av = [rng.randrange(0, 500) for _ in range(50)]
+    bv = [rng.randrange(0, 500) for _ in range(50)]
+    a = spark.createDataFrame([(v,) for v in av], ["v"])
+    b = spark.createDataFrame([(v,) for v in bv], ["v"])
+    rows = {
+        R.mannwhitney_u(a, b, "v", bin_width=w).first()
+        for w in (1, 13, 10_000)
+    }
+    assert len({tuple(r) for r in rows}) == 1  # bin_width never matters
+    # complete separation: all a strictly below all b -> U_a = 0
+    lo = spark.createDataFrame([(i,) for i in range(10)], ["v"])
+    hi = spark.createDataFrame([(i,) for i in range(100, 115)], ["v"])
+    r = R.mannwhitney_u(lo, hi, "v", bin_width=8).first()
+    assert r["u_a_x2"] == 0 and r["u_b_x2"] == 2 * 10 * 15
+    assert r["z"] < -4  # strongly significant shift
+    # degenerate pool: a single shared value -> z NULL, U split evenly
+    pt = spark.createDataFrame([(7,), (7,)], ["v"])
+    r2 = R.mannwhitney_u(pt, pt.limit(1), "v", bin_width=8).first()
+    assert r2["z"] is None
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        R.mannwhitney_u(lo, hi, "v", bin_width=0)
+
+
 def test_wasserstein_point_mass_edge_is_zero_with_counts(spark):
     # Two point masses at the SAME value: the gap frame is empty, the
     # true W1 is 0.0 — the stat must coalesce to 0 and the counts must
