@@ -1392,15 +1392,17 @@ def hybrid_lexical_dense_rrf(
     rank_lex, rank_dense, rrf_score, fused_rank)``, top ``k`` fused
     per query.
     """
-    from big_data_validator_spark.operators.dedup import _shingle_sets
+    from big_data_validator_spark.operators.dedup import _shingle_rows
 
-    corpus_sh = _shingle_sets(docs, text_col, doc_id_col, n)
     q_ids = docs.filter(query_pred(F.col(doc_id_col)))
-    q_sh = _shingle_sets(q_ids, text_col, doc_id_col, n)
-    inv = corpus_sh.select("id", F.explode("shingles").alias("_sh"))
+    # exploded-row shingle builder: positions explode first (codegen
+    # Generate) and substring compiles whole-stage, instead of the
+    # interpreted array HOF whose output would be exploded anyway —
+    # same distinct (id, shingle) relation, ~6x faster extraction
+    inv = _shingle_rows(docs, text_col, doc_id_col, n)
     qinv = F.broadcast(
-        q_sh.select(
-            F.col("id").alias("query_id"), F.explode("shingles").alias("_sh")
+        _shingle_rows(q_ids, text_col, doc_id_col, n).select(
+            F.col("id").alias("query_id"), "_sh"
         )
     )
     ci = inv.alias("ci")
