@@ -10992,11 +10992,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _rb(_t(spark, sf_dir, "documents"))
-    return contamination_ngram_overlap(
-        docs.filter(F.col("doc_id") >= 20),
-        docs.filter(F.col("doc_id") < 20),
-        n_words=13,
-        flag_threshold=0.1,
+    return D.materialize_release(
+        contamination_ngram_overlap(
+            docs.filter(F.col("doc_id") >= 20),
+            docs.filter(F.col("doc_id") < 20),
+            n_words=13,
+            flag_threshold=0.1,
+        )
     )
 
 
@@ -11023,12 +11025,14 @@ def contamination_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _rb(_t(spark, sf_dir, "documents"))
-    return contamination_ngram_bloom(
-        docs.filter(F.col("doc_id") >= 20),
-        docs.filter(F.col("doc_id") < 20),
-        n_words=13,
-        flag_threshold=0.1,
-        fpp=0.01,
+    return D.materialize_release(
+        contamination_ngram_bloom(
+            docs.filter(F.col("doc_id") >= 20),
+            docs.filter(F.col("doc_id") < 20),
+            n_words=13,
+            flag_threshold=0.1,
+            fpp=0.01,
+        )
     )
 
 
