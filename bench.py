@@ -248,6 +248,8 @@ HEADLINE = [
     "link_golden_record",
     "drift_mannwhitney",
     "link_sorted_neighborhood",
+    "agg_winsorized_stats",
+    "sim_kcenter_coreset",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

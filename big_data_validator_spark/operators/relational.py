@@ -1198,6 +1198,96 @@ def wasserstein_1d(
     return out
 
 
+def winsorized_group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_ppm: int = 10_000,
+    hi_ppm: int = 990_000,
+) -> DataFrame:
+    """Per-group WINSORIZED mean — the robust location estimate that
+    clamps instead of dropping: values below the ``lo_ppm``-quantile
+    (parts-per-million, default P1) pull up to it, values above the
+    ``hi_ppm``-quantile (default P99) pull down, then the mean runs
+    over the clamped column.  The monitoring default when outliers are
+    REAL data you must not discard (refunds, whale orders) but must
+    not let own the mean either; complements the trimmed-mean UDAF
+    (drops tails) and the median/MAD rule (ignores magnitude).
+
+    Exactness: integer values, lower-quantile cut convention (the
+    element at 1-based position ``ceil(q·n)`` of the sorted multiset —
+    exact integer arithmetic as ``(q_ppm·n + 999_999) div 1_000_000``),
+    and the winsorized SUM assembled exactly as ``Σ clamp(v)·cnt`` in
+    DECIMAL(38,0); the mean ships as ``(sum·10⁶) div n`` (truncating
+    div on both engines).
+
+    ONE data-shuffle: the (group, value) count aggregation.  Both the
+    quantile cuts AND the winsorized sum then compute on that SHRUNKEN
+    frame — cumulative counts via a window partitioned BY GROUP
+    (parallel across groups), never a second scan of the data and
+    never a global sort.  Returns ``(group, n_rows, lo_cut, hi_cut,
+    winsorized_mean_scaled, scale)`` with scale = 10⁶.
+    """
+    if not 0 <= lo_ppm <= hi_ppm <= 1_000_000:
+        raise ValueError(
+            f"need 0 <= lo_ppm <= hi_ppm <= 1e6, got {lo_ppm}, {hi_ppm}"
+        )
+    v = F.col(value_col)
+    cnts = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), v.cast("long").alias("_v"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # two consumers (cut search + clamped sum): pin the shrunken counts
+    # so the base relation scans once (the ks/W1 convention)
+    cnts.persist()
+    w = Window.partitionBy("_g").orderBy("_v")
+    cum = cnts.withColumn(
+        "_cum", F.sum("_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy("_g")))
+    lo_pos = F.expr(f"({lo_ppm}L * _n + 999999) div 1000000")
+    hi_pos = F.expr(f"({hi_ppm}L * _n + 999999) div 1000000")
+    # the cut = first value whose cumulative count reaches the position
+    cuts = cum.groupBy("_g").agg(
+        F.min(F.when(F.col("_cum") >= lo_pos, F.col("_v"))).alias(
+            "lo_cut"
+        ),
+        F.min(F.when(F.col("_cum") >= hi_pos, F.col("_v"))).alias(
+            "hi_cut"
+        ),
+        F.first("_n").alias("n_rows"),
+    )
+    clamped = (
+        cnts.join(cuts, "_g")
+        .select(
+            "_g",
+            "n_rows",
+            "lo_cut",
+            "hi_cut",
+            (
+                F.greatest(
+                    F.least(F.col("_v"), F.col("hi_cut")), F.col("lo_cut")
+                ).cast("decimal(38,0)")
+                * F.col("_c")
+            ).alias("_wv"),
+        )
+        .groupBy("_g", "n_rows", "lo_cut", "hi_cut")
+        .agg(F.sum("_wv").alias("_ws"))
+    )
+    out = clamped.select(
+        F.col("_g").alias(group_col),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("lo_cut").cast("long").alias("lo_cut"),
+        F.col("hi_cut").cast("long").alias("hi_cut"),
+        F.expr("(_ws * 1000000) div n_rows")
+        .cast("long")
+        .alias("winsorized_mean_scaled"),
+        F.lit(1_000_000).cast("long").alias("scale"),
+    )
+    out._bdv_pinned = [cnts]
+    return out
+
+
 def mannwhitney_u(
     a: DataFrame,
     b: DataFrame,

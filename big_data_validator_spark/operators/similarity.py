@@ -1444,6 +1444,92 @@ def hybrid_lexical_dense_rrf(
     )
 
 
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 100_000,
+) -> DataFrame:
+    """Greedy k-center CORESET selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation to the k-center cover): start from
+    the minimum id, then repeatedly add the point FARTHEST from every
+    chosen center.  This is the standard coverage-maximizing data
+    selector — the geometric complement to DSIR's distribution
+    matching: DSIR picks what looks like the target, k-center picks a
+    set that SPANS the corpus (dataset pruning, active-learning seeds,
+    eval-set construction; Sener & Savarese 2018 use exactly this for
+    core-set active learning).
+
+    Exactness: components quantize once via the established
+    ``floor(x·quant_scale)`` int64 device, squared L2 distances are
+    exact integer sums (|q|≤~5e5 ⇒ dim·(2q)² ≈ 6e13 « 2⁶³ at 64 dims),
+    and every argmax breaks ties by smallest id — the selection
+    SEQUENCE is engine-portable, so the oracle replays it as unrolled
+    CTEs.
+
+    Scale: k−1 corpus passes, each a single codegen projection (min
+    over the ≤k chosen centers' distance folds — the centers ride the
+    plan as literals, nothing joins) ending in TakeOrdered(1) — no
+    shuffle of data rows at all, no driver state beyond k quantized
+    vectors.  Returns ``(center_rank, vec_id, radius2)`` where
+    ``radius2`` is the selected point's exact squared quantized
+    distance to the prior centers — the non-increasing coverage-radius
+    sequence that IS the k-center diagnostic (NULL for rank 0).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dim * (2 * 5 * quant_scale) ** 2 >= 2**62:
+        raise ValueError(
+            "dim * (2*5*quant_scale)^2 overflows the int64 distance "
+            "accumulator; lower quant_scale"
+        )
+    from big_data_validator_spark.operators import rebalance_for_compute
+
+    q = rebalance_for_compute(emb).select(
+        F.col(id_col).alias("id"),
+        quantize_vec(F.col(vec_col), quant_scale).alias("_qv"),
+    )
+    q.persist()
+    seed = q.orderBy("id").first()
+    centers = [(int(seed["id"]), list(seed["_qv"]), None)]
+    for _ in range(1, k):
+        dist_exprs = []
+        for _, cvec, _r in centers:
+            lit = F.array(*[F.lit(int(x)) for x in cvec])
+            dist_exprs.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"), lit, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        mind = (
+            F.least(*dist_exprs)
+            if len(dist_exprs) > 1
+            else dist_exprs[0]
+        )
+        far = (
+            q.select("id", "_qv", mind.alias("_d2"))
+            .orderBy(F.col("_d2").desc(), F.col("id").asc())
+            .limit(1)
+            .first()
+        )
+        centers.append((int(far["id"]), list(far["_qv"]), int(far["_d2"])))
+    q.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, cid, r)
+            for i, (cid, _v, r) in enumerate(centers)
+        ],
+        "center_rank long, vec_id long, radius2 long",
+    )
+
+
 def sq8_recall(
     emb: DataFrame,
     query_pred,

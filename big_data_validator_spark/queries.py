@@ -9814,6 +9814,71 @@ def drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL),
+    cnts AS (SELECT g, v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             SUM(c) OVER (PARTITION BY g) AS n
+      FROM cnts),
+    cuts AS (
+      SELECT g,
+             MIN(CASE WHEN cm >= (10000 * n + 999999) // 1000000
+                      THEN v END) AS lo_cut,
+             MIN(CASE WHEN cm >= (990000 * n + 999999) // 1000000
+                      THEN v END) AS hi_cut,
+             ANY_VALUE(n) AS n_rows
+      FROM cum GROUP BY 1),
+    clamped AS (
+      SELECT c0.g, t.n_rows, t.lo_cut, t.hi_cut,
+             SUM(CAST(GREATEST(LEAST(c0.v, t.hi_cut), t.lo_cut)
+                      AS HUGEINT) * c0.c) AS ws
+      FROM cnts c0 JOIN cuts t ON t.g = c0.g
+      GROUP BY 1, 2, 3, 4)
+    SELECT g AS o_orderpriority, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(lo_cut AS BIGINT) AS lo_cut,
+           CAST(hi_cut AS BIGINT) AS hi_cut,
+           CAST((ws * 1000000) // n_rows AS BIGINT)
+             AS winsorized_mean_scaled,
+           CAST(1000000 AS BIGINT) AS scale
+    FROM clamped
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value (cents) per priority
+    (operators/relational.py: winsorized_group_stats): P1/P99 clamping
+    — the robust location estimate that keeps outliers IN but caps
+    their leverage, beside the trimmed-mean UDAF (drops tails) and the
+    median/MAD rule (ignores magnitude).  ONE data shuffle to
+    (group, value) counts; the exact lower-quantile cuts AND the
+    clamped sum both compute on that shrunken frame (group-partitioned
+    windows, parallel across groups — never a second data scan or a
+    global sort), and every shipped number is exact integer arithmetic
+    (DECIMAL(38,0) sum, truncating-div mean both engines share)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
+    cents = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    return D.materialize_release(
+        R.winsorized_group_stats(
+            cents, "o_orderpriority", "cents",
+            lo_ppm=10_000, hi_ppm=990_000,
+        )
+    )
+
+
+@query(
     "drift_mannwhitney",
     oracle="""
     WITH pooled AS (
@@ -10864,6 +10929,63 @@ def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sorted_neighborhood_pairs(
         part, id_col="p_partkey", key_col="k", window=5
+    )
+
+
+def _kcenter_oracle(k: int, dim: int, scale: int) -> str:
+    """Gonzalez farthest-point selection unrolled as CTEs: step i picks
+    the row maximizing the MIN exact squared quantized distance to the
+    i previously selected centers (correlated scalar subqueries),
+    ties to the smallest id — the same engine-portable sequence the
+    Spark driver loop executes."""
+    dist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "ii -> (q.qv[ii] - a{j}.qv[ii]) * (q.qv[ii] - a{j}.qv[ii])))"
+    )
+    parts = [
+        f"q AS (SELECT vec_id AS id, "
+        f"list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(x * {scale}) AS BIGINT)) AS qv "
+        f"FROM embeddings)",
+        "c0 AS (SELECT id, qv, CAST(NULL AS BIGINT) AS d2 FROM q "
+        "ORDER BY id LIMIT 1)",
+    ]
+    for i in range(1, k):
+        terms = ", ".join(
+            dist.format(dim=dim, j=j) for j in range(i)
+        )
+        mind = f"LEAST({terms})" if i > 1 else terms
+        joins = " ".join(f"CROSS JOIN c{j} a{j}" for j in range(i))
+        parts.append(
+            f"c{i} AS (SELECT q.id, q.qv, CAST({mind} AS BIGINT) AS d2 "
+            f"FROM q {joins} ORDER BY d2 DESC, q.id ASC LIMIT 1)"
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {i} AS center_rank, id AS vec_id, d2 AS radius2 "
+        f"FROM c{i}"
+        for i in range(k)
+    )
+    return f"WITH {', '.join(parts)}\n    {union}"
+
+
+@query(
+    "sim_kcenter_coreset",
+    oracle=_kcenter_oracle(k=6, dim=64, scale=100_000),
+)
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus
+    (operators/similarity.py: kcenter_coreset — Gonzalez 1985, the
+    Sener & Savarese 2018 core-set selector): 6 centers by
+    farthest-point traversal with exact integer distances, the
+    coverage-maximizing complement to DSIR's distribution-matching
+    selection.  k−1 corpus passes, each one codegen projection (the
+    chosen centers ride as literals — nothing joins, nothing shuffles)
+    into TakeOrdered(1); the shipped coverage-radius sequence is the
+    k-center diagnostic.  The oracle replays the identical selection
+    as unrolled CTEs with correlated exact-distance subqueries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kcenter_coreset(
+        emb, k=6, dim=64, quant_scale=100_000
     )
 
 
@@ -11925,6 +12047,20 @@ _DEMOTED_TO_TAIL = [
     # build) and the interval semantics stay pytest-pinned
     # (tests/test_cdc.py).
     "cdc_scd2_history",
+    # ---- round-12 third rotation: two seats for the session's third
+    # ---- wave (agg_winsorized_stats — the clamping robust-location
+    # ---- member beside the trimmed-mean UDAF and the MAD rule — and
+    # ---- sim_kcenter_coreset — Gonzalez farthest-point coverage
+    # ---- selection, the geometric complement to DSIR).  Rationale:
+    # Green r10+r11; the multimodal family keeps the re-seated
+    # multimodal_frame_sample in-window and the dHash/banded-LSH
+    # losslessness stays pytest-pinned (tests/test_multimodal.py).
+    "multimodal_phash_neardup",
+    # Green r9-r11 (three driver rounds); KLL keeps
+    # streaming_kll_by_group in-window (the same mergeable-sketch
+    # device under the streaming commit protocol) and the
+    # rank-tolerance grids stay pytest-pinned (tests/test_sketches.py).
+    "agg_kll_mergeable",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

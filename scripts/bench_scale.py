@@ -103,6 +103,10 @@ TOP = [
     # bucket-join neighbor claim
     "drift_mannwhitney",
     "link_sorted_neighborhood",
+    # round-12 third wave: the counts-frame winsorized cuts and the
+    # k-1 scan-only passes of the coverage selector
+    "agg_winsorized_stats",
+    "sim_kcenter_coreset",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

@@ -287,7 +287,9 @@ def test_driver_window_is_all_oracled():
         # (events_rolling_distinct got green r8-r10 rows and rests in
         # r11; events_markov_transitions takes the events seat)
         # round-9 additions: each must get its driver row
-        "agg_kll_mergeable", "dedup_semantic_clusters",
+        # (agg_kll_mergeable rests in r12 with green r9-r11 rows;
+        # streaming_kll_by_group keeps the KLL family seat)
+        "dedup_semantic_clusters",
         # (graph_label_propagation got green r9+r10 rows and rests in
         # r11; pagerank + triangle keep the graph family seats)
         # (cdc_schema_changeset got green r9+r10 rows and rests in
@@ -306,10 +308,12 @@ def test_driver_window_is_all_oracled():
         # dedup_semantic_twolevel rest in r12 (agg_kll_mergeable +
         # streaming_kll_by_group keep KLL; dedup_semantic_clusters
         # keeps the semantic tier)
-        # (cdc_scd2_history and graph_triangle_count rest in r12 with
-        # green r9/r10+r11 rows; streaming_scd2_history keeps CDC/SCD2
-        # and graph_pagerank_flow keeps the graph family)
-        "multimodal_phash_neardup",
+        # (cdc_scd2_history, graph_triangle_count,
+        # multimodal_phash_neardup and agg_kll_mergeable rest in r12
+        # with green r9-r11 rows; streaming_scd2_history keeps
+        # CDC/SCD2, graph_pagerank_flow the graph family, the
+        # re-seated multimodal_frame_sample the multimodal family, and
+        # streaming_kll_by_group the KLL family)
         "streaming_kll_by_group",
         "streaming_scd2_history",
         # (the r5-vintage block re-validated in r11 — agg_pricing_
@@ -356,6 +360,8 @@ def test_driver_window_is_all_oracled():
         "link_golden_record",
         # round-12 second wave
         "drift_mannwhitney", "link_sorted_neighborhood",
+        # round-12 third wave
+        "agg_winsorized_stats", "sim_kcenter_coreset",
     ]:
         assert required in window, required
 

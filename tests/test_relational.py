@@ -915,6 +915,50 @@ def test_wasserstein_rejects_bad_bin_width(spark):
         R.wasserstein_1d(a, a, "v", bin_width=0)
 
 
+def test_winsorized_group_stats_matches_brute_force(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (g, rng.randrange(0, 1000))
+        for g in ("x", "y")
+        for _ in range(200)
+    ] + [("x", 10_000_000), ("y", -10_000_000)]  # extreme outliers
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {
+        r["g"]: r
+        for r in R.winsorized_group_stats(
+            df, "g", "v", lo_ppm=50_000, hi_ppm=950_000
+        ).collect()
+    }
+
+    def brute(vals, lo_q=0.05, hi_q=0.95):
+        s = sorted(vals)
+        n = len(s)
+        lo = s[(50_000 * n + 999_999) // 1_000_000 - 1]
+        hi = s[(950_000 * n + 999_999) // 1_000_000 - 1]
+        ws = sum(max(min(x, hi), lo) for x in s)
+        q = abs(ws * 1_000_000) // n
+        return n, lo, hi, (q if ws >= 0 else -q)
+
+    for g in ("x", "y"):
+        vals = [v for gg, v in rows if gg == g]
+        n, lo, hi, m = brute(vals)
+        r = got[g]
+        assert (
+            r["n_rows"], r["lo_cut"], r["hi_cut"],
+            r["winsorized_mean_scaled"],
+        ) == (n, lo, hi, m), g
+    # the whale order must not own the mean: winsorized mean of x is
+    # near the bulk's center, nowhere near the raw mean
+    raw_mean_x = sum(v for gg, v in rows if gg == "x") / 201
+    assert got["x"]["winsorized_mean_scaled"] / 1e6 < raw_mean_x / 10
+    import pytest
+
+    with pytest.raises(ValueError, match="lo_ppm"):
+        R.winsorized_group_stats(df, "g", "v", lo_ppm=60, hi_ppm=50)
+
+
 def _mwu_brute(a_vals, b_vals):
     """Textbook Mann–Whitney with midranks, in doubled-rank integers."""
     pooled = sorted(a_vals + b_vals)

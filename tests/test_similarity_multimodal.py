@@ -784,6 +784,60 @@ def test_hybrid_rrf_bounded_dense_matches_full_at_cutoff(spark):
     assert bounded == full
 
 
+# -------------------------------------------------- k-center coreset
+
+def test_kcenter_matches_python_greedy_and_radius_monotone(spark):
+    """Selection sequence == a from-scratch Gonzalez greedy with the
+    same quantization and id tie-break; coverage radius non-increasing;
+    k guard raises."""
+    import random
+
+    import pytest
+
+    from big_data_validator_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    rng = random.Random(43)
+    vecs = {i: [rng.uniform(-2, 2) for _ in range(6)] for i in range(80)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    k = 5
+    got = [
+        (r["center_rank"], r["vec_id"], r["radius2"])
+        for r in kcenter_coreset(emb, k=k, dim=6, quant_scale=1000)
+        .orderBy("center_rank")
+        .collect()
+    ]
+
+    import math
+
+    qv = {
+        i: [math.floor(x * 1000) for x in v] for i, v in vecs.items()
+    }
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    centers = [min(qv)]
+    want = [(0, centers[0], None)]
+    for rank in range(1, k):
+        best = max(
+            ((min(d2(qv[i], qv[c]) for c in centers), -i), i)
+            for i in qv
+        )[1]
+        want.append(
+            (rank, best, min(d2(qv[best], qv[c]) for c in centers))
+        )
+        centers.append(best)
+    assert got == want
+    radii = [r for _, _, r in got[1:]]
+    assert radii == sorted(radii, reverse=True)  # non-increasing cover
+    with pytest.raises(ValueError, match=">= 1"):
+        kcenter_coreset(emb, k=0, dim=6)
+
+
 # ------------------------------------------------------- SQ8 recall
 
 def test_sq8_lossless_grid_gives_perfect_recall(spark):
