@@ -1376,14 +1376,18 @@ def hybrid_lexical_dense_rrf(
       shingle with a query, postings-bounded, never pairwise in the
       corpus;
     - dense: the corpus embeddings stream ONCE against the broadcast
-      query vectors, TRUNCATED to the top ``dense_top_m`` per query
-      (default ``max(k*10, 100)``) — RRF's missing-member convention is
-      exactly what makes truncated candidate lists fusable, so the rank
-      window and the fusion join carry |queries|·M rows, not
-      |queries|·|corpus|.  Pass an explicit huge ``dense_top_m`` for
-      the full-ranking exact baseline (the pytest twin pins that the
-      bounded plan loses nothing at the fused cutoff); swap in the
-      IVF/LSH rankers for ANN at scale.
+      query vectors.  With ``dense_top_m=None`` (the default) the FULL
+      exact ranking feeds the fusion — every candidate keeps its
+      1/(rrf_k+rank) contribution, the historical semantics.  Pass an
+      explicit ``dense_top_m`` (e.g. ``max(k*10, 100)``) to truncate
+      the dense list per query — RRF's missing-member convention is
+      exactly what makes truncated candidate lists fusable, so the
+      rank window and the fusion join then carry |queries|·M rows, not
+      |queries|·|corpus|; that is the bound to use at scale (the
+      pytest twin pins that it loses nothing at the fused cutoff on
+      the bench corpus).  Truncation is opt-in (ADVICE r12): a
+      candidate at dense rank M+1 loses its contribution, so the
+      bounded plan can differ from the exact one in general.
 
     Ranks are deterministic: lexical by (common DESC, id), dense by the
     round-6 cosine with id tie-break.  Self-matches are excluded on both
@@ -1427,11 +1431,12 @@ def hybrid_lexical_dense_rrf(
             .alias("rank_lex"),
         )
     )
-    if dense_top_m is None:
-        dense_top_m = max(k * 10, 100)
     queries = emb.filter(query_pred(F.col(vec_id_col)))
+    dense_k = (
+        dense_top_m if dense_top_m is not None else (1 << 31) - 1
+    )
     dense = brute_force_topk(
-        emb, queries, k=dense_top_m, id_col=vec_id_col, vec_col=vec_col
+        emb, queries, k=dense_k, id_col=vec_id_col, vec_col=vec_col
     ).select("query_id", vec_id_col, F.col("rank").alias("rank_dense"))
     return rrf_fuse(
         lex,
@@ -1464,27 +1469,29 @@ def kcenter_coreset(
 
     Exactness: components quantize once via the established
     ``floor(x·quant_scale)`` int64 device, squared L2 distances are
-    exact integer sums (|q|≤~5e5 ⇒ dim·(2q)² ≈ 6e13 « 2⁶³ at 64 dims),
-    and every argmax breaks ties by smallest id — the selection
-    SEQUENCE is engine-portable, so the oracle replays it as unrolled
-    CTEs.
+    exact integer sums (guarded against overflow by the ACTUAL max
+    |quantized component| measured from the data, not an assumed
+    bound), and every argmax breaks ties by smallest id — the
+    selection SEQUENCE is engine-portable, so the oracle replays it
+    as unrolled CTEs.
 
-    Scale: k−1 corpus passes, each a single codegen projection (min
-    over the ≤k chosen centers' distance folds — the centers ride the
-    plan as literals, nothing joins) ending in TakeOrdered(1) — no
-    shuffle of data rows at all, no driver state beyond k quantized
-    vectors.  Returns ``(center_rank, vec_id, radius2)`` where
-    ``radius2`` is the selected point's exact squared quantized
-    distance to the prior centers — the non-increasing coverage-radius
-    sequence that IS the k-center diagnostic (NULL for rank 0).
+    Scale: k−1 corpus passes over a persisted RUNNING min-distance
+    column ``_mind`` — each round folds ONE distance expression
+    (against only the newest center) into ``least(_mind, d_new)``, so
+    total fold work is O(k·n·dim) and the per-round expression size is
+    constant in k (VERDICT r12: the previous form rebuilt all k folds
+    as literals per round — O(k²·n·dim) work and a plan growing k·dim
+    literals per expression).  Each round's frame persists and the
+    prior round unpersists, so exactly two cached copies of
+    ``(id, _qv, _mind)`` exist at any instant; nothing joins, no data
+    rows shuffle, each pass ends in TakeOrdered(1).  Returns
+    ``(center_rank, vec_id, radius2)`` where ``radius2`` is the
+    selected point's exact squared quantized distance to the prior
+    centers — the non-increasing coverage-radius sequence that IS the
+    k-center diagnostic (NULL for rank 0).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if dim * (2 * 5 * quant_scale) ** 2 >= 2**62:
-        raise ValueError(
-            "dim * (2*5*quant_scale)^2 overflows the int64 distance "
-            "accumulator; lower quant_scale"
-        )
     from big_data_validator_spark.operators import rebalance_for_compute
 
     q = rebalance_for_compute(emb).select(
@@ -1493,32 +1500,76 @@ def kcenter_coreset(
     )
     q.persist()
     seed = q.orderBy("id").first()
-    centers = [(int(seed["id"]), list(seed["_qv"]), None)]
-    for _ in range(1, k):
-        dist_exprs = []
-        for _, cvec, _r in centers:
-            lit = F.array(*[F.lit(int(x)) for x in cvec])
-            dist_exprs.append(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_qv"), lit, lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-            )
-        mind = (
-            F.least(*dist_exprs)
-            if len(dist_exprs) > 1
-            else dist_exprs[0]
+    if seed is None:
+        q.unpersist()
+        raise ValueError(
+            "kcenter_coreset: input is empty — no seed point to start "
+            "the greedy traversal from"
         )
+    if k > 1:
+        # Overflow guard on the MEASURED max |quantized component|
+        # (ADVICE r12: the previous guard assumed |x| <= 5 without
+        # checking): the distance fold sums dim terms of (a-b)^2 with
+        # |a-b| <= 2*max_abs, so the total is < dim*(2*max_abs)^2.
+        max_abs = int(
+            q.agg(
+                F.max(
+                    F.array_max(
+                        F.transform(F.col("_qv"), lambda x: F.abs(x))
+                    )
+                )
+            ).first()[0]
+            or 0
+        )
+        if dim * (2 * max_abs) ** 2 >= 2**62:
+            q.unpersist()
+            raise ValueError(
+                f"kcenter_coreset: dim*(2*max|q|)^2 = "
+                f"{dim * (2 * max_abs) ** 2} overflows the int64 "
+                f"distance accumulator (max |quantized component| = "
+                f"{max_abs}); lower quant_scale"
+            )
+
+    def _dist_to(cvec: list) -> "F.Column":
+        lit = F.array(*[F.lit(int(x)) for x in cvec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("_qv"), lit, lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    centers = [(int(seed["id"]), list(seed["_qv"]), None)]
+    cur = None
+    for _ in range(1, k):
+        newest = centers[-1][1]
+        if cur is None:
+            nxt = q.select(
+                "id", "_qv", _dist_to(newest).alias("_mind")
+            )
+        else:
+            nxt = cur.select(
+                "id",
+                "_qv",
+                F.least(F.col("_mind"), _dist_to(newest)).alias(
+                    "_mind"
+                ),
+            )
+        nxt.persist()
         far = (
-            q.select("id", "_qv", mind.alias("_d2"))
-            .orderBy(F.col("_d2").desc(), F.col("id").asc())
+            nxt.orderBy(F.col("_mind").desc(), F.col("id").asc())
             .limit(1)
             .first()
         )
-        centers.append((int(far["id"]), list(far["_qv"]), int(far["_d2"])))
+        if cur is not None:
+            cur.unpersist()
+        cur = nxt
+        centers.append(
+            (int(far["id"]), list(far["_qv"]), int(far["_mind"]))
+        )
+    if cur is not None:
+        cur.unpersist()
     q.unpersist()
     spark = emb.sparkSession
     return spark.createDataFrame(

