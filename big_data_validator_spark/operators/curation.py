@@ -659,6 +659,134 @@ def linear_quality_scores(
     )
 
 
+def linear_quality_train(
+    docs: DataFrame,
+    label_pred,
+    n_buckets: int,
+    steps: int = 2,
+    lr_div: Optional[int] = None,
+    label_scale: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality-classifier TRAINING (the learn
+    half of the CCNet pairing whose inference half is
+    :func:`linear_quality_scores`): integer weights learned by
+    ``steps`` FULL-BATCH gradient steps of squared-loss regression on
+    the mean-hashed-bucket-weight score, labels from ``label_pred``
+    over the id column (CCNet's recipe: positives = the target slice,
+    negatives = the rest of the corpus).
+
+    Exact by construction — the established unrolled-iteration oracle
+    device (the EM / exact-int k-means trainers): every step is pure
+    integer arithmetic with TRUNCATING division at three defined
+    points, so any engine replaying the rules gets bit-identical
+    weights and the oracle is the steps UNROLLED as CTEs:
+
+    - score_d  = Σ_b c_{d,b}·w_b               (exact int sum)
+    - resid_d  = (score_d div n_d) − y_d·label_scale
+    - grad_b   = Σ_d ((resid_d · c_{d,b}) div n_d)   (per-term div)
+    - w_b     ← w_b − (grad_b div lr_div)      (truncating, both signs)
+
+    with w ≡ 0 at init (no RNG), the portable md5 bucket hash, and
+    ``lr_div`` defaulting to the training-document count (the 1/N step
+    size that keeps full-batch squared loss stable when per-doc
+    features sum to ~1, as normalized bag-of-buckets features do).
+
+    Scale: the per-(doc, bucket) count frame builds once (one explode
+    + one partial-agg shuffle, bounded by corpus token count) and
+    persists across steps; each step is two bounded aggregations and a
+    key join on that frame, plus one ≤``n_buckets``-row gradient
+    collect (the bounded-vocabulary collect class) — no per-token
+    Python, no driver state beyond the weight vector fastText itself
+    holds in RAM.  Returns the learned ``(bucket, weight)`` integer
+    relation (nonzero weights only) — directly consumable by
+    :func:`linear_quality_scores`.
+    """
+    from big_data_validator_spark.operators.similarity import _tdiv
+    from big_data_validator_spark.operators.text import word_tokens
+
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    if lr_div is not None and lr_div < 1:
+        raise ValueError(f"lr_div must be positive, got {lr_div}")
+    spark = docs.sparkSession
+
+    def bucket(tok):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.encode(tok, "UTF-8")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    feats = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            label_pred(F.col(id_col)).cast("long").alias("_y"),
+            word_tokens(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.size("_t") > 0)
+        .select(
+            "_id",
+            "_y",
+            F.size("_t").cast("long").alias("_n"),
+            F.explode("_t").alias("_tok"),
+        )
+        .select("_id", "_y", "_n", bucket(F.col("_tok")).alias("_b"))
+        .groupBy("_id", "_y", "_n", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    feats.persist()
+    try:
+        n_docs = feats.select(
+            F.countDistinct("_id").alias("_nd")
+        ).first()["_nd"]
+        if n_docs == 0:
+            raise ValueError(
+                "linear_quality_train: no training documents with "
+                "tokens"
+            )
+        div = int(lr_div) if lr_div is not None else int(n_docs)
+        wvec = [0] * n_buckets
+        for _ in range(steps):
+            wtab = spark.createDataFrame(
+                [(b, w) for b, w in enumerate(wvec) if w != 0],
+                "_b long, _w long",
+            )
+            resid = (
+                feats.join(F.broadcast(wtab), "_b", "left")
+                .groupBy("_id", "_y", "_n")
+                .agg(
+                    F.sum(
+                        F.col("_c") * F.coalesce(F.col("_w"), F.lit(0))
+                    ).alias("_sw")
+                )
+                .select(
+                    "_id",
+                    F.expr(
+                        f"(_sw div _n) - _y * {int(label_scale)}L"
+                    ).alias("_r"),
+                )
+            )
+            grad = (
+                feats.join(resid, "_id")
+                .groupBy("_b")
+                .agg(F.sum(F.expr("(_r * _c) div _n")).alias("_g"))
+                .collect()
+            )
+            for row in grad:
+                wvec[int(row["_b"])] -= _tdiv(int(row["_g"]), div)
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        [(b, w) for b, w in enumerate(wvec) if w != 0],
+        "bucket long, weight long",
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     target_pred,

@@ -1569,3 +1569,129 @@ def shared_substring_pairs(
             F.count(F.lit(1)).cast("long").alias("n_shared_grams"),
         )
     )
+
+
+# -------------------------------------------- duplicate-span EXCISION
+
+def excise_duplicate_spans(
+    df: DataFrame,
+    n_words: int = 13,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact-substring REMOVAL (the RefinedWeb /
+    Lee et al. 2022 "exact substring dedup" TRANSFORM): where the
+    screens above only FLAG documents or pairs, this rewrites the
+    corpus — every word-token covered by any ``n_words``-gram that
+    appears in ≥ ``min_docs`` DISTINCT documents is excised from
+    EVERY occurrence (Lee et al. remove all copies of a duplicated
+    span, not all-but-one), and the cleaned text is re-emitted.
+
+    Semantics are defined on the :func:`word_tokens` normalization
+    (lowercase alnum runs) so the rule is engine-exact: spans are
+    positioned word n-grams, coverage is the union of [p, p+n−1] over
+    duplicated-gram occurrences, and ``clean_text`` is the surviving
+    tokens joined by single spaces — an oracle recomputes the excision
+    from the same deterministic gram relation.
+
+    Scale shape: one explode builds the positioned gram rows (codegen
+    Generate + ``slice``/``concat_ws``, the `_word_ngram_rows` device
+    with positions kept); duplicated grams come from one gram-keyed
+    partial-agg (``COUNT(DISTINCT doc)`` ≥ min_docs); coverage joins
+    grams to that reduced set and re-explodes to (doc, token-index)
+    rows; survivors are a left-anti join; reassembly is one per-doc
+    aggregation over ``array_sort(collect_list(struct(idx, token)))``
+    — every shuffle is bounded by corpus token count, nothing is
+    pairwise.  (At 100 TB, key the dup-join on a 128-bit gram hash —
+    the :func:`shared_substring_pairs` fingerprint discipline — if
+    gram strings dominate the exchange; string keys keep this exact.)
+
+    Returns ``(id, n_tokens, n_removed, clean_text)`` for every doc
+    with ≥1 token; fully-excised docs ship ``clean_text = ''``.
+    Pins the tokenized base frame on the result as ``_bdv_pinned``;
+    registry entries release it via :func:`materialize_release`.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+    from big_data_validator_spark.operators.text import word_tokens
+
+    if n_words < 1:
+        raise ValueError(f"n_words must be >= 1, got {n_words}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    base = (
+        rebalance_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_tokens(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.size("_t") > 0)
+    )
+    base.persist()
+    grams = (
+        base.filter(F.size("_t") >= n_words)
+        .select(
+            "id",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size("_t") - F.lit(n_words - 1)
+                )
+            ).alias("_p"),
+        )
+        .select(
+            "id",
+            "_p",
+            F.expr(
+                f"concat_ws(' ', slice(_t, _p, {int(n_words)}))"
+            ).alias("_g"),
+        )
+    )
+    dup = (
+        grams.groupBy("_g")
+        .agg(F.countDistinct("id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("_g")
+    )
+    covered = (
+        grams.join(dup, "_g")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("_p"), F.col("_p") + F.lit(n_words - 1)
+                )
+            ).alias("_i"),
+        )
+        .distinct()
+    )
+    tok = base.select(
+        "id", F.posexplode("_t").alias("_i0", "_w")
+    ).select("id", (F.col("_i0") + 1).alias("_i"), "_w")
+    kept = tok.join(covered, ["id", "_i"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("_nk"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_i", "_w"))
+                ),
+                lambda s: s["_w"],
+            ),
+        ).alias("_ct"),
+    )
+    out = (
+        base.select("id", F.size("_t").cast("long").alias("n_tokens"))
+        .join(kept_agg, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            (
+                F.col("n_tokens") - F.coalesce(F.col("_nk"), F.lit(0))
+            ).alias("n_removed"),
+            F.coalesce(F.col("_ct"), F.lit("")).alias("clean_text"),
+        )
+    )
+    out._bdv_pinned = [base]
+    return out

@@ -11214,6 +11214,187 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared unrolled-GD training CTE prefix (2 full-batch steps) for the
+#: quality_linear_train / pipeline_quality_train_score oracles — the
+#: established unrolled-iteration device (EM, exact-int k-means): both
+#: engines replay the identical integer rules, so the oracle TRAINS
+#: ITSELF from the same data instead of receiving weight literals.
+_LINEAR_TRAIN_CTES = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    fx0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 20 THEN 1 ELSE 0 END AS y,
+             CAST(len(t) AS BIGINT) AS n,
+             CAST(CAST('0x' || substr(md5(unnest(t)), 1, 8) AS UBIGINT)
+                  % 4096 AS BIGINT) AS b
+      FROM toks WHERE len(t) > 0),
+    fx AS (
+      SELECT doc_id, y, n, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM fx0 GROUP BY 1, 2, 3, 4),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS nn FROM fx),
+    r1 AS (
+      SELECT DISTINCT doc_id, n, CAST(0 - y * 1000000 AS BIGINT) AS r
+      FROM fx),
+    g1 AS (
+      SELECT fx.b, SUM((r1.r * fx.c) // fx.n) AS g
+      FROM fx JOIN r1 USING (doc_id) GROUP BY 1),
+    w1 AS (
+      SELECT b, 0 - (g // (SELECT nn FROM nd)) AS w FROM g1),
+    s2 AS (
+      SELECT fx.doc_id, any_value(fx.y) AS y, any_value(fx.n) AS n,
+             SUM(fx.c * COALESCE(w1.w, 0)) AS sw
+      FROM fx LEFT JOIN w1 USING (b) GROUP BY 1),
+    r2 AS (
+      SELECT doc_id, n, (sw // n) - y * 1000000 AS r FROM s2),
+    g2 AS (
+      SELECT fx.b, SUM((r2.r * fx.c) // fx.n) AS g
+      FROM fx JOIN r2 USING (doc_id) GROUP BY 1),
+    w2 AS (
+      SELECT b, COALESCE(w1.w, 0) - (g2.g // (SELECT nn FROM nd)) AS w
+      FROM g2 LEFT JOIN w1 USING (b))
+"""
+
+
+@query(
+    "quality_linear_train",
+    oracle=_LINEAR_TRAIN_CTES
+    + """
+    SELECT b AS bucket, CAST(w AS BIGINT) AS weight
+    FROM w2 WHERE w <> 0
+    """,
+)
+def quality_linear_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality-classifier TRAINING
+    (operators/curation.py: linear_quality_train — the learn half of
+    the CCNet loop whose inference half is quality_linear_score): two
+    full-batch integer gradient steps of squared-loss regression on
+    the mean-hashed-bucket score, labels = the doc_id < 20 target
+    slice, 1/N step size.  Every step is exact integer arithmetic with
+    truncating division at three defined points (Spark ``div`` ==
+    DuckDB ``//``), w ≡ 0 init, no RNG — so the oracle replays the
+    steps as unrolled CTEs and both engines derive bit-identical
+    weights from the data (the EM / exact-int k-means device).  The
+    per-(doc, bucket) count frame builds once and persists across
+    steps; each step is two bounded aggregations, a key join, and one
+    ≤4096-row gradient collect."""
+    from big_data_validator_spark.operators.curation import (
+        linear_quality_train,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return linear_quality_train(
+        docs, lambda c: c < 20, n_buckets=4096, steps=2
+    )
+
+
+@query(
+    "pipeline_quality_train_score",
+    oracle=_LINEAR_TRAIN_CTES
+    + """
+    SELECT fx.doc_id AS id, any_value(fx.n) AS n_tokens,
+           CAST((SUM(fx.c * COALESCE(w2.w, 0)) * 1000000)
+                // any_value(fx.n) AS BIGINT) AS score_ppm,
+           (SUM(fx.c * COALESCE(w2.w, 0)) * 1000000)
+                // any_value(fx.n) >= 100000 AS flagged
+    FROM fx LEFT JOIN w2 USING (b) GROUP BY 1
+    """,
+)
+def pipeline_quality_train_score(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The closed CCNet loop (VERDICT r12 item 4): linear_quality_train
+    learns the integer weight table from the doc_id < 20 target slice,
+    then linear_quality_scores CONSUMES the learned table to score the
+    whole corpus — train → serve in one lineage, the end-to-end path a
+    curation deployment actually runs.  Training is the unrolled
+    2-step integer-GD device; scoring is the zero-shuffle broadcast
+    array fold (one 4096-slot array row, row-local transform/aggregate
+    inside whole-stage codegen).  The oracle replays the training CTEs
+    and scores with the derived w2 relation — weights never cross as
+    literals."""
+    from big_data_validator_spark.operators.curation import (
+        linear_quality_scores,
+        linear_quality_train,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    weights = linear_quality_train(
+        docs, lambda c: c < 20, n_buckets=4096, steps=2
+    )
+    return linear_quality_scores(
+        docs, weights, n_buckets=4096, threshold_ppm=100_000
+    )
+
+
+@query(
+    "dedup_excise_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+      FROM toks WHERE len(t) > 0),
+    grams AS (
+      SELECT doc_id, s AS p, array_to_string(t[s:s+7], ' ') AS g
+      FROM base, unnest(generate_series(1, len(t) - 7)) AS u(s)),
+    dup AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT grams.doc_id, grams.p + d.d AS i
+      FROM grams JOIN dup USING (g),
+           unnest(generate_series(0, 7)) AS d(d)),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS i
+      FROM base),
+    kept AS (
+      SELECT tok.doc_id, tok.i, tok.w
+      FROM tok LEFT JOIN cov
+        ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      WHERE cov.i IS NULL),
+    ka AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nk,
+             string_agg(w, ' ' ORDER BY i) AS ct
+      FROM kept GROUP BY 1)
+    SELECT base.doc_id AS id, base.n AS n_tokens,
+           base.n - COALESCE(ka.nk, 0) AS n_removed,
+           COALESCE(ka.ct, '') AS clean_text
+    FROM base LEFT JOIN ka USING (doc_id)
+    """,
+)
+def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span EXCISION over the documents corpus
+    (operators/dedup.py: excise_duplicate_spans — RefinedWeb / Lee et
+    al. 2022): the dedup family's first REWRITE — every word 8-gram
+    appearing in ≥2 distinct documents is removed from ALL of its
+    occurrences and the cleaned text re-emitted, the transform that
+    actually strips quoted boilerplate rather than just flagging the
+    pair.  The synthetic corpus's duplicate families excise to empty
+    (whole-document spans are duplicated 8-grams end to end) while
+    unique documents pass through verbatim — both behaviors hashed.
+    Positioned grams explode once under codegen; duplicated grams are
+    one gram-keyed partial agg; coverage and survivors are bounded
+    (doc, index) joins; reassembly sorts each doc's surviving tokens
+    in one aggregation.  Oracle: DuckDB recomputes the excision from
+    the same deterministic gram relation."""
+    from big_data_validator_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return D.materialize_release(
+        excise_duplicate_spans(docs, n_words=8, min_docs=2)
+    )
+
+
 @query(
     "curation_dsir_weights",
     oracle="""

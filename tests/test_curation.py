@@ -539,3 +539,98 @@ def test_contamination_bloom_prefilter_fp_rate_bounded(spark):
     # 5x slack absorbs hash variance at this sample size
     assert survivors / n_doc_grams <= 5 * 0.01
     assert survivors < n_doc_grams * 0.5  # the filter actually filters
+
+
+# ------------------------------------------- linear classifier training
+
+def test_linear_quality_train_matches_python_reference(spark):
+    """VERDICT r12 item 4: the full-batch integer-GD trainer produces
+    BIT-IDENTICAL weights to a from-scratch Python replay of the rules
+    (md5 buckets, per-term truncating division, 1/N default step), and
+    the learned weights actually separate: quality docs (distinct
+    vocabulary) score above the rest through linear_quality_scores."""
+    import hashlib
+    import re
+
+    import pytest
+
+    from big_data_validator_spark.operators.curation import (
+        linear_quality_scores,
+        linear_quality_train,
+    )
+    from big_data_validator_spark.operators.similarity import _tdiv
+
+    B, S, steps = 256, 1_000_000, 3
+    quality = [
+        "curated reference prose with precise vocabulary and care",
+        "precise curated writing with reference vocabulary throughout",
+        "careful curated prose precise reference style vocabulary",
+    ]
+    junk = [
+        "buy cheap now click here spam spam offer",
+        "click buy offer cheap spam now here now",
+        "offer spam click cheap buy here now spam",
+        "spam offer buy now click here cheap deal",
+    ]
+    rows = [(i, t) for i, t in enumerate(quality + junk)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        r["bucket"]: r["weight"]
+        for r in linear_quality_train(
+            docs, lambda c: c < len(quality), n_buckets=B, steps=steps
+        ).collect()
+    }
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def bucket(tok):
+        return (
+            int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+        )
+
+    feats = {}
+    for i, text in rows:
+        t = toks(text)
+        if not t:
+            continue
+        cnt = {}
+        for tok in t:
+            b = bucket(tok)
+            cnt[b] = cnt.get(b, 0) + 1
+        feats[i] = (1 if i < len(quality) else 0, len(t), cnt)
+    div = len(feats)
+    w = [0] * B
+    for _ in range(steps):
+        g = [0] * B
+        for y, n, cnt in feats.values():
+            sw = sum(c * w[b] for b, c in cnt.items())
+            r = _tdiv(sw, n) - y * S
+            for b, c in cnt.items():
+                g[b] += _tdiv(r * c, n)
+        for b in range(B):
+            w[b] -= _tdiv(g[b], div)
+    want = {b: wb for b, wb in enumerate(w) if wb != 0}
+    assert got == want
+
+    learned = spark.createDataFrame(
+        sorted(got.items()), ["bucket", "weight"]
+    )
+    scores = {
+        r["id"]: r["score_ppm"]
+        for r in linear_quality_scores(
+            docs, learned, n_buckets=B
+        ).collect()
+    }
+    q_scores = [scores[i] for i in range(len(quality))]
+    j_scores = [scores[i + len(quality)] for i in range(len(junk))]
+    assert min(q_scores) > max(j_scores)
+
+    with pytest.raises(ValueError, match="positive"):
+        linear_quality_train(docs, lambda c: c < 3, n_buckets=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        linear_quality_train(docs, lambda c: c < 3, n_buckets=B, steps=0)
+    empty = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="no training documents"):
+        linear_quality_train(empty, lambda c: c < 3, n_buckets=B)

@@ -1035,3 +1035,66 @@ def test_pmi_collocations_matches_hand_computation(spark):
     ).collect()
     got = {r["bigram"]: r["pmi"] for r in out}
     assert got == expect
+
+
+# -------------------------------------------- duplicate-span excision
+
+def test_excise_duplicate_spans_removes_planted_boilerplate(spark):
+    """VERDICT r12 item 6: the RefinedWeb-style excision transform
+    removes EVERY occurrence of a span duplicated across documents
+    (planted boilerplate), keeps unique content verbatim, matches a
+    from-scratch Python replay of the rules exactly, and guards its
+    parameters."""
+    import re
+
+    import pytest
+
+    from big_data_validator_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    boiler = "subscribe to our newsletter for daily updates and offers"
+    rows = [
+        (0, f"alpha content one two three. {boiler} tail words here"),
+        (1, f"{boiler} beta body four five six seven eight nine ten"),
+        (2, "entirely unique document with no shared spans at all ok"),
+        (3, f"gamma opening words {boiler}"),
+        (4, ""),  # zero tokens: excluded by contract
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = 6  # boilerplate is 9 words; any 6-gram inside it duplicates
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in excise_duplicate_spans(docs, n_words=n).collect()
+    }
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    tokd = {i: toks(t) for i, t in rows if toks(t)}
+    gram_docs = {}
+    for i, t in tokd.items():
+        for p in range(len(t) - n + 1):
+            g = " ".join(t[p : p + n])
+            gram_docs.setdefault(g, set()).add(i)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    want = {}
+    for i, t in tokd.items():
+        cov = set()
+        for p in range(len(t) - n + 1):
+            if " ".join(t[p : p + n]) in dup:
+                cov.update(range(p, p + n))
+        keep = [w for j, w in enumerate(t) if j not in cov]
+        want[i] = (len(t), len(t) - len(keep), " ".join(keep))
+    assert got == want
+    assert 4 not in got  # zero-token doc excluded
+    # the boilerplate is gone everywhere, unique content survives
+    for i in (0, 1, 3):
+        assert "subscribe" not in got[i][2]
+    assert got[2] == (len(tokd[2]), 0, " ".join(tokd[2]))
+    assert got[0][2].startswith("alpha content one two three")
+
+    with pytest.raises(ValueError, match=">= 1"):
+        excise_duplicate_spans(docs, n_words=0)
+    with pytest.raises(ValueError, match=">= 2"):
+        excise_duplicate_spans(docs, n_words=6, min_docs=1)
