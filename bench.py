@@ -250,6 +250,10 @@ HEADLINE = [
     "link_sorted_neighborhood",
     "agg_winsorized_stats",
     "sim_kcenter_coreset",
+    # round-13 additions
+    "quality_linear_train",
+    "pipeline_quality_train_score",
+    "dedup_excise_spans",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -11709,82 +11709,16 @@ _DEMOTED_TO_TAIL = [
     # ---- round-6 rotation: four r5-green entries rest so the four
     # ---- operators added this round (CDC apply/MERGE, metrics-repo
     # ---- trend rule, real BPE encode, stream-stream LEFT OUTER) each
-    # ---- get a driver-green row.  Per-entry twin rationale:
-    # ORC scan roundtrip green r5; scan-family driver coverage stays
-    # via scan_partition_pruned (write-at-query-time + pruned read),
-    # and the ORC reader/writer is fixture-pinned in tests/test_sources.
-    "scan_orc",
-    # mergeSchema evolution roundtrip green r5; the same write→read
-    # shape stays driver-checked via scan_partition_pruned, and
-    # cdc_apply_changeset (newly seated) exercises schema-stable
-    # parquet writes; evolution behavior pinned in tests/test_sources.
-    "scan_parquet_evolving",
-    # Datasketches-HLL union green r5; mergeable-sketch coverage stays
-    # in-window via agg_heavy_hitters (sketch→exact-verify) and
-    # agg_approx_distinct's r1-r4 history; HLL accuracy pytest-pinned.
-    "agg_hll_mergeable",
-    # RANGE-frame moving average green r5; window-function coverage
-    # stays via window_lag_delta (lag) + dim_scd2_user_state (SCD2
-    # lead) — both green r5 and still seated.
-    "window_moving_avg_7d",
-    # Per-label centroid aggregation green r5; embedding-array coverage
-    # stays via sim_ann_recall (brute-force cosine recomputed as the
-    # ground truth every round); frees the seat for ts_resample_ffill.
-    "emb_centroid_by_label",
-    # UNPIVOT/melt green r5; the Expand-node reshape is twinned by
-    # agg_grouping_sets (in-window) and the long-format profile shape
-    # by profile_orders_columns; frees the seat for pipeline_bpe_pack.
-    "scan_unpivot_metrics",
-    # Pearson pair matrix green r5; column-relationship profiling
-    # coverage stays via profile_mutual_information (the categorical
-    # sibling, newly seated) and rule_functional_dependency; the local
-    # DuckDB mirror in tests/test_partition_pruning.py re-checks the
-    # matrix every run.
-    "agg_correlation_matrix",
-    # Equi-depth histogram green r5; the two-pass block-scan shape it
-    # exists to pin stays in-window via rule_key_gaps and
-    # drift_ks_totalprice (same prefix-sum device), and block-width
-    # invariance is pytest-pinned; frees the seat for
-    # corpus_mixture_quality.
-    "agg_equidepth_histogram",
-    # Z-order manifest green r5; storage-layout coverage stays in-window
-    # via scan_partition_pruned (write-at-query-time + pruned read), and
-    # Morton-code exactness is pytest-pinned vs the portable SQL twin;
-    # frees the seat for events_anomaly_weekday.
-    "layout_zorder_stats",
-    # Candidate-key discovery green r5; per-column distinct/null
-    # coverage stays in-window via profile_orders_columns and the
-    # trend rule's distinct_count metrics; frees the seat for the
-    # newly-oracled multimodal_features (rows-only through r5 — its
-    # first hash-checked round outranks a fifth green for this twin).
-    "rule_candidate_keys",
-    # Language-ID confusion matrix green r5; the langid heuristic stays
-    # exercised via the lang-grouped mixture queries (corpus_mixture_
-    # apply/quality, in-window) and text_profile's r1-r4 history; frees
-    # the seat for profile_key_skew.
-    "text_langid_confusion",
-    # SCD2 dimension build green r5; the lead/lag interval device stays
-    # in-window via window_lag_delta, and interval semantics via
-    # join_interval_overlap; frees the seat for
-    # profile_join_cardinality.
-    "dim_scd2_user_state",
-    # Chi-square categorical drift green r5; the drift family keeps
-    # drift_ks_totalprice (continuous, same count-first shape) and
-    # drift_text_kl in-window, and chi2 is pytest-pinned against the
-    # textbook contingency formula incl. the empty-snapshot branch;
-    # frees the seat for sample_hash_split.
-    "drift_chi2_priority",
-    # Key-gap completeness green r5; its two-pass block-scan device
-    # stays in-window via drift_ks_totalprice and is pytest-pinned for
-    # block-width invariance vs brute force; frees the seat for
-    # join_asof_nearest.
-    "rule_key_gaps",
-    # Grid-binned point-in-interval join green r5; the binning device
-    # stays in-window via join_interval_overlap (interval×interval —
-    # the same _guarded_bin_sequence machinery, strictly more general)
-    # and the pair-set is pytest-pinned equal to the nested loop; frees
-    # the seat for rule_order_totals_reconcile.
-    "join_range_binned",
+    # ---- get a driver-green row.
+    # (The FIFTEEN r5-vintage greens that rested here since round 6 —
+    # scan_orc, scan_parquet_evolving, agg_hll_mergeable,
+    # window_moving_avg_7d, emb_centroid_by_label, scan_unpivot_metrics,
+    # agg_correlation_matrix, agg_equidepth_histogram,
+    # layout_zorder_stats, rule_candidate_keys, text_langid_confusion,
+    # dim_scd2_user_state, drift_chi2_priority, rule_key_gaps,
+    # join_range_binned — returned to the window in round 13 as the
+    # OLDEST un-revalidated records, 8 rounds at rest; VERDICT r12
+    # item 3's oldest-block-first policy.  All removed from this list.)
     # ---- round-7 rotation: r6-green entries rest so the round-7
     # ---- additions each get a driver-green row.  Per-entry rationale:
     # Nearest-direction as-of green r6; the forward twin
@@ -11888,112 +11822,19 @@ _DEMOTED_TO_TAIL = [
     # ---- round-8 rotation: nine green entries rest so (a) the two new
     # ---- capability entries (min/max IVM, TANE level-2 FD) get their
     # ---- driver rows and (b) the seven rows-only sketch kernels get
-    # ---- their first driver record at all (VERDICT r7 item 3 — the
-    # ---- window had only ever admitted oracled entries, leaving the
-    # ---- kernels with zero CORRECTNESS history).  Per-entry twin
-    # ---- rationale:
-    # Multimodal kernel family keeps multimodal_resize_stats (required
-    # seat) in-window; features green r6+r7, same mapInPandas kernel.
-    "multimodal_features",
-    # Stateful-streaming coverage keeps streaming_attribution_left,
-    # streaming_drift_psi, streaming_metrics_trend, and the exactly-once
-    # sink in-window; sessionize green r5-r7 and its
-    # applyInPandasWithState shape is pytest-pinned.
-    "streaming_sessionize_stateful",
-    # Arrow-UDAF surface green r6+r7; the aggregate family keeps
-    # validation_summary_lineitem (single-scan N-rule) in-window and the
-    # trimmed-mean kernel has its own parity pytest.
-    "agg_trimmed_mean_udaf",
-    # The single-pair FD rule's semantics are now tested BY the two
-    # in-window discovery entries (profile_fd_discovery scores every
-    # pair incl. the rule's; profile_fd_composite adds level 2).
-    "rule_functional_dependency",
-    # Cross-table exact-DECIMAL reconciliation green r6+r7; its
-    # output-type discipline (BIGINT cents) is now pinned repo-wide by
-    # the no-decimal-output test, and cdc_apply_changeset keeps the
-    # exact-money MERGE shape in-window.
-    "rule_order_totals_reconcile",
-    # Portable md5 split device green r6+r7 and shared by
-    # train_shuffle_shards (required seat, same hash discipline).
-    "sample_hash_split",
-    # The pre-shuffle advisor pair rests one half: profile_key_skew
-    # stays in-window, join-cardinality green r6+r7 and the two share
-    # the aggregate-first estimation device.
-    "profile_join_cardinality",
-    # Events anomaly family: weekday-seasonal monitor green r6+r7;
-    # events family coverage continues via the in-window cohort of
-    # monitors exercised by streaming_metrics_trend's trend rule (same
-    # z-score contract, driver-green every round).
-    "events_anomaly_weekday",
-    # Mixture QUALITY scoring green r6+r7; corpus_mixture_apply
-    # (required seat) recomputes the same quality gates end-to-end.
-    "corpus_mixture_quality",
-    # ---- round-8 second rotation: two more green entries rest so the
-    # ---- two new scale-device entries (group-leakage split, salted
-    # ---- skew join) get driver rows.  Twin rationale:
-    # MI dependency profile green r6+r7; dependency profiling keeps
-    # THREE in-window seats (FD rule semantics inside both discovery
-    # entries + the single-pair violating counts in
-    # profile_fd_discovery).
-    "profile_mutual_information",
-    # The batch-id _SUCCESS commit protocol this entry pioneered is now
-    # driver-exercised end-to-end by THREE in-window streaming entries
-    # every round (metrics trend, incremental MV, drift PSI — same
-    # sink device); the original sink entry rests green r5-r7.
-    "streaming_exactly_once_sink",
-    # ---- round-8 third rotation: seats for the session's new
-    # ---- capability entries.  Twin rationale:
-    # Green in ALL SEVEN driver rounds — the longest streak in the
-    # registry; its single-scan N-rule aggregation plan is pinned in
-    # tests/test_plans.py and the same fused-metrics shape runs inside
-    # streaming_metrics_trend's per-batch profiler every round.  Frees
-    # the seat for dedup_ssjoin_prefix (exact set-similarity join —
-    # the first entry whose oracle proves a candidate filter LOSSLESS).
-    "validation_summary_lineitem",
-    # Green r6+r7; the skew-advisor's aggregate-first estimation device
-    # is now driver-exercised by its CONSUMER: join_salted_skew (newly
-    # seated r8) executes the salted plan the advisor recommends, and
-    # the twin advisor profile_join_cardinality carries the same device
-    # with a green r6/r7 history.  Frees the seat for
-    # agg_incremental_join_mv (join-view IVM — both base tables
-    # changing, the bilinear delta the single-table twins can't cover).
-    "profile_key_skew",
-    # Green r7; the as-of family keeps join_point_in_time in-window
-    # (strictly more general: backward as-of + TTL + age), and the full
-    # direction grid (nearest/backward/forward, ties, tolerance) stays
-    # pinned in tests/test_relational.py::test_asof_direction_grid.
-    # Frees the seat for ts_rollup_cascade (continuous-aggregate
-    # cascade refresh — the timeseries family's bucket-IVM entry).
-    "join_asof_forward",
-    # Green r6+r7; the BPE family keeps text_bpe_learn in-window, whose
-    # training loop APPLIES the merge table each iteration (the encode
-    # semantics), and token-exact encode+pack stays via pipeline_bpe_pack
-    # (required seat).  Frees the seat for topk_pareto_frontier (the
-    # skyline operator — multi-objective top-k, a new sort-family
-    # capability whose oracle is an independent NOT EXISTS formulation).
-    "text_bpe_encode",
-    # Green r5+r6+r7; the CDC family keeps cdc_apply_changeset
-    # in-window, which RUNS snapshot_changeset internally (MERGE
-    # consumes the changeset), and changeset semantics are further
-    # driver-exercised by the three IVM entries' delta feeds every
-    # round.  Frees the seat for graph_pagerank_flow (the registry's
-    # first link-analysis entry — iterative integer PageRank, exactly
-    # oracled via unrolled materialized CTEs).
-    "cdc_changeset_orders",
-    # Green r5+r6+r7; the curation family keeps THREE in-window seats
-    # (Gopher gates, PII scan, k-anonymity), and the contamination
-    # probe semantics stay pytest-pinned against the Aho-Corasick twin
-    # (tests/test_curation_automaton.py: broadcast-NLJ == automaton).
-    # Frees the seat for rule_outlier_mad (the robust median/MAD
-    # monitor — 50%-breakdown outlier screen the z-score rule lacks).
-    "contamination_probes",
-    # Green r5+r6+r7; corpus_mixture_apply (required seat) recomputes
-    # the same Gopher-style quality gates end-to-end every round, and
-    # the gate thresholds are fixture-pinned in tests/test_curation.py.
-    # Frees the seat for events_rolling_distinct (trailing-window
-    # DISTINCT counts — the sliding aggregate window functions cannot
-    # express, via the bounded interval-explode device).
-    "quality_gopher_flags",
+    # ---- their first driver record at all (VERDICT r7 item 3).
+    # (The EIGHTEEN r7-vintage greens that rested here since round 8 —
+    # multimodal_features, streaming_sessionize_stateful,
+    # agg_trimmed_mean_udaf, rule_functional_dependency,
+    # rule_order_totals_reconcile, sample_hash_split,
+    # profile_join_cardinality, events_anomaly_weekday,
+    # corpus_mixture_quality, profile_mutual_information,
+    # streaming_exactly_once_sink, validation_summary_lineitem,
+    # profile_key_skew, join_asof_forward, text_bpe_encode,
+    # cdc_changeset_orders, contamination_probes, quality_gopher_flags
+    # — returned to the window in round 13 with the r5-vintage block,
+    # the next-oldest un-revalidated records, 6 rounds at rest;
+    # VERDICT r12 item 3.  All removed from this list.)
     # ---- round-9 rotation: two multi-round greens rest so the four new
     # ---- operators (KLL sketch, SemDeDup, schema-evolving CDC, label
     # ---- propagation) and the five r1-vintage re-seats all fit.
@@ -12251,6 +12092,120 @@ _DEMOTED_TO_TAIL = [
     # device under the streaming commit protocol) and the
     # rank-tolerance grids stay pytest-pinned (tests/test_sketches.py).
     "agg_kll_mergeable",
+    # ---- round-13 rotation (VERDICT r12 item 3): the r5-vintage (15)
+    # ---- and r7-vintage (18) resting blocks — the oldest
+    # ---- un-revalidated records, at rest 8 and 6 rounds — return to
+    # ---- the window, the seven r8-vintage rows-only sketch kernels
+    # ---- plus the two r1-vintage rows-only entries re-seat via
+    # ---- _SEATED_ROWS_ONLY for second driver records, and three
+    # ---- seats go to the round's additions (quality_linear_train,
+    # ---- pipeline_quality_train_score, dedup_excise_spans).  The
+    # ---- five entries REWRITTEN or behavior-touched this round stay
+    # ---- seated for fresh records (sim_kcenter_coreset running-min
+    # ---- rewrite, link_sorted_neighborhood skew/NULL guard,
+    # ---- sim_hybrid_rrf explicit dense bound, link_golden_record +
+    # ---- curation_dsir_weights cache-release fixes).  FORTY-FIVE
+    # ---- fresh r12 greens rest to make room.  Family rationale:
+    # The 26 r4-vintage re-validation seats did their job (fresh r12
+    # greens on 8-round-old records) and rest again; their plan shapes
+    # stay covered by the re-seated r5/r7 twins (star-join/agg via
+    # validation_summary_lineitem + agg_correlation_matrix, as-of via
+    # join_asof_forward, scan roundtrips via scan_orc +
+    # scan_parquet_evolving, window frames via window_moving_avg_7d,
+    # sessionize gap semantics pytest-pinned):
+    "scan_pushdown_projection",
+    "scan_permissive_roundtrip",
+    "rule_field_count_naive",
+    "rule_column_names",
+    "rule_type_enforcement",
+    "rule_uniqueness_metrics",
+    "rule_completeness",
+    "rule_referential_integrity",
+    "set_intersect_priority_profiles",
+    "join_shipping_priority",
+    "join_region_revenue",
+    "agg_rollup_region_nation",
+    "agg_percentiles",
+    "join_asof_orders_events",
+    "events_sessionize",
+    "streaming_windowed_violations",
+    "streaming_failure_sink",
+    "text_profile",
+    "text_chunk_windows",
+    "pipeline_curate_corpus",
+    "dedup_exact_keep_first",
+    "dedup_ngram_jaccard",
+    "sim_bruteforce_topk",
+    "sample_stratified_orders",
+    "multimodal_frame_sample",
+    "text_tfidf_top_terms",
+    # Green r7-r12 (sim_ann_recall: six driver rounds); the ANN family
+    # seats its three rows-only kernels this round and the recall
+    # ground-truth device stays pytest-pinned; the sq8 audit rests on
+    # its first green.
+    "sim_ann_recall",
+    "sim_sq8_recall",
+    # Green r7-r12; FD/profile coverage passes to the re-seated
+    # rule_functional_dependency + profile_mutual_information +
+    # profile_key_skew + profile_join_cardinality (the same
+    # violation-count and estimation devices).
+    "profile_fd_composite",
+    # Green r7-r12; the curation family keeps quality_gopher_flags +
+    # contamination_probes (re-seated) plus both NEW classifier
+    # entries in-window; k-anonymity grids stay pytest-pinned.
+    "rule_k_anonymity",
+    # Green r6-r12; tokenizer coverage passes to the re-seated
+    # text_bpe_encode (token-exact encode) and the learn-loop oracle
+    # stays pytest-pinned.
+    "pipeline_bpe_pack",
+    # Green r7-r12; storage-layout coverage passes to the re-seated
+    # layout_zorder_stats (write-at-query-time manifest).
+    "layout_compaction_plan",
+    # Green r8-r12; the exact-pairs family seats dedup_excise_spans
+    # (NEW: the span REMOVAL transform over the same gram relation)
+    # and the prefix-filter losslessness stays pytest-pinned.
+    "dedup_ssjoin_prefix",
+    # Green r8-r12; IVM rests one round as a family (all four members
+    # hold r10-r12 greens); the per-bucket merge device stays
+    # pytest-pinned (tests/test_incremental.py).
+    "agg_incremental_join_mv",
+    # Green r8-r12; the graph family rests one round (pagerank green
+    # five consecutive rounds; triangle/label-prop r9-r11), the
+    # unrolled-CTE iteration device recurs in the NEW
+    # quality_linear_train oracle this round.
+    "graph_pagerank_flow",
+    # Green r9-r12; the semantic tier rests with its auto-k/IVF twins
+    # (r10-r11 greens); the exact-int assignment kernel parity stays
+    # pytest-pinned (tests/test_semantic_dedup.py).
+    "dedup_semantic_clusters",
+    # Green r9-r12 / r10-r12; the streaming family keeps TWO re-seated
+    # seats (stateful sessionize, exactly-once sink) and the SCD2
+    # incremental==rebuild check stays pytest-pinned.
+    "streaming_scd2_history",
+    "streaming_kll_by_group",
+    # Green r11+r12 (rewritten in r12, fresh record earned); the
+    # robust-trend device stays pytest-pinned and the timeseries
+    # family rests one round (cascade/TWAP hold r9-r11 greens).
+    "ts_theilsen_trend",
+    # Green r11+r12 (point-mass fix re-validated); drift coverage
+    # passes to the re-seated drift_chi2_priority; the W1/rank-sum
+    # kernels stay pytest-pinned.
+    "drift_wasserstein",
+    "drift_mannwhitney",
+    # Green r12 first exposures, resting after one round: the
+    # winsorized stats device is pytest-pinned (tests/test_profile.py)
+    # and the robust-location family keeps the re-seated trimmed-mean
+    # UDAF in-window.
+    "agg_winsorized_stats",
+    # Green r11+r12 (refactor re-validated) + r12 first exposure; the
+    # contamination family keeps contamination_probes (re-seated) and
+    # the Bloom bitmap sizing stays pytest-pinned.
+    "contamination_ngram_overlap",
+    "contamination_ngram_bloom",
+    # Green r12; the inference half's device (zero-shuffle broadcast
+    # array fold) is re-exercised every round by BOTH new training
+    # entries (the pipeline entry ends in linear_quality_scores).
+    "quality_linear_score",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels
@@ -12261,13 +12216,25 @@ _DEMOTED_TO_TAIL = [
 #: SEMANTICS stay pinned by pytest recall/parity tests and by oracled
 #: twins (sim_ann_recall, sim_ann_exactint, emb_near_dup_*).
 _SEATED_ROWS_ONLY: list = [
-    # Round 9: EMPTY.  All seven hash-dependent sketch kernels got
+    # Rounds 9-12: EMPTY.  All seven hash-dependent sketch kernels got
     # their rows-only driver records in CORRECTNESS_r08 (the point of
-    # the round-8 seating); their seats return to oracled entries —
-    # four new operators + five r1-vintage re-validations.  Their
-    # semantics remain pytest-pinned (recall/parity tests) and
-    # oracle-twinned (sim_ann_recall, sim_ann_exactint,
+    # the round-8 seating); their seats returned to oracled entries.
+    # Round 13 (VERDICT r12 item 3): the rows-only family re-seats for
+    # SECOND driver records — the seven r8-vintage kernels have rested
+    # 5 rounds and the two r1-vintage entries 12 rounds, the oldest
+    # records of any kind in the ledger.  Their semantics stay
+    # pytest-pinned (recall/parity tests) and oracle-twinned
+    # (sim_ann_recall — resting with six greens — sim_ann_exactint,
     # emb_near_dup_*, dedup_ssjoin_prefix).
+    "rule_field_count_quoted",
+    "agg_approx_distinct",
+    "dedup_minhash_lsh",
+    "dedup_winnowing",
+    "dedup_simhash",
+    "dedup_minhash_clusters",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "sim_ann_pq",
 ]
 
 

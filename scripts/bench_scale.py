@@ -104,9 +104,17 @@ TOP = [
     "drift_mannwhitney",
     "link_sorted_neighborhood",
     # round-12 third wave: the counts-frame winsorized cuts and the
-    # k-1 scan-only passes of the coverage selector
+    # k-1 scan-only passes of the coverage selector (both added after
+    # the r12 scale run — their first sf1.0 exposure is round 13,
+    # VERDICT r12 item 2)
     "agg_winsorized_stats",
     "sim_kcenter_coreset",
+    # round-13: the integer-GD trainer's bounded per-step aggregations,
+    # the closed train->serve loop, and the span-excision transform's
+    # token-bounded shuffles
+    "quality_linear_train",
+    "pipeline_quality_train_score",
+    "dedup_excise_spans",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
