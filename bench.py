@@ -254,6 +254,8 @@ HEADLINE = [
     "quality_linear_train",
     "pipeline_quality_train_score",
     "dedup_excise_spans",
+    "text_repetition_metrics",
+    "ts_changepoint_cusum",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -127,6 +127,201 @@ def gopher_quality_flags(
     return out.withColumn("quality_pass", conj)
 
 
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = r"[.!?]+\s+|\n+",
+    top_ngram: int = 2,
+    dup_ngram: int = 5,
+) -> DataFrame:
+    """The FULL Gopher repetition suite (Rae et al. 2021 §A1.1) —
+    :func:`word_quality_metrics` ships the word-level analogs; these
+    are the line- and n-gram-level originals the paper actually gates
+    on, per document:
+
+    - ``n_lines`` / ``dup_line_frac_ppm`` / ``dup_line_char_frac_ppm``
+      — lines (``line_sep`` regex split, trimmed, empties dropped; the
+      default splits sentences and newlines) belonging to a
+      within-document duplicate group, by count and by characters;
+    - ``top{n}gram_char_frac_ppm`` — characters claimed by the single
+      most frequent word ``top_ngram``-gram (count × token chars of
+      the gram; ties break to the lexicographically smallest gram);
+    - ``dup{n}gram_char_frac_ppm`` — characters COVERED by word
+      ``dup_ngram``-grams occurring ≥2 times in the document —
+      overlap-once coverage semantics (the union of [p, p+n−1] token
+      positions), not a double-counting sum.
+
+    Char fractions are defined over TOKEN characters (Σ len(token);
+    separators excluded) so both engines share one exact denominator;
+    every fraction ships as the established exact ppm integer
+    ``(num · 10⁶) div den``.  Docs with ≥1 token are returned.
+
+    Scale shape: the line leg is one (doc, line) partial agg + one
+    per-doc agg; the top-gram leg one (doc, gram) agg + a per-doc
+    rank-1 window; the dup-gram leg reuses the excision coverage
+    device (positioned gram explode → within-doc dup filter →
+    coverage distinct → token join) — every shuffle bounded by corpus
+    token/line count, nothing pairwise, no Python.
+    """
+    from big_data_validator_spark.operators import rebalance_for_compute
+    from big_data_validator_spark.operators.text import word_tokens
+
+    if top_ngram < 1 or dup_ngram < 1:
+        raise ValueError(
+            f"ngram sizes must be >= 1, got top={top_ngram} "
+            f"dup={dup_ngram}"
+        )
+    from pyspark.sql import Window as W
+
+    base = (
+        rebalance_for_compute(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("_txt"),
+            word_tokens(F.col(text_col)).alias("_t"),
+        )
+        .filter(F.size("_t") > 0)
+        .select(
+            "id",
+            "_txt",
+            "_t",
+            F.size("_t").cast("long").alias("n_tokens"),
+            F.aggregate(
+                F.transform(F.col("_t"), lambda x: F.length(x)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("_tchars"),
+        )
+    )
+    base.persist()
+
+    # ---- line leg
+    lines = (
+        base.select(
+            "id", F.explode(F.split("_txt", line_sep)).alias("_l0")
+        )
+        .select("id", F.trim(F.col("_l0")).alias("_l"))
+        .filter(F.col("_l") != "")
+    )
+    lc = lines.groupBy("id", "_l").agg(F.count(F.lit(1)).alias("_c"))
+    lstats = lc.groupBy("id").agg(
+        F.sum("_c").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_c") >= 2, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_dl"),
+        F.sum(F.col("_c") * F.length("_l")).cast("long").alias("_lch"),
+        F.sum(
+            F.when(
+                F.col("_c") >= 2, F.col("_c") * F.length("_l")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_dlch"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        return (
+            base.filter(F.size("_t") >= n)
+            .select(
+                "id",
+                "_t",
+                F.explode(
+                    F.sequence(F.lit(1), F.size("_t") - F.lit(n - 1))
+                ).alias("_p"),
+            )
+            .select(
+                "id",
+                "_p",
+                F.expr(
+                    f"concat_ws(' ', slice(_t, _p, {int(n)}))"
+                ).alias("_g"),
+            )
+        )
+
+    # ---- top n-gram leg: chars = count * token chars of the gram
+    # (gram string length minus its n-1 separator spaces)
+    topg = (
+        grams(top_ngram)
+        .groupBy("id", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(
+                    F.col("_c").desc(), F.col("_g").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "id",
+            (
+                F.col("_c")
+                * (F.length("_g") - F.lit(top_ngram - 1))
+            )
+            .cast("long")
+            .alias("_topch"),
+        )
+    )
+
+    # ---- dup n-gram coverage leg (the excision coverage device)
+    dg = grams(dup_ngram)
+    ddup = (
+        dg.groupBy("id", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("id", "_g")
+    )
+    cov = (
+        dg.join(ddup, ["id", "_g"])
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("_p"), F.col("_p") + F.lit(dup_ngram - 1)
+                )
+            ).alias("_i"),
+        )
+        .distinct()
+    )
+    tokrows = base.select(
+        "id", F.posexplode("_t").alias("_i0", "_w")
+    ).select("id", (F.col("_i0") + 1).alias("_i"), F.length("_w").alias("_wl"))
+    covch = (
+        tokrows.join(cov, ["id", "_i"])
+        .groupBy("id")
+        .agg(F.sum("_wl").cast("long").alias("_covch"))
+    )
+
+    ppm = lambda num, den: F.expr(f"({num} * 1000000L) div greatest({den}, 1L)")
+    out = (
+        base.select("id", "n_tokens", "_tchars")
+        .join(lstats, "id", "left")
+        .join(topg, "id", "left")
+        .join(covch, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce(F.col("n_lines"), F.lit(0)).alias("n_lines"),
+            ppm("coalesce(_dl, 0L)", "coalesce(n_lines, 0L)").alias(
+                "dup_line_frac_ppm"
+            ),
+            ppm("coalesce(_dlch, 0L)", "coalesce(_lch, 0L)").alias(
+                "dup_line_char_frac_ppm"
+            ),
+            ppm("coalesce(_topch, 0L)", "_tchars").alias(
+                f"top{int(top_ngram)}gram_char_frac_ppm"
+            ),
+            ppm("coalesce(_covch, 0L)", "_tchars").alias(
+                f"dup{int(dup_ngram)}gram_char_frac_ppm"
+            ),
+        )
+    )
+    out._bdv_pinned = [base]
+    return out
+
+
 # ------------------------------------------------------------------- PII
 
 #: Engine-portable patterns: every construct here (classes, {m,},

@@ -400,3 +400,92 @@ def theilsen_trend(
         "n_days long, n_pairs long, slope_scaled long, "
         "intercept_scaled long, scale long",
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact-integer CUSUM changepoint detection on a daily series —
+    the classic "did the level shift, and when" monitor (Page 1954;
+    the mean-shift statistic binary segmentation maximizes): aggregate
+    ``value_col`` per day in cents, then over the ordered daily series
+    compute the centered cumulative sum
+
+        ``D_t = n·prefix_t − t·total``  (t = 1 … n−1)
+
+    — an exact DECIMAL(38,0) integer, n·(prefix_t − t·mean) without
+    the division — and report the day maximizing ``|D_t|`` (ties to
+    the earliest day): the maximum-likelihood single changepoint for a
+    mean shift.  ``cusum_ppm = (|D|·10⁶) div (n·total)`` normalizes to
+    an engine-portable integer in [0, 10⁶] (0 when total is 0), and
+    the truncating-div before/after mean cents make the shift
+    magnitude readable.
+
+    Scale shape: ONE data shuffle (the per-day partial agg — cents sum
+    via round(sum·scale), exact for cent-quantized inputs below 2⁵³);
+    the prefix/rank windows and the TakeOrdered(1) argmax run on the
+    daily frame, which is bounded by the calendar (thousands of rows),
+    so the deliberately global window is a non-issue at any corpus
+    size.  Returns one row ``(split_date, t_index, n_days, cusum_ppm,
+    mean_before_cents, mean_after_cents)``; a series with <2 days
+    returns zero rows (no interior split exists).
+    """
+    daily = (
+        df.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_v")
+        )
+    )
+    w = Window.orderBy("d")
+    tot = Window.partitionBy()
+    scored = (
+        daily.select(
+            "d",
+            F.row_number().over(w).cast("long").alias("_t"),
+            F.sum("_v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_pfx"),
+            F.count(F.lit(1)).over(tot).cast("long").alias("_n"),
+            F.sum("_v").over(tot).alias("_total"),
+        )
+        .filter(F.col("_t") < F.col("_n"))
+        .select(
+            "d",
+            "_t",
+            "_n",
+            "_pfx",
+            "_total",
+            F.expr(
+                "abs(CAST(_n AS DECIMAL(38,0)) * _pfx"
+                " - CAST(_t AS DECIMAL(38,0)) * _total)"
+            ).alias("_absd"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("_absd").desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("split_date"),
+            F.col("_t").alias("t_index"),
+            F.col("_n").alias("n_days"),
+            F.when(F.col("_total") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(_absd * 1000000) div"
+                    " (CAST(_n AS DECIMAL(38,0)) * abs(_total))"
+                )
+            )
+            .alias("cusum_ppm"),
+            F.expr("CAST(_pfx div CAST(_t AS DECIMAL(38,0)) AS BIGINT)")
+            .alias("mean_before_cents"),
+            F.expr(
+                "CAST((_total - _pfx) div CAST(_n - _t AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("mean_after_cents"),
+        )
+    )

@@ -11396,6 +11396,152 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS t
+      FROM documents),
+    base AS (
+      SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT)
+               AS tchars
+      FROM toks WHERE len(t) > 0),
+    lines0 AS (
+      SELECT doc_id,
+             trim(unnest(regexp_split_to_array(text,
+                  '[.!?]+\\s+|\\n+'))) AS l
+      FROM base),
+    lc AS (
+      SELECT doc_id, l, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lines0 WHERE l <> '' GROUP BY 1, 2),
+    lstats AS (
+      SELECT doc_id, SUM(c) AS n_lines,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dl,
+             SUM(c * len(l)) AS lch,
+             SUM(CASE WHEN c >= 2 THEN c * len(l) ELSE 0 END) AS dlch
+      FROM lc GROUP BY 1),
+    g2c AS (
+      SELECT doc_id, array_to_string(t[s:s+1], ' ') AS g,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM base, unnest(generate_series(1, len(t) - 1)) AS u(s)
+      GROUP BY 1, 2),
+    topg AS (
+      SELECT doc_id, c * (len(g) - 1) AS topch
+      FROM (SELECT doc_id, g, c,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY c DESC, g ASC) AS rn
+            FROM g2c) WHERE rn = 1),
+    g5 AS (
+      SELECT doc_id, s AS p, array_to_string(t[s:s+4], ' ') AS g
+      FROM base, unnest(generate_series(1, len(t) - 4)) AS u(s)),
+    g5dup AS (
+      SELECT doc_id, g FROM g5 GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT g5.doc_id, g5.p + d.d AS i
+      FROM g5 JOIN g5dup USING (doc_id, g),
+           unnest(generate_series(0, 4)) AS d(d)),
+    tok AS (
+      SELECT doc_id, unnest(t) AS w,
+             unnest(generate_series(1, len(t))) AS i
+      FROM base),
+    covch AS (
+      SELECT tok.doc_id, SUM(len(w)) AS covch
+      FROM tok JOIN cov ON tok.doc_id = cov.doc_id AND tok.i = cov.i
+      GROUP BY 1)
+    SELECT base.doc_id AS id, base.n AS n_tokens,
+           CAST(COALESCE(l.n_lines, 0) AS BIGINT) AS n_lines,
+           CAST((COALESCE(l.dl, 0) * 1000000)
+                // GREATEST(COALESCE(l.n_lines, 0), 1) AS BIGINT)
+             AS dup_line_frac_ppm,
+           CAST((COALESCE(l.dlch, 0) * 1000000)
+                // GREATEST(COALESCE(l.lch, 0), 1) AS BIGINT)
+             AS dup_line_char_frac_ppm,
+           CAST((COALESCE(tg.topch, 0) * 1000000)
+                // GREATEST(base.tchars, 1) AS BIGINT)
+             AS top2gram_char_frac_ppm,
+           CAST((COALESCE(cc.covch, 0) * 1000000)
+                // GREATEST(base.tchars, 1) AS BIGINT)
+             AS dup5gram_char_frac_ppm
+    FROM base LEFT JOIN lstats l USING (doc_id)
+    LEFT JOIN topg tg USING (doc_id)
+    LEFT JOIN covch cc USING (doc_id)
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Gopher repetition suite (operators/curation.py:
+    repetition_metrics — Rae et al. 2021 §A1.1): duplicate-line
+    fraction by count and by characters (sentence/newline split),
+    top-2-gram character share, and the overlap-once character
+    COVERAGE of duplicated word 5-grams — the line/n-gram originals
+    the paper gates on, beside word_quality_metrics' word-level
+    analogs already shipped.  All fractions are exact ppm integers
+    over the shared token-character denominator; the dup-gram leg
+    reuses the excision coverage device (positioned gram explode →
+    within-doc dup filter → coverage distinct → token join), so every
+    shuffle is bounded by corpus token/line count.  Oracle: DuckDB
+    recomputes every metric from the same deterministic relations."""
+    from big_data_validator_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    docs = _rb(_t(spark, sf_dir, "documents"))
+    return D.materialize_release(
+        repetition_metrics(docs, top_ngram=2, dup_ngram=5)
+    )
+
+
+@query(
+    "ts_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS v
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS HUGEINT) AS t,
+             SUM(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pfx,
+             CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+             SUM(v) OVER () AS total
+      FROM daily),
+    cand AS (
+      SELECT d, t, n, pfx, total,
+             abs(n * pfx - t * total) AS absd
+      FROM scored WHERE t < n)
+    SELECT d AS split_date, CAST(t AS BIGINT) AS t_index,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN total = 0 THEN 0
+                ELSE (absd * 1000000) // (n * abs(total)) END
+             AS BIGINT) AS cusum_ppm,
+           CAST(pfx // t AS BIGINT) AS mean_before_cents,
+           CAST((total - pfx) // (n - t) AS BIGINT)
+             AS mean_after_cents
+    FROM cand ORDER BY absd DESC, d ASC LIMIT 1
+    """,
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer CUSUM changepoint over daily order revenue
+    (operators/timeseries.py: cusum_changepoint — Page 1954): the
+    maximum-|D_t| split of the centered cumulative sum D_t = n·prefix
+    − t·total in exact DECIMAL(38,0) cents, ties to the earliest day —
+    the mean-shift monitor the drift family (distribution tests) does
+    not cover: WHERE the level moved, not whether two samples differ.
+    One data shuffle (the per-day cents aggregate); every window runs
+    on the calendar-bounded daily frame, and the normalized statistic,
+    before/after means ship as truncating-div integers both engines
+    reproduce."""
+    from big_data_validator_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    orders = _rb(_t(spark, sf_dir, "orders"))
+    return cusum_changepoint(orders, "o_orderdate", "o_totalprice")
+
+
+@query(
     "curation_dsir_weights",
     oracle="""
     WITH toks AS (
@@ -12206,6 +12352,20 @@ _DEMOTED_TO_TAIL = [
     # array fold) is re-exercised every round by BOTH new training
     # entries (the pipeline entry ends in linear_quality_scores).
     "quality_linear_score",
+    # ---- round-13 second rotation: two seats for the session's second
+    # ---- wave (text_repetition_metrics — the full Gopher line/n-gram
+    # ---- repetition suite — and ts_changepoint_cusum — exact-integer
+    # ---- CUSUM mean-shift detection).  Two r13-kept seats yield:
+    # Green r11+r12; this round's edit passes the former default bound
+    # EXPLICITLY (dense_top_m=100), so the seated plan and result are
+    # bit-identical to the r12 green — no rewrite to re-validate; the
+    # truncation-equivalence stays pytest-pinned.
+    "sim_hybrid_rrf",
+    # Green r12; this round's edit only wraps the return in
+    # materialize_release (cache lifetime, not semantics) — result
+    # unchanged from the r12 green; the LLR scoring stays
+    # pytest-pinned.
+    "curation_dsir_weights",
 ]
 
 #: Round-8 window seats for the seven hash-dependent sketch kernels

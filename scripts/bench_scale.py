@@ -110,11 +110,14 @@ TOP = [
     "agg_winsorized_stats",
     "sim_kcenter_coreset",
     # round-13: the integer-GD trainer's bounded per-step aggregations,
-    # the closed train->serve loop, and the span-excision transform's
-    # token-bounded shuffles
+    # the closed train->serve loop, the span-excision transform's
+    # token-bounded shuffles, the Gopher repetition suite's
+    # line/gram-bounded legs, and the CUSUM daily-frame windows
     "quality_linear_train",
     "pipeline_quality_train_score",
     "dedup_excise_spans",
+    "text_repetition_metrics",
+    "ts_changepoint_cusum",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

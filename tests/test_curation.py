@@ -634,3 +634,96 @@ def test_linear_quality_train_matches_python_reference(spark):
     empty = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="no training documents"):
         linear_quality_train(empty, lambda c: c < 3, n_buckets=B)
+
+
+# ------------------------------------------------- Gopher repetition suite
+
+def test_repetition_metrics_match_python_reference(spark):
+    """The line/top-gram/dup-gram-coverage repetition metrics (the
+    actual Gopher gates) match a from-scratch Python replay exactly —
+    planted repeated sentences, a dominating 2-gram, and a repeated
+    5-gram span, plus a clean doc and a no-separator doc."""
+    import re
+
+    import pytest
+
+    from big_data_validator_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    rows = [
+        (0, "Buy now. Buy now. Something else entirely here. Buy now."),
+        (1, "alpha beta alpha beta alpha beta gamma delta"),
+        (2, "one two three four five six one two three four five six"),
+        (3, "a perfectly normal sentence with no repetition at all"),
+        (4, "justonetoken"),
+        (5, "   "),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["id"]: (
+            r["n_tokens"], r["n_lines"], r["dup_line_frac_ppm"],
+            r["dup_line_char_frac_ppm"], r["top2gram_char_frac_ppm"],
+            r["dup5gram_char_frac_ppm"],
+        )
+        for r in repetition_metrics(docs).collect()
+    }
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def tdiv(a, b):
+        q = abs(a) // abs(max(b, 1))
+        return q if a >= 0 else -q
+
+    want = {}
+    for i, text in rows:
+        t = toks(text)
+        if not t:
+            continue
+        tchars = sum(len(w) for w in t)
+        lines = [
+            s.strip()
+            for s in re.split(r"[.!?]+\s+|\n+", text)
+            if s.strip()
+        ]
+        from collections import Counter
+
+        lcnt = Counter(lines)
+        n_lines = len(lines)
+        dl = sum(c for c in lcnt.values() if c >= 2)
+        lch = sum(c * len(l) for l, c in lcnt.items())
+        dlch = sum(c * len(l) for l, c in lcnt.items() if c >= 2)
+        g2 = Counter(
+            " ".join(t[p : p + 2]) for p in range(len(t) - 1)
+        )
+        if g2:
+            top_g, top_c = max(g2.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0]]))
+            # tie-break smallest gram: redo explicitly
+            best = sorted(g2.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            topch = best[1] * (len(best[0]) - 1)
+        else:
+            topch = 0
+        g5 = {}
+        for p in range(len(t) - 4):
+            g5.setdefault(" ".join(t[p : p + 5]), []).append(p)
+        cov = set()
+        for g, ps in g5.items():
+            if len(ps) >= 2:
+                for p in ps:
+                    cov.update(range(p, p + 5))
+        covch = sum(len(t[j]) for j in cov)
+        want[i] = (
+            len(t), n_lines,
+            tdiv(dl * 10**6, n_lines),
+            tdiv(dlch * 10**6, lch),
+            tdiv(topch * 10**6, tchars),
+            tdiv(covch * 10**6, tchars),
+        )
+    assert got == want
+    assert 5 not in got  # token-less doc excluded
+    assert got[0][2] > 0 and got[3][2] == 0  # dup lines detected
+    assert got[1][4] > 400_000  # dominating 2-gram
+    assert got[2][5] > 800_000  # repeated 5-gram span covers most chars
+    with pytest.raises(ValueError, match=">= 1"):
+        repetition_metrics(docs, top_ngram=0)

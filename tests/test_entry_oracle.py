@@ -194,15 +194,19 @@ def test_driver_window_is_all_oracled():
         "profile_key_skew", "join_asof_forward", "text_bpe_encode",
         "cdc_changeset_orders", "contamination_probes",
         "quality_gopher_flags",
-        # operators rewritten or behavior-touched in round 13 stay
-        # seated for fresh records: the running-min k-center, the
-        # skew/NULL-guarded sorted neighborhood, the explicit-bound
-        # hybrid RRF, and the two cache-release fixes
+        # operators rewritten in round 13 stay seated for fresh
+        # records: the running-min k-center, the skew/NULL-guarded
+        # sorted neighborhood, and the golden-record release fix.
+        # (sim_hybrid_rrf and curation_dsir_weights rest on their r12
+        # greens — this round's edits left their seated plans and
+        # results bit-identical, see _DEMOTED_TO_TAIL.)
         "sim_kcenter_coreset", "link_sorted_neighborhood",
-        "sim_hybrid_rrf", "link_golden_record", "curation_dsir_weights",
+        "link_golden_record",
         # round-13 additions: each must get its driver row
         "quality_linear_train", "pipeline_quality_train_score",
         "dedup_excise_spans",
+        # round-13 second wave
+        "text_repetition_metrics", "ts_changepoint_cusum",
     ]:
         assert required in window, required
 

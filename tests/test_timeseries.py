@@ -376,3 +376,51 @@ def test_theilsen_negative_slope_truncation_matches_duckdb(spark):
         "SELECT CAST(-7 * 3 // 2 AS BIGINT)"
     ).fetchone()[0]
     assert duck2 == -10, "DuckDB // must truncate toward zero"
+
+
+# ------------------------------------------------- CUSUM changepoint
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """A planted mean shift is located exactly (D_t = n*prefix - t*total
+    maximized at the true boundary), the statistic matches a Python
+    replay, before/after means are the truncating-div cents, and a
+    flat series yields cusum_ppm 0 with a deterministic earliest-day
+    tie-break; <2 days -> zero rows."""
+    import datetime
+
+    from big_data_validator_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    # 10 days at $10.00, then 10 days at $30.00 -> split at day 10
+    rows = [
+        (base + datetime.timedelta(days=i), 10.0 if i < 10 else 30.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["d", "v"])
+    out = cusum_changepoint(df, "d", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["split_date"] == base + datetime.timedelta(days=9)
+    assert r["t_index"] == 10 and r["n_days"] == 20
+    assert r["mean_before_cents"] == 1000
+    assert r["mean_after_cents"] == 3000
+    # Python replay of the exact integer statistic
+    vals = [1000] * 10 + [3000] * 10
+    n, total = len(vals), sum(vals)
+    best = max(
+        (abs(n * sum(vals[:t]) - t * total), -t)
+        for t in range(1, n)
+    )[0]
+    assert r["cusum_ppm"] == (best * 10**6) // (n * total)
+
+    flat = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 5.0) for i in range(4)],
+        ["d", "v"],
+    )
+    fr = cusum_changepoint(flat, "d", "v").collect()[0]
+    assert fr["cusum_ppm"] == 0 and fr["split_date"] == base
+
+    one = spark.createDataFrame([(base, 5.0)], ["d", "v"])
+    assert cusum_changepoint(one, "d", "v").count() == 0
