@@ -1002,13 +1002,17 @@ def dsir_importance_weights(
 
     Features are word UNIGRAMS AND BIGRAMS hashed into ``n_buckets``
     via the portable md5 device (the paper's hashed n-gram
-    parameterization, engine-reproducible here), built ROW-LOCALLY as
-    array transforms — no per-token shuffle for featurization.  Two
-    aggregations: one (bucket)-keyed count frame over both sides (a
-    ≤``n_buckets``-row result that BROADCASTS back), one per-document
-    mean.  Probabilities smooth as ``(cnt + 0.5) / side_total``; the
-    score rounds to 4 (the float-sum-order tolerance every log-family
-    entry uses).
+    parameterization, engine-reproducible here).  Feature rows build
+    as ONE codegen Generate — positions 1..2n−1 explode first and an
+    ``element_at``/``concat_ws`` conditional constructs the feature
+    per row (r13: the interpreted transform-lambda array builder was
+    the 9× hot spot the r12 cache leak had been masking; this is the
+    same exploded-row rewrite the contamination screens took in r12).
+    Two aggregations: one (bucket)-keyed count frame over both sides
+    (a ≤``n_buckets``-row result that BROADCASTS back), one
+    per-document mean.  Probabilities smooth as
+    ``(cnt + 0.5) / side_total``; the score rounds to 4 (the
+    float-sum-order tolerance every log-family entry uses).
 
     Returns ``(id, n_feats, dsir_score)`` for RAW (non-target) docs
     with ≥1 feature; higher = more target-like.
@@ -1018,17 +1022,6 @@ def dsir_importance_weights(
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
     toks = word_tokens(F.col(text_col))
-    bigrams = F.when(
-        F.size("_toks") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("_toks") - 1),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("_toks"), i),
-                F.element_at(F.col("_toks"), i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     bucket = F.pmod(
         F.conv(
             F.substring(F.md5(F.encode(F.col("_f"), "UTF-8")), 1, 8),
@@ -1037,18 +1030,33 @@ def dsir_importance_weights(
         ).cast("long"),
         F.lit(n_buckets),
     )
+    # One codegen Generate: positions 1..n are the unigrams, positions
+    # n+1..2n-1 the bigrams starting at _i - n — the same (id, feature)
+    # multiset the array-concat form produced, never materializing the
+    # per-doc feature array through an interpreted lambda.
     feats = (
         docs.select(
             F.col(id_col).alias("id"),
             target_pred(F.col(id_col)).alias("_is_target"),
             toks.alias("_toks"),
         )
-        .withColumn("_feats", F.concat(F.col("_toks"), bigrams))
-        .filter(F.size("_feats") > 0)
+        .filter(F.size("_toks") > 0)
         .select(
             "id",
             "_is_target",
-            F.explode("_feats").alias("_f"),
+            "_toks",
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") * 2 - 1)
+            ).alias("_i"),
+        )
+        .select(
+            "id",
+            "_is_target",
+            F.expr(
+                "if(_i <= size(_toks), element_at(_toks, _i),"
+                " concat_ws(' ', element_at(_toks, _i - size(_toks)),"
+                " element_at(_toks, _i - size(_toks) + 1)))"
+            ).alias("_f"),
         )
         .withColumn("_b", bucket)
         .drop("_f")
