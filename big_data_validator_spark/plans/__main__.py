@@ -192,16 +192,13 @@ PLAN_QUERIES = [
     # tests/test_linkage.py and tests/test_similarity_multimodal.py.
     "quality_linear_score",
     "curation_dsir_weights",
-    # round-13 additions with deterministic lazy plans:
-    # text_repetition_metrics — the line/top-gram/coverage legs joined
-    # on the pinned tokenized base (every shuffle line/gram-bounded);
-    # ts_changepoint_cusum — the one-data-shuffle daily agg + the
-    # calendar-bounded window stack.  (quality_linear_train and
-    # link_golden_record-style entries materialize eagerly —
-    # LocalTableScan returns; dedup_excise_spans' coverage shape is
-    # pytest-pinned in tests/test_text_dedup.py and shares the
+    # round-13 additions: ts_changepoint_cusum is the lazy-plan one —
+    # the one-data-shuffle daily agg + the calendar-bounded window
+    # stack ending in TakeOrdered.  (quality_linear_train,
+    # text_repetition_metrics and dedup_excise_spans materialize
+    # eagerly through materialize_release — LocalTableScan returns;
+    # their line/gram-bounded shapes are pytest-pinned and share the
     # positioned-gram Generate audited on the contamination screens.)
-    "text_repetition_metrics",
     "ts_changepoint_cusum",
 ]
 
