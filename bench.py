@@ -256,6 +256,7 @@ HEADLINE = [
     "dedup_excise_spans",
     "text_repetition_metrics",
     "ts_changepoint_cusum",
+    "drift_cvm",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -1419,6 +1419,140 @@ def mannwhitney_u(
     return out
 
 
+def cramer_von_mises(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    bin_width: int = 1 << 20,
+) -> DataFrame:
+    """Exact two-sample Cramér–von Mises T (Anderson 1962) — the
+    whole-CDF member completing the drift family: KS sees the single
+    largest CDF gap, W1 the total mass displacement, U the stochastic
+    ordering; CvM integrates the SQUARED CDF gap over the pooled
+    sample, so many small distributed discrepancies that KS's max
+    misses still register.
+
+    Exactness contract — everything integer until one final float:
+    Anderson's rank form is ``T = U/(n·m·N) − (4nm−1)/(6N)`` with
+    ``U = n·Σᵢ(rᵢ−i)² + m·Σⱼ(sⱼ−j)²`` over each sample's pooled ranks.
+    With midranks doubled to the integer ``R = 2C+t+1`` (the
+    :func:`mannwhitney_u` tie device) and every sample-1 member of a
+    tie group occupying consecutive per-sample indices, the group's
+    ``Σ(2r−2i)²`` has the closed form ``c·D₀² − 2·D₀·c(c+1) +
+    2·c(c+1)(2c+1)/3`` with ``D₀ = R − 2·A_prev`` — multiplied through
+    by 3, every term is a pure DECIMAL(38,0) integer product (no
+    division anywhere), accumulated as ``U12 = 3·(4U)``.  The only
+    floats are the two final quotients of exact integers (IEEE-
+    identical across engines), rounded 6.
+
+    Same scale shape as the KS/W1/U siblings: one shuffle to per-value
+    counts, per-block cumulative windows (pooled AND sample-1 prefix)
+    plus a broadcast per-block prefix frame — never a single-task
+    global window; ``bin_width`` moves block granularity only.
+    Returns one row ``(n_a, n_b, cvm_t)``; ``cvm_t`` NULL when either
+    sample is empty; nulls excluded.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    v = F.col(value_col)
+    pooled = a.filter(v.isNotNull()).select(
+        v.cast("long").alias("_v"),
+        F.lit(1).alias("_ca"),
+        F.lit(0).alias("_cb"),
+    ).unionAll(
+        b.filter(v.isNotNull()).select(
+            v.cast("long").alias("_v"),
+            F.lit(0).alias("_ca"),
+            F.lit(1).alias("_cb"),
+        )
+    )
+    cnts = pooled.groupBy("_v").agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    ).cache()
+    keyed = cnts.withColumn(
+        "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
+    ).withColumn("_t", F.col("_na") + F.col("_nb"))
+    bw = Window.partitionBy("_blk").orderBy("_v")
+    pre = bw.rowsBetween(Window.unboundedPreceding, -1)
+    local = keyed.withColumn(
+        "_bl_t", F.coalesce(F.sum("_t").over(pre), F.lit(0))
+    ).withColumn(
+        "_bl_a", F.coalesce(F.sum("_na").over(pre), F.lit(0))
+    )
+    gw = Window.orderBy("_blk")
+    gpre = gw.rowsBetween(Window.unboundedPreceding, -1)
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_t").alias("_tt"), F.sum("_na").alias("_ta"))
+        .select(
+            "_blk",
+            F.coalesce(F.sum("_tt").over(gpre), F.lit(0)).alias(
+                "_bb_t"
+            ),
+            F.coalesce(F.sum("_ta").over(gpre), F.lit(0)).alias(
+                "_bb_a"
+            ),
+        )
+    )
+    dec = "decimal(38,0)"
+    cpr = (F.col("_bl_t") + F.col("_bb_t")).cast(dec)
+    apr = (F.col("_bl_a") + F.col("_bb_a")).cast(dec)
+    bpr = cpr - apr
+    r = F.lit(2).cast(dec) * cpr + F.col("_t") + F.lit(1)
+
+    def contrib3(c_col, d0):
+        c = c_col.cast(dec)
+        return (
+            F.lit(3).cast(dec) * c * d0 * d0
+            - F.lit(6).cast(dec) * d0 * c * (c + F.lit(1))
+            + F.lit(2).cast(dec)
+            * c
+            * (c + F.lit(1))
+            * (F.lit(2).cast(dec) * c + F.lit(1))
+        )
+
+    terms = local.join(F.broadcast(totals), "_blk").select(
+        F.col("_na"),
+        F.col("_nb"),
+        contrib3(
+            F.col("_na"), r - F.lit(2).cast(dec) * apr
+        ).alias("_c3a"),
+        contrib3(
+            F.col("_nb"), r - F.lit(2).cast(dec) * bpr
+        ).alias("_c3b"),
+    )
+    agg = terms.agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+        F.sum("_c3a").alias("_sa"),
+        F.sum("_c3b").alias("_sb"),
+    )
+    n_a = F.col("n_a").cast(dec)
+    n_b = F.col("n_b").cast(dec)
+    n = n_a + n_b
+    u12 = n_a * F.col("_sa") + n_b * F.col("_sb")
+    out = agg.select(
+        "n_a",
+        "n_b",
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.round(
+                u12.cast("double")
+                / (
+                    F.lit(12).cast(dec) * n_a * n_b * n
+                ).cast("double")
+                - (
+                    F.lit(4).cast(dec) * n_a * n_b - F.lit(1)
+                ).cast("double")
+                / (F.lit(6).cast(dec) * n).cast("double"),
+                6,
+            ),
+        ).alias("cvm_t"),
+    )
+    out._bdv_pinned = [cnts]
+    return out
+
+
 def order_inversions(
     df: DataFrame,
     part_col: str,

@@ -198,7 +198,11 @@ PLAN_QUERIES = [
     # text_repetition_metrics and dedup_excise_spans materialize
     # eagerly through materialize_release — LocalTableScan returns;
     # their line/gram-bounded shapes are pytest-pinned and share the
-    # positioned-gram Generate audited on the contamination screens.)
+    # positioned-gram Generate audited on the contamination screens.
+    # drift_cvm joins drift_wasserstein/drift_mannwhitney in the
+    # eager-materialization class — same released per-value counts
+    # frame, same block-scan shape pinned by block-width invariance in
+    # tests/test_relational.py.)
     "ts_changepoint_cusum",
 ]
 

@@ -207,6 +207,9 @@ def test_driver_window_is_all_oracled():
         "dedup_excise_spans",
         # round-13 second wave
         "text_repetition_metrics", "ts_changepoint_cusum",
+        # round-13 third wave (sim_ann_pq yielded its rows-only seat —
+        # see the _SEATED_ROWS_ONLY rationale)
+        "drift_cvm",
     ]:
         assert required in window, required
 

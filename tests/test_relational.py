@@ -1193,3 +1193,66 @@ def test_time_decayed_value_negative_sum(spark):
             """
         ).fetchone()[0]
         assert got["decayed_value"] == want, rows
+
+
+# ------------------------------------------- Cramér–von Mises drift
+
+def test_cramer_von_mises_matches_rank_reference(spark):
+    """CvM T == a from-scratch midrank replay of Anderson's rank form
+    on tie-heavy samples; block-width invariant; separation grows with
+    shift; identical samples ~ the known -1/(6N) lower region; empty
+    side -> NULL; guard raises."""
+    import random
+
+    import pytest
+
+    from big_data_validator_spark.operators.relational import (
+        cramer_von_mises,
+    )
+
+    rng = random.Random(11)
+    xs = [rng.randrange(0, 40) for _ in range(150)]       # heavy ties
+    ys = [rng.randrange(5, 45) for _ in range(110)]       # shifted
+    a = spark.createDataFrame([(v,) for v in xs], ["v"])
+    b = spark.createDataFrame([(v,) for v in ys], ["v"])
+
+    def ref(x, y):
+        n, m = len(x), len(y)
+        pooled = sorted([(v, 0) for v in x] + [(v, 1) for v in y])
+        # midrank per value
+        from collections import Counter, defaultdict
+
+        cnt = Counter(v for v, _ in pooled)
+        below = 0
+        mid = {}
+        for v in sorted(cnt):
+            mid[v] = below + (cnt[v] + 1) / 2
+            below += cnt[v]
+        rs = sorted(v for v in x)
+        ss = sorted(v for v in y)
+        u = n * sum((mid[v] - (i + 1)) ** 2 for i, v in enumerate(rs))
+        u += m * sum((mid[v] - (j + 1)) ** 2 for j, v in enumerate(ss))
+        nn = n + m
+        return u / (n * m * nn) - (4 * n * m - 1) / (6 * nn)
+
+    want = round(ref(xs, ys), 6)
+    for bw in (1 << 20, 7, 1):
+        got = cramer_von_mises(a, b, "v", bin_width=bw).collect()[0]
+        assert got["n_a"] == 150 and got["n_b"] == 110
+        assert abs(got["cvm_t"] - want) < 2e-6, (bw, got["cvm_t"], want)
+
+    # separation monotone in shift
+    far = spark.createDataFrame([(v + 200,) for v in ys], ["v"])
+    t_far = cramer_von_mises(a, far, "v").collect()[0]["cvm_t"]
+    assert t_far > want
+    # identical samples: small statistic near the theoretical floor
+    t_same = cramer_von_mises(a, a, "v").collect()[0]["cvm_t"]
+    assert t_same < want
+    assert abs(t_same - ref(xs, xs)) < 2e-6
+
+    empty = spark.createDataFrame([], "v long")
+    assert (
+        cramer_von_mises(a, empty, "v").collect()[0]["cvm_t"] is None
+    )
+    with pytest.raises(ValueError, match="positive"):
+        cramer_von_mises(a, b, "v", bin_width=0)
