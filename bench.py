@@ -257,6 +257,7 @@ HEADLINE = [
     "text_repetition_metrics",
     "ts_changepoint_cusum",
     "drift_cvm",
+    "ts_binseg_changepoints",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -489,3 +489,131 @@ def cusum_changepoint(
             ).alias("mean_after_cents"),
         )
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    depth: int = 2,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact-integer BINARY SEGMENTATION over the CUSUM statistic —
+    the multi-changepoint extension of :func:`cusum_changepoint`
+    (Scott & Knott 1974; the standard recursive scheme): find the
+    maximum-|D_t| split of the whole daily series, cut, then find the
+    best split WITHIN each resulting segment, to ``depth`` levels
+    (depth 2 → up to 3 changepoints).  A regime that shifted twice
+    hides the second move from the single-split monitor — the level-1
+    argmax lands between the shifts and averages them away; the
+    recursion recovers both.
+
+    Every level reuses the single-split integer contract on the
+    SEGMENT-LOCAL series: ``D_t = n_seg·prefix − t·total_seg`` in
+    DECIMAL(38,0), argmax ties to the earliest day, ``cusum_ppm =
+    (|D|·10⁶) div (n_seg·|total_seg|)`` (0 when the segment total is
+    0), truncating-div before/after mean cents.  ``t_index`` / ``n_days``
+    are segment-local; ``seg_start`` names the segment so levels are
+    self-describing.  A segment with <2 days yields no row, so the
+    output has ≤ 2^depth − 1 rows, ordered (level, split_date).
+
+    Scale shape: ONE data shuffle (the per-day cents agg), cached and
+    recorded in ``_bdv_pinned`` because every level's lineage re-reads
+    it — release via ``dataset.materialize_release``.  All segmentation
+    runs on the calendar-bounded daily frame: per-segment windows
+    (partitioned by segment id — never wider than the level-0 global
+    window the calendar already bounds), a per-level broadcast join of
+    the ≤2^level-row split frame, and NO driver collect anywhere — the
+    split frame stays a lazy 1–2^level-row DataFrame.  ``depth`` is
+    guarded ≤4 to bound plan growth (each level appends one window
+    stack + one broadcast join to the plan).
+    """
+    if depth < 1 or depth > 4:
+        raise ValueError(f"depth must be in [1, 4], got {depth}")
+    daily = (
+        df.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_v")
+        )
+        .cache()
+    )
+    tagged = daily.withColumn("_seg", F.lit(0).cast("long"))
+    level_bests: list[DataFrame] = []
+    for level in range(1, depth + 1):
+        w = Window.partitionBy("_seg").orderBy("d")
+        seg = Window.partitionBy("_seg")
+        scored = (
+            tagged.select(
+                "_seg",
+                "d",
+                F.row_number().over(w).cast("long").alias("_t"),
+                F.sum("_v")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("_pfx"),
+                F.count(F.lit(1)).over(seg).cast("long").alias("_n"),
+                F.sum("_v").over(seg).alias("_total"),
+                F.min("d").over(seg).alias("_seg_start"),
+            )
+            .filter(F.col("_t") < F.col("_n"))
+            .withColumn(
+                "_absd",
+                F.expr(
+                    "abs(CAST(_n AS DECIMAL(38,0)) * _pfx"
+                    " - CAST(_t AS DECIMAL(38,0)) * _total)"
+                ),
+            )
+        )
+        rk = Window.partitionBy("_seg").orderBy(
+            F.col("_absd").desc(), F.col("d").asc()
+        )
+        best = (
+            scored.withColumn("_rk", F.row_number().over(rk))
+            .filter(F.col("_rk") == 1)
+            .select(
+                F.lit(level).alias("level"),
+                "_seg",
+                F.col("_seg_start").alias("seg_start"),
+                F.col("d").alias("split_date"),
+                F.col("_t").alias("t_index"),
+                F.col("_n").alias("n_days"),
+                F.when(F.col("_total") == 0, F.lit(0).cast("long"))
+                .otherwise(
+                    F.expr(
+                        "(_absd * 1000000) div"
+                        " (CAST(_n AS DECIMAL(38,0)) * abs(_total))"
+                    )
+                )
+                .alias("cusum_ppm"),
+                F.expr(
+                    "CAST(_pfx div CAST(_t AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("mean_before_cents"),
+                F.expr(
+                    "CAST((_total - _pfx) div"
+                    " CAST(_n - _t AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("mean_after_cents"),
+            )
+        )
+        level_bests.append(best)
+        if level < depth:
+            cuts = best.select("_seg", F.col("split_date").alias("_cut"))
+            tagged = (
+                tagged.join(F.broadcast(cuts), "_seg", "left")
+                .withColumn(
+                    "_seg",
+                    F.col("_seg") * 2
+                    + F.when(
+                        F.col("_cut").isNotNull()
+                        & (F.col("d") > F.col("_cut")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_cut")
+            )
+    out = level_bests[0]
+    for b in level_bests[1:]:
+        out = out.unionAll(b)
+    out = out.drop("_seg").orderBy("level", "split_date")
+    out._bdv_pinned = [daily]
+    return out

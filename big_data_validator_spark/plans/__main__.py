@@ -202,7 +202,10 @@ PLAN_QUERIES = [
     # drift_cvm joins drift_wasserstein/drift_mannwhitney in the
     # eager-materialization class — same released per-value counts
     # frame, same block-scan shape pinned by block-width invariance in
-    # tests/test_relational.py.)
+    # tests/test_relational.py.  ts_binseg_changepoints is eager too
+    # (pinned per-day agg released on materialize); its one-shuffle +
+    # segment-window shape is the audited ts_changepoint_cusum plan
+    # applied per level, pinned in tests/test_timeseries.py.)
     "ts_changepoint_cusum",
 ]
 

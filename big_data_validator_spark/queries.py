@@ -11625,6 +11625,85 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_binseg_changepoints",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS v
+      FROM orders GROUP BY 1),
+    s1 AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS HUGEINT) AS t,
+             SUM(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pfx,
+             CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+             SUM(v) OVER () AS total,
+             MIN(d) OVER () AS seg_start
+      FROM daily),
+    c1 AS (SELECT *, abs(n * pfx - t * total) AS absd
+           FROM s1 WHERE t < n),
+    b1 AS (SELECT * FROM c1 ORDER BY absd DESC, d ASC LIMIT 1),
+    tagged AS (
+      SELECT daily.d, daily.v,
+             CASE WHEN daily.d > b1.d THEN 1 ELSE 0 END AS seg
+      FROM daily, b1),
+    s2 AS (
+      SELECT seg, d,
+             CAST(ROW_NUMBER() OVER (PARTITION BY seg ORDER BY d)
+                  AS HUGEINT) AS t,
+             SUM(v) OVER (PARTITION BY seg ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS pfx,
+             CAST(COUNT(*) OVER (PARTITION BY seg) AS HUGEINT) AS n,
+             SUM(v) OVER (PARTITION BY seg) AS total,
+             MIN(d) OVER (PARTITION BY seg) AS seg_start
+      FROM tagged),
+    c2 AS (SELECT *, abs(n * pfx - t * total) AS absd
+           FROM s2 WHERE t < n),
+    b2 AS (SELECT * FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY seg
+                         ORDER BY absd DESC, d ASC) AS rk
+             FROM c2) WHERE rk = 1),
+    allrows AS (
+      SELECT 1 AS level, seg_start, d, t, n, pfx, total, absd FROM b1
+      UNION ALL
+      SELECT 2 AS level, seg_start, d, t, n, pfx, total, absd FROM b2)
+    SELECT level, seg_start, d AS split_date,
+           CAST(t AS BIGINT) AS t_index,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CASE WHEN total = 0 THEN 0
+                ELSE (absd * 1000000) // (n * abs(total)) END
+             AS BIGINT) AS cusum_ppm,
+           CAST(pfx // t AS BIGINT) AS mean_before_cents,
+           CAST((total - pfx) // (n - t) AS BIGINT)
+             AS mean_after_cents
+    FROM allrows ORDER BY level, split_date
+    """,
+)
+def ts_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 BINARY SEGMENTATION over daily order revenue
+    (operators/timeseries.py: binseg_changepoints — Scott & Knott
+    1974): the recursive multi-changepoint extension of
+    ts_changepoint_cusum — best |D_t| split of the whole series, then
+    the best split WITHIN each half, all on the segment-local exact
+    DECIMAL(38,0) integer contract (argmax ties to the earliest day,
+    ppm-normalized statistic, truncating-div means).  A series that
+    shifted twice hides the second move from the single-split monitor;
+    the recursion recovers both.  ONE data shuffle (the pinned per-day
+    cents agg, released on materialize); per-segment windows on the
+    calendar-bounded daily frame and a broadcast join of the ≤2-row
+    cut frame — no driver collect.  Oracle: the recursion UNROLLED as
+    CTEs (the EM/k-means/GD device)."""
+    from big_data_validator_spark.operators.timeseries import (
+        binseg_changepoints,
+    )
+
+    orders = _rb(_t(spark, sf_dir, "orders"))
+    return D.materialize_release(
+        binseg_changepoints(orders, "o_orderdate", "o_totalprice", depth=2)
+    )
+
+
+@query(
     "curation_dsir_weights",
     oracle="""
     WITH toks AS (
@@ -12476,7 +12555,12 @@ _SEATED_ROWS_ONLY: list = [
     "dedup_simhash",
     "dedup_minhash_clusters",
     "sim_ann_lsh",
-    "sim_ann_ivf",
+    # sim_ann_ivf yields its seat to the NEW oracled
+    # ts_binseg_changepoints on the same grounds as sim_ann_pq below:
+    # its coarse-quantizer recall is pytest-pinned and its exact-rank
+    # contract oracle-twinned (sim_ann_recall/sim_ann_exactint, and
+    # the IVF training kernel shares dedup_semantic_twolevel's oracled
+    # quantizer); second rows-only record deferred one round.
     # sim_ann_pq yields its seat to the NEW oracled drift_cvm (the
     # window holds exactly 50): of the r8 kernels it is the most
     # redundantly covered — its exact-rank contract is oracle-twinned

@@ -424,3 +424,116 @@ def test_cusum_changepoint_finds_planted_shift(spark):
 
     one = spark.createDataFrame([(base, 5.0)], ["d", "v"])
     assert cusum_changepoint(one, "d", "v").count() == 0
+
+
+def test_binseg_changepoints_recovers_two_planted_shifts(spark):
+    """Depth-2 binary segmentation == a from-scratch Python replay of
+    the recursion on a two-shift series (level 1 finds one boundary,
+    level 2 the other), per-row stats are the segment-local integer
+    contract, a short second-level segment yields no row, depth=1
+    reduces to cusum_changepoint, and the depth guard raises."""
+    import datetime
+
+    import pytest
+
+    from big_data_validator_spark.operators.timeseries import (
+        binseg_changepoints,
+        cusum_changepoint,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    # three regimes: 12d @ $10, 12d @ $30, 12d @ $12
+    cents = [1000] * 12 + [3000] * 12 + [1200] * 12
+    rows = [
+        (base + datetime.timedelta(days=i), c / 100.0)
+        for i, c in enumerate(cents)
+    ]
+    df = spark.createDataFrame(rows, ["d", "v"])
+
+    def one_split(vals):
+        n, total = len(vals), sum(vals)
+        if n < 2:
+            return None
+        absd, negt = max(
+            (abs(n * sum(vals[:t]) - t * total), -t)
+            for t in range(1, n)
+        )
+        t = -negt
+        ppm = 0 if total == 0 else (absd * 10**6) // (n * abs(total))
+        trunc = lambda a, b: (a // b if (a >= 0) == (b > 0)
+                              else -((-a if a < 0 else a) // abs(b)))
+        pfx = sum(vals[:t])
+        return (t, n, ppm, trunc(pfx, t), trunc(total - pfx, n - t))
+
+    def replay(vals, lo, depth):
+        out = []
+        if depth == 0:
+            return out
+        s = one_split(vals)
+        if s is None:
+            return out
+        t = s[0]
+        out.append((lo, t) + s[1:])
+        out_l = replay(vals[:t], lo, depth - 1)
+        out_r = replay(vals[t:], lo + t, depth - 1)
+        return out + [(o[0], o[1]) + o[2:] for o in out_l + out_r]
+
+    got = binseg_changepoints(df, "d", "v", depth=2).collect()
+    # expected: level-1 row + two level-2 rows
+    exp1 = one_split(cents)
+    l1 = [r for r in got if r["level"] == 1]
+    assert len(l1) == 1
+    r1 = l1[0]
+    t1 = exp1[0]
+    assert r1["seg_start"] == base
+    assert r1["split_date"] == base + datetime.timedelta(days=t1 - 1)
+    assert (
+        r1["t_index"], r1["n_days"], r1["cusum_ppm"],
+        r1["mean_before_cents"], r1["mean_after_cents"],
+    ) == exp1
+    l2 = sorted(
+        (r for r in got if r["level"] == 2),
+        key=lambda r: r["split_date"],
+    )
+    exp_left = one_split(cents[:t1])
+    exp_right = one_split(cents[t1:])
+    assert len(l2) == 2
+    assert l2[0]["seg_start"] == base
+    assert l2[0]["split_date"] == base + datetime.timedelta(
+        days=exp_left[0] - 1
+    )
+    assert (
+        l2[0]["t_index"], l2[0]["n_days"], l2[0]["cusum_ppm"],
+        l2[0]["mean_before_cents"], l2[0]["mean_after_cents"],
+    ) == exp_left
+    assert l2[1]["seg_start"] == base + datetime.timedelta(days=t1)
+    assert l2[1]["split_date"] == base + datetime.timedelta(
+        days=t1 + exp_right[0] - 1
+    )
+    assert (
+        l2[1]["t_index"], l2[1]["n_days"], l2[1]["cusum_ppm"],
+        l2[1]["mean_before_cents"], l2[1]["mean_after_cents"],
+    ) == exp_right
+
+    # depth=1 == the single-split operator (modulo the extra columns)
+    d1 = binseg_changepoints(df, "d", "v", depth=1).collect()
+    c1 = cusum_changepoint(df, "d", "v").collect()[0]
+    assert len(d1) == 1
+    assert d1[0]["split_date"] == c1["split_date"]
+    assert d1[0]["cusum_ppm"] == c1["cusum_ppm"]
+
+    # a 3-day series at depth 2: level 1 splits, and only segments
+    # with >= 2 days re-split (one side is a singleton)
+    short = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), float(v))
+         for i, v in enumerate([10.0, 10.0, 90.0])],
+        ["d", "v"],
+    )
+    sr = binseg_changepoints(short, "d", "v", depth=2).collect()
+    assert len([r for r in sr if r["level"] == 1]) == 1
+    assert len([r for r in sr if r["level"] == 2]) == 1  # only the 2-day side
+
+    with pytest.raises(ValueError, match="depth"):
+        binseg_changepoints(df, "d", "v", depth=0)
+    with pytest.raises(ValueError, match="depth"):
+        binseg_changepoints(df, "d", "v", depth=5)
