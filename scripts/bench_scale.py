@@ -118,6 +118,11 @@ TOP = [
     "dedup_excise_spans",
     "text_repetition_metrics",
     "ts_changepoint_cusum",
+    # round-13 third wave: the CvM block scan (same claim as the
+    # KS/W1/U siblings) and the binseg recursion's calendar-bounded
+    # per-level windows over ONE pinned daily agg
+    "drift_cvm",
+    "ts_binseg_changepoints",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
