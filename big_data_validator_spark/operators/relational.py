@@ -1522,8 +1522,8 @@ def cramer_von_mises(
         ).alias("_c3b"),
     )
     agg = terms.agg(
-        F.sum("_na").cast("long").alias("n_a"),
-        F.sum("_nb").cast("long").alias("n_b"),
+        F.coalesce(F.sum("_na"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("_nb"), F.lit(0)).cast("long").alias("n_b"),
         F.sum("_c3a").alias("_sa"),
         F.sum("_c3b").alias("_sb"),
     )

@@ -9984,8 +9984,8 @@ def drift_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
                - 2 * (CAST(c AS HUGEINT) - ap) AS d0b
       FROM ord),
     agg AS (
-      SELECT CAST(SUM(na) AS BIGINT) AS n_a,
-             CAST(SUM(nb) AS BIGINT) AS n_b,
+      SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_a,
+             CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_b,
              SUM(3 * CAST(na AS HUGEINT) * d0a * d0a
                  - 6 * d0a * CAST(na AS HUGEINT) * (na + 1)
                  + 2 * CAST(na AS HUGEINT) * (na + 1)
