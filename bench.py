@@ -258,6 +258,7 @@ HEADLINE = [
     "ts_changepoint_cusum",
     "drift_cvm",
     "ts_binseg_changepoints",
+    "ts_acf_daily",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

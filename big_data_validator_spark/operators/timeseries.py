@@ -617,3 +617,103 @@ def binseg_changepoints(
     out = out.drop("_seg").orderBy("level", "split_date")
     out._bdv_pinned = [daily]
     return out
+
+
+def acf_daily(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    value_scale: int = 100,
+) -> DataFrame:
+    """EXACT lag-1..max_lag autocorrelation of a daily series — the
+    serial-dependence/seasonality member completing the timeseries
+    family (Theil–Sen answers "is there a trend", CUSUM/binseg "did
+    the level shift"; ACF answers "does the series repeat", e.g. a
+    weekly cycle shows as a lag-7 peak).
+
+    Exactness device: with integer cents v_t, n·(v_t − mean) =
+    n·v_t − S =: c_t is a pure integer, and the n² factors cancel in
+    the standard estimator, so
+
+        ``r_k = Σ_{t≤n−k} c_t·c_{t+k}  /  Σ_t c_t²``
+
+    is a ratio of two exact DECIMAL(38,0) integers (≈ n³·v² ≤ 10³⁶
+    even at 10¹⁰ input rows) — the only float is the final quotient of
+    exact integers (IEEE-identical across engines), rounded 6.  This
+    is the biased (denominator-n) estimator every textbook ACF plot
+    uses; lags are INDEX-based on the daily-aggregated series (run
+    :func:`resample_ffill_daily` first for calendar-strict gaps).
+
+    Scale shape: ONE data shuffle (the per-day cents agg); the index,
+    the max_lag lead columns (one window pass) and the per-lag sums
+    all run on the calendar-bounded daily frame — the deliberately
+    global window is a non-issue at any corpus size.  Returns one row
+    per lag 1..max_lag ``(lag, n_days, acf)``; ``acf`` is NULL for a
+    constant series (zero variance) or when the series is shorter
+    than the lag; an empty series returns zero rows.  ``max_lag``
+    guarded to [1, 60].
+    """
+    if max_lag < 1 or max_lag > 60:
+        raise ValueError(f"max_lag must be in [1, 60], got {max_lag}")
+    daily = (
+        df.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_v")
+        )
+    )
+    w = Window.orderBy("d")
+    tot = Window.partitionBy()
+    c = daily.select(
+        F.row_number().over(w).cast("long").alias("_t"),
+        F.count(F.lit(1)).over(tot).cast("long").alias("_n"),
+        F.expr(
+            "CAST(COUNT(*) OVER () AS DECIMAL(38,0)) * _v"
+            " - SUM(_v) OVER ()"
+        ).alias("_c"),
+    )
+    wl = Window.orderBy("_t")
+    leads = c.select(
+        "_n",
+        "_c",
+        *[
+            F.lead("_c", k).over(wl).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = ", ".join(
+        [f"0, _c * _c"]
+        + [f"{k}, _c * _l{k}" for k in range(1, max_lag + 1)]
+    )
+    stacked = leads.select(
+        "_n",
+        F.expr(
+            f"stack({max_lag + 1}, {pairs}) AS (lag, prod)"
+        ),
+    )
+    g = stacked.groupBy("lag").agg(
+        F.sum("prod").alias("_num"), F.max("_n").alias("_nd")
+    )
+    dw = Window.partitionBy()
+    return (
+        g.withColumn(
+            "_den",
+            F.max(F.when(F.col("lag") == 0, F.col("_num"))).over(dw),
+        )
+        .filter(F.col("lag") >= 1)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("_nd").alias("n_days"),
+            F.when(
+                F.col("_den") > 0,
+                F.round(
+                    F.col("_num").cast("double")
+                    / F.col("_den").cast("double"),
+                    6,
+                ),
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

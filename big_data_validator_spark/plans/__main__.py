@@ -207,6 +207,10 @@ PLAN_QUERIES = [
     # segment-window shape is the audited ts_changepoint_cusum plan
     # applied per level, pinned in tests/test_timeseries.py.)
     "ts_changepoint_cusum",
+    # ts_acf_daily is lazy like the cusum entry (no pinned cache):
+    # the one-shuffle daily agg + lead window + stack Generate +
+    # per-lag aggregate.
+    "ts_acf_daily",
 ]
 
 

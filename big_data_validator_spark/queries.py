@@ -11704,6 +11704,58 @@ def ts_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_acf_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS v
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS HUGEINT) AS t,
+             CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+             CAST(COUNT(*) OVER () AS HUGEINT) * v
+               - SUM(v) OVER () AS c
+      FROM daily),
+    lags AS (SELECT CAST(unnest(generate_series(1, 7)) AS INT) AS lag),
+    nums AS (
+      SELECT l.lag, SUM(a.c * b.c) AS num
+      FROM lags l CROSS JOIN c a JOIN c b ON b.t = a.t + l.lag
+      GROUP BY l.lag),
+    den AS (SELECT SUM(c * c) AS den,
+                   CAST(MAX(n) AS BIGINT) AS n_days
+            FROM c)
+    SELECT l.lag, den.n_days,
+           CASE WHEN den.den > 0 THEN
+             ROUND(CAST(nums.num AS DOUBLE)
+                   / CAST(den.den AS DOUBLE), 6)
+           END AS acf
+    FROM lags l LEFT JOIN nums USING (lag) CROSS JOIN den
+    WHERE den.n_days > 0
+    ORDER BY l.lag
+    """,
+)
+def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT lag-1..7 autocorrelation of daily order revenue
+    (operators/timeseries.py: acf_daily) — the serial-dependence /
+    seasonality member completing the timeseries family: Theil–Sen
+    answers "is there a trend", CUSUM/binseg "did the level shift",
+    ACF "does the series repeat" (a weekly ordering cycle shows as a
+    lag-7 peak).  The n² factors cancel in the standard estimator, so
+    ``r_k = Σc_t·c_{t+k} / Σc_t²`` with ``c_t = n·v_t − S`` is a ratio
+    of two exact DECIMAL(38,0) integers — the only float is the final
+    quotient (IEEE-identical across engines, round-6).  ONE data
+    shuffle (the per-day cents agg); the index, the 7 lead columns
+    (one window pass) and the per-lag sums all run on the
+    calendar-bounded daily frame.  Oracle computes the same integers
+    via an index self-join on the lag offset."""
+    from big_data_validator_spark.operators.timeseries import acf_daily
+
+    orders = _rb(_t(spark, sf_dir, "orders"))
+    return acf_daily(orders, "o_orderdate", "o_totalprice", max_lag=7)
+
+
+@query(
     "curation_dsir_weights",
     oracle="""
     WITH toks AS (
@@ -12554,7 +12606,12 @@ _SEATED_ROWS_ONLY: list = [
     "dedup_winnowing",
     "dedup_simhash",
     "dedup_minhash_clusters",
-    "sim_ann_lsh",
+    # sim_ann_lsh yields its seat to the NEW oracled ts_acf_daily,
+    # closing the trio: the three sim_ann_* kernels rest TOGETHER on
+    # their r8 records (uniform rationale below — recall pytest-pinned,
+    # exact-rank contract oracle-twinned by sim_ann_recall /
+    # sim_ann_exactint); the hash-distinct minhash/winnowing/simhash/
+    # clusters kernels and the two r1-vintage entries keep their seats.
     # sim_ann_ivf yields its seat to the NEW oracled
     # ts_binseg_changepoints on the same grounds as sim_ann_pq below:
     # its coarse-quantizer recall is pytest-pinned and its exact-rank

@@ -123,6 +123,7 @@ TOP = [
     # per-level windows over ONE pinned daily agg
     "drift_cvm",
     "ts_binseg_changepoints",
+    "ts_acf_daily",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

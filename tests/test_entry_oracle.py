@@ -207,9 +207,9 @@ def test_driver_window_is_all_oracled():
         "dedup_excise_spans",
         # round-13 second wave
         "text_repetition_metrics", "ts_changepoint_cusum",
-        # round-13 third wave (sim_ann_pq and sim_ann_ivf yielded their
-        # rows-only seats — see the _SEATED_ROWS_ONLY rationale)
-        "drift_cvm", "ts_binseg_changepoints",
+        # round-13 third wave (the sim_ann_* trio yielded its rows-only
+        # seats — see the _SEATED_ROWS_ONLY rationale)
+        "drift_cvm", "ts_binseg_changepoints", "ts_acf_daily",
     ]:
         assert required in window, required
 

@@ -537,3 +537,71 @@ def test_binseg_changepoints_recovers_two_planted_shifts(spark):
         binseg_changepoints(df, "d", "v", depth=0)
     with pytest.raises(ValueError, match="depth"):
         binseg_changepoints(df, "d", "v", depth=5)
+
+
+def test_acf_daily_matches_integer_reference(spark):
+    """ACF == a from-scratch exact-integer replay (r_k = sum c_t*c_{t+k}
+    / sum c_t^2 with c_t = n*v_t - S) on a planted weekly cycle (lag-7
+    peak), a constant series yields NULL (zero variance), lags beyond
+    the series length are NULL, empty input yields zero rows, and the
+    max_lag guard raises."""
+    import datetime
+
+    import pytest
+
+    from big_data_validator_spark.operators.timeseries import acf_daily
+
+    base = datetime.date(2024, 1, 1)
+    # weekly cycle + mild noise pattern, exact cents
+    cents = [(1000 + 900 * (i % 7 == 0) + 37 * (i % 3)) for i in range(35)]
+    df = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), c / 100.0)
+         for i, c in enumerate(cents)],
+        ["d", "v"],
+    )
+
+    def ref(vals, max_lag):
+        n, s = len(vals), sum(vals)
+        c = [n * v - s for v in vals]
+        den = sum(x * x for x in c)
+        out = {}
+        for k in range(1, max_lag + 1):
+            prods = [c[t] * c[t + k] for t in range(n - k)]
+            num = sum(prods) if prods else None
+            out[k] = (
+                None if (den == 0 or num is None)
+                else round(num / den, 6)
+            )
+        return out
+
+    want = ref(cents, 9)
+    got = {r["lag"]: r for r in acf_daily(df, "d", "v", max_lag=9).collect()}
+    assert sorted(got) == list(range(1, 10))
+    for k in range(1, 10):
+        assert got[k]["n_days"] == 35
+        assert abs(got[k]["acf"] - want[k]) < 2e-6, (k, got[k]["acf"], want[k])
+    # the weekly cycle dominates: lag-7 is the max
+    assert max(want, key=lambda k: want[k]) == 7
+
+    const = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 5.0) for i in range(10)],
+        ["d", "v"],
+    )
+    for r in acf_daily(const, "d", "v", max_lag=3).collect():
+        assert r["acf"] is None
+
+    short = spark.createDataFrame(
+        [(base, 1.0), (base + datetime.timedelta(days=1), 9.0)],
+        ["d", "v"],
+    )
+    sr = {r["lag"]: r["acf"] for r in
+          acf_daily(short, "d", "v", max_lag=4).collect()}
+    assert sr[1] is not None and sr[2] is None and sr[4] is None
+    assert abs(sr[1] - ref([100, 900], 1)[1]) < 2e-6
+
+    empty = spark.createDataFrame([], "d date, v double")
+    assert acf_daily(empty, "d", "v").count() == 0
+    with pytest.raises(ValueError, match="max_lag"):
+        acf_daily(df, "d", "v", max_lag=0)
+    with pytest.raises(ValueError, match="max_lag"):
+        acf_daily(df, "d", "v", max_lag=61)
