@@ -717,3 +717,183 @@ def acf_daily(
         )
         .orderBy("lag")
     )
+
+
+def pettitt_changepoint(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact-integer PETTITT rank-based changepoint test on a daily
+    series (Pettitt 1979) — the nonparametric companion to
+    :func:`cusum_changepoint`: CUSUM maximizes the MEAN-shift
+    likelihood and is dragged by outliers; Pettitt maximizes the
+    Mann-Whitney statistic over every split point, so a single wild
+    day cannot fake (or hide) a level shift.
+
+    Exactness device: with doubled midranks ``m_i = 2·rank_i +
+    ties_i − 1`` (an integer even under ties, the
+    :func:`~.relational.mannwhitney_u` device) the Pettitt statistic
+
+        ``U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)
+              = Σ_{i≤t} m_i − t·(n+1)``
+
+    is a pure integer — the classic rank-sum identity, tie terms
+    contributing exactly 0 — and the reported split is ``argmax_t
+    |U_t|`` (ties to the earliest day).  ``pettitt_ppm = (|U|·10⁶)
+    div (t·(n−t))`` normalizes by the split's own ceiling (every
+    cross-split pair concordant), so 10⁶ means a perfectly separated
+    shift at any series length.
+
+    Scale shape: ONE data shuffle (the per-day cents agg); the value
+    rank window, the time-ordered prefix window and the
+    TakeOrdered(1) argmax all run on the calendar-bounded daily frame
+    (thousands of rows), so the deliberately global windows are a
+    non-issue at any corpus size.  Returns one row ``(split_date,
+    t_index, n_days, u_stat, pettitt_ppm)``; a series with <2 days
+    returns zero rows (no interior split exists).
+    """
+    daily = (
+        df.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_v")
+        )
+    )
+    wv = Window.orderBy("_v")
+    wties = Window.partitionBy("_v")
+    ranked = daily.select(
+        "d",
+        (
+            F.lit(2) * F.rank().over(wv)
+            + F.count(F.lit(1)).over(wties)
+            - F.lit(1)
+        )
+        .cast("decimal(38,0)")
+        .alias("_m"),
+    )
+    wt = Window.orderBy("d")
+    tot = Window.partitionBy()
+    scored = (
+        ranked.select(
+            "d",
+            F.row_number().over(wt).cast("long").alias("_t"),
+            F.count(F.lit(1)).over(tot).cast("long").alias("_n"),
+            F.sum("_m")
+            .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("_pm"),
+        )
+        .filter(F.col("_t") < F.col("_n"))
+        .select(
+            "d",
+            "_t",
+            "_n",
+            F.expr(
+                "_pm - CAST(_t AS DECIMAL(38,0)) * (_n + 1)"
+            ).alias("_u"),
+        )
+    )
+    return (
+        scored.orderBy(F.abs(F.col("_u")).desc(), F.col("d").asc())
+        .limit(1)
+        .select(
+            F.col("d").alias("split_date"),
+            F.col("_t").alias("t_index"),
+            F.col("_n").alias("n_days"),
+            F.col("_u").cast("long").alias("u_stat"),
+            F.expr(
+                "CAST((abs(_u) * 1000000)"
+                " div (CAST(_t AS DECIMAL(38,0)) * (_n - _t)) AS BIGINT)"
+            ).alias("pettitt_ppm"),
+        )
+    )
+
+
+def runs_test_daily(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact-integer WALD-WOLFOWITZ runs test on the day-over-day
+    deltas of a daily series — the randomness monitor completing the
+    family's question set (Theil-Sen: "is there a trend"; CUSUM /
+    binseg / Pettitt: "did the level shift"; ACF: "does it repeat";
+    runs: "are the moves even independent").  A feed whose up/down
+    moves cluster (too FEW runs) is autocorrelated or regime-driven;
+    one that alternates like clockwork (too MANY runs) is seasonal or
+    synthetic.
+
+    Device: sign of each day's delta (zeros DROPPED, the standard
+    treatment), then ``runs = 1 + Σ[s_t ≠ s_{t−1}]`` over the
+    surviving sign sequence — both windows on the calendar-bounded
+    daily frame.  Everything emitted is an exact integer:
+    ``(n_signs, n_plus, n_minus, runs, expected_runs_milli)`` where
+    ``expected_runs_milli = 1000 + (2000·n₊·n₋) div (n₊+n₋)`` is the
+    null expectation E[R] = 1 + 2n₊n₋/n in milli-runs (truncating
+    div, engine-portable) — compare observed vs expected without a
+    single float.  Scale shape: ONE data shuffle (the per-day cents
+    agg).  A series with <2 days (or all-zero deltas) returns the
+    row with ``n_signs = 0`` and NULL expectation.
+    """
+    daily = (
+        df.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_v")
+        )
+    )
+    wt = Window.orderBy("d")
+    signs = (
+        daily.select(
+            "d",
+            F.signum(
+                (F.col("_v") - F.lag("_v", 1).over(wt)).cast("double")
+            )
+            .cast("int")
+            .alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull() & (F.col("_s") != 0))
+    )
+    flips = signs.select(
+        "_s",
+        F.when(
+            F.lag("_s", 1).over(Window.orderBy("d")).isNull()
+            | (F.lag("_s", 1).over(Window.orderBy("d")) == F.col("_s")),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("_flip"),
+    )
+    return flips.agg(
+        F.count(F.lit(1)).cast("long").alias("n_signs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_plus"),
+        F.coalesce(
+            F.sum(F.when(F.col("_s") < 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_minus"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(None).cast("long"))
+        .otherwise(F.lit(1) + F.sum("_flip"))
+        .cast("long")
+        .alias("runs"),
+    ).select(
+        "n_signs",
+        "n_plus",
+        "n_minus",
+        "runs",
+        F.when(
+            F.col("n_signs") > 0,
+            F.expr(
+                "CAST((2000 * CAST(n_plus AS DECIMAL(38,0)) * n_minus)"
+                " div (n_plus + n_minus) + 1000 AS BIGINT)"
+            ),
+        ).alias("expected_runs_milli"),
+    )

@@ -11756,6 +11756,111 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_pettitt_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS v
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT d,
+             CAST(2 * RANK() OVER (ORDER BY v)
+                  + COUNT(*) OVER (PARTITION BY v) - 1 AS HUGEINT) AS m
+      FROM daily),
+    scored AS (
+      SELECT d,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS HUGEINT) AS t,
+             CAST(COUNT(*) OVER () AS HUGEINT) AS n,
+             SUM(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS pm
+      FROM ranked),
+    cand AS (
+      SELECT d, t, n, pm - t * (n + 1) AS u
+      FROM scored WHERE t < n)
+    SELECT d AS split_date, CAST(t AS BIGINT) AS t_index,
+           CAST(n AS BIGINT) AS n_days, CAST(u AS BIGINT) AS u_stat,
+           CAST((abs(u) * 1000000) // (t * (n - t)) AS BIGINT)
+             AS pettitt_ppm
+    FROM cand ORDER BY abs(u) DESC, d ASC LIMIT 1
+    """,
+)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT rank-based changepoint over daily order revenue
+    (operators/timeseries.py: pettitt_changepoint — Pettitt 1979):
+    argmax_t |U_t| of the Mann-Whitney statistic over every split,
+    U_t = Sigma m_i - t(n+1) on doubled midranks — the nonparametric
+    twin of ts_changepoint_cusum that a single wild day cannot fake
+    (CUSUM is mean-based and outlier-dragged; Pettitt is rank-based).
+    Every emitted value is an exact integer (the tie terms contribute
+    exactly 0 under doubled midranks), pettitt_ppm normalizing |U| by
+    the split's own pair ceiling t(n-t).  One data shuffle (per-day
+    cents agg); rank + prefix windows and the TakeOrdered(1) argmax
+    on the calendar-bounded daily frame."""
+    from big_data_validator_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    orders = _rb(_t(spark, sf_dir, "orders"))
+    return pettitt_changepoint(orders, "o_orderdate", "o_totalprice")
+
+
+@query(
+    "ts_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(l_extendedprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS v
+      FROM lineitem GROUP BY 1),
+    deltas AS (
+      SELECT d, v - LAG(v) OVER (ORDER BY d) AS dv FROM daily),
+    signs AS (
+      SELECT d, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS s
+      FROM deltas WHERE dv IS NOT NULL AND dv <> 0),
+    flips AS (
+      SELECT s,
+             CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL
+                    OR LAG(s) OVER (ORDER BY d) = s THEN 0
+                  ELSE 1 END AS f
+      FROM signs),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_signs,
+             CAST(COALESCE(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_plus,
+             CAST(COALESCE(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_minus,
+             CASE WHEN COUNT(*) = 0 THEN NULL
+                  ELSE CAST(1 + SUM(f) AS BIGINT) END AS runs
+      FROM flips)
+    SELECT n_signs, n_plus, n_minus, runs,
+           CASE WHEN n_signs > 0 THEN
+             CAST((2000 * CAST(n_plus AS HUGEINT) * n_minus)
+                  // (n_plus + n_minus) + 1000 AS BIGINT)
+           END AS expected_runs_milli
+    FROM agg
+    """,
+)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ runs test on day-over-day deltas of daily
+    lineitem revenue (operators/timeseries.py: runs_test_daily) — the
+    randomness monitor completing the timeseries question set (trend /
+    level shift / repetition / independence).  Sign of each delta
+    (zeros dropped, the standard treatment), runs = 1 + sign flips;
+    everything emitted is an exact integer incl. the null expectation
+    E[R] = 1 + 2·n_plus·n_minus/n as truncating-div milli-runs — a
+    feed whose moves cluster (too few runs) is regime-driven, one
+    that alternates like clockwork (too many) is synthetic.  One data
+    shuffle (the per-day cents agg); both lag windows on the
+    calendar-bounded daily frame."""
+    from big_data_validator_spark.operators.timeseries import (
+        runs_test_daily,
+    )
+
+    li = _rb(_t(spark, sf_dir, "lineitem"))
+    return runs_test_daily(li, "l_shipdate", "l_extendedprice")
+
+
+@query(
     "curation_dsir_weights",
     oracle="""
     WITH toks AS (
@@ -12604,8 +12709,15 @@ _SEATED_ROWS_ONLY: list = [
     "agg_approx_distinct",
     "dedup_minhash_lsh",
     "dedup_winnowing",
-    "dedup_simhash",
-    "dedup_minhash_clusters",
+    # dedup_simhash and dedup_minhash_clusters yield their seats to
+    # the NEW oracled ts_pettitt_changepoint / ts_runs_test (a
+    # first-exposure ORACLED entry outranks a second rows-only
+    # record, the sim_ann_* rationale below): simhash's hamming-band
+    # recall is pytest-pinned (tests/test_dedup.py) and its banding
+    # device shared with the seated dedup_minhash_lsh; the cluster
+    # closure's connected components are oracle-twinned by
+    # link_golden_record (seated, fresh r12 green) — second rows-only
+    # records deferred one round.
     # sim_ann_lsh yields its seat to the NEW oracled ts_acf_daily,
     # closing the trio: the three sim_ann_* kernels rest TOGETHER on
     # their r8 records (uniform rationale below — recall pytest-pinned,

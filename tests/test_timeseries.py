@@ -605,3 +605,121 @@ def test_acf_daily_matches_integer_reference(spark):
         acf_daily(df, "d", "v", max_lag=0)
     with pytest.raises(ValueError, match="max_lag"):
         acf_daily(df, "d", "v", max_lag=61)
+
+
+def test_pettitt_changepoint_matches_bruteforce_and_resists_outlier(spark):
+    """argmax_t |U_t| == the O(n^2) double-sum brute force (with ties,
+    exercising the doubled-midrank identity), a planted rank shift is
+    located exactly even with a wild outlier day that DRAGS the
+    mean-based CUSUM, and <2 days -> zero rows."""
+    import datetime
+
+    from big_data_validator_spark.operators.timeseries import (
+        pettitt_changepoint,
+    )
+
+    def brute(vals):
+        cents = [round(v * 100) for v in vals]
+        n = len(cents)
+
+        def sgn(x):
+            return (x > 0) - (x < 0)
+
+        best = None
+        for t in range(1, n):
+            u = sum(
+                sgn(cents[i] - cents[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            if best is None or abs(u) > abs(best[1]):
+                best = (t, u)
+        return best
+
+    base = datetime.date(2024, 1, 1)
+    # low regime (with ties), one wild outlier inside it, high regime
+    vals = [10.0, 11.0, 10.0, 9000.0, 11.0, 10.5, 10.0, 11.0] + [
+        20.0,
+        21.0,
+        20.5,
+        21.0,
+        20.0,
+        20.5,
+        21.0,
+        20.0,
+    ]
+    rows = [
+        (base + datetime.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, ["d", "v"])
+    out = pettitt_changepoint(df, "d", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    t_star, u_star = brute(vals)
+    assert r["t_index"] == t_star == 8  # the TRUE regime boundary
+    assert r["u_stat"] == u_star
+    assert r["n_days"] == len(vals)
+    assert (
+        r["pettitt_ppm"]
+        == abs(u_star) * 10**6 // (t_star * (len(vals) - t_star))
+    )
+    assert r["split_date"] == base + datetime.timedelta(days=t_star - 1)
+
+    one = spark.createDataFrame([(base, 5.0)], ["d", "v"])
+    assert pettitt_changepoint(one, "d", "v").count() == 0
+
+
+def test_runs_test_daily_matches_python_and_handles_edges(spark):
+    """Runs / sign counts / expected-runs equal a Python replay with
+    zero deltas dropped; an alternating series saturates runs at
+    n_signs; a monotone series gives exactly 1 run; <2 days -> the
+    n_signs=0 row with NULL runs and expectation."""
+    import datetime
+
+    from big_data_validator_spark.operators.timeseries import (
+        runs_test_daily,
+    )
+
+    def replay(vals):
+        cents = [round(v * 100) for v in vals]
+        deltas = [b - a for a, b in zip(cents, cents[1:])]
+        s = [(x > 0) - (x < 0) for x in deltas if x != 0]
+        if not s:
+            return (0, 0, 0, None, None)
+        runs = 1 + sum(1 for a, b in zip(s, s[1:]) if a != b)
+        npl = sum(1 for x in s if x > 0)
+        nmi = len(s) - npl
+        return (
+            len(s),
+            npl,
+            nmi,
+            runs,
+            1000 + 2000 * npl * nmi // (npl + nmi),
+        )
+
+    base = datetime.date(2024, 1, 1)
+    for vals in [
+        [10.0, 12.0, 12.0, 11.0, 13.0, 9.0, 9.0, 14.0, 8.0],  # ties
+        [1.0, 2.0, 1.0, 2.0, 1.0, 2.0],  # alternating
+        [1.0, 2.0, 3.0, 4.0, 5.0],  # monotone -> 1 run
+    ]:
+        rows = [
+            (base + datetime.timedelta(days=i), v)
+            for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(rows, ["d", "v"])
+        r = runs_test_daily(df, "d", "v").collect()[0]
+        exp = replay(vals)
+        got = (
+            r["n_signs"],
+            r["n_plus"],
+            r["n_minus"],
+            r["runs"],
+            r["expected_runs_milli"],
+        )
+        assert got == exp, (vals, got, exp)
+
+    one = spark.createDataFrame([(base, 5.0)], ["d", "v"])
+    r = runs_test_daily(one, "d", "v").collect()[0]
+    assert (r["n_signs"], r["n_plus"], r["n_minus"]) == (0, 0, 0)
+    assert r["runs"] is None and r["expected_runs_milli"] is None
