@@ -806,3 +806,110 @@ def robust_outlier_mad(
     )
     out._bdv_pinned = [med, mad]
     return out
+
+
+def spearman_rank_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group SPEARMAN rank correlation — the robust,
+    monotone-dependence sibling of the Pearson profiler
+    (agg_correlation_matrix): Pearson answers "is the relation
+    LINEAR" and one wild outlier row drags it arbitrarily; Spearman
+    ranks first, so it reads THROUGH outliers and any monotone
+    transform, the screening statistic feature-selection actually
+    wants.
+
+    Exactness device: Pearson on DOUBLED MIDRANKS.  All rank moments
+    come from the (group, x, y) PAIR-COUNT frame — for each distinct
+    value, doubled midrank ``m = 2·cum − cnt + 1`` (an integer even
+    under ties) from a cumulative count over the tiny distinct-value
+    frame, then
+
+        ``rho = (n·Σc·mx·my − Σc·mx·Σc·my)
+               / (√(n·Σc·mx² − (Σc·mx)²) · √(n·Σc·my² − (Σc·my)²))``
+
+    with every moment an exact DECIMAL(38,0) integer; the only floats
+    are the two square roots and the final quotient (IEEE-identical
+    across engines, round-6).  This IS the tie-corrected Spearman
+    (Pearson-on-midranks definition), not the 6Σd² shortcut that
+    breaks under ties.
+
+    Scale shape: ONE data shuffle — the (group, x, y) pair-count
+    aggregation; the marginal midrank windows run on the
+    distinct-value frames (|X|·|Y| rows per group, e.g. 50·11 for
+    quantity × discount) and join back broadcast.  Integer bound:
+    n·Σc·m² ≤ 4n⁴ per group — exact through ~10⁹ rows per group
+    inside DECIMAL(38,0); beyond that, pre-bucket the dense column
+    (the equidepth device) first.  Returns one row per group
+    ``(group, n_rows, spearman_rho)``; ``spearman_rho`` is NULL when
+    either column is constant within the group (zero rank variance).
+    """
+    pairs = (
+        df.groupBy(
+            F.col(group_col).alias("_g"),
+            F.col(x_col).alias("_x"),
+            F.col(y_col).alias("_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_c"))
+    )
+    pairs = pairs.persist()
+
+    def marginal(col: str, out: str) -> DataFrame:
+        w = (
+            Window.partitionBy("_g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            pairs.groupBy("_g", col)
+            .agg(F.sum("_c").alias("_cnt"))
+            .select(
+                "_g",
+                col,
+                (
+                    F.lit(2) * F.sum("_cnt").over(w)
+                    - F.col("_cnt")
+                    + F.lit(1)
+                )
+                .cast("decimal(38,0)")
+                .alias(out),
+            )
+        )
+
+    xm = marginal("_x", "_mx")
+    ym = marginal("_y", "_my")
+    j = (
+        pairs.join(F.broadcast(xm), ["_g", "_x"])
+        .join(F.broadcast(ym), ["_g", "_y"])
+    )
+    s = j.groupBy("_g").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.expr("_c * _mx")).alias("_sx"),
+        F.sum(F.expr("_c * _my")).alias("_sy"),
+        F.sum(F.expr("_c * _mx * _mx")).alias("_sxx"),
+        F.sum(F.expr("_c * _my * _my")).alias("_syy"),
+        F.sum(F.expr("_c * _mx * _my")).alias("_sxy"),
+    )
+    out = s.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_rows"),
+        F.when(
+            (F.expr("_n * _sxx - _sx * _sx") > 0)
+            & (F.expr("_n * _syy - _sy * _sy") > 0),
+            F.round(
+                F.expr("CAST(_n * _sxy - _sx * _sy AS DOUBLE)")
+                / (
+                    F.sqrt(F.expr("CAST(_n * _sxx - _sx * _sx AS DOUBLE)"))
+                    * F.sqrt(
+                        F.expr("CAST(_n * _syy - _sy * _sy AS DOUBLE)")
+                    )
+                ),
+                6,
+            ),
+        ).alias("spearman_rho"),
+    )
+    out._bdv_pinned = [pairs]  # released by materialize_release
+    return out

@@ -11861,6 +11861,70 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_spearman_rank",
+    oracle="""
+    WITH pairs AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, l_quantity AS x,
+             l_discount AS y, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM lineitem GROUP BY 1, 2, 3),
+    xm AS (
+      SELECT yr, x,
+             2 * SUM(SUM(c)) OVER (PARTITION BY yr ORDER BY x
+                                   ROWS UNBOUNDED PRECEDING)
+               - SUM(c) + 1 AS mx
+      FROM pairs GROUP BY yr, x),
+    ym AS (
+      SELECT yr, y,
+             2 * SUM(SUM(c)) OVER (PARTITION BY yr ORDER BY y
+                                   ROWS UNBOUNDED PRECEDING)
+               - SUM(c) + 1 AS my
+      FROM pairs GROUP BY yr, y),
+    j AS (
+      SELECT p.yr, p.c, xm.mx, ym.my
+      FROM pairs p
+      JOIN xm ON p.yr = xm.yr AND p.x = xm.x
+      JOIN ym ON p.yr = ym.yr AND p.y = ym.y),
+    s AS (
+      SELECT yr, SUM(c) AS n, SUM(c * mx) AS sx, SUM(c * my) AS sy,
+             SUM(c * mx * mx) AS sxx, SUM(c * my * my) AS syy,
+             SUM(c * mx * my) AS sxy
+      FROM j GROUP BY yr)
+    SELECT yr AS ship_year, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM s ORDER BY yr
+    """,
+)
+def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ship-year SPEARMAN rank correlation of quantity vs discount
+    (operators/profile.py: spearman_rank_corr) — the robust
+    monotone-dependence sibling of agg_correlation_matrix's Pearson:
+    ranks first, so one wild row cannot drag it and any monotone
+    transform leaves it fixed.  Pearson on DOUBLED MIDRANKS (exact
+    integers even under ties — the tie-corrected definition, not the
+    6-sigma-d-squared shortcut that breaks on ties), every moment an
+    exact DECIMAL(38,0) from the (year, x, y) PAIR-COUNT frame; the
+    only floats are two square roots and the final quotient (round-6,
+    IEEE-identical across engines).  ONE data shuffle (the pair-count
+    agg, pinned + released on materialize); midrank windows on the
+    |X|x|Y| distinct-value frames (50x11 here) joined back broadcast."""
+    from big_data_validator_spark.operators.profile import (
+        spearman_rank_corr,
+    )
+
+    li = _rb(_t(spark, sf_dir, "lineitem")).withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    return D.materialize_release(
+        spearman_rank_corr(li, "ship_year", "l_quantity", "l_discount")
+    )
+
+
+@query(
     "curation_dsir_weights",
     oracle="""
     WITH toks AS (
@@ -11937,6 +12001,15 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CORRECTNESS_r*.json or a seat in the current window.
 _DRIVER_WINDOW_SIZE = 50
 _DEMOTED_TO_TAIL = [
+    # ---- round-13 fourth rotation: link_golden_record rests on its
+    # ---- fresh r12 green — this round's edit was cache-release
+    # ---- plumbing only (the ADVICE r12 materialize_release source
+    # ---- fix; the survivorship results are bit-identical) — yielding
+    # ---- its seat to the NEW oracled agg_spearman_rank (first
+    # ---- exposure outranks re-validation of a result-identical
+    # ---- rewrite; the release fix's cache hygiene is pytest-pinned
+    # ---- in tests/test_linkage.py).
+    "link_golden_record",
     # ---- round-11 rotation (VERDICT r10 item 2): the TEN r5-vintage
     # ---- resting greens — the oldest un-revalidated records, green
     # ---- r1-r4 and resting since r4/r5 — return to the window

@@ -201,7 +201,8 @@ def test_driver_window_is_all_oracled():
         # greens — this round's edits left their seated plans and
         # results bit-identical, see _DEMOTED_TO_TAIL.)
         "sim_kcenter_coreset", "link_sorted_neighborhood",
-        "link_golden_record",
+        # (link_golden_record rests on its r12 green: the r13 edit was
+        # cache-release plumbing only — see _DEMOTED_TO_TAIL.)
         # round-13 additions: each must get its driver row
         "quality_linear_train", "pipeline_quality_train_score",
         "dedup_excise_spans",
@@ -210,6 +211,8 @@ def test_driver_window_is_all_oracled():
         # round-13 third wave (the sim_ann_* trio yielded its rows-only
         # seats — see the _SEATED_ROWS_ONLY rationale)
         "drift_cvm", "ts_binseg_changepoints", "ts_acf_daily",
+        # round-13 fourth wave
+        "ts_pettitt_changepoint", "ts_runs_test", "agg_spearman_rank",
     ]:
         assert required in window, required
 

@@ -364,3 +364,73 @@ def test_mad_survives_breakdown_where_zscore_hides(spark):
         F.abs(F.col("v") - stats.mu) > 3 * stats.sd
     ).count()
     assert z_flagged == 1  # the 500 hides under the inflated sigma
+
+
+def test_spearman_rank_corr_matches_midrank_reference(spark):
+    """Per-group rho == a plain-Python Pearson-on-midranks replay
+    (with heavy ties), a monotone transform of x leaves rho exactly
+    fixed, a wild outlier row barely moves it, and a constant column
+    yields NULL."""
+    import math
+    import random
+    from collections import Counter
+
+    from big_data_validator_spark.operators.profile import (
+        spearman_rank_corr,
+    )
+
+    def midranks(vals):
+        c = Counter(vals)
+        out, cum = {}, 0
+        for v in sorted(c):
+            cum += c[v]
+            out[v] = (2 * cum - c[v] + 1) / 2.0
+        return out
+
+    def ref(xs, ys):
+        mx, my = midranks(xs), midranks(ys)
+        rx = [mx[v] for v in xs]
+        ry = [my[v] for v in ys]
+        n, sx, sy = len(rx), sum(rx), sum(ry)
+        sxx = sum(r * r for r in rx)
+        syy = sum(r * r for r in ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+        if dx <= 0 or dy <= 0:
+            return None
+        return round(
+            (n * sxy - sx * sy) / (math.sqrt(dx) * math.sqrt(dy)), 6
+        )
+
+    random.seed(13)
+    rows = []
+    for i in range(300):
+        x = random.randint(1, 10)
+        rows.append((1, float(x), float(x + random.randint(-2, 2))))
+    # group 2: same xs pushed through a monotone transform (x**3)
+    rows += [(2, x**3, y) for (_, x, y) in rows[:300]]
+    # group 3: near-perfect relation plus ONE wild outlier row
+    rows += [(3, float(i), float(i)) for i in range(50)]
+    rows += [(3, 51.0, -9999.0)]
+    # group 4: constant y
+    rows += [(4, float(i % 7), 3.0) for i in range(25)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, ([], []))
+        by_g[g][0].append(x)
+        by_g[g][1].append(y)
+    got = {
+        r["g"]: (r["n_rows"], r["spearman_rho"])
+        for r in spearman_rank_corr(df, "g", "x", "y").collect()
+    }
+    for g, (xs, ys) in by_g.items():
+        assert got[g] == (len(xs), ref(xs, ys)), g
+    # monotone invariance: cube of x changes nothing
+    assert got[1][1] == got[2][1]
+    # robustness: one wild row costs only its own rank mass
+    # (~2·n·6/(n²−1) ≈ 0.11 here; Pearson on the same rows is dragged
+    # to ≈0.25 by the single −9999)
+    assert got[3][1] is not None and got[3][1] > 0.85
+    assert got[4][1] is None
