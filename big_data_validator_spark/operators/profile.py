@@ -913,3 +913,178 @@ def spearman_rank_corr(
     )
     out._bdv_pinned = [pairs]  # released by materialize_release
     return out
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    value_scale: int = 100,
+    bin_width: int = 1 << 30,
+) -> DataFrame:
+    """Exact-integer GINI coefficient of a per-key value distribution
+    — the inequality/concentration profiler ("do 1% of customers
+    carry 60% of revenue?") that tells a pipeline whether a key column
+    is load-balanced long before a skewed shuffle discovers it the
+    hard way (the key_skew_profile's single-number summary).
+
+    Exactness device: with per-key cents x and per-VALUE tie counts
+    ``(v, t_v)`` plus ``C_v`` = keys strictly below v, the rank-weighted
+    sum over ANY within-tie ordering collapses to
+
+        ``2·Σᵢ i·x₍ᵢ₎ = Σ_v v·(2·t_v·C_v + t_v² + t_v)``
+
+    so ``gini_ppm = ((2Σi·x₍ᵢ₎ − (n+1)·S) · 10⁶) div (n·S)`` is an
+    exact DECIMAL(38,0) integer in [0, 10⁶] — no float sort order, no
+    tie hazard.  Requires non-negative per-key values (revenue); a
+    zero total ships NULL.
+
+    Scale shape: one shuffle to per-key cents, one to per-value
+    counts; the cumulative count uses per-block windows plus a
+    broadcast per-block prefix frame (the mannwhitney_u device) —
+    never a single-task global window, so millions of distinct keys
+    rank in parallel.  Returns one row ``(n_keys, total_cents,
+    gini_ppm)``.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    perkey = (
+        df.groupBy(F.col(key_col).alias("_k"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("_x")
+        )
+    )
+    cnts = (
+        perkey.groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .cache()
+    )
+    keyed = cnts.withColumn(
+        "_blk", F.floor(F.col("_x") / F.lit(float(bin_width))).cast("long")
+    )
+    bw = Window.partitionBy("_blk").orderBy("_x")
+    local = keyed.withColumn(
+        "_before_local",
+        F.coalesce(
+            F.sum("_t").over(bw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    gw = Window.orderBy("_blk")
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_t").alias("_tt"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_tt").over(
+                    gw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_before_blk"),
+        )
+    )
+    dec = "decimal(38,0)"
+    c = (F.col("_before_local") + F.col("_before_blk")).cast(dec)
+    t = F.col("_t").cast(dec)
+    terms = local.join(F.broadcast(totals), "_blk").select(
+        (
+            F.col("_x").cast(dec)
+            * (F.lit(2).cast(dec) * t * c + t * t + t)
+        ).alias("_rw"),
+        (F.col("_x").cast(dec) * t).alias("_s"),
+        F.col("_t").alias("_n"),
+    )
+    agg = terms.agg(
+        F.sum("_n").cast("long").alias("n_keys"),
+        F.sum("_s").alias("_stot"),
+        F.sum("_rw").alias("_rwtot"),
+    )
+    out = agg.select(
+        "n_keys",
+        F.col("_stot").cast("long").alias("total_cents"),
+        F.when(
+            F.col("_stot") > 0,
+            F.expr(
+                "CAST(((_rwtot - (CAST(n_keys AS DECIMAL(38,0)) + 1)"
+                " * _stot) * 1000000)"
+                " div (CAST(n_keys AS DECIMAL(38,0)) * _stot) AS BIGINT)"
+            ),
+        ).alias("gini_ppm"),
+    )
+    out._bdv_pinned = [cnts]
+    return out
+
+
+def hhi_by_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact-integer HERFINDAHL-HIRSCHMAN concentration index per
+    group — Σ shareᵢ² of each key's value within its group, the
+    market-concentration companion to :func:`gini_concentration`
+    (Gini reads inequality of the whole curve; HHI weights the TOP —
+    a monopoly group hits 10⁶ ppm, k equal players 10⁶/k).
+
+    ``hhi_ppm = (10⁶ · Σxᵢ²) div S²`` and ``top_share_ppm =
+    (10⁶ · max x) div S`` with per-(group, key) cents x and group
+    total S, all DECIMAL(38,0) — no float shares.  Two hash
+    aggregations, no windows, no joins: the (group, key) agg is the
+    only data-size shuffle and the group rollup runs on its output.
+    Negative per-key totals (returns ledgers) would break the share
+    interpretation and raise.  Zero-total groups ship NULL ppms.
+    Returns ``(group, n_keys, total_cents, hhi_ppm, top_share_ppm)``.
+    """
+    perkey = (
+        df.groupBy(
+            F.col(group_col).alias("_g"), F.col(key_col).alias("_k")
+        )
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_x")
+        )
+    )
+    agg = perkey.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_x").alias("_s"),
+        F.sum(F.expr("_x * _x")).alias("_sq"),
+        F.max("_x").alias("_mx"),
+        F.min("_x").alias("_mn"),
+    )
+    # the guard lives INSIDE an emitted column — a free-standing check
+    # column would be pruned unevaluated by Catalyst
+    neg_guard = F.when(
+        F.col("_mn") < 0,
+        F.raise_error(
+            F.lit(
+                "hhi_by_group: negative per-key totals break the "
+                "share interpretation; filter or abs() first"
+            )
+        ).cast("long"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_keys",
+        F.col("_s").cast("long").alias("total_cents"),
+        F.coalesce(
+            neg_guard,
+            F.when(
+                F.col("_s") > 0,
+                F.expr("CAST((_sq * 1000000) div (_s * _s) AS BIGINT)"),
+            ),
+        ).alias("hhi_ppm"),
+        F.coalesce(
+            neg_guard,
+            F.when(
+                F.col("_s") > 0,
+                F.expr("CAST((_mx * 1000000) div _s AS BIGINT)"),
+            ),
+        ).alias("top_share_ppm"),
+    )

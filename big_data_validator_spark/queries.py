@@ -11925,6 +11925,100 @@ def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_gini_customer_revenue",
+    oracle="""
+    WITH perkey AS (
+      SELECT o_custkey AS k,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    cnts AS (
+      SELECT x, CAST(COUNT(*) AS HUGEINT) AS t FROM perkey GROUP BY 1),
+    pfx AS (
+      SELECT x, t,
+             COALESCE(SUM(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM cnts),
+    agg AS (
+      SELECT SUM(t) AS n, SUM(CAST(x AS HUGEINT) * t) AS s,
+             SUM(CAST(x AS HUGEINT) * (2 * t * c + t * t + t)) AS rw
+      FROM pfx)
+    SELECT CAST(n AS BIGINT) AS n_keys, CAST(s AS BIGINT) AS total_cents,
+           CASE WHEN s > 0 THEN
+             CAST(((rw - (n + 1) * s) * 1000000) // (n * s) AS BIGINT)
+           END AS gini_ppm
+    FROM agg
+    """,
+)
+def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer GINI coefficient of per-customer order revenue
+    (operators/profile.py: gini_concentration) — the
+    inequality-of-the-whole-curve concentration profiler ("do 1% of
+    customers carry 60% of revenue?"), and the single-number skew
+    summary a partitioner wants about a key column BEFORE a shuffle
+    discovers the skew the hard way.  Per-value tie counts collapse
+    the rank-weighted sum to an exact DECIMAL(38,0) identity (no
+    float sort, no tie hazard); the cumulative count runs per-block
+    with a broadcast block-prefix frame (the mannwhitney_u device) —
+    never a single-task global window, so millions of distinct
+    customers rank in parallel."""
+    from big_data_validator_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    orders = _rb(_t(spark, sf_dir, "orders"))
+    return D.materialize_release(
+        gini_concentration(orders, "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "agg_hhi_supplier_nation",
+    oracle="""
+    WITH perkey AS (
+      SELECT s_nationkey AS g, l_suppkey AS k,
+             CAST(ROUND(CAST(SUM(l_extendedprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS x
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_keys, SUM(x) AS s,
+             SUM(x * x) AS sq, MAX(x) AS mx
+      FROM perkey GROUP BY 1)
+    SELECT g AS nation_key, n_keys, CAST(s AS BIGINT) AS total_cents,
+           CASE WHEN s > 0 THEN
+             CAST((sq * 1000000) // (s * s) AS BIGINT) END AS hhi_ppm,
+           CASE WHEN s > 0 THEN
+             CAST((mx * 1000000) // s AS BIGINT) END AS top_share_ppm
+    FROM agg ORDER BY g
+    """,
+)
+def agg_hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN supplier-revenue concentration per nation
+    (operators/profile.py: hhi_by_group) — Gini's top-weighted
+    sibling: Σ share² of each supplier's lineitem revenue within its
+    nation, 10⁶ ppm for a monopoly, 10⁶/k for k equal players — plus
+    the top supplier's share, all exact DECIMAL(38,0) truncating-div
+    integers (no float shares).  The supplier dim joins BROADCAST
+    into the fact scan; then two hash aggregations — the (nation,
+    supplier) agg is the only data-size shuffle and the nation rollup
+    runs on its ~supplier-count output.  Negative per-supplier totals
+    raise (share interpretation guard)."""
+    from big_data_validator_spark.operators.profile import hhi_by_group
+
+    li = _rb(_t(spark, sf_dir, "lineitem"))
+    sup = _rb(_t(spark, sf_dir, "supplier")).select(
+        "s_suppkey", F.col("s_nationkey").alias("nation_key")
+    )
+    joined = li.join(
+        F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"]
+    )
+    return hhi_by_group(
+        joined, "nation_key", "l_suppkey", "l_extendedprice"
+    )
+
+
+@query(
     "curation_dsir_weights",
     oracle="""
     WITH toks AS (
@@ -12780,8 +12874,12 @@ _SEATED_ROWS_ONLY: list = [
     # emb_near_dup_*, dedup_ssjoin_prefix).
     "rule_field_count_quoted",
     "agg_approx_distinct",
-    "dedup_minhash_lsh",
-    "dedup_winnowing",
+    # dedup_minhash_lsh and dedup_winnowing complete the family's
+    # deferral, yielding to the NEW oracled agg_gini_customer_revenue /
+    # agg_hhi_supplier_nation (first-exposure ORACLED entries outrank
+    # second rows-only records — the uniform rationale: all seven r8
+    # kernels now rest together on their r8 records, recall
+    # pytest-pinned, exact contracts oracle-twinned).
     # dedup_simhash and dedup_minhash_clusters yield their seats to
     # the NEW oracled ts_pettitt_changepoint / ts_runs_test (a
     # first-exposure ORACLED entry outranks a second rows-only

@@ -213,6 +213,7 @@ def test_driver_window_is_all_oracled():
         "drift_cvm", "ts_binseg_changepoints", "ts_acf_daily",
         # round-13 fourth wave
         "ts_pettitt_changepoint", "ts_runs_test", "agg_spearman_rank",
+        "agg_gini_customer_revenue", "agg_hhi_supplier_nation",
     ]:
         assert required in window, required
 

@@ -434,3 +434,72 @@ def test_spearman_rank_corr_matches_midrank_reference(spark):
     # to ≈0.25 by the single −9999)
     assert got[3][1] is not None and got[3][1] > 0.85
     assert got[4][1] is None
+
+
+def test_gini_concentration_matches_sorted_reference(spark):
+    """gini_ppm == the textbook sorted rank-weighted formula replayed
+    in Python (with tied totals, at several block widths), an
+    all-equal distribution scores exactly 0, and total-zero ships
+    NULL."""
+    import random
+
+    from big_data_validator_spark.operators.profile import (
+        gini_concentration,
+    )
+
+    random.seed(5)
+    rows = []
+    for k in range(150):
+        for _ in range(random.randint(1, 3)):
+            rows.append((f"k{k}", random.choice([3.25, 10.0, 999.99])))
+    rows += [(f"tie{i}", 42.0) for i in range(12)]  # tied totals
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    tot = {}
+    for k, v in rows:
+        tot[k] = tot.get(k, 0) + round(v * 100)
+    xs = sorted(tot.values())
+    n, s = len(xs), sum(xs)
+    rw = sum((i + 1) * x for i, x in enumerate(xs))
+    exp = (n, s, ((2 * rw - (n + 1) * s) * 10**6) // (n * s))
+
+    for bw in (1 << 30, 997, 5):
+        r = gini_concentration(df, "k", "v", bin_width=bw).collect()[0]
+        assert tuple(r) == exp, bw
+
+    eq = spark.createDataFrame(
+        [(f"k{i}", 7.5) for i in range(9)], "k string, v double"
+    )
+    assert gini_concentration(eq, "k", "v").collect()[0]["gini_ppm"] == 0
+
+    z = spark.createDataFrame([("a", 0.0)], "k string, v double")
+    assert gini_concentration(z, "k", "v").collect()[0]["gini_ppm"] is None
+
+
+def test_hhi_by_group_shares_and_guard(spark):
+    """hhi/top-share ppm match hand values (monopoly -> 10^6, k equal
+    players -> 10^6/k), and a negative per-key total raises instead of
+    shipping a meaningless share."""
+    import pytest
+
+    from big_data_validator_spark.operators.profile import hhi_by_group
+
+    rows = (
+        [("mono", "only", 10.0)]
+        + [("quad", f"p{i}", 25.0) for i in range(4)]
+        + [("skew", "big", 75.0), ("skew", "small", 25.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, k string, v double")
+    got = {
+        r["g"]: (r["n_keys"], r["hhi_ppm"], r["top_share_ppm"])
+        for r in hhi_by_group(df, "g", "k", "v").collect()
+    }
+    assert got["mono"] == (1, 1_000_000, 1_000_000)
+    assert got["quad"] == (4, 250_000, 250_000)
+    assert got["skew"] == (2, 562_500 + 62_500, 750_000)  # .75^2+.25^2
+
+    neg = spark.createDataFrame(
+        [("g", "a", -5.0), ("g", "b", 9.0)], "g string, k string, v double"
+    )
+    with pytest.raises(Exception, match="share interpretation"):
+        hhi_by_group(neg, "g", "k", "v").collect()
