@@ -897,3 +897,132 @@ def runs_test_daily(
             ),
         ).alias("expected_runs_milli"),
     )
+
+
+def xcorr_daily(
+    df_a: DataFrame,
+    date_a: str,
+    value_a: str,
+    df_b: DataFrame,
+    date_b: str,
+    value_b: str,
+    max_lag: int = 7,
+    scale_a: int = 100,
+    scale_b: int = 100,
+) -> DataFrame:
+    """EXACT lagged CROSS-correlation of two daily series — the
+    lead/lag detector extending :func:`acf_daily` to pairs of feeds:
+    which series MOVES FIRST (orders lead shipments by the fulfilment
+    delay; a metric that tracks another with a lag is derived, not
+    independent).  Positive ``lag`` k means "series A at day t vs
+    series B at day t+k" (A leads); negative k mirrors (B leads);
+    lag 0 is the contemporaneous correlation.
+
+    Exactness device: both series aggregate to integer units per day,
+    align on their COMMON days (inner join on the date — a day absent
+    from either feed contributes to no lag), and with ``cx_t = n·x_t −
+    Sx`` / ``cy_t = n·y_t − Sy`` (pure integers; centering recomputed
+    on the joined set) every numerator ``Σ cx_t·cy_{t+k}`` and both
+    denominator sums are exact DECIMAL(38,0); the only floats are the
+    two square roots and the final quotient (round-6,
+    IEEE-identical).  Lags are INDEX-based on the joined ordered
+    series (run :func:`resample_ffill_daily` first for
+    calendar-strict gaps).
+
+    Scale shape: TWO data shuffles (one per-day agg per input); the
+    date join, the 2·max_lag+1 lead columns (one window pass) and the
+    per-lag sums all run on the calendar-bounded joined frame.
+    Returns one row per lag −max_lag..max_lag ``(lag, n_days,
+    xcorr)``; ``xcorr`` is NULL when either series is constant on the
+    common days or shorter than the |lag|; no common days returns
+    zero rows.  ``max_lag`` guarded to [1, 60].
+    """
+    if max_lag < 1 or max_lag > 60:
+        raise ValueError(f"max_lag must be in [1, 60], got {max_lag}")
+
+    def daily(df: DataFrame, dcol: str, vcol: str, scale: int, out: str):
+        return (
+            df.groupBy(F.col(dcol).cast("date").alias("d"))
+            .agg(
+                F.round(F.sum(vcol) * scale)
+                .cast("decimal(38,0)")
+                .alias(out)
+            )
+        )
+
+    joined = daily(df_a, date_a, value_a, scale_a, "_x").join(
+        daily(df_b, date_b, value_b, scale_b, "_y"), "d"
+    )
+    w = Window.orderBy("d")
+    tot = Window.partitionBy()
+    c = joined.select(
+        F.row_number().over(w).cast("long").alias("_t"),
+        F.count(F.lit(1)).over(tot).cast("long").alias("_n"),
+        F.expr(
+            "CAST(COUNT(*) OVER () AS DECIMAL(38,0)) * _x"
+            " - SUM(_x) OVER ()"
+        ).alias("_cx"),
+        F.expr(
+            "CAST(COUNT(*) OVER () AS DECIMAL(38,0)) * _y"
+            " - SUM(_y) OVER ()"
+        ).alias("_cy"),
+    )
+    wl = Window.orderBy("_t")
+    leads = c.select(
+        "_n",
+        "_cx",
+        "_cy",
+        *[
+            F.lead("_cy", k).over(wl).alias(f"_ly{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.lead("_cx", k).over(wl).alias(f"_lx{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = ", ".join(
+        [f"{k}, _cx * _ly{k}" for k in range(1, max_lag + 1)]
+        + [f"-{k}, _cy * _lx{k}" for k in range(1, max_lag + 1)]
+        + ["0, _cx * _cy"]
+        + [f"{max_lag + 1}, _cx * _cx", f"{max_lag + 2}, _cy * _cy"]
+    )
+    n_rows = 2 * max_lag + 3
+    stacked = leads.select(
+        "_n", F.expr(f"stack({n_rows}, {pairs}) AS (lag, prod)")
+    )
+    g = stacked.groupBy("lag").agg(
+        F.sum("prod").alias("_num"), F.max("_n").alias("_nd")
+    )
+    dw = Window.partitionBy()
+    return (
+        g.withColumn(
+            "_dx",
+            F.max(
+                F.when(F.col("lag") == max_lag + 1, F.col("_num"))
+            ).over(dw),
+        )
+        .withColumn(
+            "_dy",
+            F.max(
+                F.when(F.col("lag") == max_lag + 2, F.col("_num"))
+            ).over(dw),
+        )
+        .filter(F.col("lag").between(-max_lag, max_lag))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("_nd").alias("n_days"),
+            F.when(
+                (F.col("_dx") > 0) & (F.col("_dy") > 0),
+                F.round(
+                    F.col("_num").cast("double")
+                    / (
+                        F.sqrt(F.col("_dx").cast("double"))
+                        * F.sqrt(F.col("_dy").cast("double"))
+                    ),
+                    6,
+                ),
+            ).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )

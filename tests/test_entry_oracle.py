@@ -200,9 +200,10 @@ def test_driver_window_is_all_oracled():
         # (sim_hybrid_rrf and curation_dsir_weights rest on their r12
         # greens — this round's edits left their seated plans and
         # results bit-identical, see _DEMOTED_TO_TAIL.)
-        "sim_kcenter_coreset", "link_sorted_neighborhood",
-        # (link_golden_record rests on its r12 green: the r13 edit was
-        # cache-release plumbing only — see _DEMOTED_TO_TAIL.)
+        # (sim_kcenter_coreset, link_sorted_neighborhood and
+        # link_golden_record rest on their r12 greens: the r13 edits
+        # are result-identical on the seated corpus and pytest-pinned
+        # — see _DEMOTED_TO_TAIL.)
         # round-13 additions: each must get its driver row
         "quality_linear_train", "pipeline_quality_train_score",
         "dedup_excise_spans",
@@ -214,6 +215,7 @@ def test_driver_window_is_all_oracled():
         # round-13 fourth wave
         "ts_pettitt_changepoint", "ts_runs_test", "agg_spearman_rank",
         "agg_gini_customer_revenue", "agg_hhi_supplier_nation",
+        "agg_kendall_tau", "ts_xcorr_daily",
     ]:
         assert required in window, required
 

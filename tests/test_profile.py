@@ -503,3 +503,72 @@ def test_hhi_by_group_shares_and_guard(spark):
     )
     with pytest.raises(Exception, match="share interpretation"):
         hhi_by_group(neg, "g", "k", "v").collect()
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    """Per-group (concordant, discordant, tau_b) == the O(n^2) brute
+    force under heavy ties; constant-column groups ship NULL tau with
+    zero C/D mass."""
+    import math
+    import random
+    from collections import Counter
+
+    from big_data_validator_spark.operators.profile import kendall_tau_b
+
+    def ref(xs, ys):
+        n = len(xs)
+        C = D = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                p = ((xs[j] > xs[i]) - (xs[j] < xs[i])) * (
+                    (ys[j] > ys[i]) - (ys[j] < ys[i])
+                )
+                if p > 0:
+                    C += 1
+                elif p < 0:
+                    D += 1
+        n0x2 = n * (n - 1)
+        n1x2 = sum(t * (t - 1) for t in Counter(xs).values())
+        n2x2 = sum(t * (t - 1) for t in Counter(ys).values())
+        tau = None
+        if n0x2 - n1x2 > 0 and n0x2 - n2x2 > 0:
+            tau = round(
+                (C - D)
+                / (
+                    math.sqrt((n0x2 - n1x2) / 2)
+                    * math.sqrt((n0x2 - n2x2) / 2)
+                ),
+                6,
+            )
+        return (n, 2 * C, 2 * D, tau)
+
+    random.seed(17)
+    rows = []
+    for g in (1, 2):
+        for _ in range(120):
+            x = random.randint(1, 5)
+            y = (
+                x + random.randint(-1, 1)
+                if g == 1
+                else random.randint(1, 4)
+            )
+            rows.append((g, float(x), float(y)))
+    rows += [(3, 2.0, float(i % 3)) for i in range(8)]  # constant x
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+
+    by_g = {}
+    for g, x, y in rows:
+        by_g.setdefault(g, ([], []))
+        by_g[g][0].append(x)
+        by_g[g][1].append(y)
+    got = {
+        r["g"]: (
+            r["n_rows"],
+            r["concordant_x2"],
+            r["discordant_x2"],
+            r["tau_b"],
+        )
+        for r in kendall_tau_b(df, "g", "x", "y").collect()
+    }
+    for g, (xs, ys) in by_g.items():
+        assert got[g] == ref(xs, ys), g

@@ -723,3 +723,70 @@ def test_runs_test_daily_matches_python_and_handles_edges(spark):
     r = runs_test_daily(one, "d", "v").collect()[0]
     assert (r["n_signs"], r["n_plus"], r["n_minus"]) == (0, 0, 0)
     assert r["runs"] is None and r["expected_runs_milli"] is None
+
+
+def test_xcorr_daily_finds_planted_lead_and_matches_reference(spark):
+    """The full ±K lag sweep equals a plain-Python integer replay, the
+    peak sits at the planted 2-day lead, no common days -> zero rows,
+    and a constant series ships NULL at every lag."""
+    import datetime
+    import math
+    import random
+
+    from big_data_validator_spark.operators.timeseries import xcorr_daily
+
+    random.seed(23)
+    base = datetime.date(2024, 1, 1)
+    a_vals = [random.uniform(10, 100) for _ in range(50)]
+    b_vals = [0.0, 0.0] + [v * 2 + random.uniform(-1, 1) for v in a_vals[:-2]]
+    A = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), v) for i, v in enumerate(a_vals)],
+        ["d", "v"],
+    )
+    B = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), v) for i, v in enumerate(b_vals)],
+        ["d", "v"],
+    )
+
+    def ref(xs, ys, max_lag):
+        n = len(xs)
+        cx = [n * x - sum(xs) for x in xs]
+        cy = [n * y - sum(ys) for y in ys]
+        dx = sum(c * c for c in cx)
+        dy = sum(c * c for c in cy)
+        out = {}
+        for k in range(-max_lag, max_lag + 1):
+            if k >= 0:
+                num = sum(cx[t] * cy[t + k] for t in range(n - k))
+            else:
+                num = sum(cy[t] * cx[t - k] for t in range(n + k))
+            out[k] = (
+                round(num / (math.sqrt(dx) * math.sqrt(dy)), 6)
+                if dx > 0 and dy > 0
+                else None
+            )
+        return out
+
+    exp = ref(
+        [round(v * 100) for v in a_vals],
+        [round(v * 100) for v in b_vals],
+        4,
+    )
+    got = {
+        r["lag"]: r["xcorr"]
+        for r in xcorr_daily(A, "d", "v", B, "d", "v", max_lag=4).collect()
+    }
+    assert got == exp
+    assert max(got, key=lambda k: got[k]) == 2  # the planted lead
+
+    C = spark.createDataFrame(
+        [(datetime.date(2030, 1, 1), 1.0)], ["d", "v"]
+    )
+    assert xcorr_daily(A, "d", "v", C, "d", "v", max_lag=2).count() == 0
+
+    K = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 5.0) for i in range(10)],
+        ["d", "v"],
+    )
+    rows = xcorr_daily(A, "d", "v", K, "d", "v", max_lag=2).collect()
+    assert len(rows) == 5 and all(r["xcorr"] is None for r in rows)
