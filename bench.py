@@ -259,6 +259,13 @@ HEADLINE = [
     "drift_cvm",
     "ts_binseg_changepoints",
     "ts_acf_daily",
+    "ts_pettitt_changepoint",
+    "ts_runs_test",
+    "ts_xcorr_daily",
+    "agg_spearman_rank",
+    "agg_kendall_tau",
+    "agg_gini_customer_revenue",
+    "agg_hhi_supplier_nation",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in
