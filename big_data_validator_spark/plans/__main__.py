@@ -211,6 +211,21 @@ PLAN_QUERIES = [
     # the one-shuffle daily agg + lead window + stack Generate +
     # per-lag aggregate.
     "ts_acf_daily",
+    # round-13 fourth/fifth-wave lazy entries: the Pettitt rank
+    # changepoint (daily agg + rank/prefix windows + TakeOrdered),
+    # the runs test (daily agg + lag windows + one global agg), the
+    # cross-correlation (two daily aggs + date join + lead window +
+    # stack + per-lag agg), and the HHI (broadcast dim join + two
+    # hash aggs + the un-prunable raise_error share guard).
+    # (agg_spearman_rank, agg_kendall_tau and
+    # agg_gini_customer_revenue materialize eagerly through
+    # materialize_release — their one-data-shuffle pair-count /
+    # per-value-count shapes are pinned by block-width invariance and
+    # brute-force parity in tests/test_profile.py.)
+    "ts_pettitt_changepoint",
+    "ts_runs_test",
+    "ts_xcorr_daily",
+    "agg_hhi_supplier_nation",
 ]
 
 
