@@ -124,6 +124,19 @@ TOP = [
     "drift_cvm",
     "ts_binseg_changepoints",
     "ts_acf_daily",
+    # round-13 fourth/fifth waves: the rank-changepoint and runs-test
+    # daily-frame windows, the two-feed cross-correlation join, the
+    # pair-count association statistics (Spearman/Kendall — the
+    # Σk² contingency self-join claim), and the concentration
+    # profilers (Gini's block-prefix rank windows, HHI's broadcast
+    # dim join + two hash aggs)
+    "ts_pettitt_changepoint",
+    "ts_runs_test",
+    "ts_xcorr_daily",
+    "agg_spearman_rank",
+    "agg_kendall_tau",
+    "agg_gini_customer_revenue",
+    "agg_hhi_supplier_nation",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
