@@ -266,6 +266,9 @@ HEADLINE = [
     "agg_kendall_tau",
     "agg_gini_customer_revenue",
     "agg_hhi_supplier_nation",
+    # round-13 fifth wave
+    "drift_mannwhitney_by_segment",
+    "ts_mann_kendall",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

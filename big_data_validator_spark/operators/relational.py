@@ -1553,6 +1553,150 @@ def cramer_von_mises(
     return out
 
 
+def mannwhitney_by_segment(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+    bin_width: int = 1 << 20,
+) -> DataFrame:
+    """ONE-VS-REST Mann–Whitney U for every segment of one table — the
+    segment-scan companion to :func:`mannwhitney_u`: instead of one
+    a-vs-b pair, every segment g is tested against ALL OTHER rows at
+    once, answering "which slice's values are stochastically shifted
+    against the rest of the population" in a single pass (the
+    per-segment drift triage a validator runs before pairing anything).
+
+    The shared-pool identity that makes this one job, not |G| jobs:
+    for one-vs-rest the pooled sample IS the whole table, so the
+    below-count ``C_v`` and tie size ``t_v`` at each value — and the
+    tie-correction scalar ``Σ(t³−t)`` — are GLOBAL, computed once and
+    shared by every segment.  With per-(segment, value) counts
+    ``c_gv``, the :func:`mannwhitney_u` doubled-midrank device gives
+    ``2·R_g = Σ_v c_gv · (2·C_v + t_v + 1)`` and ``2·U_g = 2·R_g −
+    n_g(n_g+1)`` — exact DECIMAL(38,0) integers per segment.  The
+    tie-corrected normal z per segment uses ``σ²_g = n_g·n_rest/12 ·
+    ((N+1) − Σ(t³−t)/(N(N−1)))`` (floats only in this final scalar,
+    rounded 6; NULL when the pool is degenerate).
+
+    Scale shape: ONE data shuffle (the (segment, value) pair-count
+    agg, pinned + released by the caller via materialize_release);
+    the global cumulative runs on the DISTINCT-value frame with the
+    KS/W1/U blocked-window device (per-block cumulative + broadcast
+    per-block prefix — never a single-task global window), and the
+    value-stats join back to the pair counts is a counts-frame join,
+    not a data join.  ``bin_width`` moves block granularity only.
+    Returns one row per segment ``(segment, n_seg, n_rest, u_seg_x2,
+    z)``; rows with a NULL segment or NULL value are excluded.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    v = F.col(value_col)
+    base = df.filter(v.isNotNull() & F.col(segment_col).isNotNull()).select(
+        F.col(segment_col).alias("segment"),
+        v.cast("long").alias("_v"),
+    )
+    cnts = base.groupBy("segment", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).cache()
+    vals = cnts.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    keyed = vals.withColumn(
+        "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
+    )
+    bw = Window.partitionBy("_blk").orderBy("_v")
+    local = keyed.withColumn(
+        "_before_local",
+        F.coalesce(
+            F.sum("_t").over(bw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    gw = Window.orderBy("_blk")
+    totals = (
+        keyed.groupBy("_blk")
+        .agg(F.sum("_t").alias("_tt"))
+        .select(
+            "_blk",
+            F.coalesce(
+                F.sum("_tt").over(
+                    gw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("_before_blk"),
+        )
+    )
+    dec = "decimal(38,0)"
+    vstats = local.join(F.broadcast(totals), "_blk").select(
+        "_v",
+        F.col("_t").cast(dec).alias("_t"),
+        (F.col("_before_local") + F.col("_before_blk"))
+        .cast(dec)
+        .alias("_cb"),
+    )
+    glob = F.broadcast(
+        vstats.agg(
+            F.sum("_t").alias("_N"),
+            F.sum(
+                F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")
+            ).alias("_ties"),
+        )
+    )
+    per = (
+        cnts.join(vstats, "_v")
+        .groupBy("segment")
+        .agg(
+            F.sum("_c").cast(dec).alias("_ng"),
+            F.sum(
+                F.col("_c").cast(dec)
+                * (
+                    F.lit(2).cast(dec) * F.col("_cb")
+                    + F.col("_t")
+                    + F.lit(1)
+                )
+            ).alias("_r2"),
+        )
+    )
+    n_g = F.col("_ng")
+    n_n = F.col("_N")
+    n_rest = n_n - n_g
+    var = (
+        n_g.cast("double")
+        * n_rest.cast("double")
+        / F.lit(12.0)
+        * (
+            (n_n + F.lit(1)).cast("double")
+            - F.col("_ties").cast("double")
+            / (n_n.cast("double") * (n_n - F.lit(1)).cast("double"))
+        )
+    )
+    out = (
+        per.crossJoin(glob)
+        .withColumn("u_seg_x2", (F.col("_r2") - n_g * (n_g + F.lit(1))).cast("long"))
+        .withColumn(
+            "z",
+            F.when(
+                (n_n > F.lit(1)) & (n_rest > F.lit(0)) & (var > F.lit(0.0)),
+                F.round(
+                    (
+                        F.col("u_seg_x2").cast("double")
+                        - n_g.cast("double") * n_rest.cast("double")
+                    )
+                    / (F.lit(2.0) * F.sqrt(var)),
+                    6,
+                ),
+            ),
+        )
+        .select(
+            "segment",
+            n_g.cast("long").alias("n_seg"),
+            n_rest.cast("long").alias("n_rest"),
+            "u_seg_x2",
+            "z",
+        )
+    )
+    out._bdv_pinned = [cnts]
+    return out
+
+
 def order_inversions(
     df: DataFrame,
     part_col: str,

@@ -1026,3 +1026,119 @@ def xcorr_daily(
         )
         .orderBy("lag")
     )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Exact-integer MANN-KENDALL trend test on a daily series (Mann
+    1945, Kendall 1975) — the SIGNIFICANCE half of the trend question
+    whose magnitude half is :func:`theilsen_trend`: Theil-Sen reports
+    the robust slope, Mann-Kendall reports whether ANY monotone trend
+    is distinguishable from noise at all, counting only pairwise
+    orderings so a single wild day cannot fake (or hide) a drift the
+    way it drags a least-squares fit.
+
+    Exactness contract: ``S = Σ_{i<j} sgn(x_j − x_i)`` accumulates
+    ±1/0 per day pair — a pure integer; the tie-corrected variance
+    ships PRE-DIVISION as ``var_s_x18 = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)`` over value tie groups (the classic /18 deferred
+    so the column is an exact DECIMAL-safe integer), and the tau-b
+    denominator reuses the :func:`~.profile.kendall_tau_b` ×2 device
+    (time has no ties, so ``n₂ = 0``).  Floats appear only in the two
+    final round-6 scalars: ``tau_b`` and the continuity-corrected
+    normal ``z = (S ∓ 1)/√(var_s_x18/18)`` (0 when S = 0, NULL when
+    the variance is degenerate).
+
+    Scale shape: ONE data shuffle (the per-day cents agg, pinned +
+    released by the caller via materialize_release); the sign
+    self-join (every unordered day pair once, ``d₂ > d₁``) and the
+    tie-group agg run on the calendar-bounded daily frame (thousands
+    of rows — ~3·10⁶ broadcast-NLJ pairs at a 7-year calendar,
+    corpus-size-independent).  Returns exactly one row ``(n_days,
+    s_stat, var_s_x18, tau_b, z)``; <2 days yields the degenerate row
+    with ``s_stat = 0`` and NULL tau/z.
+    """
+    daily = (
+        df.groupBy(F.col(date_col).cast("date").alias("d"))
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_v")
+        )
+    )
+    daily = daily.cache()
+    dec = "decimal(38,0)"
+    b = daily.select(F.col("d").alias("d2"), F.col("_v").alias("_v2"))
+    s_agg = (
+        daily.join(F.broadcast(b), F.col("d2") > F.col("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("_v2") > F.col("_v"), 1)
+                .when(F.col("_v2") < F.col("_v"), -1)
+                .otherwise(0)
+            ).alias("_s")
+        )
+        .select(F.coalesce(F.col("_s"), F.lit(0)).cast(dec).alias("_s"))
+    )
+    ties = (
+        daily.groupBy("_v")
+        .agg(F.count(F.lit(1)).cast(dec).alias("_t"))
+        .agg(
+            F.coalesce(F.sum("_t"), F.lit(0).cast(dec)).alias("_n"),
+            F.coalesce(
+                F.sum(
+                    F.col("_t")
+                    * (F.col("_t") - 1)
+                    * (F.lit(2).cast(dec) * F.col("_t") + 5)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("_tie18"),
+            F.coalesce(
+                F.sum(F.col("_t") * (F.col("_t") - 1)),
+                F.lit(0).cast(dec),
+            ).alias("_n1x2"),
+        )
+    )
+    n = F.col("_n")
+    var18 = (
+        n * (n - 1) * (F.lit(2).cast(dec) * n + 5) - F.col("_tie18")
+    )
+    n0x2 = n * (n - 1)
+    tau_den = F.sqrt(
+        ((n0x2 - F.col("_n1x2")) / F.lit(2)).cast("double")
+    ) * F.sqrt((n0x2 / F.lit(2)).cast("double"))
+    s = F.col("_s")
+    out = (
+        s_agg.crossJoin(F.broadcast(ties))
+        .withColumn("_var18", var18)
+        .select(
+            n.cast("long").alias("n_days"),
+            s.cast("long").alias("s_stat"),
+            F.col("_var18").cast("long").alias("var_s_x18"),
+            F.when(
+                (n0x2 > 0) & (n0x2 - F.col("_n1x2") > 0),
+                F.round(s.cast("double") / tau_den, 6),
+            ).alias("tau_b"),
+            F.when(
+                F.col("_var18") > 0,
+                F.when(s == 0, F.lit(0.0)).otherwise(
+                    F.round(
+                        (
+                            s.cast("double")
+                            - F.signum(s.cast("double"))
+                        )
+                        / F.sqrt(
+                            F.col("_var18").cast("double") / F.lit(18.0)
+                        ),
+                        6,
+                    )
+                ),
+            ).alias("z"),
+        )
+    )
+    out._bdv_pinned = [daily]
+    return out

@@ -12206,6 +12206,142 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "drift_mannwhitney_by_segment",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL),
+    cnts AS (
+      SELECT segment, v, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM base GROUP BY 1, 2),
+    grp AS (SELECT v, SUM(c) AS t FROM cnts GROUP BY 1),
+    vals AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM grp),
+    gl AS (SELECT SUM(t) AS n, SUM(t * t * t - t) AS ties FROM vals),
+    per AS (
+      SELECT segment, SUM(c) AS ng,
+             SUM(c * (2 * cb + t + 1)) AS r2
+      FROM cnts JOIN vals USING (v) GROUP BY 1),
+    vr AS (
+      SELECT segment, ng, n - ng AS nr, ties, n,
+             CAST(r2 - ng * (ng + 1) AS BIGINT) AS u_seg_x2,
+             CAST(ng AS DOUBLE) * CAST(n - ng AS DOUBLE) / 12.0
+             * ((CAST(n AS DOUBLE) + 1)
+                - CAST(ties AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)))
+               AS var
+      FROM per, gl)
+    SELECT segment,
+           CAST(ng AS BIGINT) AS n_seg,
+           CAST(nr AS BIGINT) AS n_rest,
+           u_seg_x2,
+           CASE WHEN n > 1 AND nr > 0 AND var > 0 THEN
+             ROUND((CAST(u_seg_x2 AS DOUBLE)
+                    - CAST(ng AS DOUBLE) * CAST(nr AS DOUBLE))
+                   / (2.0 * SQRT(var)), 6)
+           END AS z
+    FROM vr ORDER BY 1
+    """,
+)
+def drift_mannwhitney_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE-VS-REST Mann–Whitney U for every market segment's account
+    balances against the rest of the customer base
+    (operators/relational.py: mannwhitney_by_segment) — the
+    segment-scan companion to drift_mannwhitney: instead of one
+    hand-picked a-vs-b pair, all |G| one-vs-rest tests come out of a
+    SINGLE pass because for one-vs-rest the pooled sample is the whole
+    table, so the below-counts, tie sizes, and the Σ(t³−t) correction
+    are global and shared by every segment.  Doubled midranks keep
+    2·R_g and 2·U_g exact DECIMAL(38,0); the per-segment z is the only
+    float (round-6).  ONE data shuffle (the (segment, value)
+    pair-count agg, pinned + released on materialize); the global
+    cumulative runs on the distinct-value frame with the KS/W1/U
+    blocked-window device."""
+    c = _rb(_t(spark, sf_dir, "customer")).withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    )
+    return D.materialize_release(
+        R.mannwhitney_by_segment(
+            c, "c_mktsegment", "cents", bin_width=1_000_000
+        )
+    )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS v
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT COALESCE(SUM(CASE WHEN b.v > a.v THEN 1
+                                WHEN b.v < a.v THEN -1
+                                ELSE 0 END), 0) AS s
+      FROM daily a JOIN daily b ON b.d > a.d),
+    t AS (
+      SELECT COALESCE(SUM(t), 0) AS n,
+             COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie18,
+             COALESCE(SUM(t * (t - 1)), 0) AS n1x2
+      FROM (SELECT CAST(COUNT(*) AS HUGEINT) AS t
+            FROM daily GROUP BY v)),
+    f AS (
+      SELECT s, n, n1x2,
+             n * (n - 1) * (2 * n + 5) - tie18 AS var18,
+             n * (n - 1) AS n0x2
+      FROM s, t)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS s_stat,
+           CAST(var18 AS BIGINT) AS var_s_x18,
+           CASE WHEN n0x2 > 0 AND n0x2 - n1x2 > 0 THEN
+             ROUND(CAST(s AS DOUBLE)
+                   / (SQRT(CAST(n0x2 - n1x2 AS DOUBLE) / 2)
+                      * SQRT(CAST(n0x2 AS DOUBLE) / 2)), 6)
+           END AS tau_b,
+           CASE WHEN var18 > 0 THEN
+             CASE WHEN s = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE ROUND((CAST(s AS DOUBLE)
+                              - SIGN(CAST(s AS DOUBLE)))
+                             / SQRT(CAST(var18 AS DOUBLE) / 18.0), 6)
+             END
+           END AS z
+    FROM f
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test on daily order revenue
+    (operators/timeseries.py: mann_kendall_trend) — the SIGNIFICANCE
+    half of the trend question whose magnitude half is
+    ts_theilsen_trend: S counts pairwise day orderings (±1 per pair, a
+    pure integer), the tie-corrected variance ships pre-division as
+    the exact integer var_s_x18 = n(n−1)(2n+5) − Σt(t−1)(2t+5), and
+    floats appear only in the round-6 tau_b (the kendall_tau_b ×2
+    device, time untied) and continuity-corrected z.  ONE data
+    shuffle (the per-day cents agg, pinned + released on
+    materialize); the sign self-join runs every unordered day pair
+    once on the calendar-bounded daily frame — broadcast-NLJ,
+    corpus-size-independent."""
+    from big_data_validator_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    o = _rb(_t(spark, sf_dir, "orders"))
+    return D.materialize_release(
+        mann_kendall_trend(o, "o_orderdate", "o_totalprice",
+                           value_scale=100)
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -12224,6 +12360,21 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: CORRECTNESS_r*.json or a seat in the current window.
 _DRIVER_WINDOW_SIZE = 50
 _DEMOTED_TO_TAIL = [
+    # ---- round-13 sixth rotation: two of the thirty-three r5/r7-
+    # ---- vintage re-validation seats yield to the NEW oracled
+    # ---- drift_mannwhitney_by_segment / ts_mann_kendall (the uniform
+    # ---- rationale: a first-exposure ORACLED entry outranks a
+    # ---- re-validation).  Chosen as the two whose devices are most
+    # ---- redundantly in-window: agg_correlation_matrix's moment-sum
+    # ---- association is now flanked by THREE seated family members
+    # ---- (agg_spearman_rank, agg_kendall_tau, and the new MW-by-
+    # ---- segment rank device) plus profile_mutual_information;
+    # ---- window_moving_avg_7d's daily running frame is recomputed
+    # ---- in-window by the five seated ts_* daily-frame entries and
+    # ---- events_anomaly_weekday.  Both re-seat for re-validation
+    # ---- next round; thirty-one r5/r7-vintage seats remain.
+    "agg_correlation_matrix",
+    "window_moving_avg_7d",
     # ---- round-13 fifth rotation: sim_kcenter_coreset and
     # ---- link_sorted_neighborhood rest on their fresh r12 greens,
     # ---- yielding seats to the NEW oracled agg_kendall_tau /

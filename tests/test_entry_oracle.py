@@ -178,9 +178,14 @@ def test_driver_window_is_all_oracled():
         # (The r4-vintage block re-validated in r12 rests again with
         # fresh greens; the r12 additions rest on their first greens;
         # family coverage per the _DEMOTED_TO_TAIL rationale block.)
+        # (window_moving_avg_7d and agg_correlation_matrix yielded
+        # their re-validation seats to the NEW oracled
+        # drift_mannwhitney_by_segment / ts_mann_kendall in the sixth
+        # rotation — their devices are redundantly in-window, see
+        # _DEMOTED_TO_TAIL.)
         "scan_orc", "scan_parquet_evolving", "agg_hll_mergeable",
-        "window_moving_avg_7d", "emb_centroid_by_label",
-        "scan_unpivot_metrics", "agg_correlation_matrix",
+        "emb_centroid_by_label",
+        "scan_unpivot_metrics",
         "agg_equidepth_histogram", "layout_zorder_stats",
         "rule_candidate_keys", "text_langid_confusion",
         "dim_scd2_user_state", "drift_chi2_priority", "rule_key_gaps",
@@ -216,6 +221,8 @@ def test_driver_window_is_all_oracled():
         "ts_pettitt_changepoint", "ts_runs_test", "agg_spearman_rank",
         "agg_gini_customer_revenue", "agg_hhi_supplier_nation",
         "agg_kendall_tau", "ts_xcorr_daily",
+        # round-13 fifth wave
+        "drift_mannwhitney_by_segment", "ts_mann_kendall",
     ]:
         assert required in window, required
 

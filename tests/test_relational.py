@@ -1026,6 +1026,58 @@ def test_mannwhitney_block_width_invariance_and_extremes(spark):
         R.mannwhitney_u(lo, hi, "v", bin_width=0)
 
 
+def test_mannwhitney_by_segment_matches_pairwise_brute_force(spark):
+    """Every segment's one-vs-rest row equals the textbook pairwise
+    count (2U = 2·#greater + #tied) and the shared-pool z, with heavy
+    ties, a tiny all-tied segment, NULL segment/value exclusion, and
+    bin_width invariance."""
+    import random
+
+    rng = random.Random(41)
+    rows = [(rng.choice("ABC"), rng.randrange(0, 12)) for _ in range(400)]
+    rows += [("D", 5), ("D", 5), ("D", 5)]
+    rows += [(None, 3), ("A", None)]
+    df = spark.createDataFrame(rows, "seg string, v long")
+    clean = [(g, v) for g, v in rows if g is not None and v is not None]
+    from collections import Counter
+
+    for w in (4, 1 << 20):
+        got = {
+            r["segment"]: r
+            for r in R.mannwhitney_by_segment(
+                df, "seg", "v", bin_width=w
+            ).collect()
+        }
+        assert set(got) == {"A", "B", "C", "D"}
+        for seg in "ABCD":
+            a = [v for g, v in clean if g == seg]
+            b = [v for g, v in clean if g != seg]
+            u2 = sum(
+                2 if x > y else (1 if x == y else 0) for x in a for y in b
+            )
+            n1, n2 = len(a), len(b)
+            n = n1 + n2
+            ties = sum(
+                t**3 - t for t in Counter(v for _, v in clean).values()
+            )
+            var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+            z = round((u2 - n1 * n2) / (2.0 * var**0.5), 6)
+            r = got[seg]
+            assert (r["n_seg"], r["n_rest"], r["u_seg_x2"]) == (n1, n2, u2)
+            assert abs(r["z"] - z) < 1e-9
+    # degenerate pool: one shared value across both segments -> z NULL
+    dfc = spark.createDataFrame([("A", 1), ("B", 1)], "seg string, v long")
+    rc = {
+        r["segment"]: r
+        for r in R.mannwhitney_by_segment(dfc, "seg", "v").collect()
+    }
+    assert rc["A"]["z"] is None and rc["A"]["u_seg_x2"] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        R.mannwhitney_by_segment(dfc, "seg", "v", bin_width=0)
+
+
 def test_wasserstein_point_mass_edge_is_zero_with_counts(spark):
     # Two point masses at the SAME value: the gap frame is empty, the
     # true W1 is 0.0 — the stat must coalesce to 0 and the counts must

@@ -790,3 +790,91 @@ def test_xcorr_daily_finds_planted_lead_and_matches_reference(spark):
     )
     rows = xcorr_daily(A, "d", "v", K, "d", "v", max_lag=2).collect()
     assert len(rows) == 5 and all(r["xcorr"] is None for r in rows)
+
+
+def test_mann_kendall_matches_bruteforce_with_ties_and_edges(spark):
+    """(S, var_s_x18, tau_b, z) equal the O(n^2) textbook reference on
+    a tied noisy-trend series; a monotone series hits tau_b = 1 with
+    var18 = n(n-1)(2n+5); <2 days and empty input yield the degenerate
+    single row with NULL tau/z."""
+    import datetime
+    import math
+    import random
+    from collections import Counter
+
+    from big_data_validator_spark.operators.timeseries import (
+        mann_kendall_trend,
+    )
+
+    def brute(vals):
+        n = len(vals)
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        cnt = Counter(vals)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in cnt.values()
+        )
+        n1x2 = sum(t * (t - 1) for t in cnt.values())
+        n0x2 = n * (n - 1)
+        tau = (
+            round(
+                s
+                / (
+                    math.sqrt((n0x2 - n1x2) / 2)
+                    * math.sqrt(n0x2 / 2)
+                ),
+                6,
+            )
+            if n0x2 > 0 and n0x2 - n1x2 > 0
+            else None
+        )
+        z = (
+            round(
+                (s - ((s > 0) - (s < 0))) / math.sqrt(var18 / 18.0), 6
+            )
+            if var18 > 0
+            else None
+        ) if s != 0 else (0.0 if var18 > 0 else None)
+        return n, s, var18, tau, z
+
+    base = datetime.date(2024, 1, 1)
+    rng = random.Random(59)
+    vals = [float(rng.randrange(0, 8)) + 0.05 * i for i in range(80)]
+    # split each day's total across two rows to exercise the daily agg
+    rows = [
+        (base + datetime.timedelta(days=i), v / 3)
+        for i, v in enumerate(vals)
+    ] + [
+        (base + datetime.timedelta(days=i), 2 * v / 3)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "d date, v double")
+    got = mann_kendall_trend(df, "d", "v", value_scale=100).first()
+    exp = brute([round(v * 100) for v in vals])
+    assert (
+        got["n_days"],
+        got["s_stat"],
+        got["var_s_x18"],
+        got["tau_b"],
+        got["z"],
+    ) == exp
+
+    mono = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), float(i)) for i in range(20)],
+        "d date, v double",
+    )
+    g = mann_kendall_trend(mono, "d", "v").first()
+    assert g["tau_b"] == 1.0 and g["s_stat"] == 20 * 19 // 2
+    assert g["var_s_x18"] == 20 * 19 * 45
+
+    one = spark.createDataFrame([(base, 5.0)], "d date, v double")
+    g1 = mann_kendall_trend(one, "d", "v").first()
+    assert (g1["n_days"], g1["s_stat"], g1["tau_b"], g1["z"]) == (
+        1, 0, None, None,
+    )
+    empty = spark.createDataFrame([], "d date, v double")
+    g0 = mann_kendall_trend(empty, "d", "v").first()
+    assert (g0["n_days"], g0["s_stat"], g0["z"]) == (0, 0, None)
