@@ -269,6 +269,8 @@ HEADLINE = [
     # round-13 fifth wave
     "drift_mannwhitney_by_segment",
     "ts_mann_kendall",
+    "agg_cramers_v_matrix",
+    "drift_segment_bh_scan",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -1214,3 +1214,117 @@ def kendall_tau_b(
     )
     out._bdv_pinned = [pairs]
     return out
+
+
+def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """CRAMÉR'S V association matrix over every unordered pair of the
+    given low-cardinality columns — the CATEGORICAL completion of the
+    association suite (:func:`spearman_rank_corr` / tau-b read ordered
+    columns, the Pearson matrix reads numerics, mutual information
+    reads bits; V reads the chi-square effect SIZE normalized to
+    [0, 1], the screen that finds derived/redundant columns — V ≈ 1 —
+    before a modeler trusts them as independent signals).
+
+    Exactness device: the Pearson statistic in the identity form
+    ``X² = n·Σ o²/(rₐ·c_b) − n`` makes every cell term a ratio of
+    exact integers, so ``chi2_ppm = Σ (o²·n·10⁶) div (rₐ·c_b) −
+    n·10⁶`` is engine-portable truncating-div arithmetic in
+    DECIMAL(38,0) (the Gini/HHI ppm discipline; truncation error
+    < #cells ppm, i.e. ~10⁻⁷ relative on real tables).  The only
+    float is the final ``cramers_v = √(chi2/(n·(min(r,c)−1)))``,
+    round-6.  Overflow bound: o²·n·10⁶ < n³·10⁶ needs n < ~2·10¹⁰
+    rows per pair — DECIMAL(38,0)-safe on any realistic table.
+
+    Scale shape: ONE data shuffle per pair (the contingency agg —
+    map-side combined, the shuffle carries |X|·|Y| cells, not rows);
+    marginals and totals are aggregates of the tiny cell frame joined
+    back broadcast.  Built for LOW-CARDINALITY columns (bucket dense
+    ones first with the equidepth device).  Rows with a NULL in
+    either column of a pair are excluded from that pair (pairwise
+    deletion, the Pearson-matrix convention).  Returns one row per
+    pair ``(col_x, col_y, n_rows, x_levels, y_levels, chi2_ppm,
+    cramers_v)``; V is NULL when either column is constant or the
+    pair frame is empty.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {len(cols)}")
+    dec = "decimal(38,0)"
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            cx, cy = cols[i], cols[j]
+            cells = (
+                df.filter(
+                    F.col(cx).isNotNull() & F.col(cy).isNotNull()
+                )
+                .groupBy(
+                    F.col(cx).alias("_x"), F.col(cy).alias("_y")
+                )
+                .agg(F.count(F.lit(1)).cast(dec).alias("_o"))
+            )
+            ra = cells.groupBy("_x").agg(F.sum("_o").alias("_ra"))
+            cb = cells.groupBy("_y").agg(F.sum("_o").alias("_cb"))
+            tot = cells.agg(
+                F.sum("_o").alias("_n"),
+                F.count_distinct(F.col("_x")).cast(dec).alias("_r"),
+                F.count_distinct(F.col("_y")).cast(dec).alias("_c"),
+            )
+            terms = (
+                cells.join(F.broadcast(ra), "_x")
+                .join(F.broadcast(cb), "_y")
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    F.expr(
+                        "(_o * _o * _n * 1000000) div (_ra * _cb)"
+                    ).alias("_t"),
+                    "_n",
+                    "_r",
+                    "_c",
+                )
+            )
+            agg = terms.agg(
+                (
+                    F.sum("_t")
+                    - F.first("_n") * F.lit(1_000_000).cast(dec)
+                ).alias("_chi2ppm"),
+                F.first("_n").alias("_n"),
+                F.first("_r").alias("_r"),
+                F.first("_c").alias("_c"),
+            )
+            mins = F.when(F.col("_r") < F.col("_c"), F.col("_r")).otherwise(
+                F.col("_c")
+            )
+            parts.append(
+                agg.select(
+                    F.lit(cx).alias("col_x"),
+                    F.lit(cy).alias("col_y"),
+                    F.coalesce(F.col("_n").cast("long"), F.lit(0)).alias(
+                        "n_rows"
+                    ),
+                    F.coalesce(F.col("_r").cast("long"), F.lit(0)).alias(
+                        "x_levels"
+                    ),
+                    F.coalesce(F.col("_c").cast("long"), F.lit(0)).alias(
+                        "y_levels"
+                    ),
+                    F.col("_chi2ppm").cast("long").alias("chi2_ppm"),
+                    F.when(
+                        (F.col("_n") > 0) & (mins > 1),
+                        F.round(
+                            F.sqrt(
+                                F.col("_chi2ppm").cast("double")
+                                / 1e6
+                                / (
+                                    F.col("_n").cast("double")
+                                    * (mins - 1).cast("double")
+                                )
+                            ),
+                            6,
+                        ),
+                    ).alias("cramers_v"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1553,41 +1553,20 @@ def cramer_von_mises(
     return out
 
 
-def mannwhitney_by_segment(
+def _one_vs_rest_rank_frames(
     df: DataFrame,
     segment_col: str,
     value_col: str,
-    bin_width: int = 1 << 20,
-) -> DataFrame:
-    """ONE-VS-REST Mann–Whitney U for every segment of one table — the
-    segment-scan companion to :func:`mannwhitney_u`: instead of one
-    a-vs-b pair, every segment g is tested against ALL OTHER rows at
-    once, answering "which slice's values are stochastically shifted
-    against the rest of the population" in a single pass (the
-    per-segment drift triage a validator runs before pairing anything).
-
-    The shared-pool identity that makes this one job, not |G| jobs:
-    for one-vs-rest the pooled sample IS the whole table, so the
-    below-count ``C_v`` and tie size ``t_v`` at each value — and the
-    tie-correction scalar ``Σ(t³−t)`` — are GLOBAL, computed once and
-    shared by every segment.  With per-(segment, value) counts
-    ``c_gv``, the :func:`mannwhitney_u` doubled-midrank device gives
-    ``2·R_g = Σ_v c_gv · (2·C_v + t_v + 1)`` and ``2·U_g = 2·R_g −
-    n_g(n_g+1)`` — exact DECIMAL(38,0) integers per segment.  The
-    tie-corrected normal z per segment uses ``σ²_g = n_g·n_rest/12 ·
-    ((N+1) − Σ(t³−t)/(N(N−1)))`` (floats only in this final scalar,
-    rounded 6; NULL when the pool is degenerate).
-
-    Scale shape: ONE data shuffle (the (segment, value) pair-count
-    agg, pinned + released by the caller via materialize_release);
-    the global cumulative runs on the DISTINCT-value frame with the
-    KS/W1/U blocked-window device (per-block cumulative + broadcast
-    per-block prefix — never a single-task global window), and the
-    value-stats join back to the pair counts is a counts-frame join,
-    not a data join.  ``bin_width`` moves block granularity only.
-    Returns one row per segment ``(segment, n_seg, n_rest, u_seg_x2,
-    z)``; rows with a NULL segment or NULL value are excluded.
-    """
+    bin_width: int,
+):
+    """Shared internals of the one-vs-rest segment scans: ONE data
+    shuffle to (segment, value) pair counts, the KS/W1/U blocked-window
+    global cumulative on the distinct-value frame, then the per-segment
+    doubled-rank sums.  Returns ``(per, glob, cnts)``: ``per`` holds one
+    row per segment ``(segment, _ng, _r2)`` in DECIMAL(38,0), ``glob``
+    is a broadcast 1-row frame ``(_N, _ties)`` with the pool size and
+    the Σ(t³−t) tie correction, and ``cnts`` is the pinned pair-count
+    frame the caller must expose via ``_bdv_pinned``."""
     if bin_width <= 0:
         raise ValueError(f"bin_width must be positive, got {bin_width}")
     v = F.col(value_col)
@@ -1655,6 +1634,47 @@ def mannwhitney_by_segment(
             ).alias("_r2"),
         )
     )
+    return per, glob, cnts
+
+
+def mannwhitney_by_segment(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+    bin_width: int = 1 << 20,
+) -> DataFrame:
+    """ONE-VS-REST Mann–Whitney U for every segment of one table — the
+    segment-scan companion to :func:`mannwhitney_u`: instead of one
+    a-vs-b pair, every segment g is tested against ALL OTHER rows at
+    once, answering "which slice's values are stochastically shifted
+    against the rest of the population" in a single pass (the
+    per-segment drift triage a validator runs before pairing anything).
+
+    The shared-pool identity that makes this one job, not |G| jobs:
+    for one-vs-rest the pooled sample IS the whole table, so the
+    below-count ``C_v`` and tie size ``t_v`` at each value — and the
+    tie-correction scalar ``Σ(t³−t)`` — are GLOBAL, computed once and
+    shared by every segment.  With per-(segment, value) counts
+    ``c_gv``, the :func:`mannwhitney_u` doubled-midrank device gives
+    ``2·R_g = Σ_v c_gv · (2·C_v + t_v + 1)`` and ``2·U_g = 2·R_g −
+    n_g(n_g+1)`` — exact DECIMAL(38,0) integers per segment.  The
+    tie-corrected normal z per segment uses ``σ²_g = n_g·n_rest/12 ·
+    ((N+1) − Σ(t³−t)/(N(N−1)))`` (floats only in this final scalar,
+    rounded 6; NULL when the pool is degenerate).
+
+    Scale shape: ONE data shuffle (the (segment, value) pair-count
+    agg, pinned + released by the caller via materialize_release);
+    the global cumulative runs on the DISTINCT-value frame with the
+    KS/W1/U blocked-window device (per-block cumulative + broadcast
+    per-block prefix — never a single-task global window), and the
+    value-stats join back to the pair counts is a counts-frame join,
+    not a data join.  ``bin_width`` moves block granularity only.
+    Returns one row per segment ``(segment, n_seg, n_rest, u_seg_x2,
+    z)``; rows with a NULL segment or NULL value are excluded.
+    """
+    per, glob, cnts = _one_vs_rest_rank_frames(
+        df, segment_col, value_col, bin_width
+    )
     n_g = F.col("_ng")
     n_n = F.col("_N")
     n_rest = n_n - n_g
@@ -1692,6 +1712,152 @@ def mannwhitney_by_segment(
             "u_seg_x2",
             "z",
         )
+    )
+    out._bdv_pinned = [cnts]
+    return out
+
+
+def mannwhitney_bh_scan(
+    df: DataFrame,
+    segment_col: str,
+    value_col: str,
+    alpha_ppm: int = 50_000,
+    bin_width: int = 1 << 20,
+) -> DataFrame:
+    """One-vs-rest segment scan with MULTIPLE-TESTING control — the
+    decision layer on top of :func:`mannwhitney_by_segment`: scanning
+    |G| segments runs |G| simultaneous tests, and at α = 0.05 a
+    25-segment scan FABRICATES a drifting segment roughly every run;
+    Benjamini-Hochberg (1995) step-up control of the false-discovery
+    rate is the standard fix, and this operator runs it end-to-end in
+    EXACT integer arithmetic.
+
+    The exactness chain — no floats anywhere, so the oracle replays
+    it bit-for-bit:
+
+    1. per segment, ``d = 2U_g − n_g·n_rest`` (the doubled centered
+       statistic) and the tie-corrected ``z² = num/den`` as the exact
+       integer pair ``num = 3·d²·N(N−1)``, ``den = n_g·n_rest·
+       (N(N−1)(N+1) − Σ(t³−t))``;
+    2. the distribution-free CHEBYSHEV bound ``p ≤ min(1, 1/z²)``
+       gives ``p_cheby_ppm = min(10⁶, (10⁶·den) div num)`` — a valid
+       (conservative) p-value with no normal CDF, hence no erf float;
+    3. BH step-up on the integer ppm p-values: rank ascending (ties
+       broken by segment for determinism), reject ranks 1..k where
+       ``k = max{i : p_(i)·m ≤ alpha_ppm·i}`` — pure integer
+       comparisons.
+
+    Degenerate segments (den ≤ 0: pool under 2 rows or all values
+    tied) ship NULL p/rank/reject and are excluded from ``m``.  The
+    10⁶·den product bounds the pool at ~4·10⁶ rows in DECIMAL(38,0)
+    (den < N⁵/4); larger pools raise loudly — bucket values or sample
+    first.  Scale shape: identical to :func:`mannwhitney_by_segment`
+    (ONE data shuffle; the BH windows run on the |G|-row frame).
+    Returns one row per segment ``(segment, n_seg, n_rest, u_seg_x2,
+    p_cheby_ppm, p_rank, bh_reject)``.
+    """
+    if not 0 < alpha_ppm <= 1_000_000:
+        raise ValueError(
+            f"alpha_ppm must be in (0, 1e6], got {alpha_ppm}"
+        )
+    per, glob, cnts = _one_vs_rest_rank_frames(
+        df, segment_col, value_col, bin_width
+    )
+    dec = "decimal(38,0)"
+    n_g = F.col("_ng")
+    n_n = F.col("_N")
+    n_rest = n_n - n_g
+    u2 = F.col("_r2") - n_g * (n_g + F.lit(1))
+    d = u2 - n_g * n_rest
+    num = F.lit(3).cast(dec) * d * d * n_n * (n_n - F.lit(1))
+    den = (
+        n_g
+        * n_rest
+        * (
+            n_n * (n_n - F.lit(1)) * (n_n + F.lit(1))
+            - F.col("_ties")
+        )
+    )
+    pre = per.crossJoin(glob).select(
+        "segment",
+        n_g.cast("long").alias("n_seg"),
+        n_rest.cast("long").alias("n_rest"),
+        u2.cast("long").alias("u_seg_x2"),
+        d.alias("_d"),
+        num.alias("_num"),
+        den.alias("_den"),
+    )
+    # the guard lives INSIDE the emitted p column (the hhi_by_group
+    # device) — 10^6*den must stay inside DECIMAL(38,0)
+    overflow_guard = F.when(
+        F.col("_den")
+        >= F.expr(
+            "CAST(10000000000000000000000000000000 AS DECIMAL(38,0))"
+        ),
+        F.raise_error(
+            F.lit(
+                "mannwhitney_bh_scan: 1e6*den overflows DECIMAL(38,0) "
+                "(pool too large) — bucket the value column or sample "
+                "to <= ~4e6 rows first"
+            )
+        ).cast("long"),
+    )
+    stats = pre.select(
+        "segment",
+        "n_seg",
+        "n_rest",
+        "u_seg_x2",
+        F.coalesce(
+            overflow_guard,
+            F.when(
+                F.col("_den") > 0,
+                F.when(
+                    (F.col("_d") == 0)
+                    | (F.col("_den") >= F.col("_num")),
+                    F.lit(1_000_000).cast("long"),
+                ).otherwise(
+                    # den < num here, so the quotient is < 1e6 and the
+                    # 1e6*den product stays inside DECIMAL(38,0)
+                    F.expr(
+                        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                        " * _den) div _num AS BIGINT)"
+                    )
+                ),
+            ),
+        ).alias("p_cheby_ppm"),
+    )
+    wr = Window.orderBy(
+        F.col("p_cheby_ppm").asc_nulls_last(), F.col("segment").asc()
+    )
+    wall = Window.partitionBy()
+    ranked = stats.select(
+        "*",
+        F.when(
+            F.col("p_cheby_ppm").isNotNull(),
+            F.row_number().over(wr).cast("long"),
+        ).alias("p_rank"),
+        F.count("p_cheby_ppm").over(wall).cast(dec).alias("_m"),
+    )
+    cond = (
+        F.col("p_cheby_ppm").cast(dec) * F.col("_m")
+        <= F.lit(alpha_ppm).cast(dec) * F.col("p_rank").cast(dec)
+    )
+    out = ranked.select(
+        "*",
+        F.max(F.when(cond, F.col("p_rank"))).over(wall).alias("_k"),
+    ).select(
+        "segment",
+        "n_seg",
+        "n_rest",
+        "u_seg_x2",
+        "p_cheby_ppm",
+        "p_rank",
+        F.when(
+            F.col("p_cheby_ppm").isNotNull(),
+            F.coalesce(
+                F.col("p_rank") <= F.col("_k"), F.lit(False)
+            ),
+        ).alias("bh_reject"),
     )
     out._bdv_pinned = [cnts]
     return out

@@ -12342,6 +12342,174 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cramers_oracle_sql() -> str:
+    """Oracle for agg_cramers_v_matrix: one chi² block per unordered
+    column pair over the same derived (priority, status, year) frame,
+    each reproducing the exact truncating-div ppm identity
+    chi2_ppm = Σ (o²·n·10⁶) // (rₐ·c_b) − n·10⁶ (DuckDB ``//`` ==
+    Spark ``div`` on non-negatives), unioned in operator pair order."""
+    pairs = [
+        ("o_orderpriority", "o_orderstatus"),
+        ("o_orderpriority", "order_year"),
+        ("o_orderstatus", "order_year"),
+    ]
+    ctes = [
+        "base AS (SELECT o_orderpriority, o_orderstatus,"
+        " CAST(year(o_orderdate) AS INT) AS order_year FROM orders)"
+    ]
+    arms = []
+    for k, (cx, cy) in enumerate(pairs):
+        ctes.append(f"""
+    cells_{k} AS (
+      SELECT {cx} AS x, {cy} AS y, CAST(COUNT(*) AS HUGEINT) AS o
+      FROM base WHERE {cx} IS NOT NULL AND {cy} IS NOT NULL
+      GROUP BY 1, 2),
+    ra_{k} AS (SELECT x, SUM(o) AS ra FROM cells_{k} GROUP BY 1),
+    cb_{k} AS (SELECT y, SUM(o) AS cb FROM cells_{k} GROUP BY 1),
+    tot_{k} AS (
+      SELECT SUM(o) AS n,
+             CAST(COUNT(DISTINCT x) AS HUGEINT) AS r,
+             CAST(COUNT(DISTINCT y) AS HUGEINT) AS c
+      FROM cells_{k}),
+    agg_{k} AS (
+      SELECT SUM((o * o * n * 1000000) // (ra * cb))
+               - MAX(n) * 1000000 AS chi2ppm,
+             MAX(n) AS n, MAX(r) AS r, MAX(c) AS c
+      FROM cells_{k} JOIN ra_{k} USING (x) JOIN cb_{k} USING (y),
+           tot_{k})""")
+        arms.append(f"""
+    SELECT '{cx}' AS col_x, '{cy}' AS col_y,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_rows,
+           CAST(COALESCE(r, 0) AS BIGINT) AS x_levels,
+           CAST(COALESCE(c, 0) AS BIGINT) AS y_levels,
+           CAST(chi2ppm AS BIGINT) AS chi2_ppm,
+           CASE WHEN n > 0 AND LEAST(r, c) > 1 THEN
+             ROUND(SQRT(CAST(chi2ppm AS DOUBLE) / 1e6
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(LEAST(r, c) AS DOUBLE) - 1))), 6)
+           END AS cramers_v
+    FROM agg_{k}""")
+    return "WITH " + ",".join(ctes) + " ".join(
+        (" UNION ALL" if i else "") + arm for i, arm in enumerate(arms)
+    )
+
+
+@query("agg_cramers_v_matrix", oracle=_cramers_oracle_sql())
+def agg_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V association matrix over order priority, status, and
+    order year (operators/profile.py: cramers_v_matrix) — the
+    categorical completion of the association suite beside
+    agg_spearman_rank / agg_kendall_tau (ordered) and
+    profile_mutual_information (bits): chi-square effect size
+    normalized to [0, 1], the screen that finds derived or redundant
+    columns before a modeler trusts them as independent (status is a
+    year-derived flag in TPC-H — old orders are all 'F' — so that
+    pair's V reads high by construction).  The identity
+    X² = n·Σ o²/(rₐ·c_b) − n makes every cell term exact
+    truncating-div ppm integers (the Gini/HHI discipline); the only
+    float is the final round-6 V.  ONE contingency shuffle per pair
+    (map-side combined, cells not rows); marginals broadcast back on
+    the tiny cell frame."""
+    from big_data_validator_spark.operators.profile import cramers_v_matrix
+
+    o = _rb(_t(spark, sf_dir, "orders")).withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return cramers_v_matrix(
+        o, ["o_orderpriority", "o_orderstatus", "order_year"]
+    )
+
+
+@query(
+    "drift_segment_bh_scan",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(c_nationkey AS INT) AS segment,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS v
+      FROM customer
+      WHERE c_acctbal IS NOT NULL AND c_nationkey IS NOT NULL),
+    cnts AS (
+      SELECT segment, v, CAST(COUNT(*) AS HUGEINT) AS c
+      FROM base GROUP BY 1, 2),
+    grp AS (SELECT v, SUM(c) AS t FROM cnts GROUP BY 1),
+    vals AS (
+      SELECT v, t,
+             COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cb
+      FROM grp),
+    gl AS (SELECT SUM(t) AS n, SUM(t * t * t - t) AS ties FROM vals),
+    per AS (
+      SELECT segment, SUM(c) AS ng,
+             SUM(c * (2 * cb + t + 1)) AS r2
+      FROM cnts JOIN vals USING (v) GROUP BY 1),
+    st1 AS (
+      SELECT segment, ng, n - ng AS nr, n, ties,
+             r2 - ng * (ng + 1) AS u2,
+             r2 - ng * (ng + 1) - ng * (n - ng) AS d
+      FROM per, gl),
+    st2 AS (
+      SELECT segment, ng, nr, u2, d,
+             3 * d * d * n * (n - 1) AS num,
+             ng * nr * (n * (n - 1) * (n + 1) - ties) AS den
+      FROM st1),
+    pv AS (
+      SELECT segment,
+             CAST(ng AS BIGINT) AS n_seg,
+             CAST(nr AS BIGINT) AS n_rest,
+             CAST(u2 AS BIGINT) AS u_seg_x2,
+             CASE WHEN den > 0 THEN
+               CASE WHEN d = 0 OR den >= num
+                    THEN CAST(1000000 AS BIGINT)
+                    ELSE CAST((1000000 * den) // num AS BIGINT) END
+             END AS p_cheby_ppm
+      FROM st2),
+    rk AS (
+      SELECT *,
+             CASE WHEN p_cheby_ppm IS NOT NULL THEN
+               CAST(ROW_NUMBER() OVER (
+                 ORDER BY (p_cheby_ppm IS NULL), p_cheby_ppm, segment)
+                 AS BIGINT) END AS p_rank,
+             COUNT(p_cheby_ppm) OVER () AS m
+      FROM pv),
+    kk AS (
+      SELECT *,
+             MAX(CASE WHEN CAST(p_cheby_ppm AS HUGEINT) * m
+                        <= 50000 * p_rank
+                      THEN p_rank END) OVER () AS k
+      FROM rk)
+    SELECT segment, n_seg, n_rest, u_seg_x2, p_cheby_ppm, p_rank,
+           CASE WHEN p_cheby_ppm IS NOT NULL
+                THEN COALESCE(p_rank <= k, FALSE) END AS bh_reject
+    FROM kk ORDER BY segment
+    """,
+)
+def drift_segment_bh_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest Mann–Whitney scan over all 25 customer nations'
+    account balances with BENJAMINI-HOCHBERG false-discovery control
+    (operators/relational.py: mannwhitney_bh_scan) — the decision
+    layer the segment scan needs: 25 simultaneous tests at α = 0.05
+    fabricate a "drifting" nation in roughly three runs out of four
+    without correction.  The whole chain is EXACT integer arithmetic:
+    the doubled centered statistic d = 2U − n_g·n_rest, the
+    tie-corrected z² as the integer pair (3d²N(N−1),
+    n_g·n_rest·(N(N−1)(N+1) − Σ(t³−t))), the distribution-free
+    Chebyshev bound p_ppm = min(10⁶, 10⁶·den div num), and the BH
+    step-up p_(i)·m ≤ α·i — no erf, no floats, the oracle replays
+    every branch bit-for-bit.  ONE data shuffle (the (segment, value)
+    pair-count agg, pinned + released on materialize); BH windows run
+    on the 25-row frame."""
+    c = _rb(_t(spark, sf_dir, "customer")).withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    ).withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+    return D.materialize_release(
+        R.mannwhitney_bh_scan(
+            c, "c_nationkey", "cents",
+            alpha_ppm=50_000, bin_width=1_000_000,
+        )
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -12375,6 +12543,20 @@ _DEMOTED_TO_TAIL = [
     # ---- next round; thirty-one r5/r7-vintage seats remain.
     "agg_correlation_matrix",
     "window_moving_avg_7d",
+    # ---- round-13 seventh rotation: drift_chi2_priority (r5-vintage
+    # ---- re-validation seat) yields to the NEW oracled
+    # ---- agg_cramers_v_matrix, whose per-pair blocks recompute the
+    # ---- same chi-square contingency device in-window every round
+    # ---- (V IS the normalized chi² — the generalization seat covers
+    # ---- the specialization's plan shape); re-seats next round.
+    "drift_chi2_priority",
+    # ---- round-13 eighth rotation: events_anomaly_weekday (r7-vintage
+    # ---- re-validation seat) yields to the NEW oracled
+    # ---- drift_segment_bh_scan — the multiple-testing-corrected
+    # ---- generalization of exactly its per-group anomaly-z device
+    # ---- (and the five seated ts_* entries keep the daily-frame
+    # ---- window shapes covered); re-seats next round.
+    "events_anomaly_weekday",
     # ---- round-13 fifth rotation: sim_kcenter_coreset and
     # ---- link_sorted_neighborhood rest on their fresh r12 greens,
     # ---- yielding seats to the NEW oracled agg_kendall_tau /

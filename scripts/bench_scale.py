@@ -137,6 +137,11 @@ TOP = [
     "agg_kendall_tau",
     "agg_gini_customer_revenue",
     "agg_hhi_supplier_nation",
+    # round-13 fifth wave: the shared-pool one-vs-rest rank scan (one
+    # pair-count shuffle for ALL segments) and the Mann-Kendall daily
+    # sign self-join (calendar-bounded, corpus-size-independent)
+    "drift_mannwhitney_by_segment",
+    "ts_mann_kendall",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in

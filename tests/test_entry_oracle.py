@@ -188,12 +188,19 @@ def test_driver_window_is_all_oracled():
         "scan_unpivot_metrics",
         "agg_equidepth_histogram", "layout_zorder_stats",
         "rule_candidate_keys", "text_langid_confusion",
-        "dim_scd2_user_state", "drift_chi2_priority", "rule_key_gaps",
+        # (drift_chi2_priority yielded its re-validation seat to the
+        # NEW oracled agg_cramers_v_matrix — the V blocks recompute the
+        # chi-square contingency device, see _DEMOTED_TO_TAIL.)
+        "dim_scd2_user_state", "rule_key_gaps",
         "join_range_binned",
         "multimodal_features", "streaming_sessionize_stateful",
         "agg_trimmed_mean_udaf", "rule_functional_dependency",
         "rule_order_totals_reconcile", "sample_hash_split",
-        "profile_join_cardinality", "events_anomaly_weekday",
+        # (events_anomaly_weekday yielded its re-validation seat to
+        # the NEW oracled drift_segment_bh_scan — the FDR-controlled
+        # generalization of its per-group anomaly-z device, see
+        # _DEMOTED_TO_TAIL.)
+        "profile_join_cardinality",
         "corpus_mixture_quality", "profile_mutual_information",
         "streaming_exactly_once_sink", "validation_summary_lineitem",
         "profile_key_skew", "join_asof_forward", "text_bpe_encode",
@@ -223,6 +230,7 @@ def test_driver_window_is_all_oracled():
         "agg_kendall_tau", "ts_xcorr_daily",
         # round-13 fifth wave
         "drift_mannwhitney_by_segment", "ts_mann_kendall",
+        "agg_cramers_v_matrix", "drift_segment_bh_scan",
     ]:
         assert required in window, required
 

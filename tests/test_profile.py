@@ -572,3 +572,81 @@ def test_kendall_tau_b_matches_bruteforce(spark):
     }
     for g, (xs, ys) in by_g.items():
         assert got[g] == ref(xs, ys), g
+
+
+def test_cramers_v_matrix_matches_contingency_reference(spark):
+    """Every pair row equals a plain-Python chi2 (same truncating-div
+    ppm identity), a derived column hits V == 1, a constant column
+    ships chi2_ppm == 0 with NULL V, NULLs are pairwise-deleted, and
+    <2 columns raises."""
+    import random
+    from collections import Counter
+
+    import pytest
+
+    from big_data_validator_spark.operators.profile import cramers_v_matrix
+
+    rng = random.Random(67)
+    rows = []
+    for _ in range(300):
+        a = rng.choice("pqr")
+        b = rng.choice("uvwx")
+        rows.append((a, b, a.upper(), "const"))
+    rows.append((None, "u", None, "const"))     # null a: dropped in a-pairs
+    rows.append(("p", None, "P", "const"))      # null b: dropped in b-pairs
+    df = spark.createDataFrame(
+        rows, "a string, b string, a_dup string, k string"
+    )
+    got = {
+        (r["col_x"], r["col_y"]): r
+        for r in cramers_v_matrix(df, ["a", "b", "a_dup", "k"]).collect()
+    }
+    assert len(got) == 6
+
+    def ref(pairs):
+        cells = Counter(pairs)
+        n = sum(cells.values())
+        ra = Counter()
+        cb = Counter()
+        for (x, y), o in cells.items():
+            ra[x] += o
+            cb[y] += o
+        chi2ppm = sum(
+            (o * o * n * 1_000_000) // (ra[x] * cb[y])
+            for (x, y), o in cells.items()
+        ) - n * 1_000_000
+        r, c = len(ra), len(cb)
+        v = (
+            round((chi2ppm / 1e6 / (n * (min(r, c) - 1))) ** 0.5, 6)
+            if n > 0 and min(r, c) > 1
+            else None
+        )
+        return n, r, c, chi2ppm, v
+
+    clean = [t for t in rows]
+    for cx, cy in [("a", "b"), ("a", "a_dup"), ("a", "k"),
+                   ("b", "a_dup"), ("b", "k"), ("a_dup", "k")]:
+        idx = {"a": 0, "b": 1, "a_dup": 2, "k": 3}
+        pairs = [
+            (t[idx[cx]], t[idx[cy]])
+            for t in clean
+            if t[idx[cx]] is not None and t[idx[cy]] is not None
+        ]
+        n, r, c, chi2ppm, v = ref(pairs)
+        g = got[(cx, cy)]
+        assert (g["n_rows"], g["x_levels"], g["y_levels"]) == (n, r, c), (
+            cx, cy, g,
+        )
+        assert g["chi2_ppm"] == chi2ppm, (cx, cy, g["chi2_ppm"], chi2ppm)
+        if v is None:
+            assert g["cramers_v"] is None
+        else:
+            assert abs(g["cramers_v"] - v) < 1e-9, (cx, cy, g, v)
+    # the derived column is perfectly associated (same level count)
+    assert got[("a", "a_dup")]["cramers_v"] == 1.0
+    # the constant column: zero chi2, NULL V
+    assert got[("a", "k")]["chi2_ppm"] == 0
+    assert got[("a", "k")]["cramers_v"] is None
+
+    with pytest.raises(ValueError, match="at least 2"):
+        cramers_v_matrix(df, ["a"])

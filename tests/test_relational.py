@@ -1308,3 +1308,87 @@ def test_cramer_von_mises_matches_rank_reference(spark):
     )
     with pytest.raises(ValueError, match="positive"):
         cramer_von_mises(a, b, "v", bin_width=0)
+
+
+def test_mannwhitney_bh_scan_matches_python_reference(spark):
+    """p_cheby_ppm equals the exact integer Chebyshev identity and the
+    BH step-up rejects exactly the reference set: a planted strongly
+    shifted segment is rejected, null segments are excluded, a
+    degenerate all-tied pool ships NULL p/rank/reject, and the
+    alpha_ppm guard raises."""
+    import random
+    from collections import Counter
+
+    import pytest
+
+    rng = random.Random(83)
+    rows = [(f"s{i % 8}", rng.randrange(0, 40)) for i in range(800)]
+    # 100 fully separated rows: Chebyshev z^2 ~ 3*ng*nr/(N+1) ~ 266,
+    # p ~ 3759 ppm, so p*m = 33831 <= 50000*1 — rejected at rank 1
+    # (60 rows would give p ~ 5988 and just MISS the conservative
+    # bound — Chebyshev needs a stronger effect than a normal test)
+    rows += [("hot", rng.randrange(200, 240)) for _ in range(100)]
+    df = spark.createDataFrame(rows, "seg string, v long")
+    got = {
+        r["segment"]: r
+        for r in R.mannwhitney_bh_scan(
+            df, "seg", "v", alpha_ppm=50_000, bin_width=16
+        ).collect()
+    }
+
+    # ---- python reference -------------------------------------------
+    clean = rows
+    pool = Counter(v for _, v in clean)
+    N = sum(pool.values())
+    T = sum(t**3 - t for t in pool.values())
+    below = {}
+    c = 0
+    for v in sorted(pool):
+        below[v] = c
+        c += pool[v]
+    stats = {}
+    for seg in {g for g, _ in clean}:
+        vals = [v for g, v in clean if g == seg]
+        ng, nr = len(vals), N - len(vals)
+        r2 = sum(2 * below[v] + pool[v] + 1 for v in vals)
+        u2 = r2 - ng * (ng + 1)
+        d = u2 - ng * nr
+        num = 3 * d * d * N * (N - 1)
+        den = ng * nr * (N * (N - 1) * (N + 1) - T)
+        if den <= 0:
+            p = None
+        elif d == 0 or den >= num:
+            p = 1_000_000
+        else:
+            p = (1_000_000 * den) // num
+        stats[seg] = (ng, nr, u2, p)
+    tested = sorted(
+        ((p, seg) for seg, (_, _, _, p) in stats.items() if p is not None)
+    )
+    m = len(tested)
+    k = max(
+        (i for i, (p, _) in enumerate(tested, 1) if p * m <= 50_000 * i),
+        default=0,
+    )
+    rejected = {seg for _, seg in tested[:k]}
+
+    assert set(got) == set(stats)
+    for seg, (ng, nr, u2, p) in stats.items():
+        g = got[seg]
+        assert (g["n_seg"], g["n_rest"], g["u_seg_x2"]) == (ng, nr, u2)
+        assert g["p_cheby_ppm"] == p, (seg, g["p_cheby_ppm"], p)
+        assert g["bh_reject"] == (seg in rejected), (seg, g)
+    assert got["hot"]["bh_reject"] is True
+    assert sum(1 for g in got.values() if g["bh_reject"]) == len(rejected)
+    # ranks are a permutation of 1..m over tested segments
+    assert sorted(g["p_rank"] for g in got.values()) == list(range(1, m + 1))
+
+    # degenerate all-tied pool -> NULL p everywhere
+    flat = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("a", 5)], "seg string, v long"
+    )
+    for g in R.mannwhitney_bh_scan(flat, "seg", "v").collect():
+        assert g["p_cheby_ppm"] is None and g["bh_reject"] is None
+
+    with pytest.raises(ValueError, match="alpha_ppm"):
+        R.mannwhitney_bh_scan(df, "seg", "v", alpha_ppm=0)
