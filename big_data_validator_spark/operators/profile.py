@@ -1235,16 +1235,20 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     round-6.  Overflow bound: o²·n·10⁶ < n³·10⁶ needs n < ~2·10¹⁰
     rows per pair — DECIMAL(38,0)-safe on any realistic table.
 
-    Scale shape: ONE data shuffle per pair (the contingency agg —
-    map-side combined, the shuffle carries |X|·|Y| cells, not rows);
-    marginals and totals are aggregates of the tiny cell frame joined
-    back broadcast.  Built for LOW-CARDINALITY columns (bucket dense
-    ones first with the equidepth device).  Rows with a NULL in
-    either column of a pair are excluded from that pair (pairwise
-    deletion, the Pearson-matrix convention).  Returns one row per
-    pair ``(col_x, col_y, n_rows, x_levels, y_levels, chi2_ppm,
-    cramers_v)``; V is NULL when either column is constant or the
-    pair frame is empty.
+    Scale shape: ONE corpus scan and ONE data shuffle per pair (the
+    contingency agg — map-side combined, the shuffle carries |X|·|Y|
+    cells, not rows); marginals are WINDOW sums over the tiny
+    post-shuffle cell frame — no joins, no re-aggregation, so nothing
+    re-reads the source (the first cut derived marginals from the
+    cell frame's lineage and the plan audit showed every marginal
+    re-scanning the corpus: 24 scans for 3 pairs).  The deliberately
+    global windows run on the cell frame only — built for
+    LOW-CARDINALITY columns (bucket dense ones first with the
+    equidepth device).  Rows with a NULL in either column of a pair
+    are excluded from that pair (pairwise deletion, the
+    Pearson-matrix convention).  Returns one row per pair ``(col_x,
+    col_y, n_rows, x_levels, y_levels, chi2_ppm, cramers_v)``; V is
+    NULL when either column is constant or the pair frame is empty.
     """
     if len(cols) < 2:
         raise ValueError(f"need at least 2 columns, got {len(cols)}")
@@ -1262,34 +1266,32 @@ def cramers_v_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                 )
                 .agg(F.count(F.lit(1)).cast(dec).alias("_o"))
             )
-            ra = cells.groupBy("_x").agg(F.sum("_o").alias("_ra"))
-            cb = cells.groupBy("_y").agg(F.sum("_o").alias("_cb"))
-            tot = cells.agg(
-                F.sum("_o").alias("_n"),
-                F.count_distinct(F.col("_x")).cast(dec).alias("_r"),
-                F.count_distinct(F.col("_y")).cast(dec).alias("_c"),
+            wx = Window.partitionBy("_x")
+            wy = Window.partitionBy("_y")
+            wall = Window.partitionBy()
+            enriched = cells.select(
+                "_x",
+                "_y",
+                "_o",
+                F.sum("_o").over(wx).alias("_ra"),
+                F.sum("_o").over(wy).alias("_cb"),
+                F.sum("_o").over(wall).alias("_n"),
             )
-            terms = (
-                cells.join(F.broadcast(ra), "_x")
-                .join(F.broadcast(cb), "_y")
-                .crossJoin(F.broadcast(tot))
-                .select(
-                    F.expr(
-                        "(_o * _o * _n * 1000000) div (_ra * _cb)"
-                    ).alias("_t"),
-                    "_n",
-                    "_r",
-                    "_c",
-                )
-            )
-            agg = terms.agg(
+            agg = enriched.select(
+                F.expr(
+                    "(_o * _o * _n * 1000000) div (_ra * _cb)"
+                ).alias("_t"),
+                "_x",
+                "_y",
+                "_n",
+            ).agg(
                 (
                     F.sum("_t")
-                    - F.first("_n") * F.lit(1_000_000).cast(dec)
+                    - F.max("_n") * F.lit(1_000_000).cast(dec)
                 ).alias("_chi2ppm"),
-                F.first("_n").alias("_n"),
-                F.first("_r").alias("_r"),
-                F.first("_c").alias("_c"),
+                F.max("_n").alias("_n"),
+                F.count_distinct(F.col("_x")).cast(dec).alias("_r"),
+                F.count_distinct(F.col("_y")).cast(dec).alias("_c"),
             )
             mins = F.when(F.col("_r") < F.col("_c"), F.col("_r")).otherwise(
                 F.col("_c")

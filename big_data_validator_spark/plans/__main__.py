@@ -226,6 +226,15 @@ PLAN_QUERIES = [
     "ts_runs_test",
     "ts_xcorr_daily",
     "agg_hhi_supplier_nation",
+    # round-13 fifth/sixth waves: the Cramér's V matrix is the lazy
+    # one (one contingency shuffle per pair, broadcast marginal joins
+    # on the cell frames, three-arm union).  The one-vs-rest segment
+    # scans (drift_mannwhitney_by_segment, drift_segment_bh_scan) and
+    # ts_mann_kendall materialize eagerly through materialize_release
+    # — their one-data-shuffle pair-count / daily-frame shapes are
+    # pinned by block-width invariance and brute-force parity in
+    # tests/test_relational.py and tests/test_timeseries.py.
+    "agg_cramers_v_matrix",
 ]
 
 
