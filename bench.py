@@ -271,6 +271,7 @@ HEADLINE = [
     "ts_mann_kendall",
     "agg_cramers_v_matrix",
     "drift_segment_bh_scan",
+    "ts_ols_trend",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

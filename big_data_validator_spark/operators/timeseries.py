@@ -1142,3 +1142,99 @@ def mann_kendall_trend(
     )
     out._bdv_pinned = [daily]
     return out
+
+
+def ols_trend_by_group(
+    df: DataFrame,
+    group_col: str,
+    date_col: str,
+    value_col: str,
+    value_scale: int = 100,
+) -> DataFrame:
+    """Per-group ORDINARY-LEAST-SQUARES daily trend — the classical
+    fit completing the family's trend question (:func:`theilsen_trend`
+    gives the outlier-robust slope, :func:`mann_kendall_trend` the
+    distribution-free significance; OLS gives the textbook slope,
+    level, and the R² goodness-of-fit that says how much of the
+    series the line actually explains): every group's daily series
+    reduced to six exact moment sums, so the whole scan is TWO hash
+    aggregations — no windows over data, no joins, embarrassingly
+    parallel across groups.
+
+    Exactness contract: with day index ``x`` centered per group to
+    ``0..n−1`` (keeps products small: uncentered epoch days push the
+    R² numerator² past DECIMAL(38,0)) and per-day cents ``y``, the
+    moments ``n, Σx, Σy, Σxy, Σx², Σy²`` are exact DECIMAL(38,0);
+    ``slope_micro = (10⁶·(nΣxy − ΣxΣy)) div (nΣx² − (Σx)²)`` and
+    ``intercept_micro = (10⁶·(ΣyΣx² − ΣxΣxy)) div (nΣx² − (Σx)²)``
+    are exact truncating-div integers (micro-cents/day and
+    micro-cents; Spark ``div`` == DuckDB ``//`` on both signs).  R²
+    = num²/(den·(nΣy² − (Σy)²)) is the only float (round-6, from
+    exact integer inputs — the num² product is why it cannot stay
+    integral at DECIMAL(38,0)).
+
+    Scale shape: ONE data shuffle (the (group, day) cents agg); the
+    per-group day index comes from one window over the calendar-
+    bounded daily frame and the moments from a second tiny hash agg.
+    Returns one row per group ``(group, n_days, slope_micro,
+    intercept_micro, r2)``; groups with <2 days (or a degenerate
+    x-variance) ship NULL slope/intercept/R².
+    """
+    daily = (
+        df.groupBy(
+            F.col(group_col).alias("_g"),
+            F.col(date_col).cast("date").alias("_d"),
+        )
+        .agg(
+            F.round(F.sum(value_col) * value_scale)
+            .cast("decimal(38,0)")
+            .alias("_y")
+        )
+    )
+    wg = Window.partitionBy("_g").orderBy("_d")
+    dec = "decimal(38,0)"
+    indexed = daily.select(
+        "_g",
+        (F.row_number().over(wg) - 1).cast(dec).alias("_x"),
+        "_y",
+    )
+    m = indexed.groupBy("_g").agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.expr("_x * _y")).alias("_sxy"),
+        F.sum(F.expr("_x * _x")).alias("_sxx"),
+        F.sum(F.expr("_y * _y")).alias("_syy"),
+    )
+    num = F.expr("_n * _sxy - _sx * _sy")
+    den = F.expr("_n * _sxx - _sx * _sx")
+    vy = F.expr("_n * _syy - _sy * _sy")
+    return m.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_days"),
+        F.when(
+            den > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (_n * _sxy - _sx * _sy))"
+                " div (_n * _sxx - _sx * _sx) AS BIGINT)"
+            ),
+        ).alias("slope_micro"),
+        F.when(
+            den > 0,
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (_sy * _sxx - _sx * _sxy))"
+                " div (_n * _sxx - _sx * _sx) AS BIGINT)"
+            ),
+        ).alias("intercept_micro"),
+        F.when(
+            (den > 0) & (vy > 0),
+            F.round(
+                num.cast("double")
+                * num.cast("double")
+                / (den.cast("double") * vy.cast("double")),
+                6,
+            ),
+        ).alias("r2"),
+    )

@@ -12510,6 +12510,69 @@ def drift_segment_bh_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS d,
+             CAST(ROUND(CAST(SUM(o_totalprice) AS DOUBLE) * 100)
+                  AS HUGEINT) AS y
+      FROM orders GROUP BY 1, 2),
+    idx AS (
+      SELECT g,
+             CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) - 1
+                  AS HUGEINT) AS x,
+             y
+      FROM daily),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM idx GROUP BY 1)
+    SELECT g AS o_orderpriority,
+           CAST(n AS BIGINT) AS n_days,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             CAST((1000000 * (n * sxy - sx * sy))
+                  // (n * sxx - sx * sx) AS BIGINT) END AS slope_micro,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             CAST((1000000 * (sy * sxx - sx * sxy))
+                  // (n * sxx - sx * sx) AS BIGINT) END
+             AS intercept_micro,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND n * syy - sy * sy > 0 THEN
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                   * CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+           END AS r2
+    FROM m ORDER BY 1
+    """,
+)
+def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS daily revenue trend
+    (operators/timeseries.py: ols_trend_by_group) — the classical fit
+    completing the trend family's question set (ts_theilsen_trend:
+    robust slope; ts_mann_kendall: distribution-free significance;
+    OLS: textbook slope + level + the R² that says how much of the
+    series the line explains).  Each group's daily series reduces to
+    six exact DECIMAL(38,0) moment sums with the day index centered
+    per group (0..n−1 — uncentered epoch days push num² past
+    DECIMAL(38,0)); slope and intercept ship as exact truncating-div
+    micro units (Spark div == DuckDB //), R² the only float
+    (round-6).  ONE data shuffle (the (group, day) cents agg), one
+    calendar-bounded window for the index, one tiny moments agg — no
+    joins, embarrassingly parallel across groups."""
+    from big_data_validator_spark.operators.timeseries import (
+        ols_trend_by_group,
+    )
+
+    o = _rb(_t(spark, sf_dir, "orders"))
+    return ols_trend_by_group(
+        o, "o_orderpriority", "o_orderdate", "o_totalprice",
+        value_scale=100,
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -12557,6 +12620,12 @@ _DEMOTED_TO_TAIL = [
     # ---- (and the five seated ts_* entries keep the daily-frame
     # ---- window shapes covered); re-seats next round.
     "events_anomaly_weekday",
+    # ---- round-13 ninth rotation: scan_unpivot_metrics (r5-vintage
+    # ---- re-validation seat) yields to the NEW oracled ts_ols_trend
+    # ---- — its stack()/unpivot device is recomputed in-window every
+    # ---- round by the seated ts_xcorr_daily (per-lag stack rows);
+    # ---- re-seats next round.
+    "scan_unpivot_metrics",
     # ---- round-13 fifth rotation: sim_kcenter_coreset and
     # ---- link_sorted_neighborhood rest on their fresh r12 greens,
     # ---- yielding seats to the NEW oracled agg_kendall_tau /

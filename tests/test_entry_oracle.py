@@ -185,7 +185,9 @@ def test_driver_window_is_all_oracled():
         # _DEMOTED_TO_TAIL.)
         "scan_orc", "scan_parquet_evolving", "agg_hll_mergeable",
         "emb_centroid_by_label",
-        "scan_unpivot_metrics",
+        # (scan_unpivot_metrics yielded its re-validation seat to the
+        # NEW oracled ts_ols_trend — its stack device is recomputed
+        # in-window by ts_xcorr_daily, see _DEMOTED_TO_TAIL.)
         "agg_equidepth_histogram", "layout_zorder_stats",
         "rule_candidate_keys", "text_langid_confusion",
         # (drift_chi2_priority yielded its re-validation seat to the
@@ -231,6 +233,7 @@ def test_driver_window_is_all_oracled():
         # round-13 fifth wave
         "drift_mannwhitney_by_segment", "ts_mann_kendall",
         "agg_cramers_v_matrix", "drift_segment_bh_scan",
+        "ts_ols_trend",
     ]:
         assert required in window, required
 

@@ -878,3 +878,66 @@ def test_mann_kendall_matches_bruteforce_with_ties_and_edges(spark):
     empty = spark.createDataFrame([], "d date, v double")
     g0 = mann_kendall_trend(empty, "d", "v").first()
     assert (g0["n_days"], g0["s_stat"], g0["z"]) == (0, 0, None)
+
+
+def test_ols_trend_by_group_matches_python_reference(spark):
+    """slope_micro/intercept_micro equal the exact truncating-div
+    closed form and r2 the float ratio, per group, on tied noisy
+    series; a perfect line gives exact slope and r2 == 1; a one-day
+    group ships NULLs."""
+    import datetime
+    import random
+
+    from big_data_validator_spark.operators.timeseries import (
+        ols_trend_by_group,
+    )
+
+    base = datetime.date(2024, 3, 1)
+    rng = random.Random(101)
+    rows = []
+    series = {
+        "a": [5.0 + 0.37 * i + rng.random() for i in range(50)],
+        "b": [100.0 - 1.25 * i for i in range(30)],      # exact line
+        "c": [7.5],                                       # one day
+    }
+    for g, vals in series.items():
+        for i, v in enumerate(vals):
+            # split each day across two rows to exercise the daily agg
+            rows.append((g, base + datetime.timedelta(days=i), v / 4))
+            rows.append((g, base + datetime.timedelta(days=i), 3 * v / 4))
+    df = spark.createDataFrame(rows, "g string, d date, v double")
+    got = {r["g"]: r for r in ols_trend_by_group(df, "g", "d", "v").collect()}
+
+    def ref(vals):
+        ys = [round(v * 100) for v in vals]
+        n = len(ys)
+        xs = list(range(n))
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num, den, vy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        if den <= 0:
+            return n, None, None, None
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+        slope = tdiv(1_000_000 * num, den)
+        intercept = tdiv(1_000_000 * (sy * sxx - sx * sxy), den)
+        r2 = round(num * num / (den * vy), 6) if vy > 0 else None
+        return n, slope, intercept, r2
+
+    for g, vals in series.items():
+        n, slope, intercept, r2 = ref(vals)
+        r = got[g]
+        assert r["n_days"] == n, (g, r)
+        assert r["slope_micro"] == slope, (g, r["slope_micro"], slope)
+        assert r["intercept_micro"] == intercept, (g, r)
+        if r2 is None:
+            assert r["r2"] is None
+        else:
+            assert abs(r["r2"] - r2) < 1e-9, (g, r["r2"], r2)
+    # the exact line: slope -1.25/day in micro-cents = -125 * 1e6 micro
+    assert got["b"]["slope_micro"] == -125_000_000
+    assert got["b"]["r2"] == 1.0
+    assert got["c"]["slope_micro"] is None and got["c"]["r2"] is None
