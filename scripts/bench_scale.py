@@ -142,6 +142,14 @@ TOP = [
     # sign self-join (calendar-bounded, corpus-size-independent)
     "drift_mannwhitney_by_segment",
     "ts_mann_kendall",
+    # round-13 sixth/seventh waves (landed after this round's full
+    # dual-scale run; measured via the supplementary ONLY merge): the
+    # Cramér's V one-scan-per-pair claim, the BH scan (same shared-pool
+    # shape as drift_mannwhitney_by_segment plus |G|-row windows), and
+    # the OLS moments scan (one shuffle, no joins)
+    "agg_cramers_v_matrix",
+    "drift_segment_bh_scan",
+    "ts_ols_trend",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
@@ -184,6 +192,20 @@ registry = all_queries()
 # run interleaved in one session so numerator and denominator see the
 # same host.
 REF_DIR = os.environ.get("SPARK_GRAFT_SCALE_REF", "/root/testdata/sf0.1")
+#: Supplementary mode (SPARK_GRAFT_SCALE_ONLY="a,b,c"): measure only the
+#: named TOP entries — the late-wave case where a few entries land after
+#: the round's full dual-scale run — and MERGE their rows into the
+#: existing BENCH_SCALE.json instead of overwriting the whole record.
+#: Each entry's sf0.1 reference is still timed in the SAME session, so
+#: its ratio keeps the methodology; the merge is recorded in the note.
+ONLY = [
+    n for n in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if n
+]
+if ONLY:
+    unknown = [n for n in ONLY if n not in TOP]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_SCALE_ONLY not in TOP: {unknown}")
+    TOP = ONLY
 samples = {n: [] for n in TOP}
 ref_samples = {n: [] for n in TOP}
 for timed in [False, True, True, True]:
@@ -231,6 +253,20 @@ out = {
              "pass; sf0.1 reference timed in the SAME session so the "
              "10x-data ratio is host-noise-free"),
 }
+if ONLY:
+    with open("/root/repo/BENCH_SCALE.json") as fh:
+        prev = json.load(fh)
+    for key in ("queries", "queries_min", "queries_sf01_same_session",
+                "ratio_vs_sf01", "sample_spread"):
+        prev[key].update(out[key])
+    prev["value"] = round(sum(prev["queries"].values()), 3)
+    prev["value_sf01"] = round(
+        sum(prev["queries_sf01_same_session"].values()), 3
+    )
+    prev["note"] = prev["note"] + (
+        "; supplementary same-session run merged for: " + ", ".join(ONLY)
+    )
+    out = prev
 with open("/root/repo/BENCH_SCALE.json", "w") as fh:
     json.dump(out, fh, indent=1)
 print(json.dumps({k: v for k, v in out.items()
