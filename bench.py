@@ -272,6 +272,7 @@ HEADLINE = [
     "agg_cramers_v_matrix",
     "drift_segment_bh_scan",
     "ts_ols_trend",
+    "rule_mcnemar_disagreement",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

@@ -2444,3 +2444,81 @@ def wasserstein_by_group(
             F.first("_n_b").alias("n_b"),
         )
     )
+
+
+def mcnemar_paired_rules(
+    df: DataFrame,
+    rule_a: Column,
+    rule_b: Column,
+) -> DataFrame:
+    """McNEMAR's test of PAIRED rule disagreement — the marginal-
+    homogeneity member completing the association suite (chi²/V ask
+    "are two columns independent"; McNemar asks the question a
+    validator actually has when it ships rule v2 beside rule v1: on
+    the SAME rows, are the disagreements symmetric — v1-only flips ≈
+    v2-only flips — or does the new rule systematically flag a
+    different population?).  Only the discordant cells carry
+    information: ``X² = (b − c)²/(b + c)`` over b = only-A rows and
+    c = only-B rows.
+
+    Exactness contract: one conditional aggregation emits the 2×2
+    table as exact longs and both statistics as exact truncating-div
+    ppm integers — ``mcnemar_x2_ppm = ((b−c)²·10⁶) div (b+c)`` and
+    the Edwards continuity-corrected ``mcnemar_cc_x2_ppm =
+    ((|b−c|−1)²·10⁶) div (b+c)`` (0 when |b−c| ≤ 1, the standard
+    clamp) — plus ``only_a_share_ppm``, the discordance asymmetry a
+    dashboard actually plots.  No floats anywhere.
+
+    Scale shape: ONE scan, ONE conditional aggregation, no shuffle
+    beyond the final single-row reduce — the cheapest possible test.
+    Rows where EITHER rule evaluates NULL are excluded (a rule that
+    cannot evaluate casts no verdict); both statistics NULL when
+    b + c = 0 (no disagreement — nothing to test).  Returns one row
+    ``(n_rows, both, only_a, only_b, neither, mcnemar_x2_ppm,
+    mcnemar_cc_x2_ppm, only_a_share_ppm)``.
+    """
+    a = rule_a
+    b = rule_b
+    ok = a.isNotNull() & b.isNotNull()
+    agg = df.agg(
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_rows"),
+        F.sum(F.when(ok & a & b, 1).otherwise(0))
+        .cast("long")
+        .alias("both"),
+        F.sum(F.when(ok & a & ~b, 1).otherwise(0))
+        .cast("long")
+        .alias("only_a"),
+        F.sum(F.when(ok & ~a & b, 1).otherwise(0))
+        .cast("long")
+        .alias("only_b"),
+        F.sum(F.when(ok & ~a & ~b, 1).otherwise(0))
+        .cast("long")
+        .alias("neither"),
+    )
+    disc_sql = (
+        "(CAST(only_a AS DECIMAL(38,0)) + only_b)"
+    )
+    diff_sql = "(CAST(only_a AS DECIMAL(38,0)) - only_b)"
+    return agg.select(
+        "n_rows",
+        "both",
+        "only_a",
+        "only_b",
+        "neither",
+        F.expr(
+            f"CASE WHEN {disc_sql} > 0 THEN "
+            f"CAST(({diff_sql} * {diff_sql} * 1000000)"
+            f" div {disc_sql} AS BIGINT) END"
+        ).alias("mcnemar_x2_ppm"),
+        F.expr(
+            f"CASE WHEN {disc_sql} > 0 THEN "
+            f"CASE WHEN abs({diff_sql}) <= 1 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(((abs({diff_sql}) - 1) * (abs({diff_sql}) - 1)"
+            f" * 1000000) div {disc_sql} AS BIGINT) END END"
+        ).alias("mcnemar_cc_x2_ppm"),
+        F.expr(
+            f"CASE WHEN {disc_sql} > 0 THEN "
+            f"CAST((CAST(only_a AS DECIMAL(38,0)) * 1000000)"
+            f" div {disc_sql} AS BIGINT) END"
+        ).alias("only_a_share_ppm"),
+    )

@@ -12573,6 +12573,70 @@ def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rule_mcnemar_disagreement",
+    oracle="""
+    WITH base AS (
+      SELECT l_extendedprice >= 50000 AS a, l_quantity >= 40 AS b
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS "both",
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS only_a,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS only_b,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS neither
+      FROM base)
+    SELECT n_rows, "both", only_a, only_b, neither,
+           CASE WHEN only_a + only_b > 0 THEN
+             CAST((CAST(only_a - only_b AS HUGEINT)
+                   * (only_a - only_b) * 1000000)
+                  // (only_a + only_b) AS BIGINT) END
+             AS mcnemar_x2_ppm,
+           CASE WHEN only_a + only_b > 0 THEN
+             CASE WHEN abs(only_a - only_b) <= 1
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(((CAST(abs(only_a - only_b) AS HUGEINT)
+                              - 1)
+                             * (abs(only_a - only_b) - 1) * 1000000)
+                            // (only_a + only_b) AS BIGINT) END END
+             AS mcnemar_cc_x2_ppm,
+           CASE WHEN only_a + only_b > 0 THEN
+             CAST((CAST(only_a AS HUGEINT) * 1000000)
+                  // (only_a + only_b) AS BIGINT) END
+             AS only_a_share_ppm
+    FROM t
+    """,
+)
+def rule_mcnemar_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR paired-rule disagreement between two "large line" rule
+    versions — value-based (l_extendedprice ≥ 50000) vs volume-based
+    (l_quantity ≥ 40) — on the SAME rows (operators/relational.py:
+    mcnemar_paired_rules): the marginal-homogeneity question a
+    validator has when it ships rule v2 beside v1 (are the
+    disagreements symmetric, or does the new rule systematically flag
+    a different population?), which the independence-oriented chi²/V
+    tests don't answer.  Only the discordant cells carry information;
+    the 2×2 table and both X² statistics (plain + Edwards continuity
+    correction) ship as exact truncating-div ppm integers — no floats
+    anywhere, the oracle replays every branch.  ONE scan, ONE
+    conditional aggregation, no shuffle beyond the single-row
+    reduce."""
+    li = _rb(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_quantity").isNotNull()
+    )
+    return R.mcnemar_paired_rules(
+        li,
+        F.col("l_extendedprice") >= 50000,
+        F.col("l_quantity") >= 40,
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -12626,6 +12690,14 @@ _DEMOTED_TO_TAIL = [
     # ---- round by the seated ts_xcorr_daily (per-lag stack rows);
     # ---- re-seats next round.
     "scan_unpivot_metrics",
+    # ---- round-13 tenth rotation: agg_equidepth_histogram
+    # ---- (r5-vintage re-validation seat) yields to the NEW oracled
+    # ---- rule_mcnemar_disagreement — the equidepth per-value-counts
+    # ---- + block-prefix cumulative device is recomputed in-window
+    # ---- every round by the seated agg_gini_customer_revenue (the
+    # ---- same mannwhitney block device over the same counts frame);
+    # ---- re-seats next round.
+    "agg_equidepth_histogram",
     # ---- round-13 fifth rotation: sim_kcenter_coreset and
     # ---- link_sorted_neighborhood rest on their fresh r12 greens,
     # ---- yielding seats to the NEW oracled agg_kendall_tau /

@@ -188,7 +188,11 @@ def test_driver_window_is_all_oracled():
         # (scan_unpivot_metrics yielded its re-validation seat to the
         # NEW oracled ts_ols_trend — its stack device is recomputed
         # in-window by ts_xcorr_daily, see _DEMOTED_TO_TAIL.)
-        "agg_equidepth_histogram", "layout_zorder_stats",
+        # (agg_equidepth_histogram yielded its re-validation seat to
+        # the NEW oracled rule_mcnemar_disagreement — its counts+block
+        # device is recomputed in-window by agg_gini_customer_revenue,
+        # see _DEMOTED_TO_TAIL.)
+        "layout_zorder_stats",
         "rule_candidate_keys", "text_langid_confusion",
         # (drift_chi2_priority yielded its re-validation seat to the
         # NEW oracled agg_cramers_v_matrix — the V blocks recompute the
@@ -233,7 +237,7 @@ def test_driver_window_is_all_oracled():
         # round-13 fifth wave
         "drift_mannwhitney_by_segment", "ts_mann_kendall",
         "agg_cramers_v_matrix", "drift_segment_bh_scan",
-        "ts_ols_trend",
+        "ts_ols_trend", "rule_mcnemar_disagreement",
     ]:
         assert required in window, required
 

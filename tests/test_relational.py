@@ -1392,3 +1392,39 @@ def test_mannwhitney_bh_scan_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="alpha_ppm"):
         R.mannwhitney_bh_scan(df, "seg", "v", alpha_ppm=0)
+
+
+def test_mcnemar_paired_rules_matches_hand_counts(spark):
+    """The 2x2 table, both ppm statistics and the asymmetry share
+    equal hand-computed exact integers; NULL verdicts are excluded;
+    no-disagreement and |b-c|<=1 edges behave."""
+    rows = (
+        [(True, True)] * 10
+        + [(True, False)] * 7      # only_a
+        + [(False, True)] * 2      # only_b
+        + [(False, False)] * 5
+        + [(None, True), (True, None)]  # excluded
+    )
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = R.mcnemar_paired_rules(df, F.col("a"), F.col("b")).first()
+    assert (r["n_rows"], r["both"], r["only_a"], r["only_b"],
+            r["neither"]) == (24, 10, 7, 2, 5)
+    assert r["mcnemar_x2_ppm"] == ((7 - 2) ** 2 * 1_000_000) // 9
+    assert r["mcnemar_cc_x2_ppm"] == ((5 - 1) ** 2 * 1_000_000) // 9
+    assert r["only_a_share_ppm"] == (7 * 1_000_000) // 9
+
+    # perfect agreement: discordant cells empty -> NULL statistics
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    r2 = R.mcnemar_paired_rules(agree, F.col("a"), F.col("b")).first()
+    assert r2["mcnemar_x2_ppm"] is None and r2["only_a_share_ppm"] is None
+
+    # |b - c| = 1: plain stat positive, continuity-corrected clamps to 0
+    near = spark.createDataFrame(
+        [(True, False), (True, False), (False, True)],
+        "a boolean, b boolean",
+    )
+    r3 = R.mcnemar_paired_rules(near, F.col("a"), F.col("b")).first()
+    assert r3["mcnemar_x2_ppm"] == (1 * 1_000_000) // 3
+    assert r3["mcnemar_cc_x2_ppm"] == 0
