@@ -235,6 +235,12 @@ PLAN_QUERIES = [
     # pinned by block-width invariance and brute-force parity in
     # tests/test_relational.py and tests/test_timeseries.py.
     "agg_cramers_v_matrix",
+    # round-13 seventh/eighth waves, both lazy: the OLS moments scan
+    # (one data shuffle + calendar-bounded index window + tiny moments
+    # agg) and the McNemar conditional aggregation (one scan, no
+    # shuffle beyond the single-row reduce).
+    "ts_ols_trend",
+    "rule_mcnemar_disagreement",
 ]
 
 
