@@ -273,6 +273,7 @@ HEADLINE = [
     "drift_segment_bh_scan",
     "ts_ols_trend",
     "rule_mcnemar_disagreement",
+    "streaming_mannwhitney_drift",
 ]
 
 #: Registry entries deliberately NOT benched, with the reason shipped in

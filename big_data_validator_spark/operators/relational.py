@@ -1334,6 +1334,24 @@ def mannwhitney_u(
     cnts = pooled.groupBy("_v").agg(
         F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
     ).cache()
+    out = mwu_from_value_counts(cnts, bin_width)
+    out._bdv_pinned = [cnts]
+    return out
+
+
+def mwu_from_value_counts(
+    cnts: DataFrame, bin_width: int = 1 << 20
+) -> DataFrame:
+    """The counts→statistic half of :func:`mannwhitney_u`, shared with
+    the streaming drift monitor: given a per-value counts frame
+    ``(_v long, _na, _nb)`` (sample-1 / sample-2 counts at each
+    distinct value), compute the exact doubled-midrank U pair and the
+    tie-corrected z with the same blocked-window device.  The caller
+    owns any caching of ``cnts`` (the batch wrapper pins it; the
+    streaming monitor's per-batch frames are bounded parquet reads
+    and pass through uncached)."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
     keyed = cnts.withColumn(
         "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
     ).withColumn("_t", F.col("_na") + F.col("_nb"))
@@ -1415,7 +1433,6 @@ def mannwhitney_u(
         )
         .select("n_a", "n_b", "u_a_x2", "u_b_x2", "z")
     )
-    out._bdv_pinned = [cnts]
     return out
 
 

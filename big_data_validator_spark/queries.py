@@ -12637,6 +12637,115 @@ def rule_mcnemar_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_mannwhitney_drift",
+    oracle=f"""
+    WITH runs(run_id) AS (VALUES (0), (1), (2), (3)),
+    src AS (
+      SELECT {_DRIFT_RUN_CASE} AS rid,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    ref AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    pooled AS (
+      SELECT r.run_id, s.v, 1 AS ca, 0 AS cb
+      FROM runs r JOIN src s ON s.rid <= r.run_id
+      UNION ALL
+      SELECT r.run_id, e.v, 0 AS ca, 1 AS cb
+      FROM runs r CROSS JOIN ref e),
+    cnts AS (
+      SELECT run_id, v, SUM(ca) AS na, SUM(cb) AS nb
+      FROM pooled GROUP BY 1, 2),
+    ord AS (
+      SELECT run_id, v, na, nb, na + nb AS t,
+             COALESCE(SUM(na + nb) OVER (PARTITION BY run_id ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c
+      FROM cnts),
+    agg AS (
+      SELECT run_id,
+             CAST(SUM(na) AS BIGINT) AS n_a,
+             CAST(SUM(nb) AS BIGINT) AS n_b,
+             SUM(CAST(na AS HUGEINT)
+                 * (2 * CAST(c AS HUGEINT) + t + 1)) AS r2a,
+             SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
+      FROM ord GROUP BY 1),
+    fin AS (
+      SELECT run_id, n_a, n_b, ties,
+             CAST(r2a - CAST(n_a AS HUGEINT)
+                        * (CAST(n_a AS HUGEINT) + 1) AS BIGINT)
+               AS u_a_x2
+      FROM agg),
+    vr AS (
+      SELECT *,
+             CAST(n_a AS DOUBLE) * n_b / 12.0
+             * ((n_a + n_b + 1)
+                - CAST(ties AS DOUBLE)
+                  / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+               AS var
+      FROM fin)
+    SELECT CAST(run_id AS BIGINT) AS run_id, n_a, n_b, u_a_x2,
+           CAST(2 * CAST(n_a AS HUGEINT) * n_b AS BIGINT) - u_a_x2
+             AS u_b_x2,
+           CASE WHEN n_a + n_b > 1 AND var > 0 THEN
+             ROUND((CAST(u_a_x2 AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * n_b)
+                   / (2.0 * SQRT(var)), 6)
+           END AS z
+    FROM vr ORDER BY run_id
+    """,
+)
+def streaming_mannwhitney_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING Mann–Whitney drift monitor, oracle-checked end-to-end
+    (streaming/validate_stream.py: stream_mannwhitney_drift): after
+    every micro-batch the CUMULATIVE stream is rank-tested against the
+    static reference distribution with the exact doubled-midrank U —
+    the rank-based member joining the streaming bench beside the PSI
+    and Markov monitors (no bin edges to tune; a stochastic ordering
+    shift that binned PSI dilutes registers directly in z).  Runs 0/1
+    are uniform samples (|z| small); runs 2/3 stream only the high /
+    only the low half of the value range, dragging the cumulative rank
+    mass visibly.  State is the committed-parquet repository protocol
+    twice over (per-batch count DELTAS + statistic rows, both under
+    the _SUCCESS marker skip; the reference counts materialize once) —
+    no driver state, and the statistic is mwu_from_value_counts, the
+    SAME math as the batch mannwhitney_u, which is what lets DuckDB
+    replay all four cumulative prefixes as one windowed query."""
+    import tempfile
+
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_mannwhitney_drift,
+    )
+
+    src = _drift_stream_source(spark, sf_dir)
+    schema = spark.read.parquet(f"{src}/run0").schema
+    repo = tempfile.mkdtemp(prefix="bdv_mwu_repo_")
+    reference = _t(spark, sf_dir, "events").select("value")
+    with _drain_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*")
+        )
+        q = stream_mannwhitney_drift(
+            stream,
+            reference,
+            value_col="value",
+            repo_path=repo,
+            checkpoint_path=tempfile.mkdtemp(prefix="bdv_ckpt_"),
+            value_scale=100,
+        )
+        q.awaitTermination()
+    return read_metrics_repository(spark, f"{repo}/stats").select(
+        "run_id", "n_a", "n_b", "u_a_x2", "u_b_x2", "z"
+    )
+
+
 # =====================================================================
 # Public API consumed by __spark_entry__.py
 # =====================================================================
@@ -12698,6 +12807,13 @@ _DEMOTED_TO_TAIL = [
     # ---- same mannwhitney block device over the same counts frame);
     # ---- re-seats next round.
     "agg_equidepth_histogram",
+    # ---- round-13 eleventh rotation: streaming_exactly_once_sink
+    # ---- (r7-vintage re-validation seat) yields to the NEW oracled
+    # ---- streaming_mannwhitney_drift — which exercises the SAME
+    # ---- _SUCCESS batch-id commit protocol twice per micro-batch
+    # ---- (count deltas + statistic rows), so the exactly-once device
+    # ---- stays driver-checked in-window; re-seats next round.
+    "streaming_exactly_once_sink",
     # ---- round-13 fifth rotation: sim_kcenter_coreset and
     # ---- link_sorted_neighborhood rest on their fresh r12 greens,
     # ---- yielding seats to the NEW oracled agg_kendall_tau /

@@ -936,3 +936,137 @@ def stream_markov_drift(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_mannwhitney_drift(
+    stream: DataFrame,
+    reference: DataFrame,
+    value_col: str,
+    repo_path: str,
+    checkpoint_path: str,
+    value_scale: int = 100,
+    bin_width: int = 1 << 20,
+    run_col: str = "run_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """STREAMING Mann–Whitney drift monitor: after every micro-batch,
+    the CUMULATIVE stream-so-far is rank-tested against a static
+    reference with the exact doubled-midrank U — the rank-based member
+    joining the streaming drift bench beside :func:`stream_drift_psi`
+    (binned proportions) and :func:`stream_markov_drift`
+    (transitions): U sees a stochastic ordering shift that binned PSI
+    dilutes across bins, is robust to any monotone value transform,
+    and needs no bin-edge tuning.
+
+    State discipline — everything is the committed-parquet repository
+    protocol, no driver state, no caches: the reference's per-value
+    counts are materialized ONCE under ``{repo}/reference`` (skipped
+    when present, so restarts reuse it); each micro-batch appends its
+    per-value count DELTA under ``{repo}/counts/batch_id=N`` and then
+    writes the statistic row under ``{repo}/stats/batch_id=N``, both
+    guarded by the ``_SUCCESS`` marker skip (idempotent replay; a
+    crash between the two writes replays the stats leg from the
+    already-committed counts).  The cumulative counts are the sum of
+    ALL committed deltas — a bounded frame (distinct quantized values,
+    not rows).  The statistic itself is
+    :func:`~big_data_validator_spark.operators.relational
+    .mwu_from_value_counts` — bit-identical math to the batch
+    :func:`mannwhitney_u`, which is what makes the shared oracle
+    possible.  Values quantize to ``round(v·value_scale)`` integer
+    units; NULLs excluded.
+
+    Emits one row per batch ``(run_id, n_a, n_b, u_a_x2, u_b_x2, z)``
+    with ``n_a`` = cumulative stream rows and ``n_b`` = reference
+    rows; read back with
+    ``read_metrics_repository(spark, f"{repo}/stats")``.
+    """
+    from big_data_validator_spark.operators.relational import (
+        mwu_from_value_counts,
+    )
+
+    ref_path = f"{repo_path.rstrip('/')}/reference"
+    spark0 = reference.sparkSession
+    jvm0 = spark0._jvm
+    rp = jvm0.org.apache.hadoop.fs.Path(ref_path)
+    fs0 = rp.getFileSystem(spark0._jsc.hadoopConfiguration())
+    if not fs0.exists(jvm0.org.apache.hadoop.fs.Path(ref_path, "_SUCCESS")):
+        v = F.col(value_col)
+        (
+            reference.filter(v.isNotNull())
+            .select(
+                F.round(v * F.lit(value_scale)).cast("long").alias("_v")
+            )
+            .groupBy("_v")
+            .agg(F.count(F.lit(1)).alias("_nb"))
+            .write.mode("overwrite")
+            .parquet(ref_path)
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+
+        def committed(path: str) -> bool:
+            m = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+            return m.getFileSystem(conf).exists(m)
+
+        counts_dst = f"{repo_path.rstrip('/')}/counts/batch_id={batch_id}"
+        if not committed(counts_dst):
+            v = F.col(value_col)
+            (
+                batch_df.filter(v.isNotNull())
+                .select(
+                    F.round(v * F.lit(value_scale))
+                    .cast("long")
+                    .alias("_v")
+                )
+                .groupBy("_v")
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .write.mode("overwrite")
+                .parquet(counts_dst)
+            )
+        stats_dst = f"{repo_path.rstrip('/')}/stats/batch_id={batch_id}"
+        if committed(stats_dst):
+            return
+        delta_dirs = _committed_batch_dirs(
+            spark, f"{repo_path.rstrip('/')}/counts"
+        )
+        cum = (
+            spark.read.parquet(*delta_dirs)
+            .groupBy("_v")
+            .agg(F.sum("_n").alias("_na"))
+        )
+        ref = spark.read.parquet(ref_path)
+        merged = (
+            cum.select(
+                "_v", F.col("_na"), F.lit(0).cast("long").alias("_nb")
+            )
+            .unionAll(
+                ref.select(
+                    "_v",
+                    F.lit(0).cast("long").alias("_na"),
+                    F.col("_nb"),
+                )
+            )
+            .groupBy("_v")
+            .agg(F.sum("_na").alias("_na"), F.sum("_nb").alias("_nb"))
+        )
+        out = mwu_from_value_counts(merged, bin_width).select(
+            F.lit(int(batch_id)).cast("long").alias(run_col),
+            "n_a",
+            "n_b",
+            "u_a_x2",
+            "u_b_x2",
+            "z",
+        )
+        out.write.mode("overwrite").parquet(stats_dst)
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

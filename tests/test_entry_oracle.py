@@ -208,7 +208,11 @@ def test_driver_window_is_all_oracled():
         # _DEMOTED_TO_TAIL.)
         "profile_join_cardinality",
         "corpus_mixture_quality", "profile_mutual_information",
-        "streaming_exactly_once_sink", "validation_summary_lineitem",
+        # (streaming_exactly_once_sink yielded its re-validation seat
+        # to the NEW oracled streaming_mannwhitney_drift — same
+        # _SUCCESS commit protocol exercised twice per batch, see
+        # _DEMOTED_TO_TAIL.)
+        "validation_summary_lineitem",
         "profile_key_skew", "join_asof_forward", "text_bpe_encode",
         "cdc_changeset_orders", "contamination_probes",
         "quality_gopher_flags",
@@ -238,6 +242,7 @@ def test_driver_window_is_all_oracled():
         "drift_mannwhitney_by_segment", "ts_mann_kendall",
         "agg_cramers_v_matrix", "drift_segment_bh_scan",
         "ts_ols_trend", "rule_mcnemar_disagreement",
+        "streaming_mannwhitney_drift",
     ]:
         assert required in window, required
 

@@ -726,3 +726,86 @@ def test_stream_markov_drift_rejects_empty_baseline(spark, tmp_path):
             repo_path=str(tmp_path / "repo"),
             checkpoint_path=str(tmp_path / "ckpt"),
         )
+
+
+def test_stream_mannwhitney_drift_matches_batch_on_prefixes(spark, tmp_path):
+    """Streaming U monitor: each batch's emitted row equals the batch
+    mannwhitney_u of (cumulative stream prefix) vs the static
+    reference — the shared-math contract; the shifted batch drives z
+    strongly negative; replay with a fresh checkpoint is a no-op."""
+    import os
+
+    from big_data_validator_spark.operators.relational import mannwhitney_u
+    from big_data_validator_spark.streaming.validate_stream import (
+        read_metrics_repository,
+        stream_mannwhitney_drift,
+    )
+
+    rows = [(i, float(i % 100)) for i in range(600)]
+    df = spark.createDataFrame(rows, "k long, value double")
+    splits = [
+        df.filter(F.col("k") % 2 == 0),                    # calm sample
+        df.filter((F.col("k") % 2 == 1) & (F.col("value") >= 80.0)),
+        df.filter((F.col("k") % 2 == 1) & (F.col("value") < 20.0)),
+    ]
+    src = tmp_path / "src"
+    for i, part in enumerate(splits):
+        dst = str(src / f"run{i}")
+        part.coalesce(1).write.parquet(dst)
+        for f in os.listdir(dst):
+            os.utime(f"{dst}/{f}", (1_000_000 + i, 1_000_000 + i))
+    schema = spark.read.parquet(str(src / "run0")).schema
+    repo = str(tmp_path / "repo")
+
+    def launch(ckpt):
+        return stream_mannwhitney_drift(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(f"{src}/*"),
+            reference=df.select("value"),
+            value_col="value",
+            repo_path=repo,
+            checkpoint_path=str(tmp_path / ckpt),
+            value_scale=100,
+        )
+
+    launch("ckpt").awaitTermination()
+    got = {
+        r["run_id"]: r
+        for r in read_metrics_repository(spark, f"{repo}/stats").collect()
+    }
+    assert set(got) == {0, 1, 2}
+
+    cents = df.withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    for r in range(3):
+        prefix = cents.join(
+            spark.createDataFrame(
+                [(row["k"],) for i in range(r + 1)
+                 for row in splits[i].select("k").collect()],
+                "k long",
+            ),
+            "k",
+        )
+        want = mannwhitney_u(prefix, cents, "cents").first()
+        g = got[r]
+        assert (g["n_a"], g["n_b"], g["u_a_x2"], g["u_b_x2"]) == (
+            want["n_a"], want["n_b"], want["u_a_x2"], want["u_b_x2"],
+        ), r
+        if want["z"] is None:
+            assert g["z"] is None
+        else:
+            assert abs(g["z"] - want["z"]) < 1e-9
+    # the high-only batch shifts the cumulative stream ABOVE the
+    # reference -> large positive z at run 1; run 0 is calm
+    assert abs(got[0]["z"]) < 2.0
+    assert got[1]["z"] > 3.0
+    # replay: fresh checkpoint, committed batches skip, values equal
+    before = sorted(map(tuple, read_metrics_repository(
+        spark, f"{repo}/stats").collect()))
+    launch("ckpt2").awaitTermination()
+    after = sorted(map(tuple, read_metrics_repository(
+        spark, f"{repo}/stats").collect()))
+    assert after == before
