@@ -11620,7 +11620,7 @@ def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_changepoint,
     )
 
-    orders = _rb(_t(spark, sf_dir, "orders"))
+    orders = _t(spark, sf_dir, "orders")
     return cusum_changepoint(orders, "o_orderdate", "o_totalprice")
 
 
@@ -11697,7 +11697,7 @@ def ts_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         binseg_changepoints,
     )
 
-    orders = _rb(_t(spark, sf_dir, "orders"))
+    orders = _t(spark, sf_dir, "orders")
     return D.materialize_release(
         binseg_changepoints(orders, "o_orderdate", "o_totalprice", depth=2)
     )
@@ -11751,7 +11751,7 @@ def ts_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an index self-join on the lag offset."""
     from big_data_validator_spark.operators.timeseries import acf_daily
 
-    orders = _rb(_t(spark, sf_dir, "orders"))
+    orders = _t(spark, sf_dir, "orders")
     return acf_daily(orders, "o_orderdate", "o_totalprice", max_lag=7)
 
 
@@ -11800,7 +11800,7 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         pettitt_changepoint,
     )
 
-    orders = _rb(_t(spark, sf_dir, "orders"))
+    orders = _t(spark, sf_dir, "orders")
     return pettitt_changepoint(orders, "o_orderdate", "o_totalprice")
 
 
@@ -11856,7 +11856,7 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         runs_test_daily,
     )
 
-    li = _rb(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     return runs_test_daily(li, "l_shipdate", "l_extendedprice")
 
 
@@ -11916,7 +11916,7 @@ def agg_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spearman_rank_corr,
     )
 
-    li = _rb(_t(spark, sf_dir, "lineitem")).withColumn(
+    li = _t(spark, sf_dir, "lineitem").withColumn(
         "ship_year", F.year("l_shipdate").cast("int")
     )
     return D.materialize_release(
@@ -11966,7 +11966,7 @@ def agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         gini_concentration,
     )
 
-    orders = _rb(_t(spark, sf_dir, "orders"))
+    orders = _t(spark, sf_dir, "orders")
     return D.materialize_release(
         gini_concentration(orders, "o_custkey", "o_totalprice")
     )
@@ -12006,8 +12006,8 @@ def agg_hhi_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise (share interpretation guard)."""
     from big_data_validator_spark.operators.profile import hhi_by_group
 
-    li = _rb(_t(spark, sf_dir, "lineitem"))
-    sup = _rb(_t(spark, sf_dir, "supplier")).select(
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", F.col("s_nationkey").alias("nation_key")
     )
     joined = li.join(
@@ -12071,7 +12071,7 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned + released on materialize)."""
     from big_data_validator_spark.operators.profile import kendall_tau_b
 
-    li = _rb(_t(spark, sf_dir, "lineitem")).withColumn(
+    li = _t(spark, sf_dir, "lineitem").withColumn(
         "ship_year", F.year("l_shipdate").cast("int")
     )
     return D.materialize_release(
@@ -12138,8 +12138,8 @@ def ts_xcorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     on |lag|."""
     from big_data_validator_spark.operators.timeseries import xcorr_daily
 
-    orders = _rb(_t(spark, sf_dir, "orders"))
-    li = _rb(_t(spark, sf_dir, "lineitem"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
     return xcorr_daily(
         orders, "o_orderdate", "o_totalprice",
         li, "l_shipdate", "l_quantity",
@@ -12266,7 +12266,7 @@ def drift_mannwhitney_by_segment(
     pair-count agg, pinned + released on materialize); the global
     cumulative runs on the distinct-value frame with the KS/W1/U
     blocked-window device."""
-    c = _rb(_t(spark, sf_dir, "customer")).withColumn(
+    c = _t(spark, sf_dir, "customer").withColumn(
         "cents", F.round(F.col("c_acctbal") * 100, 0).cast("long")
     )
     return D.materialize_release(
@@ -12335,7 +12335,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         mann_kendall_trend,
     )
 
-    o = _rb(_t(spark, sf_dir, "orders"))
+    o = _t(spark, sf_dir, "orders")
     return D.materialize_release(
         mann_kendall_trend(o, "o_orderdate", "o_totalprice",
                            value_scale=100)
@@ -12412,7 +12412,7 @@ def agg_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tiny cell frame."""
     from big_data_validator_spark.operators.profile import cramers_v_matrix
 
-    o = _rb(_t(spark, sf_dir, "orders")).withColumn(
+    o = _t(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate").cast("int")
     )
     return cramers_v_matrix(
@@ -12499,7 +12499,7 @@ def drift_segment_bh_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     every branch bit-for-bit.  ONE data shuffle (the (segment, value)
     pair-count agg, pinned + released on materialize); BH windows run
     on the 25-row frame."""
-    c = _rb(_t(spark, sf_dir, "customer")).withColumn(
+    c = _t(spark, sf_dir, "customer").withColumn(
         "cents", F.round(F.col("c_acctbal") * 100, 0).cast("long")
     ).withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
     return D.materialize_release(
@@ -12566,7 +12566,7 @@ def ts_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ols_trend_by_group,
     )
 
-    o = _rb(_t(spark, sf_dir, "orders"))
+    o = _t(spark, sf_dir, "orders")
     return ols_trend_by_group(
         o, "o_orderpriority", "o_orderdate", "o_totalprice",
         value_scale=100,
@@ -12626,7 +12626,7 @@ def rule_mcnemar_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere, the oracle replays every branch.  ONE scan, ONE
     conditional aggregation, no shuffle beyond the single-row
     reduce."""
-    li = _rb(_t(spark, sf_dir, "lineitem")).filter(
+    li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
         & F.col("l_quantity").isNotNull()
     )

@@ -150,6 +150,11 @@ TOP = [
     "agg_cramers_v_matrix",
     "drift_segment_bh_scan",
     "ts_ols_trend",
+    # round-13 eighth/ninth waves (supplementary ONLY merges): the
+    # McNemar single-conditional-agg scan and the streaming U monitor
+    # (micro-batch harness + bounded counts frames — the ~1x class)
+    "rule_mcnemar_disagreement",
+    "streaming_mannwhitney_drift",
 ]
 
 #: Deliberately NOT in the scale headline, with the reason shipped in
