@@ -734,7 +734,7 @@ def rule_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain/range rules (lineitem) + date-bounds rule (orders), one row:
     two single-row aggregates cross-joined — each side is a single-scan
     partial aggregation, the join is 1×1."""
-    li = _rb(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     exprs = {
         "returnflag_domain": F.col("l_returnflag").isNotNull()
         & ~F.col("l_returnflag").isin("A", "N", "R"),
@@ -1292,7 +1292,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path is ``F.approx_percentile`` (t-digest sketch, mergeable
     map-side, no per-group sort) — exact kept here because sketches are
     engine-specific and the oracle gate needs bit-stable output."""
-    li = _rb(_t(spark, sf_dir, "lineitem"))
+    li = _t(spark, sf_dir, "lineitem")
     pcts = {"p25": 0.25, "p50": 0.50, "p75": 0.75, "p99": 0.99}
     # ONE percentile aggregate over an array of quantiles: the group's
     # values are buffered and sorted once, not once per quantile
@@ -1466,7 +1466,7 @@ def join_range_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-bucket range join: broadcast nested-loop against a 3-row
     bucket dim (fact side never shuffles for the join; the only shuffle is
     the final 3-group aggregation)."""
-    ev = _rb(_t(spark, sf_dir, "events"))
+    ev = _t(spark, sf_dir, "events")
     buckets = spark.createDataFrame(
         [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1000.0)],
         ["bucket_name", "lo", "hi"],
