@@ -33,8 +33,47 @@ event/profiling families.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _invariant_partitions(
+    df: DataFrame, bytes_per_partition: int = 64 << 20
+) -> int:
+    """Partition count for the persisted iteration-invariant relations,
+    derived from the INPUT's file bytes (driver-side metadata only — the
+    ``rebalance_for_compute`` device), capped at the session parallelism.
+
+    Caching pins a partitioning for the whole iterative run (AQE does
+    not re-plan inside cached subtrees), so a count tuned to the session
+    constant (e.g. ``spark.sql.shuffle.partitions``) would run every
+    per-iteration join at full task fan-out even when the graph is tiny
+    — measured at sf0.1, 32-way cached joins cost MORE than recomputing
+    the relation per iteration.  Deriving the count from input size
+    keeps the small-scale overhead at one task while a 100 TB edge scan
+    still fans out to every core (guide §2: scale-adaptive partitioning,
+    not a constant tuned for either local mode or the cluster).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return sc.defaultParallelism
+    if not files:
+        return sc.defaultParallelism
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if not path.startswith("/"):
+            # non-local storage: trust full parallelism
+            return sc.defaultParallelism
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return sc.defaultParallelism
+    return int(max(1, min(sc.defaultParallelism, total // bytes_per_partition + 1)))
 
 
 def pagerank_integer(
@@ -55,9 +94,24 @@ def pagerank_integer(
     engine-portable.
 
     Returns ``(node, rank_q)`` for every node (sources, sinks, both).
+
+    The two iteration-invariant relations — ``ew`` (edge + out-degree,
+    hash-partitioned by ``_src``) and ``nodes`` (hash-partitioned by
+    ``node``) — are PERSISTED here and pinned on the returned frame
+    (``_bdv_pinned``; callers release them via
+    ``dedup.materialize_release`` after materializing).  Before this,
+    every iteration's plan re-derived distinct-edges, the out-degree
+    aggregate, and the node union from the raw input (the r13 before-
+    plan shows 42 Exchanges for 3 iterations, zero reuse); with the
+    invariants cached ON their join keys, each iteration's contribution
+    join and rank re-join consume the cached partitioning and the only
+    exchange left per iteration is the inherent ``dst`` aggregation
+    shuffle (optimization guide §2.4 — reuse one exchange across
+    same-keyed operations; §5 — persist only what is re-read).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    n_parts = _invariant_partitions(edges)
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
     ).distinct()
@@ -65,9 +119,14 @@ def pagerank_integer(
         e.select(F.col("_src").alias("node"))
         .union(e.select(F.col("_dst").alias("node")))
         .distinct()
+        .repartition(n_parts, "node")
+        .persist()
     )
     outd = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_od"))
-    ew = e.join(outd, "_src")
+    # cached hash-partitioned by _src — exactly the key every
+    # iteration's contribution join needs, so the cache serves it back
+    # without a new Exchange.
+    ew = e.join(outd, "_src").repartition(n_parts, "_src").persist()
     base = ((damping_den - damping_num) * init) // damping_den
     r = nodes.select("node", F.lit(init).cast("long").alias("rank_q"))
     for _ in range(iters):
@@ -89,6 +148,7 @@ def pagerank_integer(
             .cast("long")
             .alias("rank_q"),
         )
+    r._bdv_pinned = [ew, nodes]
     return r
 
 
@@ -119,6 +179,15 @@ def label_propagation_min(
     (ASCII ids only — mind collation for anything fancier).
 
     Returns ``(node, label)`` for every node.
+
+    The undirected edge relation is PERSISTED here hash-partitioned by
+    ``_a`` — the key every round's neighbor join consumes — and pinned
+    on the returned frame (``_bdv_pinned``, released by callers via
+    ``materialize_release``).  The node derivation and each round's
+    label re-join then ride that one partitioning, so the only
+    Exchange per round is the inherent neighbor-min aggregation on
+    ``_b`` (guide §2.4; the r13 before-plan carried 68 Exchanges for 3
+    rounds because every round re-derived the symmetrized relation).
     """
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
@@ -127,11 +196,13 @@ def label_propagation_min(
     )
     if symmetrized:
         # caller vouches the relation is already undirected + distinct
-        # (and typically CACHED — it is consumed once per round)
         und = e0
     else:
         e0 = e0.distinct()
         und = e0.union(e0.select(F.col("_b"), F.col("_a"))).distinct()
+    und = und.repartition(_invariant_partitions(edges), "_a").persist()
+    # _a-partitioning satisfies the node-keyed aggregate below, so the
+    # distinct is exchange-free off the cache.
     nodes = und.select(F.col("_a").alias("node")).distinct()
     lbl = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iters):
@@ -148,6 +219,7 @@ def label_propagation_min(
                 F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))
             ).alias("label"),
         )
+    lbl._bdv_pinned = [und]
     return lbl
 
 
@@ -180,10 +252,23 @@ def triangle_counts(
     """
     a = F.least(F.col(src), F.col(dst)).alias("_a")
     b = F.greatest(F.col(src), F.col(dst)).alias("_b")
+    # e feeds three consumers (the degree count and both legs of the
+    # degree join); oriented feeds three more (both wedge legs and the
+    # closing-edge probe).  Persist each once — at input-size-adaptive
+    # partition counts (see _invariant_partitions) — instead of
+    # recomputing the whole upstream per consumer (guide §5; the r13
+    # before-plan re-derived the oriented relation three times — 48
+    # Exchanges).  ``oriented`` is cached hash-partitioned on ``lo``:
+    # both wedge legs join on it, so the self-join is exchange-free off
+    # the cache (guide §2.4).  Pinned via ``_bdv_pinned`` for the
+    # caller to release after materialization.
+    n_parts = _invariant_partitions(edges)
     e = (
         edges.select(a, b)
         .filter(F.col("_a") != F.col("_b"))
         .distinct()
+        .repartition(n_parts, "_a")
+        .persist()
     )
     deg = (
         e.select(F.col("_a").alias("n"))
@@ -201,7 +286,7 @@ def triangle_counts(
         F.when(a_first, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
         F.when(a_first, F.col("_b")).otherwise(F.col("_a")).alias("hi"),
         F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("dhi"),
-    )
+    ).repartition(n_parts, "lo").persist()
     o1 = oriented.select(
         F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("dhi").alias("dv")
     )
@@ -218,10 +303,12 @@ def triangle_counts(
         F.col("lo").alias("v"), F.col("hi").alias("w")
     )
     tri = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
-    return (
+    out = (
         tri.select(
             F.explode(F.array("u", "v", "w")).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+    out._bdv_pinned = [e, oriented]
+    return out
