@@ -64,3 +64,46 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
         out._bdv_rebalanced = True
         return out
     return df
+
+
+def adaptive_partitions(
+    df: DataFrame, bytes_per_partition: int = 64 << 20
+) -> int:
+    """Partition count for a PERSISTED intermediate, derived from the
+    input's file bytes (driver-side metadata only, the
+    :func:`rebalance_for_compute` device), capped at the session
+    parallelism.
+
+    Caching pins a partitioning for the lifetime of the cache (AQE does
+    not re-plan inside cached subtrees, by default), so a count tuned to
+    the session constant (``spark.sql.shuffle.partitions``) makes every
+    consumer of a SMALL cache run at full task fan-out — measured at
+    sf0.1, 32-way cached joins cost more than recomputing the relation.
+    Deriving the count from input size keeps small-scale overhead at one
+    task while a 100 TB input still fans out to every core (guide §2:
+    scale-adaptive partitioning, not a constant tuned for either local
+    mode or the cluster).  Falls back to full parallelism whenever the
+    bytes cannot be read cheaply (non-local storage, in-memory inputs).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return sc.defaultParallelism
+    if not files:
+        return sc.defaultParallelism
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return sc.defaultParallelism
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return sc.defaultParallelism
+    return int(
+        max(
+            1,
+            min(sc.defaultParallelism, total // bytes_per_partition + 1),
+        )
+    )

@@ -33,47 +33,12 @@ event/profiling families.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _invariant_partitions(
-    df: DataFrame, bytes_per_partition: int = 64 << 20
-) -> int:
-    """Partition count for the persisted iteration-invariant relations,
-    derived from the INPUT's file bytes (driver-side metadata only — the
-    ``rebalance_for_compute`` device), capped at the session parallelism.
-
-    Caching pins a partitioning for the whole iterative run (AQE does
-    not re-plan inside cached subtrees), so a count tuned to the session
-    constant (e.g. ``spark.sql.shuffle.partitions``) would run every
-    per-iteration join at full task fan-out even when the graph is tiny
-    — measured at sf0.1, 32-way cached joins cost MORE than recomputing
-    the relation per iteration.  Deriving the count from input size
-    keeps the small-scale overhead at one task while a 100 TB edge scan
-    still fans out to every core (guide §2: scale-adaptive partitioning,
-    not a constant tuned for either local mode or the cluster).
-    """
-    sc = df.sparkSession.sparkContext
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return sc.defaultParallelism
-    if not files:
-        return sc.defaultParallelism
-    total = 0
-    for f in files:
-        path = f[len("file:"):] if f.startswith("file:") else f
-        if not path.startswith("/"):
-            # non-local storage: trust full parallelism
-            return sc.defaultParallelism
-        try:
-            total += os.path.getsize(path)
-        except OSError:
-            return sc.defaultParallelism
-    return int(max(1, min(sc.defaultParallelism, total // bytes_per_partition + 1)))
+from big_data_validator_spark.operators import (
+    adaptive_partitions as _invariant_partitions,
+)
 
 
 def pagerank_integer(

@@ -1245,8 +1245,29 @@ def semantic_dedup_exactint(
         assigner = two_level_assign_kernel(cents, sups, c2s)
     else:
         assigner = int_assign_kernel(cents)
-    assign = q.select(
-        "id", "qv", assigner(F.col("qv")).alias("cell")
+    # Persist the assigned frame: it feeds BOTH legs of the
+    # within-cluster pair self-join AND the final keep/prune re-join,
+    # and without the pin each consumer re-runs the quantize+assign
+    # Arrow kernels over a fresh corpus scan (the r13 before-plan shows
+    # three parquet scans and five ArrowEvalPython nodes for what is
+    # one logical Python pass — guide §4: cross the Python boundary
+    # once; §5: persist only what is re-read).  Cached hash-partitioned
+    # ON THE CELL at min(parallelism, k) partitions: the pair self-join
+    # is keyed by cell, so both legs consume the cached partitioning
+    # with no further Exchange (guide §2.4), and the partition count
+    # tracks the cluster count instead of the session constant (a
+    # 1-partition cache starves the quadratic per-cell verify; a
+    # 32-partition cache of a tiny corpus pays 32-task overhead per
+    # consumer — both measured at sf0.1).  The kernels still run at the
+    # rebalanced width upstream of the repartition.  Released by the
+    # caller with the pair-stage pins.
+    cell_parts = max(
+        1, min(df.sparkSession.sparkContext.defaultParallelism, len(cents))
+    )
+    assign = (
+        q.select("id", "qv", assigner(F.col("qv")).alias("cell"))
+        .repartition(cell_parts, "cell")
+        .persist()
     )
     pairs = capped_bucket_pairs(
         assign.select("id", "qv", "cell"),
@@ -1292,7 +1313,7 @@ def semantic_dedup_exactint(
             F.col("_pruned_id").isNull().alias("keep"),
         )
     )
-    out._bdv_pinned = pinned_caches(pairs)
+    out._bdv_pinned = pinned_caches(pairs) + [assign]
     return out
 
 
