@@ -9678,7 +9678,7 @@ def link_fs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["p_size"],
         eq_cols=["p_brand", "p_type", "band"],
         threshold=0,
-    )
+    ).cache()
     try:
         out = fs_classify_pairs(
             pairs,
@@ -9696,6 +9696,7 @@ def link_fs_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = D.materialize_release(out, pairs)
     finally:
         release_pinned(pairs)
+        pairs.unpersist()
     return res
 
 
@@ -10978,7 +10979,7 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["p_size", "p_brand"],
         eq_cols=["p_brand", "p_type"],
         threshold=80,
-    )
+    ).cache()
     pairs = raw_pairs.select("id_a", "id_b")
     clusters = D.duplicate_clusters(pairs)
     clustered = clusters.join(
@@ -10987,12 +10988,15 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "id",
     )
-    return D.materialize_release(
-        golden_records(
-            clustered, "cluster_id", "id", ["p_name", "p_type"]
-        ),
-        raw_pairs,
+    gold = golden_records(
+        clustered, "cluster_id", "id", ["p_name", "p_type"]
     )
+    # release both the operator's inner pinned cache AND the pairs
+    # cache itself (raw_pairs is consumed by the count probe, the
+    # closure edges, and the cluster join — cached so the blocking
+    # join runs once)
+    gold._bdv_pinned = D.pinned_caches(raw_pairs) + [raw_pairs]
+    return D.materialize_release(gold)
 
 
 @query(
