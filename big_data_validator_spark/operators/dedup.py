@@ -1385,16 +1385,32 @@ def set_similarity_join(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    slim = tok.select("id", "token")
+    # Verification: the true intersection is computed ROW-LOCALLY as
+    # size(array_intersect) over the cached shingle arrays — the
+    # shingle sets are distinct by construction, so this equals the
+    # old exploded-token join-count exactly, while dropping two
+    # exploded joins and a grouped count from the plan (r13: the
+    # before-plan verified through a token×token join + aggregation;
+    # the after-plan is two id-keyed joins of the SMALL candidate set
+    # against the pinned sets relation — guide §2.3/§3: shuffle the
+    # candidate ids, not an exploded token relation).
+    sets_slim = sets_df.select("id", "shingles")
     inter = (
-        cand.join(slim.alias("ta"), F.col("id_a") == F.col("ta.id"))
-        .join(
-            slim.alias("tb"),
-            (F.col("id_b") == F.col("tb.id"))
-            & (F.col("ta.token") == F.col("tb.token")),
+        cand.join(sets_slim.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sets_slim.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            "size_a",
+            "size_b",
+            # cast to long BEFORE the ppm arithmetic: size() is INT and
+            # 1e6·inter must not overflow int32 under ANSI for big sets
+            F.size(
+                F.array_intersect(
+                    F.col("sa.shingles"), F.col("sb.shingles")
+                )
+            ).cast("long").alias("inter"),
         )
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
         inter.filter(
