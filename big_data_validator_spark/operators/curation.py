@@ -934,6 +934,13 @@ def linear_quality_train(
         .groupBy("_id", "_y", "_n", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
+    # cache at an input-size-adaptive partition count: AQE cannot
+    # coalesce inside a cached plan, so without this every per-step
+    # job over the cached frame runs at full shuffle-partition fan-out
+    # even for a tiny corpus (guide §2: scale-adaptive partitioning)
+    from big_data_validator_spark.operators import adaptive_partitions
+
+    feats = feats.repartition(adaptive_partitions(docs), "_id")
     feats.persist()
     try:
         n_docs = feats.select(
