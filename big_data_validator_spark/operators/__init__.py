@@ -84,6 +84,12 @@ def adaptive_partitions(
     scale-adaptive partitioning, not a constant tuned for either local
     mode or the cluster).  Falls back to full parallelism whenever the
     bytes cannot be read cheaply (non-local storage, in-memory inputs).
+
+    Two-sided bound: ``min(parallelism, bytes/64 MiB)`` keeps small
+    caches at few tasks, while the ``bytes/256 MiB`` floor re-opens the
+    fan-out PAST the core count once the input is large enough that a
+    per-core partition would exceed ~256 MiB — a cached partition must
+    stay memory-sized at any scale (guide §2.2/§5).
     """
     sc = df.sparkSession.sparkContext
     try:
@@ -101,9 +107,6 @@ def adaptive_partitions(
             total += os.path.getsize(u.path)
         except OSError:
             return sc.defaultParallelism
-    return int(
-        max(
-            1,
-            min(sc.defaultParallelism, total // bytes_per_partition + 1),
-        )
-    )
+    small = min(sc.defaultParallelism, total // bytes_per_partition + 1)
+    size_floor = total // (256 << 20) + 1
+    return int(max(1, small, size_floor))

@@ -30,6 +30,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_validator_spark.operators import adaptive_partitions
 from big_data_validator_spark.operators.text import char_ngrams, fingerprint
 
 
@@ -626,7 +627,11 @@ def minhash_dedup_pairs(
     of materializing every n-gram string, measured ~3× on the pipeline);
     verification Jaccard is over the hashed sets, identical to string-set
     Jaccard up to 31-bit collisions (~|S|²/2³² per doc)."""
-    sets_df = hashed_shingle_sets(df, text_col, id_col, n).cache()
+    sets_df = (
+        hashed_shingle_sets(df, text_col, id_col, n)
+        .repartition(adaptive_partitions(df), "id")
+        .cache()
+    )
     sigs = _minhash_signatures_from_sets(sets_df, num_hashes, prehashed=True)
     cands = minhash_lsh_candidates(
         df, text_col, id_col, n, num_hashes, bands, sigs=sigs,
@@ -795,6 +800,11 @@ def winnowing_near_dup_pairs(
     median posting list short) — measured on the testdata corpus: k=5
     posting lists had median df 29/500 docs and the pair join exploded
     10⁷×, k=10 median df 9/5000 with the same true pairs found."""
+    # NOT partition-collapsed before caching (r13 audit): the posting
+    # self-join downstream explodes to ~100x the cached bytes, and an
+    # input-bytes-sized cache (1 partition at sf0.1) serializes that
+    # join — measured 3.1s -> 17s.  The rebalanced width is the right
+    # width for this cache's consumers.
     fps = winnowing_fingerprints(df, text_col, id_col, k, window).cache()
     sizes = fps.select("id", F.size("fingerprints").alias("sz"))
     inv = fps.select("id", F.explode("fingerprints").alias("fp"))
@@ -916,7 +926,7 @@ def duplicate_clusters(
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    ).repartition(adaptive_partitions(pairs), "src").cache()
     if driver_edge_limit is not None:
         # edges.count() also materializes the cache the iterative path
         # would fill anyway, so the probe is not wasted work either way
@@ -1643,6 +1653,7 @@ def excise_duplicate_spans(
         )
         .filter(F.size("_t") > 0)
     )
+    base = base.repartition(adaptive_partitions(df), "id")
     base.persist()
     grams = (
         base.filter(F.size("_t") >= n_words)
