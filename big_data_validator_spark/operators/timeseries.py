@@ -319,10 +319,15 @@ def theilsen_trend(
     Returns one row: ``(n_days, n_pairs, slope_scaled, intercept_scaled,
     scale)``.
     """
+    # d feeds four consumers (count, both pair-join legs, residuals)
+    # and slopes feeds three (min/max stats, block histogram, in-block
+    # selection) — persist each once; before this the daily aggregation
+    # re-ran per consumer and the O(days²) pair join was computed TWICE
+    # (once for the stats pass, once to fill the old `blocked` cache).
     d = daily.select(
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
-    )
+    ).persist()
     a = d.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = d.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = a.join(b, F.col("xa") < F.col("xb")).select(
@@ -335,7 +340,7 @@ def theilsen_trend(
         (F.col("num").cast("double") / F.col("den").cast("double")).alias(
             "_qd"
         ),
-    )
+    ).persist()
     n_days = d.count()
     n_pairs = n_days * (n_days - 1) // 2
     if n_pairs == 0:
@@ -357,7 +362,9 @@ def theilsen_trend(
             F.floor((F.col("_qd") - F.lit(lo)) / F.lit((hi - lo) / 4096)),
             F.lit(4095),
         ).cast("int")
-    blocked = slopes.withColumn("_blk", blk).persist()
+    # blk is a cheap derived column over the cached slopes — no second
+    # cache of the same pair rows
+    blocked = slopes.withColumn("_blk", blk)
     hist = blocked.groupBy("_blk").count().orderBy("_blk").collect()
     before = 0
     target = None
@@ -376,7 +383,7 @@ def theilsen_trend(
         .limit(1)
         .collect()[0]
     )
-    blocked.unpersist()
+    slopes.unpersist()
     num, den = int(med["num"]), int(med["den"])
     # truncating div matching Spark `div` / DuckDB BIGINT `//`
     q = abs(num * scale) // abs(den)
@@ -394,6 +401,7 @@ def theilsen_trend(
         .limit(1)
         .collect()[0]["r"]
     )
+    d.unpersist()
     spark = daily.sparkSession
     return spark.createDataFrame(
         [(n_days, n_pairs, slope_scaled, int(med_r), scale)],
