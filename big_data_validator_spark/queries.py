@@ -2122,11 +2122,21 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unpersist the cache before returning — a registry function must not
     # leave caches pinned for the rest of a 50-query driver session
     # (VERDICT r2).
-    emb = _rb(
-        _t(spark, sf_dir, "embeddings").withColumn(
-            "embedding", F.col("embedding").cast("array<double>")
+    from big_data_validator_spark.operators import adaptive_partitions
+
+    emb_src = _t(spark, sf_dir, "embeddings")
+    emb = (
+        _rb(
+            emb_src.withColumn(
+                "embedding", F.col("embedding").cast("array<double>")
+            )
         )
-    ).cache()
+        # the audit's four pipelines all consume this cache; size its
+        # partition count to the input, not the session constant
+        # (operators.adaptive_partitions rationale)
+        .repartition(adaptive_partitions(emb_src), "vec_id")
+        .cache()
+    )
     k, n_queries = 10, 5
     try:
         q = emb.filter(F.col("vec_id") < 5)
