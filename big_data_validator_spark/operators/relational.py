@@ -24,6 +24,8 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from big_data_validator_spark.operators import adaptive_partitions
+
 
 # --------------------------------------------------------------- uniqueness
 
@@ -983,9 +985,12 @@ def ks_two_sample(
     # the physical plan).  The frame is the value domain (already
     # shrunken), so the pin is cheap; entries release it via
     # materialize_release (the result is one row).
-    cnts = pooled.groupBy("_v").agg(
-        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
-    ).cache()
+    cnts = (
+        pooled.groupBy("_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+        .repartition(adaptive_partitions(pooled), "_v")
+        .cache()
+    )
     blk = F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
     keyed = cnts.withColumn("_blk", blk)
     local = keyed.select(
@@ -1110,9 +1115,12 @@ def wasserstein_1d(
     )
     # Same three-consumer shape as ks_two_sample: pin the shrunken
     # per-value counts so the base relation is scanned once.
-    cnts = pooled.groupBy("_v").agg(
-        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
-    ).cache()
+    cnts = (
+        pooled.groupBy("_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+        .repartition(adaptive_partitions(pooled), "_v")
+        .cache()
+    )
     keyed = cnts.withColumn(
         "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
     )
@@ -1239,7 +1247,9 @@ def winsorized_group_stats(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     # two consumers (cut search + clamped sum): pin the shrunken counts
-    # so the base relation scans once (the ks/W1 convention)
+    # so the base relation scans once (the ks/W1 convention), sized to
+    # the input (adaptive_partitions rationale)
+    cnts = cnts.repartition(adaptive_partitions(df), "_g", "_v")
     cnts.persist()
     w = Window.partitionBy("_g").orderBy("_v")
     cum = cnts.withColumn(
@@ -1331,9 +1341,12 @@ def mannwhitney_u(
             F.lit(1).alias("_cb"),
         )
     )
-    cnts = pooled.groupBy("_v").agg(
-        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
-    ).cache()
+    cnts = (
+        pooled.groupBy("_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+        .repartition(adaptive_partitions(pooled), "_v")
+        .cache()
+    )
     out = mwu_from_value_counts(cnts, bin_width)
     out._bdv_pinned = [cnts]
     return out
@@ -1483,9 +1496,12 @@ def cramer_von_mises(
             F.lit(1).alias("_cb"),
         )
     )
-    cnts = pooled.groupBy("_v").agg(
-        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
-    ).cache()
+    cnts = (
+        pooled.groupBy("_v")
+        .agg(F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb"))
+        .repartition(adaptive_partitions(pooled), "_v")
+        .cache()
+    )
     keyed = cnts.withColumn(
         "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
     ).withColumn("_t", F.col("_na") + F.col("_nb"))
@@ -1591,9 +1607,12 @@ def _one_vs_rest_rank_frames(
         F.col(segment_col).alias("segment"),
         v.cast("long").alias("_v"),
     )
-    cnts = base.groupBy("segment", "_v").agg(
-        F.count(F.lit(1)).alias("_c")
-    ).cache()
+    cnts = (
+        base.groupBy("segment", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .repartition(adaptive_partitions(df), "segment", "_v")
+        .cache()
+    )
     vals = cnts.groupBy("_v").agg(F.sum("_c").alias("_t"))
     keyed = vals.withColumn(
         "_blk", F.floor(F.col("_v") / F.lit(float(bin_width))).cast("long")
