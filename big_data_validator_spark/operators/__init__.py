@@ -42,21 +42,12 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
+    probe = _local_input_probe(df)
+    if probe is None:
         return df
-    if not files or len(files) >= target:
+    n_files, total = probe
+    if n_files >= target:
         return df
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("", "file"):
-            return df
-        try:
-            total += os.path.getsize(u.path)
-        except OSError:
-            return df
     # One split per core at the default 128 MiB maxPartitionBytes: inputs
     # under this arrive under-parallelized; above it Spark already splits.
     if total < target * (128 << 20):
@@ -64,6 +55,31 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
         out._bdv_rebalanced = True
         return out
     return df
+
+
+def _local_input_probe(df: DataFrame):
+    """``(n_files, total_bytes)`` of a frame's LOCAL input files, or
+    ``None`` when the probe cannot answer cheaply (no files, non-local
+    URIs, unreadable sizes) — the shared driver-side file-metadata
+    device of :func:`rebalance_for_compute` and
+    :func:`adaptive_partitions` (ADVICE r13: the two probes had
+    drifted into near-duplicate code)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(u.path)
+        except OSError:
+            return None
+    return len(files), total
 
 
 def adaptive_partitions(
@@ -92,21 +108,10 @@ def adaptive_partitions(
     stay memory-sized at any scale (guide §2.2/§5).
     """
     sc = df.sparkSession.sparkContext
-    try:
-        files = df.inputFiles()
-    except Exception:
+    probe = _local_input_probe(df)
+    if probe is None:
         return sc.defaultParallelism
-    if not files:
-        return sc.defaultParallelism
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("", "file"):
-            return sc.defaultParallelism
-        try:
-            total += os.path.getsize(u.path)
-        except OSError:
-            return sc.defaultParallelism
+    _, total = probe
     small = min(sc.defaultParallelism, total // bytes_per_partition + 1)
     size_floor = total // (256 << 20) + 1
     return int(max(1, small, size_floor))

@@ -1073,9 +1073,15 @@ def dsir_importance_weights(
         F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_ct"),
         F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("_cr"),
     )
-    totals = feats.agg(
-        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).alias("_nt"),
-        F.sum(F.when(F.col("_is_target"), 0).otherwise(1)).alias("_nr"),
+    # cache the ≤n_buckets-row count frame: the side totals are its
+    # column sums (identical integers to a direct pass over feats), so
+    # deriving them here removes one of the exploded frame's three
+    # full-cache scans (r14, guide §1.2 — don't recompute what a
+    # bounded intermediate already holds)
+    counts = counts.persist()
+    totals = counts.agg(
+        F.sum("_ct").alias("_nt"),
+        F.sum("_cr").alias("_nr"),
     )
     ratio = F.log(
         (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(0.5)) / F.col("_nt")
@@ -1092,7 +1098,7 @@ def dsir_importance_weights(
             F.round(F.avg(ratio), 4).alias("dsir_score"),
         )
     )
-    out._bdv_pinned = [feats]
+    out._bdv_pinned = [feats, counts]
     return out
 
 

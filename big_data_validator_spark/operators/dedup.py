@@ -627,9 +627,22 @@ def minhash_dedup_pairs(
     of materializing every n-gram string, measured ~3× on the pipeline);
     verification Jaccard is over the hashed sets, identical to string-set
     Jaccard up to 31-bit collisions (~|S|²/2³² per doc)."""
+    # The sets cache feeds the SIGNATURE kernel (CPU-bound Arrow UDF)
+    # before it feeds the verify join, so its width is floored at the
+    # session parallelism: the r13 bytes-sized collapse (1 partition at
+    # sf0.1) ran the whole 64-hash kernel as ONE task — fine on a quiet
+    # host, but the single task straggles under contention (the r13
+    # driver's 32-core run recorded 2.6x adj vs 2.8s at 8 cores —
+    # bimodal).  Keyed by id so the verify join still consumes the
+    # cached layout; adaptive_partitions keeps the 256 MiB/partition
+    # growth past core count at scale.
+    sets_parts = max(
+        adaptive_partitions(df),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
     sets_df = (
         hashed_shingle_sets(df, text_col, id_col, n)
-        .repartition(adaptive_partitions(df), "id")
+        .repartition(sets_parts, "id")
         .cache()
     )
     sigs = _minhash_signatures_from_sets(sets_df, num_hashes, prehashed=True)
@@ -747,20 +760,25 @@ def winnowing_fingerprints(
                 hashes = np.zeros(m, dtype=np.int64)
                 for j in range(k):  # Horner, vectorized over all positions
                     hashes = (hashes * _WINNOW_BASE + codes[j : j + m]) % _WINNOW_MOD
-            nw = max(len(hashes) - window + 1, 1)
-            picks = []
-            prev = -1
-            for w in range(nw):
-                win = hashes[w : min(w + window, len(hashes))]
-                if len(win) == 0:
-                    break
-                # rightmost minimum: argmin on the reversed window
-                rel = len(win) - 1 - int(np.argmin(win[::-1]))
-                pick = w + rel
-                if pick != prev:
-                    picks.append(int(hashes[pick]))
-                    prev = pick
-            out.append(np.array(sorted(set(picks)), dtype=np.int64))
+            # rightmost minimum per sliding window, vectorized: one
+            # strided argmin over the reversed-column window view
+            # replaces the per-window python loop (the r14 hot spot —
+            # O(n_windows) numpy calls per doc).  Identical picks: the
+            # chosen POSITIONS are the same, and the original's
+            # consecutive-position skip + sorted(set(...)) collapse to
+            # np.unique over the picked values.
+            if len(hashes) >= window:
+                wv = np.lib.stride_tricks.sliding_window_view(
+                    hashes, window
+                )
+                rel = (window - 1) - np.argmin(wv[:, ::-1], axis=1)
+                picks = np.arange(len(wv), dtype=np.int64) + rel
+            else:
+                picks = np.array(
+                    [len(hashes) - 1 - int(np.argmin(hashes[::-1]))],
+                    dtype=np.int64,
+                )
+            out.append(np.unique(hashes[picks]))
         return pd.Series(out)
 
     return df.select(

@@ -101,6 +101,11 @@ def pagerank_integer(
             F.col("_dst").alias("node"),
             F.expr("rank_q div _od").alias("_c"),
         )
+        # NOT aggregated at the caches' partition count (r14 A/B): an
+        # explicit pre-agg repartition would let the rank re-join ride
+        # the cached ``nodes`` partitioning, but it also moves the
+        # exchange BELOW the aggregation, losing map-side combining —
+        # measured 4.8s -> 5.1s at sf0.1.  Partial agg wins.
         insum = contrib.groupBy("node").agg(F.sum("_c").alias("_m"))
         r = nodes.join(insum, "node", "left").select(
             "node",

@@ -1248,8 +1248,11 @@ def winsorized_group_stats(
     )
     # two consumers (cut search + clamped sum): pin the shrunken counts
     # so the base relation scans once (the ks/W1 convention), sized to
-    # the input (adaptive_partitions rationale)
-    cnts = cnts.repartition(adaptive_partitions(df), "_g", "_v")
+    # the input (adaptive_partitions rationale).  Partitioned on _g
+    # ALONE (ADVICE r13): the cut-search window partitions by _g and
+    # the clamped sum joins on _g, so a (_g,_v)-keyed cache fed every
+    # consumer through an extra Exchange.
+    cnts = cnts.repartition(adaptive_partitions(df), "_g")
     cnts.persist()
     w = Window.partitionBy("_g").orderBy("_v")
     cum = cnts.withColumn(
@@ -1607,10 +1610,13 @@ def _one_vs_rest_rank_frames(
         F.col(segment_col).alias("segment"),
         v.cast("long").alias("_v"),
     )
+    # partitioned on _v ALONE (ADVICE r13): the distinct-value rollup
+    # aggregates by _v and the per-segment rank sum joins on _v, so a
+    # (segment,_v)-keyed cache fed both consumers through an Exchange.
     cnts = (
         base.groupBy("segment", "_v")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .repartition(adaptive_partitions(df), "segment", "_v")
+        .repartition(adaptive_partitions(df), "_v")
         .cache()
     )
     vals = cnts.groupBy("_v").agg(F.sum("_c").alias("_t"))

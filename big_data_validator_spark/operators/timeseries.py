@@ -341,6 +341,17 @@ def theilsen_trend(
             "_qd"
         ),
     ).persist()
+    # try/finally (ADVICE r13): the eager collects below — and the
+    # n_pairs==0 ValueError — would otherwise leak both pinned caches
+    # into a long-lived driver session on any failure path.
+    try:
+        return _theilsen_trend_body(daily, d, slopes, scale)
+    finally:
+        slopes.unpersist()
+        d.unpersist()
+
+
+def _theilsen_trend_body(daily, d, slopes, scale):
     n_days = d.count()
     n_pairs = n_days * (n_days - 1) // 2
     if n_pairs == 0:
@@ -383,7 +394,6 @@ def theilsen_trend(
         .limit(1)
         .collect()[0]
     )
-    slopes.unpersist()
     num, den = int(med["num"]), int(med["den"])
     # truncating div matching Spark `div` / DuckDB BIGINT `//`
     q = abs(num * scale) // abs(den)
@@ -401,7 +411,6 @@ def theilsen_trend(
         .limit(1)
         .collect()[0]["r"]
     )
-    d.unpersist()
     spark = daily.sparkSession
     return spark.createDataFrame(
         [(n_days, n_pairs, slope_scaled, int(med_r), scale)],

@@ -7918,18 +7918,24 @@ def graph_pagerank_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Narrow node keys (guide §2.3): iterate over BIGINT-encoded nodes
+    # (customer 2k, supplier 2k+1 — an isomorphic relabeling, so every
+    # out-degree, edge and integer rank is unchanged) and rebuild the
+    # 'c'/'s' string ids only on the final supplier-sized result.  The
+    # string keys were hashed/compared in all nine iteration exchanges.
     edges = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-            "src"
-        ),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-            "dst"
-        ),
+        (F.col("o_custkey").cast("long") * 2).alias("src"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
     )
     ranks = pagerank_integer(edges, iters=3)
     out = (
-        ranks.filter(F.col("node").startswith("s"))
-        .select("node", "rank_q")
+        ranks.filter(F.col("node") % 2 == 1)
+        .select(
+            F.concat(
+                F.lit("s"), ((F.col("node") - 1) / 2).cast("long")
+            ).alias("node"),
+            "rank_q",
+        )
         .orderBy("node")
     )
     out._bdv_pinned = D.pinned_caches(ranks)
