@@ -186,6 +186,20 @@ def kll_deserialize(s: str) -> dict:
 
 # --------------------------------------------------------- spark plumbing
 
+def _sketch_build_partitions(df: DataFrame) -> int:
+    """Width for the keyed exchange feeding a python sketch-build
+    stage: at least the session parallelism (the stage is CPU-bound in
+    python, so every core should hold a slice of the key space), and
+    input-bytes-adaptive above it so partitions stay memory-sized at
+    scale."""
+    from big_data_validator_spark.operators import adaptive_partitions
+
+    return max(
+        adaptive_partitions(df),
+        df.sparkSession.sparkContext.defaultParallelism,
+    )
+
+
 def _sketch_schema(df: DataFrame, group_cols: Sequence[str]) -> T.StructType:
     by_name = {f.name: f for f in df.schema.fields}
     fields = [by_name[c] for c in group_cols]
@@ -488,9 +502,14 @@ def kll_quantile_monitor(
     if partial_stage == "shuffle":
         # day-locality is guaranteed by the repartition, so the partial
         # build already emits exactly ONE sketch per day — the merge
-        # stage would be 1-row groups of pure applyInPandas overhead
+        # stage would be 1-row groups of pure applyInPandas overhead.
+        # Explicit count: see kll_group_quantile_monitor (AQE would
+        # coalesce the CPU-bound python build stage by its tiny bytes).
         per_day = kll_partial_sketches(
-            df.repartition(F.col(day_col)), value_col, [day_col], k
+            df.repartition(_sketch_build_partitions(df), F.col(day_col)),
+            value_col,
+            [day_col],
+            k,
         )
     else:
         partials = kll_partial_sketches(df, value_col, [day_col], k)
@@ -633,8 +652,17 @@ def kll_group_quantile_monitor(
     src = df
     for c in gcols:
         src = src.filter(F.col(c).isNotNull())
+    # EXPLICIT partition count (r14): a bare keyed repartition is
+    # AQE-coalescible, and the shuffled bytes here are tiny while the
+    # downstream python sketch build is CPU-bound — profiled at sf0.1,
+    # AQE coalesced the build to 3 tasks (1.3s of the query's 3.4s).
+    # Bytes are the wrong coalescing signal for a python-kernel stage
+    # (guide §2.5: partition for the work, not the bytes).
     per_key = kll_partial_sketches(
-        src.repartition(*[F.col(c) for c in [*gcols, day_col]]),
+        src.repartition(
+            _sketch_build_partitions(df),
+            *[F.col(c) for c in [*gcols, day_col]],
+        ),
         value_col,
         [*gcols, day_col],
         k,
@@ -733,8 +761,13 @@ def kll_rolling_monitor(
     discipline."""
     from pyspark.sql import Window
 
+    # explicit width: see kll_group_quantile_monitor (AQE coalesces the
+    # CPU-bound python build stage by its tiny shuffled bytes)
     per_day = kll_partial_sketches(
-        df.repartition(F.col(day_col)), value_col, [day_col], k
+        df.repartition(_sketch_build_partitions(df), F.col(day_col)),
+        value_col,
+        [day_col],
+        k,
     )
     est = kll_rolling_quantiles(
         per_day, day_col, pct, window_days, report_from, report_to, k
