@@ -1368,6 +1368,15 @@ def set_similarity_join(
     # CPU.  Pinned on the result as _bdv_pinned; the registry entry
     # releases it after materialization (the repo's cache-hygiene
     # device).
+    # r14 A/B (kept as measured): the plan consumes this cache from six
+    # broadcast subqueries Spark launches concurrently, which at sf0.1
+    # RACE the unfilled single-partition cache (six duplicate 1-task
+    # shingling jobs, overlapping).  Both candidate fixes measured
+    # WORSE within one session: an eager count() prime 3.8->4.7s (one
+    # extra full pass), rebalance_for_compute on the input 3.8->4.0s
+    # (extra exchange).  The racing jobs overlap so their wall cost is
+    # one shingling, and at scale the many-partition block manager
+    # dedups racers per partition — leave the lazy single cache.
     sets_df = word_shingle_sets(df, text_col, id_col, n_words).cache()
     tok = sets_df.select(
         "id",
