@@ -352,7 +352,20 @@ def theilsen_trend(
 
 
 def _theilsen_trend_body(daily, d, slopes, scale):
-    n_days = d.count()
+    # ONE action over the tiny daily frame yields the day count AND the
+    # slope-range bound: day gaps are integers >= 1, so every pair slope
+    # satisfies |num/den| <= max(y) - min(y).  The old code instead ran
+    # a min/max pass over the O(days^2) slope frame just to size the
+    # selection blocks — but the block device is exact under ANY
+    # monotone quantization (docstring contract, pinned in tests), so a
+    # bound from the daily stats removes one full pass over the pair
+    # join (r14, guide §1.2 — don't compute what a bound already gives).
+    st = d.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("y").alias("_ymin"),
+        F.max("y").alias("_ymax"),
+    ).first()
+    n_days = int(st["_n"])
     n_pairs = n_days * (n_days - 1) // 2
     if n_pairs == 0:
         raise ValueError("need at least two distinct days")
@@ -360,17 +373,14 @@ def _theilsen_trend_body(daily, d, slopes, scale):
     # Two-pass distributed k-th selection on the composite order
     # (_qd, num, den): block on _qd (any monotone quantization keeps
     # the composite order block-aligned — equal keys share a block),
-    # collect the <=4096-row block histogram, then TakeOrdered only
+    # collect the <=4097-row block histogram, then TakeOrdered only
     # within the straddling block.
-    stats = slopes.agg(
-        F.min("_qd").alias("_lo"), F.max("_qd").alias("_hi")
-    ).first()
-    lo, hi = float(stats["_lo"]), float(stats["_hi"])
-    if lo == hi:
+    span = float(st["_ymax"] - st["_ymin"])
+    if span == 0.0:
         blk = F.lit(0)
     else:
         blk = F.least(
-            F.floor((F.col("_qd") - F.lit(lo)) / F.lit((hi - lo) / 4096)),
+            F.floor((F.col("_qd") + F.lit(span)) / F.lit(2 * span / 4096)),
             F.lit(4095),
         ).cast("int")
     # blk is a cheap derived column over the cached slopes — no second
