@@ -1557,6 +1557,8 @@ def shared_substring_pairs(
         raise ValueError(
             f"gram_keys must be 'fingerprint' or 'text', got {gram_keys!r}"
         )
+    from big_data_validator_spark.operators import rebalance_for_compute
+
     t = F.col(text_col)
     gram = F.explode(
         F.expr(
@@ -1565,7 +1567,10 @@ def shared_substring_pairs(
             f"{gram_len}))"
         )
     ).alias("_gram")
-    base = df.filter(F.length(t) >= gram_len)
+    # the stride-1 explode multiplies each doc into ~len(text) gram
+    # rows and hashes every one — compute that must not inherit a
+    # small scan's single partition (no-op at scale, guide §2)
+    base = rebalance_for_compute(df.filter(F.length(t) >= gram_len))
     if gram_keys == "fingerprint":
         # map to the 128-bit key in the SAME stage that explodes the
         # gram — the string never reaches the exchange
@@ -1680,7 +1685,16 @@ def excise_duplicate_spans(
         )
         .filter(F.size("_t") > 0)
     )
-    base = base.repartition(adaptive_partitions(df), "id")
+    # floored at session parallelism (r14, the minhash sets-cache fix):
+    # every consumer re-explodes per-doc arrays from this cache — CPU
+    # work that a bytes-sized width (1 partition at sf0.1) serializes
+    base = base.repartition(
+        max(
+            adaptive_partitions(df),
+            df.sparkSession.sparkContext.defaultParallelism,
+        ),
+        "id",
+    )
     base.persist()
     grams = (
         base.filter(F.size("_t") >= n_words)

@@ -6313,7 +6313,16 @@ def rule_order_totals_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical everywhere.  One map-side-combined aggregation per
     order + a key join; orders with no lines report separately (a
     missing-lines order is a different defect than a wrong total)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # Project to the four needed columns, then rebalance: the per-row
+    # BigDecimal product chain is compute-bound and inherited the
+    # scan's 3 splits (r14 profile: 1.5s of the query's 2.1s ran as a
+    # 3-task broadcast side).  At 100 TB the scan is already thousands
+    # of splits and the rebalance is a no-op (guide §2).
+    li = _rb(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+        )
+    )
     o = _t(spark, sf_dir, "orders")
     charge = (
         F.col("l_extendedprice").cast("decimal(18,6)")
