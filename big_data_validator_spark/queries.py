@@ -176,17 +176,22 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _drain_partitions(spark: SparkSession, n: int = 8):
+def _drain_partitions(spark: SparkSession, n: int = 2):
     """Pin ``spark.sql.shuffle.partitions`` (and hence streaming state
     partitions — fixed at query start) for the duration of a BOUNDED
     streaming drain, restoring the session value after.
 
     Measured at sf0.1 on local[32]: a finite availableNow drain spends
-    more on 32-way state-store checkpointing than on data (attribution
-    join 3.3 s → 1.6 s, dedup 1.6 s → 1.0 s at 8 partitions); a real
-    deployment sizes state partitions to throughput instead.  NOT used
-    for the applyInPandasWithState sessionizer — its Arrow workers
-    parallelize with partitions and 8 is measurably slower there.
+    more on per-partition state-store checkpointing than on data
+    (r12: 32 → 8 partitions took the attribution join 3.3 s → 1.6 s;
+    r14 within-session A/B, 8 → 2 partitions: attribution_left 5.5 →
+    4.4 s, mannwhitney 5.8 → 5.4 s, attribution_join 1.6 → 1.35 s,
+    dedup 1.2 → 1.15 s — every drained batch here is file-sized, so
+    two state partitions already hold it).  The principle is
+    data-sized state sharding: a real deployment sizes this to drained
+    bytes per trigger, not to core count.  NOT used for the
+    applyInPandasWithState sessionizer — its Arrow workers parallelize
+    with partitions and few-way is measurably slower there.
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
@@ -5529,7 +5534,7 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _mv_delta_stream_source(spark, sf_dir)
     schema = spark.read.parquet(f"{src}/run0").schema
     state = tempfile.mkdtemp(prefix="bdv_mv_state_")
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -7465,7 +7470,7 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{src}/run0").schema
     repo = tempfile.mkdtemp(prefix="bdv_drift_repo_")
     baseline = _t(spark, sf_dir, "events").select("value")
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -7519,7 +7524,7 @@ def streaming_metrics_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _metrics_stream_source(spark, sf_dir)
     schema = spark.read.parquet(f"{src}/run0").schema
     repo = tempfile.mkdtemp(prefix="bdv_metrics_repo_")
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -8703,7 +8708,7 @@ def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey long, c_mktsegment string, acct_cents long, "
         "valid_from int, valid_to int, is_current boolean",
     )
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -9048,7 +9053,7 @@ def streaming_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{src}/run0").schema
     repo = tempfile.mkdtemp(prefix="bdv_kll_repo_")
     cents = F.floor(F.col("value") * 100).cast("long").alias("c")
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -9165,7 +9170,7 @@ def streaming_kll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _kll_group_stream_source(spark, sf_dir)
     schema = spark.read.parquet(f"{src}/run0").schema
     repo = tempfile.mkdtemp(prefix="bdv_kll_grp_repo_")
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -10750,7 +10755,7 @@ def streaming_markov_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline = _t(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -12765,7 +12770,7 @@ def streaming_mannwhitney_drift(
     schema = spark.read.parquet(f"{src}/run0").schema
     repo = tempfile.mkdtemp(prefix="bdv_mwu_repo_")
     reference = _t(spark, sf_dir, "events").select("value")
-    with _drain_partitions(spark, 8):
+    with _drain_partitions(spark):
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
