@@ -381,14 +381,24 @@ def main() -> None:
 
     registry = all_queries()
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # TEST-SUPPORT ONLY (r14): the contract test exercises this script
+    # end-to-end (subprocess, JSON line, detail file) but a full
+    # 217-query pass at sf0.001 cost 356 s of the pytest wall — the
+    # single reason the r13 verify run exceeded the driver's budget.
+    # The driver never sets this variable, so every real bench run
+    # times the complete HEADLINE; a limited run still records
+    # n_queries, so a truncated detail can never masquerade as a full
+    # one.
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_LIMIT", "0"))
+    headline = HEADLINE[:limit] if limit > 0 else HEADLINE
+    samples: dict[str, list[float]] = {name: [] for name in headline}
     # one untimed warm pass (JIT/codegen caches, file-index warm), then
     # `passes` timed runs reported as the per-query MEDIAN: single-shot
     # numbers on a shared host swing 3-6x from scheduler noise; the median
     # is robust to one bad run AND attributable round-over-round (a min
     # hides regressions that only show in the typical run)
     for timed in [False] + [True] * passes:
-        for name in HEADLINE:
+        for name in headline:
             fn = registry[name]
             start = time.perf_counter()
             df = fn(spark, SF_DIR)

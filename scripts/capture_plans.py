@@ -73,7 +73,13 @@ def main() -> None:
     # calls execute, not the LocalRelation it returns.  A LocalRelation
     # source itself is skipped (noise).  materialize_release's own
     # collect is already captured above with a better label.
-    from pyspark.sql import DataFrame as _DF
+    # Spark 4: pyspark.sql.DataFrame is the abstract base; sessions
+    # hand out pyspark.sql.classic.dataframe.DataFrame, whose own
+    # method overrides must be the patch target.
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame as _DF
 
     _real_actions = {n: getattr(_DF, n) for n in ("collect", "count", "take")}
 

@@ -45,6 +45,7 @@ def _cvm_ref(x, y):
 
 @settings(max_examples=25, deadline=None)
 @given(a=_sample, b=_sample, bw=st.sampled_from([1, 3, 1 << 20]))
+@pytest.mark.slow
 def test_cvm_matches_midrank_reference_any_block_width(sp, a, b, bw):
     """cramer_von_mises == the float midrank reference (to the shared
     round-6 contract) for arbitrary tie-heavy samples, at every block
@@ -105,6 +106,7 @@ def _replay(vals, lo, level, depth, out):
     cents=st.lists(st.integers(-300, 900), min_size=0, max_size=16),
     depth=st.sampled_from([1, 2]),
 )
+@pytest.mark.slow
 def test_binseg_matches_recursive_replay(sp, cents, depth):
     """binseg_changepoints == the direct recursive replay for arbitrary
     series (negative totals exercise the truncating-division and

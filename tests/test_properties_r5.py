@@ -63,6 +63,7 @@ def test_cdc_matches_dict_diff(sp, cur, inc):
     block=st.integers(min_value=2, max_value=64),
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_key_gaps_matches_reference(sp, keys, block):
     """key_gaps == sorted-scan reference for ANY key multiset (including
     negatives and duplicates) and ANY block size."""
@@ -87,6 +88,7 @@ def test_key_gaps_matches_reference(sp, keys, block):
     width=st.sampled_from([0.7, 2.0, 50.0]),
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_equidepth_matches_reference(sp, values, n_bins, width):
     """equidepth_histogram == cumulative-scan reference for ANY value
     multiset, bin count, and block width."""

@@ -85,6 +85,7 @@ def test_bpe_encode_matches_reference_for_arbitrary_words(sp, words):
     )
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_resample_ffill_matches_python_reference(sp, events):
     """Spine coverage, gap flags, and carried values == a dict-based
     reference for arbitrary sparse per-key event sets."""
@@ -133,6 +134,7 @@ _cell = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
     inc=st.dictionaries(st.integers(0, 12), st.tuples(_cell, _cell), max_size=8),
 )
 @settings(max_examples=15, deadline=None)
+@pytest.mark.slow
 def test_apply_changeset_roundtrip_for_arbitrary_snapshots(sp, cur, inc):
     """apply(current, diff(current, incoming)) == incoming for ANY pair
     of keyed snapshots with nullable cells."""

@@ -46,6 +46,7 @@ _events = st.lists(
 @given(left=_events, right=_events,
        direction=st.sampled_from(["backward", "forward", "nearest"]),
        tol=st.sampled_from([None, 30]))
+@pytest.mark.slow
 def test_asof_directions_match_pandas_merge_asof(sp, left, right, direction, tol):
     """asof_join_nearest must agree with pandas.merge_asof for every
     direction and tolerance on arbitrary keyed event sets — pandas IS
@@ -122,6 +123,7 @@ _edges = st.lists(
 
 @settings(max_examples=20, deadline=None)
 @given(edges=_edges, limit=st.sampled_from([None, 1_000_000]))
+@pytest.mark.slow
 def test_duplicate_clusters_match_union_find(sp, edges, limit):
     """Both regimes (driver union-find and distributed large-star/
     small-star) must label arbitrary graphs — self-loops, parallel
@@ -193,6 +195,7 @@ _facts = st.lists(
 
 @settings(max_examples=25, deadline=None)
 @given(facts=_facts, feats=_facts, ttl=st.sampled_from([None, 20]))
+@pytest.mark.slow
 def test_point_in_time_never_leaks_future(sp, facts, feats, ttl):
     """For ARBITRARY fact/feature sets: every matched feature is
     at-or-before its fact (age >= 0), within TTL when set, and is the

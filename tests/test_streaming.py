@@ -239,6 +239,7 @@ def test_stream_stream_attribution_window_bounds(spark, tmp_path):
     assert got == [(1, t0, t0 + dt.timedelta(minutes=30))]
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_null_extension(spark, tmp_path):
     """Watermarked stream-stream LEFT OUTER join: matches emit inner-
     style; UNMATCHED purchases emit with NULL click only after the
@@ -321,6 +322,7 @@ def test_stream_stream_left_outer_null_extension(spark, tmp_path):
     assert final_state and final_state[-1] <= 4, final_state
 
 
+@pytest.mark.slow
 def test_stream_metrics_repository_matches_batch_and_replay(spark, tmp_path):
     """Streaming metrics repository (VERDICT r6 item 2): (1) per-batch
     profile rows equal the BATCH metrics_history over the same splits;
@@ -728,6 +730,7 @@ def test_stream_markov_drift_rejects_empty_baseline(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_stream_mannwhitney_drift_matches_batch_on_prefixes(spark, tmp_path):
     """Streaming U monitor: each batch's emitted row equals the batch
     mannwhitney_u of (cumulative stream prefix) vs the static

@@ -465,6 +465,7 @@ def test_bpe_vocab_covers_every_emitted_symbol(spark):
     assert missing == []
 
 
+@pytest.mark.slow
 def test_two_phase_cc_beats_diameter_on_adversarial_chain(spark):
     """VERDICT r6 item 4: the distributed regime is now two-phase
     large-star/small-star (Kiveris et al.), which converges in O(log² n)
