@@ -2434,6 +2434,10 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged map-side, so cost is independent of cardinality.  rsd=0.01
     bounds relative error at ~1%; pytest pins the bound against the exact
     counts (engine-specific sketch values can't hash-match a SQL oracle)."""
+    # NOT rebalanced (r14 A/B): fanning the HLL update out to 32 tasks
+    # measured WORSE (2.4s -> 3.9s) — the round-robin exchange of every
+    # raw row costs more than the 3-split register updates save, the
+    # same scan->aggregate lesson as the r13 rebalance audit.
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ad_orderkey"),
