@@ -572,6 +572,11 @@ def _resolve_prior_state(spark, root: str, batch_id: int, initial_summary):
         for p in _committed_batch_dirs(spark, root)
         if int(p.rsplit("=", 1)[1]) < batch_id
     ]
+    # NOT schema-pinned (r14 A/B of the mwu explicit-schema device):
+    # the chain writers may WIDEN types batch-over-batch (the MV sum
+    # chain promotes the initial summary's decimal precision), so the
+    # state read must keep footer inference — pinning the initial
+    # frame's schema fails with PARQUET_COLUMN_DATA_TYPE_MISMATCH.
     return spark.read.parquet(prior[-1]) if prior else initial_summary
 
 
@@ -1032,12 +1037,17 @@ def stream_mannwhitney_drift(
         delta_dirs = _committed_batch_dirs(
             spark, f"{repo_path.rstrip('/')}/counts"
         )
+        # explicit schemas (r14): both relations are written by THIS
+        # function with fixed layouts, so per-batch footer-inference
+        # reads are pure driver round-trips — measured −0.35 s/query
+        # within-session across the 4-batch drain
         cum = (
-            spark.read.parquet(*delta_dirs)
+            spark.read.schema("_v long, _n long")
+            .parquet(*delta_dirs)
             .groupBy("_v")
             .agg(F.sum("_n").alias("_na"))
         )
-        ref = spark.read.parquet(ref_path)
+        ref = spark.read.schema("_v long, _nb long").parquet(ref_path)
         merged = (
             cum.select(
                 "_v", F.col("_na"), F.lit(0).cast("long").alias("_nb")
